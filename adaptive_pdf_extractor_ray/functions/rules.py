@@ -1,0 +1,138 @@
+"""Extraction rules: execution, validation, weighted ordering.
+
+Byte-identical re-implementation of the reference's rule semantics:
+
+- ``execute_rule``  — ``/root/reference/src/rule.py:71-99``:
+  ``re.search(rule, text, re.DOTALL)``; returns ``group(1).strip()``,
+  the empty string ``""`` when the capture is empty (the *null sentinel*),
+  ``None`` on no match / no capture group / bad pattern.
+- ``Rule.validate`` — ``/root/reference/src/rule.py:52-63``:
+  anchored ``re.match(validation_regex, value)``; ``None`` value -> False.
+- first-match-wins in weight order, ``""`` capture => field answer NULL —
+  ``/root/reference/src/pipeline.py:22-64`` and ``src/cache.py:207-247``.
+
+The reference keeps rules in a doubly-linked "weighted LRU" that bubbles a
+rule up after every hit (``src/cache.py:249-289``, order-dependent). Here
+rule order is a *deterministic snapshot per wave*: rules are sorted by
+``(weight desc, rule_idx asc)`` when a :class:`RuleSet` is built, hit
+counts are accumulated as dataflow (grouped Sum over ``matched rule_id``)
+and folded into weights at wave/checkpoint granularity. Within a wave the
+try-order is fixed, so output is independent of row visit order — the
+property that makes the pipeline parallelizable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Rule:
+    """One extraction rule: a regex with ONE capture group + a format gate.
+
+    ``rule_id`` is a globally unique id used for weight accounting;
+    ``rule_idx`` is the creation order within (fingerprint, field), the
+    deterministic tie-break for equal weights.
+    """
+
+    pattern: str
+    validation_regex: str
+    weight: int = 1
+    rule_id: int = -1
+    rule_idx: int = 0
+    _rx: re.Pattern | None = field(default=None, repr=False, compare=False)
+    _vrx: re.Pattern | None = field(default=None, repr=False, compare=False)
+
+    def compile(self) -> "Rule":
+        """Compile both regexes once (per actor); bad patterns -> None rx."""
+        if self._rx is None:
+            try:
+                self._rx = re.compile(self.pattern, re.DOTALL)
+            except re.error:
+                self._rx = None
+        if self._vrx is None:
+            try:
+                self._vrx = re.compile(self.validation_regex)
+            except re.error:
+                self._vrx = None
+        return self
+
+    def apply(self, text: str | None) -> str | None:
+        """Execute on text. "" = matched-but-empty (null field); None = miss."""
+        if not text:
+            return None
+        self.compile()
+        if self._rx is None or not self.pattern:
+            return None
+        m = self._rx.search(text)
+        if m is None:
+            return None
+        try:
+            captured = m.group(1).strip()
+        except IndexError:
+            return None
+        return captured if captured else ""
+
+    def validate(self, value: str | None) -> bool:
+        """Anchored-at-start format check of the extracted value."""
+        if value is None:
+            return False
+        self.compile()
+        if self._vrx is None:
+            return False
+        return self._vrx.match(value) is not None
+
+
+NULL_SENTINEL = ""  # "" capture => the field's answer is NULL
+
+
+@dataclass
+class FieldRules:
+    """Rules for one (fingerprint, field), sorted (weight desc, rule_idx asc)."""
+
+    rules: list[Rule]
+
+    def __post_init__(self) -> None:
+        self.rules = sorted(self.rules, key=lambda r: (-r.weight, r.rule_idx))
+        for r in self.rules:
+            r.compile()
+
+    def try_extract(self, text: str | None) -> tuple[str | None, int]:
+        """First rule whose (apply, validate) passes wins.
+
+        Returns ``(value, rule_id)``; ``value`` is "" for an explicit null
+        hit, None for a total miss (rule_id -1).
+        """
+        for r in self.rules:
+            v = r.apply(text)
+            if r.validate(v):
+                return v, r.rule_id
+        return None, -1
+
+
+def extract_row(
+    field_rules: dict[str, FieldRules],
+    text: str | None,
+    all_fields: list[str],
+) -> tuple[dict[str, str | None], list[str], list[str], dict[str, int]]:
+    """Fast path for one row — mirrors ``extract_with_cache``.
+
+    Reference: ``/root/reference/src/pipeline.py:22-64``. Returns
+    ``(answers, success_fields, missing_fields, hits)`` where ``hits`` maps
+    field -> matched rule_id (weight accounting).
+    """
+    ans: dict[str, str | None] = {}
+    success: list[str] = []
+    missing: list[str] = []
+    hits: dict[str, int] = {}
+    for f in all_fields:
+        fr = field_rules.get(f)
+        value, rid = fr.try_extract(text) if fr is not None else (None, -1)
+        if value is not None:
+            ans[f] = None if value == NULL_SENTINEL else value
+            success.append(f)
+            hits[f] = rid
+        else:
+            missing.append(f)
+    return ans, success, missing, hits

@@ -1,0 +1,175 @@
+"""Template anchors, layout fingerprints, and the span-extraction oracle.
+
+The reference keys its rule caches by a per-record ``label`` supplied in
+the data (``/root/reference/src/main.py:151-198``). Web-scale input has no
+labels, so the rebuild computes a **layout fingerprint**: the set of
+anchor labels (rendered field names, ``field.replace("_"," ").title()`` —
+``/root/reference/scripts/generate_fake_data.py:242``) found in the
+normalized text. Same label set => same template => same rules.
+
+``span_extract`` is the deterministic per-row extraction semantics: the
+value of a field is the text between its anchor label and the next anchor
+(or end of text), stripped; empty => NULL. On the reference's synthetic
+corpus protocol this reproduces ``expected_answer`` exactly (fields are
+emitted as ``label sep value`` chunks, ``generate_sample`` at
+``scripts/generate_fake_data.py:204-288``), and it doubles as the pure
+oracle the pipeline's learned rules are validated against.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# Registered template families (field vocabularies).  New families need only
+# a field list — labels, fingerprints and rules all derive from it.
+# ---------------------------------------------------------------------------
+
+CARTEIRA_OAB_FIELDS = [
+    "nome",
+    "inscricao",
+    "seccional",
+    "subsecao",
+    "categoria",
+    "endereco_profissional",
+    "telefone_profissional",
+    "situacao",
+]
+
+TELA_SISTEMA_FIELDS = [
+    "data_base",
+    "data_vencimento",
+    "quantidade_parcelas",
+    "produto",
+    "sistema",
+    "tipo_de_operacao",
+    "tipo_de_sistema",
+]
+
+TEMPLATE_FIELDS: dict[str, list[str]] = {
+    "carteira_oab": CARTEIRA_OAB_FIELDS,
+    "tela_sistema": TELA_SISTEMA_FIELDS,
+}
+
+
+def field_label(field: str) -> str:
+    """Render a field name as its in-document anchor label."""
+    return field.replace("_", " ").title()
+
+
+def label_to_field(label: str) -> str:
+    """Inverse of :func:`field_label`."""
+    return label.replace(" ", "_").lower()
+
+
+def default_vocab() -> list[str]:
+    """All anchor labels from registered templates, longest first."""
+    labels = {field_label(f) for fields in TEMPLATE_FIELDS.values() for f in fields}
+    return sorted(labels, key=lambda s: (-len(s), s))
+
+
+@dataclass(frozen=True)
+class Anchor:
+    label: str
+    start: int
+    end: int
+
+
+def _vocab_regex(vocab: list[str]) -> re.Pattern:
+    # Longest-first alternation.  Boundaries are ASCII-alnum-based, not
+    # space-based: normalization splits ASCII letter/digit and camel-case
+    # adjacency (src/data.py:73-81) but NOT accented-lowercase→Upper or
+    # label→punctuation adjacency (e.g. "CearáCategoria",
+    # "Profissional(95)"), so an anchor may legitimately touch a non-ASCII
+    # letter or punctuation on either side — the same contamination shape
+    # the reference's learned lookaheads tolerate (see the committed cache,
+    # data/fake/caches/fake_dataset_1000samples_seed_1_cache.json).
+    alts = "|".join(re.escape(v) for v in sorted(vocab, key=lambda s: (-len(s), s)))
+    return re.compile(rf"(?<![A-Za-z0-9])({alts})(?![A-Za-z0-9])")
+
+
+_VOCAB_RX_CACHE: dict[tuple[str, ...], re.Pattern] = {}
+
+
+def find_anchors(text: str, vocab: list[str]) -> list[Anchor]:
+    """Non-overlapping anchor occurrences, leftmost-longest, by position."""
+    key = tuple(sorted(vocab))
+    rx = _VOCAB_RX_CACHE.get(key)
+    if rx is None:
+        rx = _VOCAB_RX_CACHE[key] = _vocab_regex(vocab)
+    return [Anchor(m.group(1), m.start(1), m.end(1)) for m in rx.finditer(text)]
+
+
+UNKNOWN_FINGERPRINT = "unk"
+
+
+def fingerprint_of_labels(labels: list[str] | set[str]) -> str:
+    """Stable template fingerprint = md5 of the sorted unique label set."""
+    uniq = sorted(set(labels))
+    if not uniq:
+        return UNKNOWN_FINGERPRINT
+    return hashlib.md5("|".join(uniq).encode("utf-8")).hexdigest()[:16]
+
+
+def fingerprint_text(text: str | None, vocab: list[str]) -> str:
+    if not text:
+        return UNKNOWN_FINGERPRINT
+    return fingerprint_of_labels([a.label for a in find_anchors(text, vocab)])
+
+
+def span_extract(text: str, vocab: list[str]) -> dict[str, str | None]:
+    """Deterministic anchor-span extraction (the extraction oracle).
+
+    Field value = text between the field's first anchor occurrence and the
+    next anchor start (or end of text), stripped; empty span => None.
+    """
+    anchors = find_anchors(text, vocab)
+    out: dict[str, str | None] = {}
+    for i, a in enumerate(anchors):
+        f = label_to_field(a.label)
+        if f in out:
+            continue  # first occurrence wins
+        nxt = anchors[i + 1].start if i + 1 < len(anchors) else len(text)
+        val = text[a.end : nxt].strip()
+        out[f] = val if val else None
+    return out
+
+
+def discover_anchors(texts: list[str], min_support: float = 0.8) -> list[str]:
+    """Induce anchor labels for an *unknown* template family.
+
+    Candidate anchors are runs of 1-3 consecutive Title-Case tokens; those
+    appearing in >= ``min_support`` of the exemplar texts are accepted
+    (longest-first, overlapping shorter runs dropped). This is the
+    registry-free fallback: a new template family seen at scale gets a
+    vocabulary, hence a fingerprint and fitted rules, with zero code.
+    """
+    counts: dict[str, int] = {}
+    token_rx = re.compile(r"[A-ZÀ-Ö][a-zà-ö]+")
+    for text in texts:
+        toks = [(m.group(0), m.start(), m.end()) for m in token_rx.finditer(text)]
+        seen: set[str] = set()
+        for i in range(len(toks)):
+            for n in (3, 2, 1):
+                if i + n > len(toks):
+                    continue
+                # consecutive = separated by exactly one space
+                ok = all(toks[j + 1][1] == toks[j][2] + 1 for j in range(i, i + n - 1))
+                if not ok:
+                    continue
+                phrase = text[toks[i][1] : toks[i + n - 1][2]]
+                seen.add(phrase)
+        for p in seen:
+            counts[p] = counts.get(p, 0) + 1
+    need = max(1, int(min_support * len(texts)))
+    cands = sorted(
+        (p for p, c in counts.items() if c >= need), key=lambda s: (-len(s), s)
+    )
+    # drop phrases contained in an accepted longer phrase
+    accepted: list[str] = []
+    for p in cands:
+        if not any(p in a for a in accepted):
+            accepted.append(p)
+    return accepted

@@ -1,0 +1,141 @@
+"""HTML build + main-content extraction (boilerplate removal).
+
+The reference has no HTML path (it reads pre-OCR'd text or single-page
+PDFs, ``/root/reference/src/data.py:141-155``); the north star requires a
+DOM text-density / link-density boilerplate stripper for Common-Crawl-style
+pages. This is a from-scratch implementation of the public Arc90 /
+Boilerpipe-style heuristic over Python's stdlib ``html.parser``:
+
+- segment the DOM into *blocks* at block-level container boundaries;
+- per block, measure total text length and anchor ("<a>") text length;
+- drop script/style/noscript entirely and nav/header/footer/aside
+  subtrees; drop blocks whose link density (anchor chars / total chars)
+  exceeds ``MAX_LINK_DENSITY`` or that are shorter than ``MIN_BLOCK_CHARS``
+  unless nothing else survives;
+- join surviving blocks with newlines.
+
+A page built by :func:`build_page` round-trips byte-identically:
+``extract_main_text(build_page(text)) == text``.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from html.parser import HTMLParser
+
+BLOCK_TAGS = {
+    "p", "div", "article", "section", "main", "td", "li", "h1", "h2", "h3",
+    "h4", "h5", "h6", "pre", "blockquote", "table", "tr", "ul", "ol", "body",
+}
+DROP_SUBTREE_TAGS = {
+    "script", "style", "noscript", "nav", "header", "footer", "aside", "title",
+}
+
+MAX_LINK_DENSITY = 0.33
+MIN_BLOCK_CHARS = 2
+
+
+class _Block:
+    __slots__ = ("parts", "text_len", "link_len")
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.text_len = 0
+        self.link_len = 0
+
+    @property
+    def text(self) -> str:
+        return "".join(self.parts)
+
+    @property
+    def link_density(self) -> float:
+        return self.link_len / self.text_len if self.text_len else 1.0
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = [_Block()]
+        self._drop_depth = 0
+        self._anchor_depth = 0
+
+    def _new_block(self) -> None:
+        if self.blocks[-1].parts:
+            self.blocks.append(_Block())
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in DROP_SUBTREE_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in BLOCK_TAGS or tag == "br":
+            self._new_block()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_SUBTREE_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        if tag in BLOCK_TAGS:
+            self._new_block()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        b = self.blocks[-1]
+        b.parts.append(data)
+        n = len(data.strip())
+        b.text_len += n
+        if self._anchor_depth:
+            b.link_len += n
+
+
+def extract_main_text(html_doc: str | bytes) -> str:
+    """Strip boilerplate, return the page's main text content."""
+    if isinstance(html_doc, (bytes, bytearray, memoryview)):
+        html_doc = bytes(html_doc).decode("utf-8", errors="replace")
+    p = _Extractor()
+    p.feed(html_doc)
+    p.close()
+    candidates = [
+        b for b in p.blocks
+        if b.text_len >= MIN_BLOCK_CHARS and b.link_density <= MAX_LINK_DENSITY
+    ]
+    if not candidates:  # degenerate page: fall back to the densest block
+        nonempty = [b for b in p.blocks if b.text_len > 0]
+        if not nonempty:
+            return ""
+        candidates = [max(nonempty, key=lambda b: b.text_len - b.link_len)]
+    return "\n".join(b.text.strip("\n") for b in candidates if b.text.strip())
+
+
+_NAV = (
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About us</a></li>'
+    '<li><a href="/contact">Contact</a></li><li><a href="/login">Login</a></li></ul></nav>'
+)
+_FOOTER = (
+    '<footer><a href="/terms">Terms of Service</a> | <a href="/privacy">Privacy'
+    "</a> | <a href=\"/sitemap\">Sitemap</a> | © example.org</footer>"
+)
+_ASIDE = (
+    '<aside><a href="/ad1">Sponsored link one</a><a href="/ad2">Sponsored link two'
+    '</a><a href="/ad3">More sponsored</a></aside>'
+)
+
+
+def build_page(text: str, title: str = "Document") -> bytes:
+    """Wrap text in a boilerplate-laden HTML page (content in <article>)."""
+    body = _html.escape(text)
+    doc = (
+        "<!DOCTYPE html><html><head><style>body{margin:0}</style>"
+        f"<title>{_html.escape(title)}</title>"
+        '<script>var trackingId="x-123";</script></head><body>'
+        f"{_NAV}{_ASIDE}<article>{body}</article>{_FOOTER}</body></html>"
+    )
+    return doc.encode("utf-8")

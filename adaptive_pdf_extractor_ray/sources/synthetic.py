@@ -1,0 +1,252 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Mirrors the reference's synthetic-data protocol
+(``/root/reference/scripts/generate_fake_data.py:204-288``) with a
+self-contained seeded generator (no Faker): per field 70% present / 30%
+omitted (label emitted, value NULL), labels rendered
+``field.replace("_"," ").title()``, separators drawn from the 8:2:6:2:2
+newline/nothing/space/triple-space/tab pool, 33% of rows with shuffled
+field order. Unlike the reference script (one global ``random.seed``),
+every row derives its own RNG from ``(seed, index)``, so generation is
+order-free and shards cleanly across Ray tasks at any scale.
+
+Each record becomes one row of the ``pages`` table mandated by
+``BASELINE.json input_hint``::
+
+    (url: string, warc_ts: timestamp[us], html: binary, text: string,
+     lang: string)
+
+round-robined across the three ingest modes: pre-extracted ``text``
+(reference ``pdf_text`` path), HTML bytes (boilerplate-wrapped), PDF bytes
+(``%PDF-`` magic). A parallel ``expected`` table carries ground truth
+(template label, per-field expected values as JSON, normalized text).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import random
+
+import pyarrow as pa
+
+from ..functions.templates import TEMPLATE_FIELDS, field_label
+from ..functions.textnorm import normalize_text
+from .htmlio import build_page
+from .pdfio import build_pdf
+
+_FIRST = [
+    "Ana", "Bruno", "Carla", "Diego", "Elisa", "Fábio", "Gabriela", "Heitor",
+    "Iara", "João", "Karina", "Lucas", "Mariana", "Nelson", "Otávia", "Paulo",
+    "Queila", "Rafael", "Sofia", "Tiago", "Úrsula", "Valter", "Wanda", "Xavier",
+]
+_SUR = [
+    "Almeida", "Barbosa", "Cardoso", "Dias", "Esteves", "Ferreira", "Gomes",
+    "Henriques", "Ibrahim", "Junqueira", "Kfouri", "Lima", "Moraes", "Nogueira",
+    "Oliveira", "Pereira", "Queiroz", "Ribeiro", "Santos", "Teixeira",
+]
+_STATES = ["SP", "RJ", "MG", "BA", "PR", "RS", "PE", "CE", "PA", "SC", "GO", "DF"]
+_STATE_NAMES = {
+    "SP": "São Paulo", "RJ": "Rio de Janeiro", "MG": "Minas Gerais",
+    "BA": "Bahia", "PR": "Paraná", "RS": "Rio Grande do Sul",
+    "PE": "Pernambuco", "CE": "Ceará", "PA": "Pará", "SC": "Santa Catarina",
+    "GO": "Goiás", "DF": "Distrito Federal",
+}
+_CITIES = [
+    "Campinas", "Santos", "Niterói", "Uberlândia", "Feira de Santana",
+    "Londrina", "Caxias do Sul", "Olinda", "Sobral", "Blumenau", "Anápolis",
+    "Petrópolis", "Sorocaba", "Juiz de Fora", "Maringá",
+]
+_STREETS = ["Rua das Flores", "Avenida Brasil", "Rua XV de Novembro",
+            "Alameda Santos", "Travessa da Paz", "Rua do Comércio"]
+_BAIRROS = ["Centro", "Jardim América", "Vila Nova", "Boa Vista", "Santa Cecília"]
+_CATEGORIES = ["ADVOGADO", "ADVOGADA", "SUPLEMENTAR", "ESTAGIARIO"]
+_SITUACOES = ["Situação Regular", "Situação Irregular"]
+_PRODUTOS = ["Crédito Pessoal", "Financiamento Imobiliário", "Cartão Corporativo",
+             "Capital de Giro", "Consórcio Auto"]
+_SISTEMAS = ["SICRED", "COBRANCA", "SIAPE", "LEGADO", "PORTAL"]
+_TIPOS_OP = ["Contratação", "Renegociação", "Liquidação", "Amortização"]
+_TIPOS_SIS = ["Interno", "Externo", "Mainframe", "Web"]
+
+SEPARATORS = ["\n"] * 8 + [""] * 2 + [" "] * 6 + ["   "] * 2 + ["\t"] * 2
+
+EPOCH = _dt.datetime(2024, 1, 1)
+
+
+def _gen_carteira(rng: random.Random) -> dict[str, str]:
+    nome = f"{rng.choice(_FIRST)} {rng.choice(_SUR)} {rng.choice(_SUR)}"
+    st = rng.choice(_STATES)
+    city = rng.choice(_CITIES)
+    return {
+        "nome": nome,
+        "inscricao": str(rng.randint(10**5, 10**10 - 1)),
+        "seccional": st,
+        "subsecao": f"{city} - {_STATE_NAMES[st]}",
+        "categoria": rng.choice(_CATEGORIES),
+        "endereco_profissional": (
+            f"{rng.choice(_STREETS)}, {rng.randint(1, 2999)}, "
+            f"{rng.choice(_BAIRROS)}, {city} - {st}"
+        ),
+        "telefone_profissional": (
+            f"({rng.randint(11, 99)}) 9{rng.randint(1000, 9999)}-{rng.randint(1000, 9999)}"
+        ),
+        "situacao": rng.choice(_SITUACOES),
+    }
+
+
+def _gen_tela(rng: random.Random) -> dict[str, str]:
+    d1 = EPOCH + _dt.timedelta(days=rng.randint(0, 600))
+    d2 = d1 + _dt.timedelta(days=rng.randint(30, 720))
+    return {
+        "data_base": d1.strftime("%d/%m/%Y"),
+        "data_vencimento": d2.strftime("%d/%m/%Y"),
+        "quantidade_parcelas": str(rng.randint(1, 96)),
+        "produto": rng.choice(_PRODUTOS),
+        "sistema": rng.choice(_SISTEMAS),
+        "tipo_de_operacao": rng.choice(_TIPOS_OP),
+        "tipo_de_sistema": rng.choice(_TIPOS_SIS),
+    }
+
+
+_CANON = {"carteira_oab": _gen_carteira, "tela_sistema": _gen_tela}
+
+
+def generate_record(i: int, seed: int = 1, tela_ratio: float = 0.25) -> dict:
+    """One deterministic synthetic record (pure function of (i, seed)).
+
+    Returns keys: url, warc_ts, html, text, lang, label, expected (dict),
+    raw_text, mode. Protocol per ``generate_sample``
+    (``scripts/generate_fake_data.py:204-288``): 70/30 present/omitted,
+    labels always rendered, random separator pool, 33% chunk shuffle.
+    """
+    rng = random.Random((seed << 32) ^ (i * 2654435761 % (1 << 61)))
+    label = "tela_sistema" if rng.random() < tela_ratio else "carteira_oab"
+    canonical = _CANON[label](rng)
+    fields = TEMPLATE_FIELDS[label]
+
+    chunks: list[tuple[str, str | None]] = []
+    expected: dict[str, str | None] = {}
+    for f in fields:
+        state = rng.choice(["correct"] * 7 + ["omitted"] * 3)
+        if state == "omitted":
+            expected[f] = None
+            chunks.append((field_label(f), None))
+        else:
+            expected[f] = canonical[f]
+            chunks.append((field_label(f), canonical[f]))
+    if rng.random() < 0.33:
+        rng.shuffle(chunks)
+
+    text = ""
+    for lab, value in chunks:
+        text += lab
+        text += rng.choice(SEPARATORS)
+        if value is not None:
+            text += value
+
+    mode = ("text", "html", "pdf")[i % 3]
+    url = f"https://fixture.test/{label}/{seed}/{i}"
+    row: dict = {
+        "url": url,
+        "warc_ts": EPOCH + _dt.timedelta(seconds=i),
+        "html": None,
+        "text": None,
+        "lang": "pt",
+        "label": label,
+        "expected": expected,
+        "raw_text": text,
+        "mode": mode,
+    }
+    if mode == "text":
+        row["text"] = text
+    elif mode == "html":
+        row["html"] = build_page(text, title=f"{label} {i}")
+    else:
+        row["html"] = build_pdf(text, compress=(i % 6 == 5))
+    return row
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+EXPECTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("label", pa.string()),
+        ("expected_json", pa.string()),
+        ("expected_text", pa.string()),
+    ]
+)
+
+
+def build_tables(
+    n: int, seed: int = 1, start: int = 0, tela_ratio: float = 0.25
+) -> tuple[pa.Table, pa.Table]:
+    """Build (pages, expected) Arrow tables for rows [start, start+n)."""
+    recs = [generate_record(i, seed, tela_ratio) for i in range(start, start + n)]
+    pages = pa.table(
+        {
+            "url": [r["url"] for r in recs],
+            "warc_ts": pa.array([r["warc_ts"] for r in recs], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in recs], pa.binary()),
+            "text": [r["text"] for r in recs],
+            "lang": [r["lang"] for r in recs],
+        },
+        schema=PAGES_SCHEMA,
+    )
+    expected = pa.table(
+        {
+            "url": [r["url"] for r in recs],
+            "label": [r["label"] for r in recs],
+            "expected_json": [
+                json.dumps(r["expected"], ensure_ascii=False, sort_keys=True)
+                for r in recs
+            ],
+            "expected_text": [normalize_text(r["raw_text"]) for r in recs],
+        },
+        schema=EXPECTED_SCHEMA,
+    )
+    return pages, expected
+
+
+def write_corpus(
+    out_dir: str, n: int, seed: int = 1, shard_rows: int = 10_000,
+    tela_ratio: float = 0.25,
+) -> tuple[str, str]:
+    """Write a sharded pages+expected corpus under ``out_dir``; idempotent.
+
+    One parquet file per ``shard_rows`` rows so reads parallelize; a
+    ``_manifest.json`` records (n, seed) so repeat calls are no-ops.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages_dir = os.path.join(out_dir, "pages")
+    exp_dir = os.path.join(out_dir, "expected")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"n": n, "seed": seed, "shard_rows": shard_rows, "tela_ratio": tela_ratio}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return pages_dir, exp_dir
+    os.makedirs(pages_dir, exist_ok=True)
+    os.makedirs(exp_dir, exist_ok=True)
+    shard = 0
+    for start in range(0, n, shard_rows):
+        cnt = min(shard_rows, n - start)
+        pages, expected = build_tables(cnt, seed=seed, start=start,
+                                       tela_ratio=tela_ratio)
+        pq.write_table(pages, os.path.join(pages_dir, f"part-{shard:05d}.parquet"))
+        pq.write_table(expected, os.path.join(exp_dir, f"part-{shard:05d}.parquet"))
+        shard += 1
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return pages_dir, exp_dir
