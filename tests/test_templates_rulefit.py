@@ -131,7 +131,7 @@ class TestEndToEndFit:
 class TestDiscoverAnchors:
     def test_unknown_template_family(self):
         texts = [
-            f"Numero Serie {1000 + i} Modelo X-{i} Fabricante Acme {i}"
+            f"Numero Serie {1000 + i} Modelo X-{i} Fabricante ACME-{i}"
             for i in range(10)
         ]
         anchors = discover_anchors(texts)
