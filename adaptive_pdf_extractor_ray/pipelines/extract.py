@@ -1,0 +1,248 @@
+"""The flagship adaptive-extraction pipeline (two-wave, checkpointed).
+
+Rebuild of the reference lifecycle (``/root/reference/src/main.py:143-402``)
+as a streaming Ray Data dataflow:
+
+    read pages -> parse (PDF/HTML/text) -> normalize -> fingerprint
+      -> wave 1: apply broadcast rule store (actor pool)        [fast path]
+      -> checkpoint wave1 parquet (resumable; also carries extracted text)
+      -> misses only: groupby(fingerprint) -> deterministic fit [slow path]
+      -> rule store merge + atomic checkpoint -> broadcast
+      -> wave 2: re-apply to miss rows (missing fields only) -> union
+      -> write answers parquet (partitioned) + fold hit counts into weights
+
+Scale notes (the design assumptions, per SURVEY §4):
+- the only all-to-all steps are the *miss-row* groupby (bounded by
+  template cardinality after wave 1 warms) and the tiny rule-hit Sum;
+- the rule store is broadcast via ``ray.put`` once per wave, never
+  shipped per batch;
+- wave1 parquet doubles as the resume checkpoint: a rerun with the same
+  ``work_dir`` skips parse+apply for completed shards (`_done` marker);
+- heavy ``html`` bytes are dropped at the parse stage; downstream blocks
+  carry only narrow string/list columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.templates import default_vocab
+from ..stages.apply import RuleApplier, hit_partials
+from ..stages.fit import FitGroup
+from ..stages.parse import Fingerprinter, normalize_batch, parse_batch
+from ..state.rulestore import RuleStore
+
+def _named(callable_obj):
+    """map_groups requires a __name__-bearing fn; wrap callable instances."""
+
+    def fn(group):
+        return callable_obj(group)
+
+    fn.__name__ = type(callable_obj).__name__
+    return fn
+
+
+FINAL_COLUMNS = [
+    "url", "warc_ts", "lang", "kind", "error", "fingerprint",
+    "text_norm", "extracted_json", "missing", "hit_rule_ids", "n_missing",
+]
+
+
+def prepare(pages: ray.data.Dataset, vocab: list[str], *,
+            fp_concurrency: int | tuple[int, int] = (1, 4),
+            batch_size: int = 1024) -> ray.data.Dataset:
+    """parse -> normalize -> fingerprint (no rules applied yet)."""
+    return (
+        pages.map_batches(parse_batch, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+        .map_batches(normalize_batch, batch_format="pyarrow",
+                     batch_size=batch_size, zero_copy_batch=True)
+        .map_batches(
+            Fingerprinter,
+            fn_constructor_args=(vocab,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=fp_concurrency,
+        )
+    )
+
+
+def extract_pages(
+    pages: ray.data.Dataset,
+    work_dir: str,
+    *,
+    store_path: str | None = None,
+    vocab: list[str] | None = None,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 1024,
+    max_exemplars: int = 8,
+    write_answers: bool = True,
+) -> dict[str, Any]:
+    """Run the full two-wave pipeline; returns {'answers': Dataset, ...stats}."""
+    t0 = time.time()
+    vocab = vocab or default_vocab()
+    os.makedirs(work_dir, exist_ok=True)
+    store_path = store_path or os.path.join(work_dir, "rules.parquet")
+    store = RuleStore.load(store_path)
+
+    wave1_dir = os.path.join(work_dir, "wave1")
+    wave1_done = os.path.join(work_dir, "wave1._done")
+    if not os.path.exists(wave1_done):  # resumable: skip completed wave 1
+        rules_ref = ray.put(store.to_table())
+        prepared = prepare(pages, vocab, fp_concurrency=concurrency,
+                           batch_size=batch_size)
+        applied = prepared.map_batches(
+            RuleApplier,
+            fn_constructor_args=(rules_ref,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        ).select_columns(FINAL_COLUMNS)
+        applied.write_parquet(wave1_dir)
+        with open(wave1_done, "w") as f:
+            f.write(json.dumps({"ts": time.time()}))
+
+    wave1 = ray.data.read_parquet(wave1_dir)
+    misses = wave1.filter(expr="n_missing != 0")
+
+    # --- wide step: fit rules per fingerprint over miss rows only -------
+    fitted_rows = 0
+    have_misses = misses.limit(1).count() > 0
+    if have_misses:
+        fit_ds = (
+            misses.select_columns(["fingerprint", "text_norm"])
+            .map_batches(
+                lambda t: t.filter(pc.is_valid(t["text_norm"])),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+            .groupby("fingerprint")
+            .map_groups(_named(FitGroup(vocab, max_exemplars=max_exemplars)),
+                        batch_format="pyarrow")
+        )
+        rule_rows = fit_ds.take_all()  # O(templates × fields × 3): tiny
+        new_store_rows = 0
+        for row in rule_rows:
+            from ..functions.rules import Rule
+
+            r = Rule(
+                pattern=row["pattern"],
+                validation_regex=row["validation_regex"],
+                weight=row["weight"],
+                rule_idx=row["rule_idx"],
+            )
+            before = len(store)
+            store.add(row["fingerprint"], row["field"], r)
+            new_store_rows += len(store) - before
+        fitted_rows = new_store_rows
+        store.save(store_path)
+
+    # --- wave 2: re-apply to miss rows with the updated store -----------
+    if have_misses:
+        rules_ref2 = ray.put(store.to_table())
+        wave2 = misses.map_batches(
+            RuleApplier,
+            fn_constructor_args=(rules_ref2, "extracted_json"),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        ).select_columns(FINAL_COLUMNS)
+        successes = wave1.filter(expr="n_missing == 0").select_columns(FINAL_COLUMNS)
+        answers = successes.union(wave2)
+    else:
+        answers = wave1.select_columns(FINAL_COLUMNS)
+
+    stats: dict[str, Any] = {"rules_fitted": fitted_rows}
+
+    answers_dir = os.path.join(work_dir, "answers")
+    if write_answers:
+        answers.write_parquet(answers_dir, partition_cols=["fingerprint"])
+        answers = ray.data.read_parquet(answers_dir)
+        # fold rule-hit counts into weights: per-batch partials -> tiny Sum
+        hit_tbl = (
+            answers.map_batches(hit_partials, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("rule_id")
+            .sum("hits")
+        ).take_all()
+        store.apply_hits({r["rule_id"]: r["sum(hits)"] for r in hit_tbl})
+        store.save(store_path)
+        stats["answers_dir"] = answers_dir
+
+    stats.update(
+        {
+            "answers": answers,
+            "store_path": store_path,
+            "rules_total": len(store),
+            "wall_s": time.time() - t0,
+        }
+    )
+    return stats
+
+
+def evaluate_accuracy(
+    answers: ray.data.Dataset, expected: ray.data.Dataset
+) -> dict[str, float]:
+    """Exact-match accuracy vs ground truth — ``evaluate_performance``
+    semantics (``/root/reference/src/metrics.py:255-289``): per doc, the
+    fraction of expected fields whose extracted value matches exactly
+    (None == null); corpus accuracy is the mean.
+
+    Implemented as a broadcast-free merge on url via a pandas join per
+    batch against the expected table (test-scale helper; at corpus scale
+    ground truth would travel in the row or use Dataset.join).
+    """
+    import pandas as pd
+
+    exp_df = expected.to_pandas().set_index("url")
+    exp_ref = ray.put(exp_df)
+
+    class Score:
+        def __init__(self, ref):
+            self.exp = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            got = batch["extracted_json"].to_pylist()
+            accs, matches, totals = [], [], []
+            for u, g in zip(urls, got):
+                row = self.exp.loc[u]
+                want: dict = json.loads(row["expected_norm_json"])
+                ans = json.loads(g) if g else {}
+                ok = sum(
+                    1 for k, v in want.items()
+                    if ans.get(k, None) == (None if v is None else v)
+                )
+                matches.append(ok)
+                totals.append(len(want))
+                accs.append(ok / len(want) if want else 1.0)
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "n_match": pa.array(matches, pa.int64()),
+                    "n_expected": pa.array(totals, pa.int64()),
+                    "accuracy": pa.array(accs, pa.float64()),
+                }
+            )
+
+    scored = answers.map_batches(
+        Score, fn_constructor_args=(exp_ref,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    agg = scored.aggregate(
+        ray.data.aggregate.Sum("n_match"),
+        ray.data.aggregate.Sum("n_expected"),
+        ray.data.aggregate.Mean("accuracy"),
+    )
+    return {
+        "field_accuracy": agg["sum(n_match)"] / max(1, agg["sum(n_expected)"]),
+        "doc_accuracy": agg["mean(accuracy)"],
+    }

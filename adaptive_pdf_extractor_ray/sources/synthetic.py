@@ -180,8 +180,9 @@ EXPECTED_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("label", pa.string()),
-        ("expected_json", pa.string()),
-        ("expected_text", pa.string()),
+        ("expected_json", pa.string()),       # raw generator values
+        ("expected_norm_json", pa.string()),  # values after normalize_text
+        ("expected_text", pa.string()),       # full normalized document text
     ]
 )
 
@@ -207,6 +208,17 @@ def build_tables(
             "label": [r["label"] for r in recs],
             "expected_json": [
                 json.dumps(r["expected"], ensure_ascii=False, sort_keys=True)
+                for r in recs
+            ],
+            "expected_norm_json": [
+                json.dumps(
+                    {
+                        k: (normalize_text(v) if v is not None else None)
+                        for k, v in r["expected"].items()
+                    },
+                    ensure_ascii=False,
+                    sort_keys=True,
+                )
                 for r in recs
             ],
             "expected_text": [normalize_text(r["raw_text"]) for r in recs],

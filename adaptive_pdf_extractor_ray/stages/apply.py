@@ -1,0 +1,130 @@
+"""Rule application stage — the fast path, as a stateful actor pool.
+
+The reference's per-document fast path (``extract_with_cache``,
+``/root/reference/src/pipeline.py:22-64``) over a driver-held cache dict
+becomes ``ds.map_batches(RuleApplier, concurrency=N)``: the broadcast rule
+table (tiny — O(templates × fields × rules)) is fetched once per actor via
+``ray.get`` in ``__init__`` and compiled; each ``__call__`` applies rules
+to an Arrow batch. This is the broadcast-join pattern for the reference's
+``dict_caches[label]`` lookup (``src/main.py:193-198``): no shuffle, the
+small side ships to every actor once.
+
+Output columns:
+  extracted_json  per-row JSON object field -> value (null for explicit
+                  null fields — the "" sentinel already folded)
+  missing         list<string> fields with no validating rule (slow path)
+  hit_rule_ids    list<int64> matched rule ids (weight accounting — the
+                  dataflow analog of CacheItem.increment,
+                  src/cache.py:54-64)
+  n_missing       int32 convenience for the miss filter
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..functions.rules import extract_row
+from ..functions.templates import label_to_field
+from ..state.rulestore import RuleStore
+
+
+def _resolve_store(rules_ref) -> RuleStore:
+    """Accept an ObjectRef (broadcast), an Arrow table, or a RuleStore."""
+    import ray
+
+    if isinstance(rules_ref, ray.ObjectRef):
+        rules_ref = ray.get(rules_ref)
+    if isinstance(rules_ref, pa.Table):
+        return RuleStore.from_table(rules_ref)
+    if isinstance(rules_ref, RuleStore):
+        return rules_ref
+    raise TypeError(f"unsupported rules ref: {type(rules_ref)}")
+
+
+class RuleApplier:
+    """Callable-class stage; construct with the broadcast rule table."""
+
+    def __init__(self, rules_ref, merge_with: str | None = None):
+        store = _resolve_store(rules_ref)
+        self.compiled = store.compiled()  # fingerprint -> field -> FieldRules
+        self.merge_with = merge_with  # optional column of prior partial answers
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text_norm"].to_pylist()
+        fps = batch["fingerprint"].to_pylist()
+        prior_hits: list[list[int]] | None = None
+        if self.merge_with and self.merge_with in batch.column_names:
+            prior = batch[self.merge_with].to_pylist()
+            prior_missing = batch["missing"].to_pylist()
+            prior_nm = batch["n_missing"].to_pylist()
+            if "hit_rule_ids" in batch.column_names:
+                prior_hits = batch["hit_rule_ids"].to_pylist()
+            # n_missing < 0 marks "fingerprint had no rules at all": retry
+            # every field of the (now possibly fitted) template
+            subsets = [
+                None if (nm is None or nm < 0) else list(m)
+                for m, nm in zip(prior_missing, prior_nm)
+            ]
+        else:
+            prior = [None] * len(batch)
+            subsets = [None] * len(batch)
+
+        extracted_out: list[str | None] = []
+        missing_out: list[list[str]] = []
+        nm_out: list[int] = []
+        hits_out: list[list[int]] = []
+        for text, fp, prior_json, fields_subset in zip(texts, fps, prior, subsets):
+            field_rules = self.compiled.get(fp)
+            if field_rules is None or text is None:
+                # unknown template (-1 sentinel) or parse failure
+                target = list(fields_subset or [])
+                extracted_out.append(prior_json)
+                missing_out.append(target)
+                nm_out.append(len(target) if target else -1)
+                hits_out.append([])
+                continue
+            target_fields = (
+                list(fields_subset) if fields_subset is not None else list(field_rules)
+            )
+            ans, _, missing, hits = extract_row(field_rules, text, target_fields)
+            if prior_json:
+                merged = json.loads(prior_json)
+                merged.update(ans)
+                ans = merged
+            extracted_out.append(json.dumps(ans, ensure_ascii=False, sort_keys=True))
+            missing_out.append(missing)
+            nm_out.append(len(missing))
+            hits_out.append(list(hits.values()))
+
+        if prior_hits is not None:  # wave-1 hits on partially-missing rows count too
+            hits_out = [old + new for old, new in zip(prior_hits, hits_out)]
+
+        out = batch.drop_columns(
+            [c for c in ("extracted_json", "missing", "hit_rule_ids", "n_missing")
+             if c in batch.column_names]
+        )
+        out = out.append_column("extracted_json", pa.array(extracted_out, pa.string()))
+        out = out.append_column("missing", pa.array(missing_out, pa.list_(pa.string())))
+        out = out.append_column("hit_rule_ids", pa.array(hits_out, pa.list_(pa.int64())))
+        out = out.append_column("n_missing", pa.array(nm_out, pa.int32()))
+        return out
+
+
+def hit_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregation of rule hits: (rule_id, hits) rows.
+
+    Pre-aggregating inside map_batches keeps the groupby-Sum shuffle tiny
+    (SURVEY §2.5 A4 partial+final pattern).
+    """
+    counts: dict[int, int] = {}
+    for ids in batch["hit_rule_ids"].to_pylist():
+        for rid in ids:
+            counts[rid] = counts.get(rid, 0) + 1
+    return pa.table(
+        {
+            "rule_id": pa.array(list(counts.keys()), pa.int64()),
+            "hits": pa.array(list(counts.values()), pa.int64()),
+        }
+    )

@@ -1,0 +1,52 @@
+"""Rule-fit stage: the wide step (groupby fingerprint -> fit -> rule rows).
+
+The reference's slow path is an inherently sequential LLM feedback loop
+per document (``extract_with_llm`` + ``generate_rules_for_fields``,
+``/root/reference/src/pipeline.py:72-245``). Here it is one bounded
+``groupby("fingerprint").map_groups(FitGroup)`` over the *miss* rows only:
+each group samples up to ``max_exemplars`` texts (order-free — the skew
+guard for head templates, SURVEY §4) and emits fitted rule rows in the
+RuleStore schema. Cost scales with template cardinality, not corpus size.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.rulefit import fit_template
+from ..functions.templates import discover_anchors, find_anchors
+from ..state.rulestore import RULES_SCHEMA, rule_content_id
+
+
+class FitGroup:
+    """map_groups callable: one fingerprint group in, rule rows out."""
+
+    def __init__(self, vocab: list[str], max_exemplars: int = 8,
+                 discover_unknown: bool = True):
+        self.vocab = vocab
+        self.max_exemplars = max_exemplars
+        self.discover_unknown = discover_unknown
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        fp = group["fingerprint"][0].as_py()
+        texts = [t for t in group["text_norm"].to_pylist() if t][: self.max_exemplars]
+        vocab = self.vocab
+        if texts and not find_anchors(texts[0], vocab) and self.discover_unknown:
+            # unknown template family: induce anchors from the exemplars
+            induced = discover_anchors(texts)
+            if induced:
+                vocab = induced
+        fitted = fit_template(texts, vocab, max_exemplars=self.max_exemplars)
+        rows = {k: [] for k in RULES_SCHEMA.names}
+        for field, rules in fitted.items():
+            for r in rules:
+                rows["fingerprint"].append(fp)
+                rows["field"].append(field)
+                rows["pattern"].append(r.pattern)
+                rows["validation_regex"].append(r.validation_regex)
+                rows["weight"].append(r.weight)
+                rows["rule_id"].append(
+                    rule_content_id(fp, field, r.pattern, r.validation_regex)
+                )
+                rows["rule_idx"].append(r.rule_idx)
+        return pa.table(rows, schema=RULES_SCHEMA)

@@ -1,0 +1,148 @@
+"""Persisted rule store — the distributed analog of the reference's cache.
+
+The reference keeps one ``Cache`` per label in driver memory (a dict of
+weight-ordered ``RulesList``s, ``/root/reference/src/cache.py:326-408``)
+and fsyncs JSON after every learned rule (``src/main.py:283-286``). Here
+the store is a small Arrow/Parquet table keyed by ``(fingerprint, field)``:
+
+    fingerprint | field | pattern | validation_regex | weight | rule_id | rule_idx
+
+- ``rule_id`` is a *content hash* of (fingerprint, field, pattern,
+  validation_regex), so rules fitted independently on different workers
+  dedupe and their weights merge commutatively (integer Sum) — the
+  distributed replacement for the reference's in-place ``weight++`` and
+  bubble-up (``src/cache.py:54-64,249-289``).
+- try-order is the deterministic snapshot sort ``(weight desc, rule_idx
+  asc)`` taken when the store is compiled for broadcast; weights change at
+  checkpoint granularity, so output is independent of row visit order.
+- persistence is one Parquet checkpoint per fit wave (vs per-rule fsync):
+  the whole store for a 10^12-doc corpus is still only
+  O(#templates × #fields × #rules) rows — broadcast-small by design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.rules import FieldRules, Rule
+
+RULES_SCHEMA = pa.schema(
+    [
+        ("fingerprint", pa.string()),
+        ("field", pa.string()),
+        ("pattern", pa.string()),
+        ("validation_regex", pa.string()),
+        ("weight", pa.int64()),
+        ("rule_id", pa.int64()),
+        ("rule_idx", pa.int64()),
+    ]
+)
+
+
+def rule_content_id(fingerprint: str, field: str, pattern: str, validation: str) -> int:
+    h = hashlib.md5(f"{fingerprint}\x00{field}\x00{pattern}\x00{validation}".encode()).digest()
+    return int.from_bytes(h[:8], "big") & ((1 << 62) - 1)
+
+
+class RuleStore:
+    """In-memory rule table with Parquet persistence and weight merging."""
+
+    def __init__(self) -> None:
+        # rule_id -> (fingerprint, field, Rule)
+        self._rules: dict[int, tuple[str, str, Rule]] = {}
+
+    # -- construction -----------------------------------------------------
+    def add(self, fingerprint: str, field: str, rule: Rule) -> int:
+        rid = rule_content_id(fingerprint, field, rule.pattern, rule.validation_regex)
+        existing = self._rules.get(rid)
+        if existing is None:
+            rule.rule_id = rid
+            self._rules[rid] = (fingerprint, field, rule)
+        else:  # same content: keep the max weight / min idx seen
+            old = existing[2]
+            old.weight = max(old.weight, rule.weight)
+            old.rule_idx = min(old.rule_idx, rule.rule_idx)
+        return rid
+
+    def add_fitted(self, fingerprint: str, fitted: dict[str, list[Rule]]) -> int:
+        n = 0
+        for field, rules in fitted.items():
+            for r in rules:
+                if rule_content_id(fingerprint, field, r.pattern, r.validation_regex) not in self._rules:
+                    n += 1
+                self.add(fingerprint, field, r)
+        return n
+
+    # -- weight accounting -------------------------------------------------
+    def apply_hits(self, hits: dict[int, int]) -> None:
+        """Fold grouped hit counts (rule_id -> n) into weights (Sum merge)."""
+        for rid, n in hits.items():
+            entry = self._rules.get(rid)
+            if entry is not None:
+                entry[2].weight += int(n)
+
+    # -- views -------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self._rules)
+
+    def fingerprints(self) -> set[str]:
+        return {fp for fp, _, _ in self._rules.values()}
+
+    def compiled(self) -> dict[str, dict[str, FieldRules]]:
+        """fingerprint -> field -> FieldRules (sorted, regexes compiled)."""
+        grouped: dict[str, dict[str, list[Rule]]] = {}
+        for fp, field, rule in self._rules.values():
+            grouped.setdefault(fp, {}).setdefault(field, []).append(rule)
+        return {
+            fp: {f: FieldRules(rs) for f, rs in fields.items()}
+            for fp, fields in grouped.items()
+        }
+
+    def to_table(self) -> pa.Table:
+        rows = sorted(
+            self._rules.items(),
+            key=lambda kv: (kv[1][0], kv[1][1], -kv[1][2].weight, kv[1][2].rule_idx),
+        )
+        return pa.table(
+            {
+                "fingerprint": [fp for _, (fp, _, _) in rows],
+                "field": [f for _, (_, f, _) in rows],
+                "pattern": [r.pattern for _, (_, _, r) in rows],
+                "validation_regex": [r.validation_regex for _, (_, _, r) in rows],
+                "weight": [r.weight for _, (_, _, r) in rows],
+                "rule_id": [rid for rid, _ in rows],
+                "rule_idx": [r.rule_idx for _, (_, _, r) in rows],
+            },
+            schema=RULES_SCHEMA,
+        )
+
+    @classmethod
+    def from_table(cls, table: pa.Table) -> "RuleStore":
+        store = cls()
+        for row in table.to_pylist():
+            rule = Rule(
+                pattern=row["pattern"],
+                validation_regex=row["validation_regex"],
+                weight=row["weight"],
+                rule_id=row["rule_id"],
+                rule_idx=row["rule_idx"],
+            )
+            store._rules[row["rule_id"]] = (row["fingerprint"], row["field"], rule)
+        return store
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(self.to_table(), tmp)
+        os.replace(tmp, path)  # atomic checkpoint
+
+    @classmethod
+    def load(cls, path: str) -> "RuleStore":
+        if not os.path.exists(path):
+            return cls()
+        return cls.from_table(pq.read_table(path))
