@@ -1,0 +1,158 @@
+"""End-to-end Ray Data pipeline tests: correctness, warm start, resume."""
+
+import json
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from adaptive_pdf_extractor_ray.pipelines.extract import (
+    evaluate_accuracy,
+    extract_pages,
+)
+from adaptive_pdf_extractor_ray.sources.synthetic import write_corpus
+from adaptive_pdf_extractor_ray.state.rulestore import RuleStore
+
+N = 400
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, ray_session):
+    root = tmp_path_factory.mktemp("corpus")
+    pages_dir, exp_dir = write_corpus(str(root), n=N, seed=SEED, shard_rows=100)
+    return pages_dir, exp_dir
+
+
+@pytest.fixture(scope="module")
+def cold_run(corpus, tmp_path_factory, ray_session):
+    import ray.data as rd
+
+    pages_dir, exp_dir = corpus
+    work = str(tmp_path_factory.mktemp("work"))
+    res = extract_pages(rd.read_parquet(pages_dir), work)
+    return res, pages_dir, exp_dir, work
+
+
+class TestColdStart:
+    def test_all_rows_out(self, cold_run):
+        res, *_ = cold_run
+        assert res["answers"].count() == N
+
+    def test_rules_fitted(self, cold_run):
+        res, *_ = cold_run
+        assert res["rules_fitted"] > 0
+        store = RuleStore.load(res["store_path"])
+        assert len(store) == res["rules_total"]
+        # two template families
+        assert len(store.fingerprints()) == 2
+
+    def test_field_accuracy_100(self, cold_run):
+        import ray.data as rd
+
+        res, _, exp_dir, _ = cold_run
+        acc = evaluate_accuracy(res["answers"], rd.read_parquet(exp_dir))
+        assert acc["field_accuracy"] == 1.0
+        assert acc["doc_accuracy"] == 1.0
+
+    def test_text_byte_identical_per_url(self, cold_run):
+        res, _, exp_dir, work = cold_run
+        con = duckdb.connect()
+        total, same = con.execute(
+            f"""
+            select count(*),
+                   sum(case when a.text_norm = e.expected_text then 1 else 0 end)
+            from read_parquet('{work}/answers/**/*.parquet', hive_partitioning=1) a
+            join read_parquet('{exp_dir}/*.parquet') e using (url)
+            """
+        ).fetchone()
+        assert total == N and same == N
+
+    def test_no_errors(self, cold_run):
+        import pyarrow.compute as pc
+
+        res, *_ = cold_run
+        errs = res["answers"].map_batches(
+            lambda t: t.filter(pc.is_valid(t["error"])), batch_format="pyarrow"
+        ).count()
+        assert errs == 0
+
+    def test_weights_accumulated(self, cold_run):
+        res, *_ = cold_run
+        store = RuleStore.load(res["store_path"])
+        tbl = store.to_table().to_pydict()
+        # value rules applied hundreds of times must outweigh initial 1
+        assert max(tbl["weight"]) > 50
+
+
+class TestWarmStart:
+    def test_no_misses_second_run(self, cold_run, corpus, tmp_path_factory):
+        import ray.data as rd
+
+        res, pages_dir, exp_dir, _ = cold_run
+        work2 = str(tmp_path_factory.mktemp("work2"))
+        res2 = extract_pages(
+            rd.read_parquet(pages_dir), work2, store_path=res["store_path"]
+        )
+        # warm store: nothing new to fit
+        assert res2["rules_fitted"] == 0
+        acc = evaluate_accuracy(res2["answers"], rd.read_parquet(exp_dir))
+        assert acc["field_accuracy"] == 1.0
+
+    def test_unseen_seed_generalizes(self, cold_run, tmp_path_factory):
+        """Rules fitted on seed=7 must extract a seed=11 corpus perfectly
+        (the reference's cross-seed generalization experiments,
+        docs/experiment.md:25-32)."""
+        import ray.data as rd
+
+        res, *_ = cold_run
+        root = tmp_path_factory.mktemp("corpus11")
+        pages_dir, exp_dir = write_corpus(str(root), n=200, seed=11, shard_rows=100)
+        work = str(tmp_path_factory.mktemp("work11"))
+        res2 = extract_pages(
+            rd.read_parquet(pages_dir), work, store_path=res["store_path"]
+        )
+        acc = evaluate_accuracy(res2["answers"], rd.read_parquet(exp_dir))
+        assert acc["field_accuracy"] == 1.0
+
+
+class TestResume:
+    def test_wave1_checkpoint_skipped_on_rerun(self, corpus, tmp_path_factory):
+        import ray.data as rd
+
+        pages_dir, _ = corpus
+        work = str(tmp_path_factory.mktemp("work_resume"))
+        res1 = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False)
+        assert os.path.exists(os.path.join(work, "wave1._done"))
+        # poison the source: if wave 1 re-ran it would fail on missing files
+        res2 = extract_pages(
+            rd.read_parquet(pages_dir).limit(0), work, write_answers=False
+        )
+        assert res2["answers"].count() == N  # served from the checkpoint
+
+
+class TestErrorIsolation:
+    def test_bad_pdf_goes_to_error_column(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from adaptive_pdf_extractor_ray.sources.synthetic import PAGES_SCHEMA
+
+        rows = pa.table(
+            {
+                "url": ["u1", "u2"],
+                "warc_ts": pa.array([None, None], pa.timestamp("us")),
+                "html": pa.array([b"%PDF-1.4 garbage no page", None], pa.binary()),
+                "text": [None, "Nome Ana Inscricao 123456"],
+                "lang": ["pt", "pt"],
+            },
+            schema=PAGES_SCHEMA,
+        )
+        res = extract_pages(
+            rd.from_arrow(rows), str(tmp_path / "w"), write_answers=False
+        )
+        out = {r["url"]: r for r in res["answers"].take_all()}
+        assert out["u1"]["error"] is not None
+        assert out["u2"]["error"] is None
+        assert json.loads(out["u2"]["extracted_json"])["nome"] == "Ana"
