@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship adaptive-extraction pipeline over pages
+synthesized deterministically from ``/root/testdata/sf0.001/documents``
+(text / HTML / PDF ingest modes) and returns the answers Dataset.
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2 +
+the training-data family); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for each SQL-expressible entry.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,33 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents -> pages
+    (text/HTML/PDF) -> parse -> normalize -> fingerprint -> rule apply."""
+    import tempfile
+
+    import ray.data as rd
+
+    from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+    from adaptive_pdf_extractor_ray.sources.synthetic import write_corpus
+
+    cache_root = tempfile.gettempdir() + "/aper_entry_corpus"
+    pages_dir, _ = write_corpus(cache_root, n=600, seed=1, shard_rows=200)
+    work = tempfile.mkdtemp(prefix="aper_entry_")
+    res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False)
+    return res["answers"].select_columns(
+        ["url", "fingerprint", "extracted_json", "text_norm", "n_missing", "error"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from adaptive_pdf_extractor_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB SQL equivalents (same column names, same rounding)."""
+    from adaptive_pdf_extractor_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,695 @@
+"""Named pipelines over the driver test tables + their DuckDB oracles.
+
+Every entry here is exposed through ``__ray_entry__.queries()`` /
+``oracle_sql()``. Each callable takes ``sf_dir`` (a directory holding the
+TPC-H-ish parquet tables ``region nation customer supplier part orders
+lineitem events documents embeddings``) and returns a Dataset / Arrow
+table / pandas DataFrame whose row set matches the oracle SQL exactly
+(same column names, values rounded identically on both sides).
+
+Coverage maps to SURVEY.md §2 plus the training-data operator family
+(dedup / similarity / text analysis / multimodal) that a 100 TB pipeline
+needs. Non-SQL-expressible ops (minhash, simhash, blake2b-derived fakes,
+the full adaptive-extraction flagship) have no oracle entry and get the
+driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pandas as pa_pd  # noqa: F401  (kept: pandas imported lazily below)
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..functions.rules import Rule
+from ..functions.textnorm import normalize_sql, normalize_text_array
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages import text as tx
+from ..stages.media import MediaDecoder
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(_pq(sf_dir, name), columns=columns)
+
+
+MARKERS = ["spark", "join", "merge", "window", "stream", "vector"]
+
+
+# ---------------------------------------------------------------------------
+# extraction-core family
+# ---------------------------------------------------------------------------
+
+
+def q_normalize(sf_dir: str):
+    """normalize_text over documents (M1) — byte-identical vs SQL chain."""
+
+    def f(t: pa.Table) -> pa.Table:
+        arr = normalize_text_array(t["text"])
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pa.table({"doc_id": t["doc_id"], "text_norm": arr})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_pages_roundtrip(sf_dir: str):
+    """documents -> synthetic pages (text/HTML/PDF by doc_id%3) -> parse ->
+    normalize: proves the full ingest surface recovers the text
+    byte-identically (S2/M2/M3 + M1)."""
+    from ..sources.htmlio import build_page
+    from ..sources.pdfio import build_pdf
+    from ..stages.parse import normalize_batch, parse_batch
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        html: list[bytes | None] = []
+        text_out: list[str | None] = []
+        for i, s in zip(ids, texts):
+            mode = i % 3
+            if mode == 0:
+                html.append(None)
+                text_out.append(s)
+            elif mode == 1:
+                html.append(build_page(s, title=f"doc {i}"))
+                text_out.append(None)
+            else:
+                html.append(build_pdf(s, compress=(i % 6 == 5)))
+                text_out.append(None)
+        return pa.table(
+            {
+                "url": pa.array([str(i) for i in ids], pa.string()),
+                "warc_ts": pa.array([None] * len(ids), pa.timestamp("us")),
+                "html": pa.array(html, pa.binary()),
+                "text": pa.array(text_out, pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["url"], pa.int64()),
+                "kind": t["kind"],
+                "text_norm": t["text_norm"],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(parse_batch, batch_format="pyarrow")
+        .map_batches(normalize_batch, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def q_rule_extract(sf_dir: str):
+    """Rule-engine semantics (M6-M8) over events.props JSON text."""
+    rule = Rule(pattern=r'"k":\s*(\d+)', validation_regex=r"^\d+$")
+
+    def f(t: pa.Table) -> pa.Table:
+        vals = [rule.apply(s) or "" for s in t["props"].to_pylist()]
+        return pa.table(
+            {"event_id": t["event_id"], "k_value": pa.array(vals, pa.string())}
+        )
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Content fingerprint: md5 of the sorted marker-token set (the
+    template-fingerprint shape, SQL-expressible variant)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["text"].to_pylist():
+            found = sorted({w for w in (s or "").split(" ") if w in MARKERS})
+            out.append(hashlib.md5("|".join(found).encode()).hexdigest())
+        return pa.table(
+            {"doc_id": t["doc_id"], "fp": pa.array(out, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_quality(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_lang_id(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.lang_id_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Rolling-hash winnowing fingerprint (non-SQL op: rows-only check)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.rolling_fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partitioned keep-first (min doc_id) per content."""
+    hashed = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.content_hash_batch, batch_format="pyarrow"
+    )
+    agg = hashed.groupby("content_md5").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="keep_doc_id"),
+        ray.data.aggregate.Count(alias_name="n_copies"),
+    )
+    return agg
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup clusters: shingle -> minhash -> band groupby ->
+    candidate pairs -> Jaccard >= 0.5 verify -> min-label components."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = docs.map_batches(
+        dd.MinHasher, fn_constructor_kwargs={"num_perm": 64},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
+    pairs_ds = bands.groupby(["band_id", "band_hash"]).map_groups(
+        dd.bucket_pairs, batch_format="pyarrow"
+    )
+    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
+
+    # verification needs the candidate docs' texts (small set): broadcast
+    cand_ids = sorted({i for p in pairs for i in p})
+    texts: dict[int, str] = {}
+    if cand_ids:
+        id_set = set(cand_ids)
+        for b in docs.iter_batches(batch_format="pyarrow", batch_size=4096):
+            for i, s in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+                if i in id_set:
+                    texts[i] = s
+    parent: dict[int, int] = {i: i for i in cand_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    verified = []
+    for a, b in sorted(pairs):
+        j = dd.ngram_jaccard(texts[a], texts[b])
+        if j >= 0.5:
+            verified.append((a, b, round(j, 6)))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    rows = [
+        {"doc_id": i, "rep_id": find(i)}
+        for i in cand_ids
+        if find(i) != i or any(find(j) == i for j in cand_ids if j != i)
+    ]
+    import pandas as pd
+
+    return pd.DataFrame(rows or [], columns=["doc_id", "rep_id"]).astype("int64")
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash signatures + 16-bit band keys (Hamming<=3 bucketing)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        dd.simhash_batch, batch_format="pyarrow"
+    )
+
+
+def q_dedup_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup pairs among same-length-bucket candidates
+    (bounded verification of the LSH candidate set)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = docs.map_batches(
+        dd.MinHasher, fn_constructor_kwargs={"num_perm": 64},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
+    pairs_ds = bands.groupby(["band_id", "band_hash"]).map_groups(
+        dd.bucket_pairs, batch_format="pyarrow"
+    )
+    pairs = sorted({(r["a"], r["b"]) for r in pairs_ds.take_all()})
+    ids = {i for p in pairs for i in p}
+    texts: dict[int, str] = {}
+    if ids:
+        for b in docs.iter_batches(batch_format="pyarrow", batch_size=4096):
+            for i, s in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+                if i in ids:
+                    texts[i] = s
+    import pandas as pd
+
+    rows = [
+        {"a": a, "b": b, "jaccard": round(dd.ngram_jaccard(texts[a], texts[b]), 6)}
+        for a, b in pairs
+    ]
+    df = pd.DataFrame(rows or [], columns=["a", "b", "jaccard"])
+    return df.astype({"a": "int64", "b": "int64", "jaccard": "float64"})
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (sim >= 0.95), exact within label
+    buckets — SQL-verifiable with list_cosine_similarity."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        return sim.embedding_neardup_pairs(ids, M, threshold=0.35)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    # co-locate each label bucket (the pre-partitioning assumption: near
+    # dups share a coarse bucket; here the synthetic label is the bucket)
+    out = ds.groupby("label").map_groups(lambda g: f(g), batch_format="pyarrow")
+    import pandas as pd
+
+    df = out.to_pandas()
+    if df.empty:  # preserve schema even when no pair clears the threshold
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return df[["a", "b"]]
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 10
+KNN_K = 5
+
+
+def _query_vectors(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])[:N_QUERIES]
+    ids = pc.take(t["vec_id"], order).to_pylist()
+    vecs = pc.take(t["embedding"], order).to_pylist()
+    return {"ids": ids, "vecs": vecs}
+
+
+def q_knn_brute(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, numpy matmul per
+    batch, partial top-k per batch, final top-k per query."""
+    qref = ray.put(_query_vectors(sf_dir))
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        sim.BruteKnn, fn_constructor_args=(qref, KNN_K),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
+    ).select_columns(["query_id", "neighbor_id"])
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed ANN (scale path; recall<1 by design: rows-only check)."""
+    q = _query_vectors(sf_dir)
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(_pq(sf_dir, "embeddings"), columns=["embedding"])
+    X = np.asarray(sample["embedding"].to_pylist()[:512], dtype=np.float64)
+    C = sim.kmeans_lite(X, n_clusters=min(8, len(X)))
+    qref, cref = ray.put(q), ray.put(C)
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        sim.IvfIndexKnn, fn_constructor_args=(qref, cref),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (aggregate / join / sort / distinct / window)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_lineitem(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1995-09-02", "us"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "revenue": rev,
+                "l_discount": t["l_discount"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            ray.data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
+            ray.data.aggregate.Sum("revenue", alias_name="sum_revenue"),
+            ray.data.aggregate.Mean("l_discount", alias_name="avg_disc"),
+            ray.data.aggregate.Count(alias_name="n"),
+        )
+    )
+    df = agg.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    df["avg_disc"] = df["avg_disc"].round(6)
+    return df
+
+
+def q_join_revenue(sf_dir: str):
+    """orders ⋈ customer via broadcast small side (J1 pattern)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class Join:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in t["o_custkey"].to_pylist()]
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "o_totalprice": t["o_totalprice"],
+                }
+            )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(Join, fn_constructor_args=(cref,),
+                     batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(
+            ray.data.aggregate.Sum("o_totalprice", alias_name="revenue"),
+            ray.data.aggregate.Count(alias_name="n_orders"),
+        )
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+def q_distinct_events(sf_dir: str):
+    vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")
+    import pandas as pd
+
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+def q_window_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"event_type": t["event_type"], "hour": hour, "value": t["value"]}
+        )
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n"),
+            ray.data.aggregate.Sum("value", alias_name="sum_value"),
+        )
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
+
+
+SESSION_GAP_S = 1800
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows per user (gap > 30 min starts a new session) —
+    groupby(user).map_groups over ts-sorted events (streaming-shaped op)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g) -> "pa.Table":
+        import pandas as pd
+
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        n_sessions = int((gaps > SESSION_GAP_S).sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# multimodal stub plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_media_meta(sf_dir: str):
+    """Binary media column plumbing: payload -> actor-pool decode (fake,
+    deterministic) -> typed metadata. Non-SQL (blake2b): rows-only check."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": pa.array(
+                    [(s or "").encode("utf-8") for s in t["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            MediaDecoder, fn_constructor_kwargs={"payload_col": "payload"},
+            batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+        )
+        .select_columns(["doc_id", "width", "height", "format", "n_bytes"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# the adaptive-extraction flagship over the synthetic CC-style corpus
+# ---------------------------------------------------------------------------
+
+
+def q_extract_synthetic(sf_dir: str):
+    """Full two-wave adaptive extraction over the deterministic synthetic
+    pages corpus (cold start: fit + apply). Non-SQL: rows-only check, but
+    pytest verifies 100% field accuracy + byte-identical text separately."""
+    import tempfile
+
+    from ..pipelines.extract import extract_pages
+    from ..sources.synthetic import write_corpus
+
+    n = 2000
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cache_root = os.path.join(tempfile.gettempdir(), f"aper_corpus_{tag}_{n}")
+    pages_dir, _ = write_corpus(cache_root, n=n, seed=1, shard_rows=500)
+    work = tempfile.mkdtemp(prefix="aper_work_")
+    res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False)
+    return res["answers"].select_columns(
+        ["url", "fingerprint", "extracted_json", "text_norm", "n_missing"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "normalize_text": q_normalize,
+    "pages_roundtrip": q_pages_roundtrip,
+    "rule_extract": q_rule_extract,
+    "content_fingerprint": q_fingerprint,
+    "token_count": q_token_count,
+    "quality_score": q_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint_rolling": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "knn_brute": q_knn_brute,
+    "knn_ivf": q_knn_ivf,
+    "agg_lineitem": q_agg_lineitem,
+    "join_revenue": q_join_revenue,
+    "topk_orders": q_topk_orders,
+    "distinct_events": q_distinct_events,
+    "window_hourly": q_window_hourly,
+    "sessionize": q_sessionize,
+    "media_meta": q_media_meta,
+    "extract_synthetic": q_extract_synthetic,
+}
+
+
+def _norm_expr() -> str:
+    return normalize_sql("text")
+
+
+def _stop_count_sql() -> str:
+    return " + ".join(
+        f"length(regexp_extract_all(text, '\\b{w}\\b'))" for w in tx.STOPWORDS
+    )
+
+
+ORACLES: dict[str, str] = {
+    "normalize_text": (
+        f"select doc_id, {_norm_expr()} as text_norm from documents"
+    ),
+    "pages_roundtrip": (
+        "select doc_id, "
+        "case doc_id % 3 when 0 then 'text' when 1 then 'html' else 'pdf' end as kind, "
+        f"{_norm_expr()} as text_norm from documents"
+    ),
+    "rule_extract": (
+        "select event_id, regexp_extract(props, '\"k\":\\s*(\\d+)', 1) as k_value "
+        "from events"
+    ),
+    "content_fingerprint": (
+        "select doc_id, md5(coalesce(array_to_string(list_sort(list_distinct("
+        "list_filter(string_split(text, ' '), x -> x in "
+        "('spark','join','merge','window','stream','vector')))), '|'), '')) as fp "
+        "from documents"
+    ),
+    "token_count": (
+        "select doc_id, length(regexp_extract_all(text, '\\S+'))::bigint as n_tokens "
+        "from documents"
+    ),
+    "quality_score": (
+        "select doc_id, length(text)::bigint as n_chars, "
+        "length(regexp_extract_all(text, '\\S+'))::bigint as n_tokens, "
+        f"round(({_stop_count_sql()}) * 1.0 / "
+        "greatest(length(regexp_extract_all(text, '\\S+')), 1), 6) as stop_ratio, "
+        "round(length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / "
+        "greatest(length(text), 1), 6) as punct_ratio, "
+        "round(length(text) * 1.0 / "
+        "greatest(length(regexp_extract_all(text, '\\S+')), 1), 6) as mean_tok_len "
+        "from documents"
+    ),
+    "lang_id": (
+        f"select doc_id, case when ({_stop_count_sql()}) * 1.0 / "
+        "greatest(length(regexp_extract_all(text, '\\S+')), 1) > 0.05 "
+        "then 'en' else 'und' end as predicted_lang from documents"
+    ),
+    "dedup_exact": (
+        "select md5(text) as content_md5, min(doc_id) as keep_doc_id, "
+        "count(*) as n_copies from documents group by md5(text)"
+    ),
+    "embedding_neardup": (
+        "select e1.vec_id as a, e2.vec_id as b "
+        "from embeddings e1 join embeddings e2 "
+        "on e1.label = e2.label and e1.vec_id < e2.vec_id "
+        "where round(list_cosine_similarity(e1.embedding, e2.embedding), 4) >= 0.35"
+    ),
+    "knn_brute": (
+        # sims are ranked at 4 dp with vec_id tie-break on BOTH sides so
+        # float32-vs-float64 cosine noise (~1e-8) cannot flip the result;
+        # the similarity value itself is excluded from the hashed output.
+        f"""
+        with q as (select vec_id as qid, embedding as qe from embeddings
+                   order by vec_id limit {N_QUERIES}),
+        scored as (select q.qid, e.vec_id as nid,
+                          round(list_cosine_similarity(q.qe, e.embedding), 4) as sim
+                   from q cross join embeddings e),
+        ranked as (select *, row_number() over
+                     (partition by qid order by sim desc, nid asc) as rn
+                   from scored)
+        select qid as query_id, nid as neighbor_id
+        from ranked where rn <= {KNN_K}
+        """
+    ),
+    "agg_lineitem": (
+        "select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as sum_qty, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_revenue, "
+        "round(avg(l_discount), 6) as avg_disc, count(*) as n "
+        "from lineitem where l_shipdate < timestamp '1995-09-02' "
+        "group by l_returnflag, l_linestatus"
+    ),
+    "join_revenue": (
+        "select c_mktsegment, round(sum(o_totalprice), 2) as revenue, "
+        "count(*) as n_orders from orders join customer on o_custkey = c_custkey "
+        "group by c_mktsegment"
+    ),
+    "topk_orders": (
+        "select o_orderkey, o_totalprice from orders "
+        "order by o_totalprice desc, o_orderkey asc limit 10"
+    ),
+    "distinct_events": "select distinct event_type from events",
+    "window_hourly": (
+        "select event_type, date_trunc('hour', ts) as hour, count(*) as n, "
+        "round(sum(value), 2) as sum_value from events group by 1, 2"
+    ),
+    "sessionize": (
+        f"""
+        with ordered as (
+          select user_id, ts,
+                 case when ts - lag(ts) over (partition by user_id order by ts)
+                           > interval {SESSION_GAP_S} seconds
+                      or lag(ts) over (partition by user_id order by ts) is null
+                      then 1 else 0 end as new_session
+          from events)
+        select user_id, count(*)::bigint as n_events,
+               sum(new_session)::bigint as n_sessions
+        from ordered group by user_id
+        """
+    ),
+}

@@ -1,0 +1,100 @@
+"""Multimodal (image/audio/video) column stages.
+
+Media payloads are opaque ``binary`` columns with typed metadata — the
+schema/actor plumbing is real and tested; the *decode kernels* are gated
+behind import-try because the codec libraries (PIL, soundfile, av) are not
+in this container. With the libraries absent, :class:`MediaDecoder` either
+raises ``NotImplementedError`` (strict mode) or produces a deterministic
+fake decode (default) so downstream stages (resize/feature/frame-sample)
+exercise realistic shapes.
+
+Batch sizing note: media rows are orders of magnitude wider than text
+rows — callers should use a small ``batch_size`` (e.g. 32-128) and rely on
+object-store spilling, per the memory guidance in SURVEY §4.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+try:  # real decoder path — absent in this container
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _fake_meta(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic pseudo-decode: metadata derived from a content hash."""
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    width = 64 + (int.from_bytes(h[:4], "big") % 1856)  # 64..1919
+    height = 64 + (int.from_bytes(h[4:], "big") % 1016)  # 64..1079
+    fmt = ("jpeg", "png", "webp")[payload[:1][0] % 3 if payload else 0]
+    return width, height, fmt
+
+
+class MediaDecoder:
+    """Actor-pool stage: decode media bytes -> typed metadata (+thumbnail).
+
+    ``strict=True`` raises NotImplementedError when no codec library is
+    available (marks the stub boundary explicitly); the default emits the
+    deterministic fake decode so plumbing tests run everywhere.
+    """
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False,
+                 thumb_size: int = 8):
+        self.col = payload_col
+        self.strict = strict
+        self.thumb = thumb_size
+
+    def _decode(self, payload: bytes) -> dict:
+        if _HAVE_PIL:  # pragma: no cover - library absent here
+            raise NotImplementedError("real PIL decode path not exercised in CI")
+        if self.strict:
+            raise NotImplementedError(
+                "media decode requires PIL/soundfile/av (not in this container)"
+            )
+        width, height, fmt = _fake_meta(payload)
+        # deterministic fake "thumbnail" features: hash-seeded gray levels
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "big")
+        rng = np.random.RandomState(seed)
+        thumb = rng.randint(0, 256, size=(self.thumb * self.thumb,), dtype=np.int64)
+        return {
+            "width": width,
+            "height": height,
+            "format": fmt,
+            "n_bytes": len(payload),
+            "thumb": thumb.tolist(),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, errs = [], []
+        for payload in batch[self.col].to_pylist():
+            try:
+                metas.append(self._decode(bytes(payload or b"")))
+                errs.append(None)
+            except NotImplementedError as e:
+                metas.append(None)
+                errs.append(str(e))
+        out = {
+            "width": pa.array([m["width"] if m else None for m in metas], pa.int64()),
+            "height": pa.array([m["height"] if m else None for m in metas], pa.int64()),
+            "format": pa.array([m["format"] if m else None for m in metas], pa.string()),
+            "n_bytes": pa.array([m["n_bytes"] if m else None for m in metas], pa.int64()),
+            "thumb": pa.array(
+                [m["thumb"] if m else None for m in metas], pa.list_(pa.int64())
+            ),
+            "decode_error": pa.array(errs, pa.string()),
+        }
+        cols = {n: batch[n] for n in batch.column_names if n != self.col}
+        return pa.table({**cols, **out})
+
+
+def frame_sample_plan(duration_s: float, fps: float, every_n: int) -> list[int]:
+    """Frame indices a video frame-sampler would decode (pure plan logic)."""
+    total = int(duration_s * fps)
+    return list(range(0, total, max(1, every_n)))

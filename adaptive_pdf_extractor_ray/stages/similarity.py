@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns.
+
+- :class:`BruteKnn` — exact cosine top-k: the query matrix (small) is
+  broadcast via ``ray.put`` once; every batch does one numpy matmul
+  against it. This is the baseline the scale path is measured against.
+- :class:`IvfIndexKnn` — IVF-style scale path: k-means-lite centroids
+  (deterministic seeding), batches route each query to the ``nprobe``
+  nearest centroid buckets only. At cluster scale the index build is a
+  sampled pass and buckets shard across actors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def embeddings_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    return np.asarray(batch[col].to_pylist(), dtype=np.float64)
+
+
+class BruteKnn:
+    """Actor stage: per-batch cosine scores vs a broadcast query matrix.
+
+    Emits (query_id, neighbor_id, sim) partial top-k per batch; a final
+    small groupby-per-query keeps global top-k (partial+final pattern —
+    no batch ships full score matrices).
+    """
+
+    def __init__(self, queries_ref, k: int = 5, col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.Q = _normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        M = _normalize(embeddings_matrix(batch, self.col))
+        sims = np.round(self.Q @ M.T, 4)  # (nq, batch); 4 dp = rank precision
+        k = min(self.k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            # partial top-k by (sim desc, neighbor_id asc) — deterministic
+            order = sorted(range(sims.shape[1]), key=lambda j: (-sims[qi, j], ids[j]))
+            for j in order[:k]:
+                out_q.append(int(self.query_ids[qi]))
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def topk_per_query(group: pa.Table, k: int = 5) -> pa.Table:
+    """Final reduce: keep k best (sim desc, neighbor_id asc) per query."""
+    rows = sorted(
+        zip(
+            group["query_id"].to_pylist(),
+            group["neighbor_id"].to_pylist(),
+            group["sim"].to_pylist(),
+        ),
+        key=lambda r: (-r[2], r[1]),
+    )[:k]
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            "sim": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def kmeans_lite(
+    X: np.ndarray, n_clusters: int, iters: int = 5
+) -> np.ndarray:
+    """Deterministic k-means (first-n init) for the IVF index."""
+    C = X[:n_clusters].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+class IvfIndexKnn:
+    """IVF-bucketed ANN: probe only the nearest ``nprobe`` centroid buckets.
+
+    The centroid matrix (built from a driver-side sample) is broadcast;
+    each batch computes exact cosine only for vectors whose centroid
+    assignment falls in a probed bucket — the standard IVF recall/cost
+    trade documented for ANN at corpus scale.
+    """
+
+    def __init__(self, queries_ref, centroids_ref, nprobe: int = 2,
+                 k: int = 5, col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        C = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.Q = _normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.C = np.asarray(C, dtype=np.float64)
+        qd = ((self.Q[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
+        self.probes = np.argsort(qd, axis=1)[:, :nprobe]  # (nq, nprobe)
+        self.k = k
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        X = embeddings_matrix(batch, self.col)
+        d = ((X[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # bucket per vector
+        Xn = _normalize(X)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.query_ids)):
+            mask = np.isin(assign, self.probes[qi])
+            if not mask.any():
+                continue
+            sims = Xn[mask] @ self.Q[qi]
+            sub_ids = ids[mask]
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, kth=k - 1)[:k]
+            for j in top:
+                out_q.append(int(self.query_ids[qi]))
+                out_n.append(int(sub_ids[j]))
+                out_s.append(round(float(sims[j]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def embedding_neardup_pairs(batch_ids: np.ndarray, M: np.ndarray,
+                            threshold: float = 0.35) -> pa.Table:
+    """Within-bucket exact cosine near-dup pairs (used after LSH bucketing).
+
+    The threshold applies to the 4-dp-rounded similarity so distributed
+    float noise can't flip boundary pairs vs the SQL oracle.
+    """
+    Mn = _normalize(M)
+    sims = np.round(Mn @ Mn.T, 4)
+    a_out, b_out = [], []
+    n = len(batch_ids)
+    iu, ju = np.triu_indices(n, k=1)
+    hit = sims[iu, ju] >= threshold
+    for i, j in zip(iu[hit], ju[hit]):
+        x, y = int(batch_ids[i]), int(batch_ids[j])
+        a_out.append(min(x, y))
+        b_out.append(max(x, y))
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+        }
+    )

@@ -1,0 +1,119 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry and compare against oracle_sql() via DuckDB (row count + schema +
+order-insensitive value hash). Usage:
+
+    python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    import hashlib
+
+    s = df.to_csv(index=False, float_format="%.6f")
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import __ray_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows={len(mine)} (rows-only, {dt:.1f}s)")
+            continue
+        try:
+            ref = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL raised {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(mine) != len(ref):
+            problems.append(f"rows {len(mine)} != {len(ref)}")
+        if list(mine.columns) != list(ref.columns):
+            problems.append(f"cols {list(mine.columns)} != {list(ref.columns)}")
+        elif value_hash(mine) != value_hash(ref):
+            problems.append("value hash mismatch")
+            merged = mine.compare(ref) if len(mine) == len(ref) else None
+            if merged is not None and not merged.empty:
+                problems.append(f"first diffs:\n{merged.head(5)}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(str(p) for p in problems))
+            failures += 1
+        else:
+            print(f"ok   {name}: rows={len(mine)} hash match ({dt:.1f}s)")
+    ray.shutdown()
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())
