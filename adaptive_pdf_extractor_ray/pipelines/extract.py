@@ -56,6 +56,10 @@ FINAL_COLUMNS = [
     "text_norm", "extracted_json", "missing", "hit_rule_ids", "n_missing",
 ]
 
+# above this many sampled exemplar rows, rule fitting runs as a
+# distributed groupby instead of on the driver
+DRIVER_FIT_LIMIT = 50_000
+
 
 def prepare(pages: ray.data.Dataset, vocab: list[str], *,
             fp_concurrency: int | tuple[int, int] = (1, 4),
@@ -94,7 +98,16 @@ def extract_pages(
     store_path = store_path or os.path.join(work_dir, "rules.parquet")
     store = RuleStore.load(store_path)
 
+    phases: dict[str, float] = {}
+    # wave-1 output is written partitioned by refit status: rows fully
+    # extracted land in ``refit=0`` (final — never rewritten), miss rows in
+    # ``refit=1`` (re-processed by wave 2 into ``wave2/``). The final answer
+    # set = refit=0 ∪ wave2: each row is written exactly once per wave it
+    # participates in, which is what makes warm runs ~single-pass.
     wave1_dir = os.path.join(work_dir, "wave1")
+    done0_dir = os.path.join(wave1_dir, "refit=0")
+    miss_dir = os.path.join(wave1_dir, "refit=1")
+    wave2_dir = os.path.join(work_dir, "wave2")
     wave1_done = os.path.join(work_dir, "wave1._done")
     if not os.path.exists(wave1_done):  # resumable: skip completed wave 1
         rules_ref = ray.put(store.to_table())
@@ -106,33 +119,69 @@ def extract_pages(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
-        ).select_columns(FINAL_COLUMNS)
-        applied.write_parquet(wave1_dir)
+        ).select_columns(FINAL_COLUMNS).map_batches(
+            lambda t: t.append_column(
+                "refit",
+                pc.cast(pc.not_equal(t["n_missing"], 0), pa.int32()),
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        applied.write_parquet(wave1_dir, partition_cols=["refit"])
         with open(wave1_done, "w") as f:
             f.write(json.dumps({"ts": time.time()}))
-
-    wave1 = ray.data.read_parquet(wave1_dir)
-    misses = wave1.filter(expr="n_missing != 0")
+    phases["wave1"] = time.time() - t0
 
     # --- wide step: fit rules per fingerprint over miss rows only -------
+    # Sampling happens BEFORE the shuffle: each batch forwards at most
+    # ``max_exemplars`` rows per fingerprint, so the groupby moves
+    # O(fingerprints × exemplars × read-parallelism) rows, never the
+    # corpus (cold start would otherwise shuffle everything — the skew
+    # guard from SURVEY §4).
+    def sample_exemplars(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text_norm"]))
+        keep: list[int] = []
+        seen: dict[str, int] = {}
+        for i, fp in enumerate(t["fingerprint"].to_pylist()):
+            if seen.get(fp, 0) < max_exemplars:
+                seen[fp] = seen.get(fp, 0) + 1
+                keep.append(i)
+        return t.take(pa.array(keep, pa.int64()))
+
     fitted_rows = 0
-    have_misses = misses.limit(1).count() > 0
-    if have_misses:
-        fit_ds = (
-            misses.select_columns(["fingerprint", "text_norm"])
-            .map_batches(
-                lambda t: t.filter(pc.is_valid(t["text_norm"])),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            .groupby("fingerprint")
-            .map_groups(_named(FitGroup(vocab, max_exemplars=max_exemplars)),
-                        batch_format="pyarrow")
-        )
-        rule_rows = fit_ds.take_all()  # O(templates × fields × 3): tiny
+    have_miss_rows = os.path.isdir(miss_dir)
+    fitter = FitGroup(vocab, max_exemplars=max_exemplars)
+    if have_miss_rows:
+        sampled = ray.data.read_parquet(
+            miss_dir, columns=["fingerprint", "text_norm"]
+        ).map_batches(sample_exemplars, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        sampled_rows = sampled.take_all()  # ≤ max_exemplars × fps × read tasks
+    else:
+        sampled_rows = []
+    if len(sampled_rows) <= DRIVER_FIT_LIMIT:
+        # moderate template cardinality: fit on the driver (exemplar set is
+        # tiny; a Ray groupby would cost more in shuffle machinery)
+        by_fp: dict[str, list[str]] = {}
+        for r in sampled_rows:
+            by_fp.setdefault(r["fingerprint"], []).append(r["text_norm"])
+        rule_rows = []
+        for fp, texts in sorted(by_fp.items()):
+            tbl = fitter(pa.table({
+                "fingerprint": pa.array([fp] * len(texts), pa.string()),
+                "text_norm": pa.array(texts, pa.string()),
+            }))
+            rule_rows.extend(tbl.to_pylist())
+    else:
+        # huge template cardinality: distribute the fit as the wide step
+        rule_rows = (
+            sampled.groupby("fingerprint")
+            .map_groups(_named(fitter), batch_format="pyarrow")
+        ).take_all()  # O(templates × fields × 3)
+    if rule_rows:
+        from ..functions.rules import Rule
+
         new_store_rows = 0
         for row in rule_rows:
-            from ..functions.rules import Rule
-
             r = Rule(
                 pattern=row["pattern"],
                 validation_regex=row["validation_regex"],
@@ -144,38 +193,48 @@ def extract_pages(
             new_store_rows += len(store) - before
         fitted_rows = new_store_rows
         store.save(store_path)
+    phases["fit"] = time.time() - t0 - sum(phases.values())
 
-    # --- wave 2: re-apply to miss rows with the updated store -----------
-    if have_misses:
+    # --- wave 2: re-apply only the refit=1 partition with updated rules --
+    if have_miss_rows and not os.path.isdir(wave2_dir):
         rules_ref2 = ray.put(store.to_table())
-        wave2 = misses.map_batches(
+        wave2 = ray.data.read_parquet(miss_dir).map_batches(
             RuleApplier,
             fn_constructor_args=(rules_ref2, "extracted_json"),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
         ).select_columns(FINAL_COLUMNS)
-        successes = wave1.filter(expr="n_missing == 0").select_columns(FINAL_COLUMNS)
-        answers = successes.union(wave2)
-    else:
-        answers = wave1.select_columns(FINAL_COLUMNS)
+        # atomic: write to a temp dir, rename when complete (resume-safe)
+        tmp_dir = wave2_dir + "._tmp"
+        if os.path.isdir(tmp_dir):
+            import shutil
 
-    stats: dict[str, Any] = {"rules_fitted": fitted_rows}
+            shutil.rmtree(tmp_dir)
+        wave2.write_parquet(tmp_dir)
+        os.replace(tmp_dir, wave2_dir)
 
-    answers_dir = os.path.join(work_dir, "answers")
+    answer_dirs = [d for d in (done0_dir, wave2_dir) if os.path.isdir(d)]
+    answers = ray.data.read_parquet(answer_dirs, columns=FINAL_COLUMNS)
+    stats: dict[str, Any] = {
+        "rules_fitted": fitted_rows,
+        "phases": phases,
+        "answer_dirs": answer_dirs,
+    }
+
     if write_answers:
-        answers.write_parquet(answers_dir, partition_cols=["fingerprint"])
-        answers = ray.data.read_parquet(answers_dir)
-        # fold rule-hit counts into weights: per-batch partials -> tiny Sum
+        # fold rule-hit counts into weights: column-pruned read -> per-batch
+        # partials -> tiny grouped Sum
         hit_tbl = (
-            answers.map_batches(hit_partials, batch_format="pyarrow",
-                                zero_copy_batch=True)
+            ray.data.read_parquet(answer_dirs, columns=["hit_rule_ids"])
+            .map_batches(hit_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
             .groupby("rule_id")
             .sum("hits")
         ).take_all()
         store.apply_hits({r["rule_id"]: r["sum(hits)"] for r in hit_tbl})
         store.save(store_path)
-        stats["answers_dir"] = answers_dir
+    phases["wave2_write_hits"] = time.time() - t0 - sum(phases.values())
 
     stats.update(
         {

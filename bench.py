@@ -1,0 +1,180 @@
+"""Benchmark harness.
+
+Headline metric: the flagship adaptive-extraction pipeline (synthetic
+CC-style pages -> parse(PDF/HTML/text) -> normalize -> fingerprint ->
+two-wave rule apply/fit -> answers) in docs/sec, plus per-query timings
+over $GRAFT_SF_DIR.
+
+    python bench.py                 # one JSON line on stdout
+    python bench.py --scaling       # run headline at 8 and 32 CPUs in
+                                    # fresh processes; report efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32), BENCH_DOCS (default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+
+BENCH_QUERIES = [
+    "normalize_text",
+    "pages_roundtrip",
+    "token_count",
+    "quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_brute",
+    "agg_lineitem",
+    "join_revenue",
+    "window_hourly",
+    "sessionize",
+]
+
+
+def _consume(res) -> int:
+    """Materialize a query result enough to have actually executed it."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=8192):
+            n += len(b)
+        return n
+    if isinstance(res, pa.Table):
+        return len(res)
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import ray.data as rd
+
+    from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+    from adaptive_pdf_extractor_ray.sources.synthetic import write_corpus
+
+    # ---- headline: flagship extraction over the synthetic pages corpus ----
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"aper_bench_corpus_{BENCH_DOCS}"
+    )
+    pages_dir, _ = write_corpus(corpus_dir, n=BENCH_DOCS, seed=1, shard_rows=5000)
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(pages_dir).count()
+
+    conc = (1, max(2, NUM_CPUS // 2))
+    work = tempfile.mkdtemp(prefix="aper_bench_work_")
+    t0 = time.time()
+    res = extract_pages(
+        rd.read_parquet(pages_dir),
+        work,
+        concurrency=conc,
+        batch_size=2048,
+        write_answers=True,
+    )
+    n_docs = res["answers"].count()
+    headline_s = time.time() - t0
+    store_path = res["store_path"]
+
+    # warm path: rules already fitted (the steady state at corpus scale)
+    work2 = tempfile.mkdtemp(prefix="aper_bench_warm_")
+    t1 = time.time()
+    res2 = extract_pages(
+        rd.read_parquet(pages_dir),
+        work2,
+        store_path=store_path,
+        concurrency=conc,
+        batch_size=2048,
+        write_answers=True,
+    )
+    res2["answers"].count()
+    warm_s = time.time() - t1
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(work2, ignore_errors=True)
+
+    # ---- per-query timings over the sf dir --------------------------------
+    from adaptive_pdf_extractor_ray.pipelines.queries import QUERIES
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        tq = time.time()
+        _consume(fn(SF_DIR))
+        qtimes[name] = round(time.time() - tq, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship extraction pipeline wall time (synthetic CC-style corpus)",
+        "value": round(headline_s, 3),
+        "unit": "sec",
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_s, 1),
+        "warm_sec": round(warm_s, 3),
+        "docs_per_sec_warm": round(n_docs / warm_s, 1),
+        "phases": {k: round(v, 2) for k, v in res["phases"].items()},
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job at two parallelism levels in fresh processes."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        out[ncpu] = rec
+    t8, t32 = out[8]["value"], out[32]["value"]
+    w8, w32 = out[8]["warm_sec"], out[32]["warm_sec"]
+    return {
+        "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
+        "sec_8": t8,
+        "sec_32": t32,
+        "warm_sec_8": w8,
+        "warm_sec_32": w32,
+        "docs_per_sec_8": out[8]["docs_per_sec"],
+        "docs_per_sec_32": out[32]["docs_per_sec"],
+        "docs_per_sec_warm_8": out[8]["docs_per_sec_warm"],
+        "docs_per_sec_warm_32": out[32]["docs_per_sec_warm"],
+        "scaling_efficiency": round((t8 / t32) / (32 / 8), 3),
+        "scaling_efficiency_warm": round((w8 / w32) / (32 / 8), 3),
+        "docs": out[32]["docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -58,12 +58,13 @@ class TestColdStart:
 
     def test_text_byte_identical_per_url(self, cold_run):
         res, _, exp_dir, work = cold_run
+        globs = ", ".join(f"'{d}/*.parquet'" for d in res["answer_dirs"])
         con = duckdb.connect()
         total, same = con.execute(
             f"""
             select count(*),
                    sum(case when a.text_norm = e.expected_text then 1 else 0 end)
-            from read_parquet('{work}/answers/**/*.parquet', hive_partitioning=1) a
+            from read_parquet([{globs}]) a
             join read_parquet('{exp_dir}/*.parquet') e using (url)
             """
         ).fetchone()
