@@ -66,10 +66,10 @@ def make_generic_rule(label: str, other_labels: list[str]) -> Rule:
         alt = _others_alt(other_labels)
         nxt = rf"{_LB}(?:{alt}){_RB}"
         pattern = rf"{lab}\s*((?:(?!{nxt}).)*?)\s*(?={nxt}|$)"
-        validation = rf"^(?!.*{_LB}(?:{alt}){_RB}).{{1,500}}$"
+        validation = rf"^(?!.*{_LB}(?:{alt}){_RB}).{{1,8000}}$"
     else:
         pattern = rf"{lab}\s*(.*?)\s*$"
-        validation = r"^.{1,500}$"
+        validation = r"^.{1,8000}$"
     return Rule(pattern=pattern, validation_regex=validation)
 
 

@@ -72,6 +72,14 @@ SEPARATORS = ["\n"] * 8 + [""] * 2 + [" "] * 6 + ["   "] * 2 + ["\t"] * 2
 
 EPOCH = _dt.datetime(2024, 1, 1)
 
+# filler vocabulary for realistic page weights (lowercase — can never be
+# mistaken for a Title-Case anchor label)
+_FILLER = (
+    "processo registro documento conforme artigo paragrafo inciso alinea "
+    "protocolo vigente emitido pela autoridade competente nos termos da "
+    "legislacao aplicavel para os devidos fins de direito sem rasuras"
+).split()
+
 
 def _gen_carteira(rng: random.Random) -> dict[str, str]:
     nome = f"{rng.choice(_FIRST)} {rng.choice(_SUR)} {rng.choice(_SUR)}"
@@ -111,7 +119,9 @@ def _gen_tela(rng: random.Random) -> dict[str, str]:
 _CANON = {"carteira_oab": _gen_carteira, "tela_sistema": _gen_tela}
 
 
-def generate_record(i: int, seed: int = 1, tela_ratio: float = 0.25) -> dict:
+def generate_record(
+    i: int, seed: int = 1, tela_ratio: float = 0.25, filler_words: int = 0
+) -> dict:
     """One deterministic synthetic record (pure function of (i, seed)).
 
     Returns keys: url, warc_ts, html, text, lang, label, expected (dict),
@@ -123,6 +133,11 @@ def generate_record(i: int, seed: int = 1, tela_ratio: float = 0.25) -> dict:
     label = "tela_sistema" if rng.random() < tela_ratio else "carteira_oab"
     canonical = _CANON[label](rng)
     fields = TEMPLATE_FIELDS[label]
+    if filler_words:
+        # pad one free-text field so page weight approximates real web pages
+        pad_field = "endereco_profissional" if label == "carteira_oab" else "produto"
+        pad = " ".join(rng.choices(_FILLER, k=filler_words))
+        canonical[pad_field] = f"{canonical[pad_field]} {pad}"
 
     chunks: list[tuple[str, str | None]] = []
     expected: dict[str, str | None] = {}
@@ -188,10 +203,14 @@ EXPECTED_SCHEMA = pa.schema(
 
 
 def build_tables(
-    n: int, seed: int = 1, start: int = 0, tela_ratio: float = 0.25
+    n: int, seed: int = 1, start: int = 0, tela_ratio: float = 0.25,
+    filler_words: int = 0,
 ) -> tuple[pa.Table, pa.Table]:
     """Build (pages, expected) Arrow tables for rows [start, start+n)."""
-    recs = [generate_record(i, seed, tela_ratio) for i in range(start, start + n)]
+    recs = [
+        generate_record(i, seed, tela_ratio, filler_words)
+        for i in range(start, start + n)
+    ]
     pages = pa.table(
         {
             "url": [r["url"] for r in recs],
@@ -228,37 +247,68 @@ def build_tables(
     return pages, expected
 
 
-def write_corpus(
-    out_dir: str, n: int, seed: int = 1, shard_rows: int = 10_000,
-    tela_ratio: float = 0.25,
-) -> tuple[str, str]:
-    """Write a sharded pages+expected corpus under ``out_dir``; idempotent.
-
-    One parquet file per ``shard_rows`` rows so reads parallelize; a
-    ``_manifest.json`` records (n, seed) so repeat calls are no-ops.
-    """
+def _write_shard(pages_dir: str, exp_dir: str, shard: int, start: int,
+                 cnt: int, seed: int, tela_ratio: float,
+                 filler_words: int) -> None:
     import os
 
     import pyarrow.parquet as pq
 
+    pages, expected = build_tables(cnt, seed=seed, start=start,
+                                   tela_ratio=tela_ratio,
+                                   filler_words=filler_words)
+    pq.write_table(pages, os.path.join(pages_dir, f"part-{shard:05d}.parquet"))
+    pq.write_table(expected, os.path.join(exp_dir, f"part-{shard:05d}.parquet"))
+
+
+def write_corpus(
+    out_dir: str, n: int, seed: int = 1, shard_rows: int = 10_000,
+    tela_ratio: float = 0.25, filler_words: int = 0,
+) -> tuple[str, str]:
+    """Write a sharded pages+expected corpus under ``out_dir``; idempotent.
+
+    One parquet file per ``shard_rows`` rows so reads parallelize; a
+    ``_manifest.json`` records the parameters so repeat calls are no-ops.
+    Generation is order-free per row, so shards build as parallel Ray
+    tasks when a Ray session is available.
+    """
+    import os
+
     pages_dir = os.path.join(out_dir, "pages")
     exp_dir = os.path.join(out_dir, "expected")
     manifest = os.path.join(out_dir, "_manifest.json")
-    want = {"n": n, "seed": seed, "shard_rows": shard_rows, "tela_ratio": tela_ratio}
+    want = {"n": n, "seed": seed, "shard_rows": shard_rows,
+            "tela_ratio": tela_ratio, "filler_words": filler_words}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == want:
                 return pages_dir, exp_dir
     os.makedirs(pages_dir, exist_ok=True)
     os.makedirs(exp_dir, exist_ok=True)
-    shard = 0
-    for start in range(0, n, shard_rows):
-        cnt = min(shard_rows, n - start)
-        pages, expected = build_tables(cnt, seed=seed, start=start,
-                                       tela_ratio=tela_ratio)
-        pq.write_table(pages, os.path.join(pages_dir, f"part-{shard:05d}.parquet"))
-        pq.write_table(expected, os.path.join(exp_dir, f"part-{shard:05d}.parquet"))
-        shard += 1
+    shards = [
+        (shard, start, min(shard_rows, n - start))
+        for shard, start in enumerate(range(0, n, shard_rows))
+    ]
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(shards) > 1
+    except ImportError:  # pragma: no cover
+        pass
+    if use_ray:
+        import ray
+
+        task = ray.remote(_write_shard)
+        ray.get([
+            task.remote(pages_dir, exp_dir, sh, st, c, seed, tela_ratio,
+                        filler_words)
+            for sh, st, c in shards
+        ])
+    else:
+        for sh, st, c in shards:
+            _write_shard(pages_dir, exp_dir, sh, st, c, seed, tela_ratio,
+                         filler_words)
     with open(manifest, "w") as f:
         json.dump(want, f)
     return pages_dir, exp_dir

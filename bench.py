@@ -25,7 +25,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
+# ~2 KB/doc: realistic web-page weight so the bench is compute-bound,
+# not driver/job-overhead-bound
+FILLER_WORDS = int(os.environ.get("BENCH_FILLER_WORDS", "250"))
+SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES") == "1"
 
 BENCH_QUERIES = [
     "normalize_text",
@@ -82,13 +86,16 @@ def run_bench() -> dict:
 
     # ---- headline: flagship extraction over the synthetic pages corpus ----
     corpus_dir = os.path.join(
-        tempfile.gettempdir(), f"aper_bench_corpus_{BENCH_DOCS}"
+        tempfile.gettempdir(), f"aper_bench_corpus_{BENCH_DOCS}_{FILLER_WORDS}"
     )
-    pages_dir, _ = write_corpus(corpus_dir, n=BENCH_DOCS, seed=1, shard_rows=5000)
+    pages_dir, _ = write_corpus(corpus_dir, n=BENCH_DOCS, seed=1,
+                                shard_rows=5000, filler_words=FILLER_WORDS)
     # warm OS page cache so we measure compute+shuffle, not first disk read
     rd.read_parquet(pages_dir).count()
 
-    conc = (1, max(2, NUM_CPUS // 2))
+    # autoscaling actor pools: two stateful stages share the node, tasks
+    # (read/parse/write) fill the remaining cores
+    conc = (2, max(2, NUM_CPUS - 2))
     work = tempfile.mkdtemp(prefix="aper_bench_work_")
     t0 = time.time()
     res = extract_pages(
@@ -122,11 +129,12 @@ def run_bench() -> dict:
     from adaptive_pdf_extractor_ray.pipelines.queries import QUERIES
 
     qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        tq = time.time()
-        _consume(fn(SF_DIR))
-        qtimes[name] = round(time.time() - tq, 3)
+    if not SKIP_QUERIES:
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            tq = time.time()
+            _consume(fn(SF_DIR))
+            qtimes[name] = round(time.time() - tq, 3)
 
     ray.shutdown()
     return {
@@ -148,7 +156,7 @@ def run_scaling() -> dict:
     """Same headline job at two parallelism levels in fresh processes."""
     out = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
