@@ -70,7 +70,7 @@ def make_generic_rule(label: str, other_labels: list[str]) -> Rule:
     else:
         pattern = rf"{lab}\s*(.*?)\s*$"
         validation = r"^.{1,8000}$"
-    return Rule(pattern=pattern, validation_regex=validation)
+    return Rule(pattern=pattern, validation_regex=validation, kind="span")
 
 
 def make_null_rule(label: str, other_labels: list[str]) -> Rule:
@@ -80,7 +80,7 @@ def make_null_rule(label: str, other_labels: list[str]) -> Rule:
         pattern = rf"{lab}\s*()(?={_LB}(?:{alt}){_RB}|$)"
     else:
         pattern = rf"{lab}\s*()$"
-    return Rule(pattern=pattern, validation_regex=r"^$")
+    return Rule(pattern=pattern, validation_regex=r"^$", kind="span_null")
 
 
 def make_specific_rule(
@@ -128,7 +128,7 @@ def fit_field(
 
     def ensemble_ok(rules: list[Rule]) -> bool:
         fr = FieldRules([
-            Rule(r.pattern, r.validation_regex, weight=1, rule_idx=i)
+            Rule(r.pattern, r.validation_regex, weight=1, rule_idx=i, kind=r.kind)
             for i, r in enumerate(rules)
         ])
         for text, expected in exemplars:

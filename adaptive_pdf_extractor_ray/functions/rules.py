@@ -41,6 +41,13 @@ class Rule:
     weight: int = 1
     rule_id: int = -1
     rule_idx: int = 0
+    # execution strategy: "regex" = run the pattern as-is; "span" /
+    # "span_null" = the pattern is the fitted anchor-span rule whose result
+    # equals the precomputed anchor span (value / null form), so the
+    # applier may substitute the span and run only the validation regex —
+    # a per-doc single-scan optimization with identical semantics (the
+    # equivalence is property-tested in tests/test_templates_rulefit.py).
+    kind: str = "regex"
     _rx: re.Pattern | None = field(default=None, repr=False, compare=False)
     _vrx: re.Pattern | None = field(default=None, repr=False, compare=False)
 
@@ -98,14 +105,25 @@ class FieldRules:
         for r in self.rules:
             r.compile()
 
-    def try_extract(self, text: str | None) -> tuple[str | None, int]:
+    def try_extract(
+        self, text: str | None, span: str | None = None,
+        have_span: bool = False,
+    ) -> tuple[str | None, int]:
         """First rule whose (apply, validate) passes wins.
 
         Returns ``(value, rule_id)``; ``value`` is "" for an explicit null
-        hit, None for a total miss (rule_id -1).
+        hit, None for a total miss (rule_id -1). When ``have_span`` is
+        True, ``span`` is the precomputed anchor-span value for this field
+        (None = label absent or empty span) and span-kind rules use it
+        instead of re-scanning the text.
         """
         for r in self.rules:
-            v = r.apply(text)
+            if have_span and r.kind == "span":
+                v = span if span else None  # empty/absent span: no value hit
+            elif have_span and r.kind == "span_null":
+                v = "" if span == "" else None
+            else:
+                v = r.apply(text)
             if r.validate(v):
                 return v, r.rule_id
         return None, -1
@@ -115,20 +133,28 @@ def extract_row(
     field_rules: dict[str, FieldRules],
     text: str | None,
     all_fields: list[str],
+    spans: dict[str, str] | None = None,
 ) -> tuple[dict[str, str | None], list[str], list[str], dict[str, int]]:
     """Fast path for one row — mirrors ``extract_with_cache``.
 
     Reference: ``/root/reference/src/pipeline.py:22-64``. Returns
     ``(answers, success_fields, missing_fields, hits)`` where ``hits`` maps
-    field -> matched rule_id (weight accounting).
+    field -> matched rule_id (weight accounting). ``spans`` (raw anchor
+    spans, "" = empty) enables the single-scan fast path for span-kind
+    rules.
     """
     ans: dict[str, str | None] = {}
     success: list[str] = []
     missing: list[str] = []
     hits: dict[str, int] = {}
+    have_span = spans is not None
     for f in all_fields:
         fr = field_rules.get(f)
-        value, rid = fr.try_extract(text) if fr is not None else (None, -1)
+        value, rid = (
+            fr.try_extract(text, spans.get(f) if have_span else None, have_span)
+            if fr is not None
+            else (None, -1)
+        )
         if value is not None:
             ans[f] = None if value == NULL_SENTINEL else value
             success.append(f)

@@ -119,22 +119,27 @@ def fingerprint_text(text: str | None, vocab: list[str]) -> str:
     return fingerprint_of_labels([a.label for a in find_anchors(text, vocab)])
 
 
+def span_extract_raw(text: str, vocab: list[str]) -> dict[str, str]:
+    """Anchor spans with the empty span preserved as "" (label present but
+    no value); a field whose label is absent has no key at all."""
+    anchors = find_anchors(text, vocab)
+    out: dict[str, str] = {}
+    for i, a in enumerate(anchors):
+        f = label_to_field(a.label)
+        if f in out:
+            continue  # first occurrence wins
+        nxt = anchors[i + 1].start if i + 1 < len(anchors) else len(text)
+        out[f] = text[a.end : nxt].strip()
+    return out
+
+
 def span_extract(text: str, vocab: list[str]) -> dict[str, str | None]:
     """Deterministic anchor-span extraction (the extraction oracle).
 
     Field value = text between the field's first anchor occurrence and the
     next anchor start (or end of text), stripped; empty span => None.
     """
-    anchors = find_anchors(text, vocab)
-    out: dict[str, str | None] = {}
-    for i, a in enumerate(anchors):
-        f = label_to_field(a.label)
-        if f in out:
-            continue  # first occurrence wins
-        nxt = anchors[i + 1].start if i + 1 < len(anchors) else len(text)
-        val = text[a.end : nxt].strip()
-        out[f] = val if val else None
-    return out
+    return {f: (v if v else None) for f, v in span_extract_raw(text, vocab).items()}
 
 
 def discover_anchors(texts: list[str], min_support: float = 0.8) -> list[str]:

@@ -187,6 +187,7 @@ def extract_pages(
                 validation_regex=row["validation_regex"],
                 weight=row["weight"],
                 rule_idx=row["rule_idx"],
+                kind=row.get("kind", "regex"),
             )
             before = len(store)
             store.add(row["fingerprint"], row["field"], r)

@@ -26,7 +26,7 @@ import json
 import pyarrow as pa
 
 from ..functions.rules import extract_row
-from ..functions.templates import label_to_field
+from ..functions.templates import span_extract_raw
 from ..state.rulestore import RuleStore
 
 
@@ -47,9 +47,22 @@ class RuleApplier:
     """Callable-class stage; construct with the broadcast rule table."""
 
     def __init__(self, rules_ref, merge_with: str | None = None):
+        from ..functions.templates import field_label
+
         store = _resolve_store(rules_ref)
         self.compiled = store.compiled()  # fingerprint -> field -> FieldRules
         self.merge_with = merge_with  # optional column of prior partial answers
+        # per-fingerprint anchor vocabulary for the span fast path: one
+        # linear scan per doc replaces per-field tempered-regex scans when
+        # the fingerprint's rules are span-kind (fitted anchor rules)
+        self.vocab: dict[str, list[str]] = {}
+        for fp, fields in self.compiled.items():
+            if any(
+                r.kind in ("span", "span_null")
+                for fr in fields.values()
+                for r in fr.rules
+            ):
+                self.vocab[fp] = [field_label(f) for f in fields]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text_norm"].to_pylist()
@@ -88,7 +101,11 @@ class RuleApplier:
             target_fields = (
                 list(fields_subset) if fields_subset is not None else list(field_rules)
             )
-            ans, _, missing, hits = extract_row(field_rules, text, target_fields)
+            vocab = self.vocab.get(fp)
+            spans = span_extract_raw(text, vocab) if vocab else None
+            ans, _, missing, hits = extract_row(
+                field_rules, text, target_fields, spans
+            )
             if prior_json:
                 merged = json.loads(prior_json)
                 merged.update(ans)

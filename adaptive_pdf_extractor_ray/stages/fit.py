@@ -49,4 +49,5 @@ class FitGroup:
                     rule_content_id(fp, field, r.pattern, r.validation_regex)
                 )
                 rows["rule_idx"].append(r.rule_idx)
+                rows["kind"].append(r.kind)
         return pa.table(rows, schema=RULES_SCHEMA)

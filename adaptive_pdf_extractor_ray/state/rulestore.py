@@ -39,6 +39,7 @@ RULES_SCHEMA = pa.schema(
         ("weight", pa.int64()),
         ("rule_id", pa.int64()),
         ("rule_idx", pa.int64()),
+        ("kind", pa.string()),
     ]
 )
 
@@ -116,6 +117,7 @@ class RuleStore:
                 "weight": [r.weight for _, (_, _, r) in rows],
                 "rule_id": [rid for rid, _ in rows],
                 "rule_idx": [r.rule_idx for _, (_, _, r) in rows],
+                "kind": [r.kind for _, (_, _, r) in rows],
             },
             schema=RULES_SCHEMA,
         )
@@ -130,6 +132,7 @@ class RuleStore:
                 weight=row["weight"],
                 rule_id=row["rule_id"],
                 rule_idx=row["rule_idx"],
+                kind=row.get("kind", "regex"),
             )
             store._rules[row["rule_id"]] = (row["fingerprint"], row["field"], rule)
         return store

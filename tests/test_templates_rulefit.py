@@ -138,3 +138,25 @@ class TestDiscoverAnchors:
         assert "Numero Serie" in anchors
         assert "Modelo" in anchors
         assert "Fabricante" in anchors
+
+
+class TestSpanFastPathEquivalence:
+    """The applier's span fast path must agree with full regex execution
+    for every fitted rule on every doc (rules.Rule.kind contract)."""
+
+    def test_span_equals_regex_on_corpus(self):
+        from adaptive_pdf_extractor_ray.functions.templates import span_extract_raw
+
+        docs = []
+        for i in range(300):
+            r = generate_record(i, seed=13, filler_words=40 if i % 4 == 0 else 0)
+            docs.append(normalize_text(r["raw_text"]))
+        fitted = fit_template(docs, VOCAB, max_exemplars=8)
+        labels = [f.replace("_", " ").title() for f in fitted]
+        for text in docs:
+            spans = span_extract_raw(text, labels)
+            for f, rules in fitted.items():
+                fr = FieldRules(rules)
+                via_regex = fr.try_extract(text)[0]
+                via_span = fr.try_extract(text, spans.get(f), True)[0]
+                assert via_regex == via_span, (f, text[:80])
