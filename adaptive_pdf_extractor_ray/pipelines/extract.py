@@ -36,9 +36,9 @@ import ray
 import ray.data
 
 from ..functions.templates import default_vocab
-from ..stages.apply import RuleApplier, hit_partials
+from ..stages.apply import ExtractBatch, RuleApplier, hit_partials
 from ..stages.fit import FitGroup
-from ..stages.parse import Fingerprinter, normalize_batch, parse_batch
+from ..stages.parse import make_fingerprint_fn, normalize_batch, parse_batch
 from ..state.rulestore import RuleStore
 
 def _named(callable_obj):
@@ -62,21 +62,16 @@ DRIVER_FIT_LIMIT = 50_000
 
 
 def prepare(pages: ray.data.Dataset, vocab: list[str], *,
-            fp_concurrency: int | tuple[int, int] = (1, 4),
-            batch_size: int = 1024) -> ray.data.Dataset:
-    """parse -> normalize -> fingerprint (no rules applied yet)."""
+            batch_size: int = 1024, **_ignored) -> ray.data.Dataset:
+    """parse -> normalize -> fingerprint (stateless tasks; Ray fuses the
+    three stages with the read into one elastic task chain)."""
     return (
         pages.map_batches(parse_batch, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
         .map_batches(normalize_batch, batch_format="pyarrow",
                      batch_size=batch_size, zero_copy_batch=True)
-        .map_batches(
-            Fingerprinter,
-            fn_constructor_args=(vocab,),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=fp_concurrency,
-        )
+        .map_batches(make_fingerprint_fn(vocab), batch_format="pyarrow",
+                     batch_size=batch_size)
     )
 
 
@@ -111,11 +106,9 @@ def extract_pages(
     wave1_done = os.path.join(work_dir, "wave1._done")
     if not os.path.exists(wave1_done):  # resumable: skip completed wave 1
         rules_ref = ray.put(store.to_table())
-        prepared = prepare(pages, vocab, fp_concurrency=concurrency,
-                           batch_size=batch_size)
-        applied = prepared.map_batches(
-            RuleApplier,
-            fn_constructor_args=(rules_ref,),
+        applied = pages.map_batches(
+            ExtractBatch,
+            fn_constructor_args=(rules_ref, vocab),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -225,15 +218,17 @@ def extract_pages(
 
     if write_answers:
         # fold rule-hit counts into weights: column-pruned read -> per-batch
-        # partials -> tiny grouped Sum
-        hit_tbl = (
-            ray.data.read_parquet(answer_dirs, columns=["hit_rule_ids"])
-            .map_batches(hit_partials, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby("rule_id")
-            .sum("hits")
-        ).take_all()
-        store.apply_hits({r["rule_id"]: r["sum(hits)"] for r in hit_tbl})
+        # partials (#rules rows each) -> driver-side Sum merge (commutative
+        # integer adds; a distributed groupby would shuffle more rows in
+        # machinery than the partials contain)
+        partials = ray.data.read_parquet(
+            answer_dirs, columns=["hit_rule_ids"]
+        ).map_batches(hit_partials, batch_format="pyarrow",
+                      zero_copy_batch=True).take_all()
+        merged: dict[int, int] = {}
+        for r in partials:
+            merged[r["rule_id"]] = merged.get(r["rule_id"], 0) + r["hits"]
+        store.apply_hits(merged)
         store.save(store_path)
     phases["wave2_write_hits"] = time.time() - t0 - sum(phases.values())
 

@@ -129,6 +129,32 @@ class RuleApplier:
         return out
 
 
+class ExtractBatch(RuleApplier):
+    """Fused stateful stage: parse -> normalize -> fingerprint -> apply in
+    one actor ``__call__``.
+
+    One actor pool owns all per-doc compute (regexes + rule table compiled
+    once in ``__init__``), so the pool's size IS the pipeline's
+    parallelism; only the lightweight parquet read/write stages run as
+    tasks around it. This is the stateful-actor-pool shape the north star
+    prescribes, without fusing task stages into a pool bottleneck.
+    """
+
+    def __init__(self, rules_ref, vocab: list[str], merge_with: str | None = None):
+        from .parse import make_fingerprint_fn
+
+        super().__init__(rules_ref, merge_with)
+        self._fingerprint = make_fingerprint_fn(vocab)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .parse import normalize_batch, parse_batch
+
+        b = parse_batch(batch)
+        b = normalize_batch(b)
+        b = self._fingerprint(b)
+        return super().__call__(b)
+
+
 def hit_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial aggregation of rule hits: (rule_id, hits) rows.
 

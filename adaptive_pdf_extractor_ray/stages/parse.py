@@ -69,17 +69,21 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     return out.drop_columns(["raw_text"])
 
 
-class Fingerprinter:
-    """Actor-pool stage: anchor vocabulary compiled once per actor."""
+def make_fingerprint_fn(vocab: list[str]):
+    """Stateless fingerprint stage (plain function -> elastic tasks).
 
-    def __init__(self, vocab: list[str]):
-        self.vocab = vocab
-        # warm the module-level compiled-vocab cache
-        fingerprint_text("", vocab)
+    The compiled anchor-vocabulary regex lives in a module-level cache
+    keyed by the vocab (``templates._VOCAB_RX_CACHE``); Ray worker
+    processes persist across tasks, so compilation is amortized exactly
+    like actor state — without pinning the fused read->parse->normalize->
+    fingerprint chain to an actor pool's concurrency.
+    """
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def fingerprint_batch(batch: pa.Table) -> pa.Table:
         fps = [
-            fingerprint_text(t, self.vocab) if t else "unk"
+            fingerprint_text(t, vocab) if t else "unk"
             for t in batch["text_norm"].to_pylist()
         ]
         return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+    return fingerprint_batch

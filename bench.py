@@ -93,9 +93,10 @@ def run_bench() -> dict:
     # warm OS page cache so we measure compute+shuffle, not first disk read
     rd.read_parquet(pages_dir).count()
 
-    # autoscaling actor pools: two stateful stages share the node, tasks
-    # (read/parse/write) fill the remaining cores
-    conc = (2, max(2, NUM_CPUS - 2))
+    # one fused extract actor pool owns per-doc compute; sized proportional
+    # to the node so the 8-vs-32-CPU scaling comparison is apples-to-apples
+    # (the other half of the cores runs the parquet read/write task stages)
+    conc = max(2, NUM_CPUS * 3 // 4)
     work = tempfile.mkdtemp(prefix="aper_bench_work_")
     t0 = time.time()
     res = extract_pages(
@@ -155,8 +156,10 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same headline job at two parallelism levels in fresh processes."""
     out = {}
+    scaling_docs = os.environ.get("SCALING_DOCS", "400000")
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
+                   BENCH_DOCS=scaling_docs)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
