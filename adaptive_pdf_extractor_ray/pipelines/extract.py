@@ -36,7 +36,7 @@ import ray
 import ray.data
 
 from ..functions.templates import default_vocab
-from ..stages.apply import ExtractBatch, RuleApplier, hit_partials
+from ..stages.apply import ExtractBatch, RuleApplier, answer_partials
 from ..stages.fit import FitGroup
 from ..stages.parse import make_fingerprint_fn, normalize_batch, parse_batch
 from ..state.rulestore import RuleStore
@@ -217,19 +217,38 @@ def extract_pages(
     }
 
     if write_answers:
-        # fold rule-hit counts into weights: column-pruned read -> per-batch
-        # partials (#rules rows each) -> driver-side Sum merge (commutative
+        # one column-pruned pass serves BOTH weight accounting and run
+        # metrics: per-batch partials -> driver-side Sum merge (commutative
         # integer adds; a distributed groupby would shuffle more rows in
         # machinery than the partials contain)
         partials = ray.data.read_parquet(
-            answer_dirs, columns=["hit_rule_ids"]
-        ).map_batches(hit_partials, batch_format="pyarrow",
+            answer_dirs, columns=["hit_rule_ids", "error", "n_missing", "kind"]
+        ).map_batches(answer_partials, batch_format="pyarrow",
                       zero_copy_batch=True).take_all()
-        merged: dict[int, int] = {}
+        merged: dict[str, int] = {}
         for r in partials:
-            merged[r["rule_id"]] = merged.get(r["rule_id"], 0) + r["hits"]
-        store.apply_hits(merged)
+            merged[r["key"]] = merged.get(r["key"], 0) + r["n"]
+        store.apply_hits({
+            int(k.split(":", 1)[1]): v
+            for k, v in merged.items() if k.startswith("hit:")
+        })
         store.save(store_path)
+        metrics = {
+            k.split(":", 1)[1]: v
+            for k, v in sorted(merged.items()) if k.startswith("metric:")
+        }
+        stats["metrics"] = metrics
+        with open(os.path.join(work_dir, "metrics.json"), "w") as f:
+            json.dump(
+                {
+                    "metrics": metrics,
+                    "rules_fitted": fitted_rows,
+                    "rules_total": len(store),
+                    "answer_dirs": answer_dirs,
+                    "store_path": store_path,
+                },
+                f, indent=2,
+            )
     phases["wave2_write_hits"] = time.time() - t0 - sum(phases.values())
 
     stats.update(

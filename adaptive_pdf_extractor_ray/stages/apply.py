@@ -158,7 +158,7 @@ class ExtractBatch(RuleApplier):
 def hit_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial aggregation of rule hits: (rule_id, hits) rows.
 
-    Pre-aggregating inside map_batches keeps the groupby-Sum shuffle tiny
+    Pre-aggregating inside map_batches keeps the downstream Sum merge tiny
     (SURVEY §2.5 A4 partial+final pattern).
     """
     counts: dict[int, int] = {}
@@ -169,5 +169,34 @@ def hit_partials(batch: pa.Table) -> pa.Table:
         {
             "rule_id": pa.array(list(counts.keys()), pa.int64()),
             "hits": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def answer_partials(batch: pa.Table) -> pa.Table:
+    """One-pass per-batch partials for BOTH weight accounting and run
+    metrics: rows are (key, n) where key is ``hit:<rule_id>`` or
+    ``metric:<name>`` (rows / errors / miss_rows / kind=<kind> counts).
+    A single column-pruned read serves rule weights and the per-block
+    row-count/error metrics the north rule requires.
+    """
+    import pyarrow.compute as pc
+
+    counts: dict[str, int] = {"metric:rows": len(batch)}
+    for ids in batch["hit_rule_ids"].to_pylist():
+        for rid in ids:
+            k = f"hit:{rid}"
+            counts[k] = counts.get(k, 0) + 1
+    counts["metric:errors"] = int(pc.sum(pc.is_valid(batch["error"]).cast("int64")).as_py() or 0)
+    nm = batch["n_missing"]
+    counts["metric:miss_rows"] = int(
+        pc.sum(pc.cast(pc.not_equal(nm, 0), "int64")).as_py() or 0
+    )
+    for kind, n in zip(*pa.compute.value_counts(batch["kind"]).flatten()):
+        counts[f"metric:kind={kind.as_py()}"] = n.as_py()
+    return pa.table(
+        {
+            "key": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
         }
     )
