@@ -1,0 +1,141 @@
+"""Unit tests for dedup / similarity / text-analysis / media operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from adaptive_pdf_extractor_ray.stages import dedup as dd
+from adaptive_pdf_extractor_ray.stages import similarity as sim
+from adaptive_pdf_extractor_ray.stages import text as tx
+from adaptive_pdf_extractor_ray.stages.media import MediaDecoder, frame_sample_plan
+
+
+class TestMinHash:
+    def test_signature_deterministic(self):
+        m = dd.MinHasher(num_perm=32)
+        s1 = m.signature("the quick brown fox jumps over the lazy dog")
+        s2 = dd.MinHasher(num_perm=32).signature(
+            "the quick brown fox jumps over the lazy dog"
+        )
+        assert np.array_equal(s1, s2)
+
+    def test_similar_texts_share_minhashes(self):
+        m = dd.MinHasher(num_perm=128)
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+        b = a + "one extra tail token"
+        sa, sb = m.signature(a), m.signature(b)
+        agreement = float(np.mean(sa == sb))
+        assert agreement > 0.5
+
+    def test_disjoint_texts_disagree(self):
+        m = dd.MinHasher(num_perm=128)
+        sa = m.signature("aa bb cc dd ee ff gg hh")
+        sb = m.signature("one two three four five six seven")
+        assert float(np.mean(sa == sb)) < 0.1
+
+    def test_band_explosion_shape(self):
+        m = dd.MinHasher(num_perm=64)
+        batch = pa.table({"doc_id": [1, 2], "text": ["x y z w v u", "p q r s t"]})
+        bands = dd.explode_bands(m(batch), bands=16)
+        assert len(bands) == 2 * 16
+        assert bands.column_names == ["doc_id", "band_id", "band_hash"]
+
+    def test_identical_docs_collide_in_every_band(self):
+        m = dd.MinHasher(num_perm=64)
+        batch = pa.table({"doc_id": [1, 2], "text": ["same text here ok"] * 2})
+        bands = dd.explode_bands(m(batch), bands=16).to_pandas()
+        for _, g in bands.groupby("band_id"):
+            assert g["band_hash"].nunique() == 1
+
+
+class TestJaccardSimhash:
+    def test_jaccard_bounds(self):
+        assert dd.ngram_jaccard("a b c d e", "a b c d e") == 1.0
+        assert dd.ngram_jaccard("a b c d e", "v w x y z") == 0.0
+        assert 0 < dd.ngram_jaccard("a b c d e f", "a b c d e z") < 1
+
+    def test_simhash_similar_texts_close(self):
+        a = dd.simhash64("the quick brown fox jumps over the lazy dog " * 3)
+        b = dd.simhash64("the quick brown fox jumps over the lazy cat " * 3)
+        ham = bin(a ^ b).count("1")
+        assert ham <= 16
+
+    def test_simhash_empty(self):
+        assert dd.simhash64("") == 0
+
+
+class TestKnn:
+    def _data(self):
+        rng = np.random.RandomState(0)
+        M = rng.randn(50, 8)
+        return {"ids": list(range(3)), "vecs": M[:3].tolist()}, M
+
+    def test_brute_topk_self_is_best(self):
+        q, M = self._data()
+        knn = sim.BruteKnn(q, k=3)
+        batch = pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array(M.tolist(), pa.list_(pa.float32())),
+            }
+        )
+        out = knn(batch).to_pandas()
+        final = sim.topk_per_query(
+            pa.Table.from_pandas(out[out.query_id == 0]), k=3
+        ).to_pandas()
+        assert final.iloc[0]["neighbor_id"] == 0  # self similarity = 1.0
+        assert final.iloc[0]["sim"] == 1.0
+
+    def test_kmeans_deterministic(self):
+        _, M = self._data()
+        c1 = sim.kmeans_lite(M, 4)
+        c2 = sim.kmeans_lite(M, 4)
+        assert np.allclose(c1, c2)
+
+    def test_neardup_pairs_threshold(self):
+        ids = np.array([10, 11, 12], dtype=np.int64)
+        M = np.array([[1.0, 0.0], [1.0, 0.01], [0.0, 1.0]])
+        out = sim.embedding_neardup_pairs(ids, M, threshold=0.95).to_pandas()
+        assert out.values.tolist() == [[10, 11]]
+
+
+class TestTextOps:
+    def test_token_count(self):
+        b = pa.table({"doc_id": [1, 2], "text": ["a b  c", ""]})
+        out = tx.token_count_batch(b).to_pandas()
+        assert out["n_tokens"].tolist() == [3, 0]
+
+    def test_rolling_fingerprint_deterministic(self):
+        a = tx.rolling_fingerprint("some document content here")
+        assert a == tx.rolling_fingerprint("some document content here")
+        # min-of-windows is robust to a tail edit (winnowing property) but
+        # distinguishes unrelated content
+        assert a != tx.rolling_fingerprint("entirely different words now")
+
+    def test_content_hash_matches_md5(self):
+        import hashlib
+
+        b = pa.table({"doc_id": [1], "text": ["hello"]})
+        out = tx.content_hash_batch(b).to_pandas()
+        assert out["content_md5"][0] == hashlib.md5(b"hello").hexdigest()
+
+
+class TestMedia:
+    def test_fake_decode_deterministic(self):
+        dec = MediaDecoder()
+        b = pa.table({"doc_id": [1], "payload": [b"fake image bytes"]})
+        o1, o2 = dec(b).to_pandas(), dec(b).to_pandas()
+        assert o1.equals(o2)
+        assert 64 <= o1["width"][0] < 1920
+        assert o1["n_bytes"][0] == 16
+        assert len(o1["thumb"][0]) == 64
+
+    def test_strict_mode_marks_stub(self):
+        dec = MediaDecoder(strict=True)
+        b = pa.table({"doc_id": [1], "payload": [b"x"]})
+        out = dec(b).to_pandas()
+        assert out["decode_error"][0] is not None
+        assert out["width"][0] is None or np.isnan(out["width"][0])
+
+    def test_frame_sample_plan(self):
+        assert frame_sample_plan(10.0, 30.0, 30) == list(range(0, 300, 30))
