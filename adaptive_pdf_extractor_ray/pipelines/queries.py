@@ -21,7 +21,6 @@ import json
 import os
 
 import numpy as np
-import pandas as pa_pd  # noqa: F401  (kept: pandas imported lazily below)
 import pyarrow as pa
 import pyarrow.compute as pc
 
