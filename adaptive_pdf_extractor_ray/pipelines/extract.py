@@ -112,6 +112,7 @@ def extract_pages(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            zero_copy_batch=True,
         ).select_columns(FINAL_COLUMNS).map_batches(
             lambda t: t.append_column(
                 "refit",
@@ -198,6 +199,7 @@ def extract_pages(
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            zero_copy_batch=True,
         ).select_columns(FINAL_COLUMNS)
         # atomic: write to a temp dir, rename when complete (resume-safe)
         tmp_dir = wave2_dir + "._tmp"
