@@ -156,7 +156,9 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same headline job at two parallelism levels in fresh processes."""
     out = {}
-    scaling_docs = os.environ.get("SCALING_DOCS", "400000")
+    # the scaling comparison needs compute >> per-job fixed costs (~5s of
+    # actor startup + job launches per level); ~1.6M 2KB docs ≈ 3 GB input
+    scaling_docs = os.environ.get("SCALING_DOCS", "1600000")
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
                    BENCH_DOCS=scaling_docs)
