@@ -61,6 +61,9 @@ def cmd_extract(args: argparse.Namespace) -> int:
     }
     if "metrics" in res:
         summary["metrics"] = res["metrics"]
+    from .state.rulestore import RuleStore
+
+    summary["rule_counts"] = RuleStore.load(res["store_path"]).counts()
     print(json.dumps(summary))
     ray.shutdown()
     return 0

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from typing import Any
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -92,6 +93,23 @@ class RuleStore:
 
     def fingerprints(self) -> set[str]:
         return {fp for fp, _, _ in self._rules.values()}
+
+    def counts(self) -> dict[str, Any]:
+        """Rule-count rollups — the reference's ``total_rules_in_local_cache``
+        / ``total_rules_in_global_cache`` (``src/main.py:349-374``)."""
+        per_fp: dict[str, int] = {}
+        per_fp_fields: dict[str, set[str]] = {}
+        for fp, field, _ in self._rules.values():
+            per_fp[fp] = per_fp.get(fp, 0) + 1
+            per_fp_fields.setdefault(fp, set()).add(field)
+        return {
+            "total_rules": len(self._rules),
+            "fingerprints": len(per_fp),
+            "rules_per_fingerprint": dict(sorted(per_fp.items())),
+            "fields_per_fingerprint": {
+                fp: len(fs) for fp, fs in sorted(per_fp_fields.items())
+            },
+        }
 
     def compiled(self) -> dict[str, dict[str, FieldRules]]:
         """fingerprint -> field -> FieldRules (sorted, regexes compiled)."""
