@@ -311,7 +311,7 @@ def evaluate_accuracy(
 
     scored = answers.map_batches(
         Score, fn_constructor_args=(exp_ref,), batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=4,
     )
     agg = scored.aggregate(
         ray.data.aggregate.Sum("n_match"),

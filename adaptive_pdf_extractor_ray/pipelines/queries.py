@@ -207,7 +207,7 @@ def q_dedup_minhash(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
         dd.MinHasher, fn_constructor_kwargs={"num_perm": 64},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=4,
     )
     bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
     pairs_ds = bands.groupby(["band_id", "band_hash"]).map_groups(
@@ -263,7 +263,7 @@ def q_dedup_jaccard(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
         dd.MinHasher, fn_constructor_kwargs={"num_perm": 64},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=4,
     )
     bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
     pairs_ds = bands.groupby(["band_id", "band_hash"]).map_groups(
@@ -332,7 +332,7 @@ def q_knn_brute(sf_dir: str):
     qref = ray.put(_query_vectors(sf_dir))
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         sim.BruteKnn, fn_constructor_args=(qref, KNN_K),
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=4,
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
@@ -350,7 +350,7 @@ def q_knn_ivf(sf_dir: str):
     qref, cref = ray.put(q), ray.put(C)
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         sim.IvfIndexKnn, fn_constructor_args=(qref, cref),
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=4,
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
@@ -421,7 +421,7 @@ def q_join_revenue(sf_dir: str):
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(Join, fn_constructor_args=(cref,),
-                     batch_format="pyarrow", concurrency=(1, 4))
+                     batch_format="pyarrow", concurrency=4)
         .groupby("c_mktsegment")
         .aggregate(
             ray.data.aggregate.Sum("o_totalprice", alias_name="revenue"),
@@ -518,7 +518,7 @@ def q_media_meta(sf_dir: str):
         docs.map_batches(to_payload, batch_format="pyarrow")
         .map_batches(
             MediaDecoder, fn_constructor_kwargs={"payload_col": "payload"},
-            batch_format="pyarrow", batch_size=128, concurrency=(1, 4),
+            batch_format="pyarrow", batch_size=128, concurrency=4,
         )
         .select_columns(["doc_id", "width", "height", "format", "n_bytes"])
     )
