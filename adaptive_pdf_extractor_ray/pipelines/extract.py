@@ -120,7 +120,8 @@ def extract_pages(
             ),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        applied.write_parquet(wave1_dir, partition_cols=["refit"])
+        applied.write_parquet(wave1_dir, partition_cols=["refit"],
+                              compression="zstd")
         with open(wave1_done, "w") as f:
             f.write(json.dumps({"ts": time.time()}))
     phases["wave1"] = time.time() - t0
@@ -207,7 +208,7 @@ def extract_pages(
             import shutil
 
             shutil.rmtree(tmp_dir)
-        wave2.write_parquet(tmp_dir)
+        wave2.write_parquet(tmp_dir, compression="zstd")
         os.replace(tmp_dir, wave2_dir)
 
     answer_dirs = [d for d in (done0_dir, wave2_dir) if os.path.isdir(d)]
@@ -309,9 +310,12 @@ def evaluate_accuracy(
                 }
             )
 
+    # pool must leave CPUs for the read tasks — a pool that reserves every
+    # core of a small session deadlocks the pipeline
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
     scored = answers.map_batches(
         Score, fn_constructor_args=(exp_ref,), batch_format="pyarrow",
-        concurrency=4,
+        concurrency=max(1, min(4, n_cpus - 2)),
     )
     agg = scored.aggregate(
         ray.data.aggregate.Sum("n_match"),

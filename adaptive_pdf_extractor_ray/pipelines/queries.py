@@ -47,6 +47,13 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     return rd.read_parquet(_pq(sf_dir, name), columns=columns)
 
 
+
+def _pool(cap: int = 4) -> int:
+    """Actor-pool size that always leaves CPUs for task stages (a fixed
+    pool reserving every core of a small session deadlocks the pipeline)."""
+    n = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, min(cap, n - 2))
+
 MARKERS = ["spark", "join", "merge", "window", "stream", "vector"]
 
 
@@ -207,7 +214,7 @@ def q_dedup_minhash(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
         dd.MinHasher, fn_constructor_kwargs={"num_perm": 64},
-        batch_format="pyarrow", concurrency=4,
+        batch_format="pyarrow", concurrency=_pool(),
     )
     bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
     pairs_ds = bands.groupby(["band_id", "band_hash"]).map_groups(
@@ -263,7 +270,7 @@ def q_dedup_jaccard(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
         dd.MinHasher, fn_constructor_kwargs={"num_perm": 64},
-        batch_format="pyarrow", concurrency=4,
+        batch_format="pyarrow", concurrency=_pool(),
     )
     bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
     pairs_ds = bands.groupby(["band_id", "band_hash"]).map_groups(
@@ -332,7 +339,7 @@ def q_knn_brute(sf_dir: str):
     qref = ray.put(_query_vectors(sf_dir))
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         sim.BruteKnn, fn_constructor_args=(qref, KNN_K),
-        batch_format="pyarrow", concurrency=4,
+        batch_format="pyarrow", concurrency=_pool(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
@@ -350,7 +357,7 @@ def q_knn_ivf(sf_dir: str):
     qref, cref = ray.put(q), ray.put(C)
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         sim.IvfIndexKnn, fn_constructor_args=(qref, cref),
-        batch_format="pyarrow", concurrency=4,
+        batch_format="pyarrow", concurrency=_pool(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
@@ -421,7 +428,7 @@ def q_join_revenue(sf_dir: str):
     agg = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(Join, fn_constructor_args=(cref,),
-                     batch_format="pyarrow", concurrency=4)
+                     batch_format="pyarrow", concurrency=_pool())
         .groupby("c_mktsegment")
         .aggregate(
             ray.data.aggregate.Sum("o_totalprice", alias_name="revenue"),
@@ -518,7 +525,7 @@ def q_media_meta(sf_dir: str):
         docs.map_batches(to_payload, batch_format="pyarrow")
         .map_batches(
             MediaDecoder, fn_constructor_kwargs={"payload_col": "payload"},
-            batch_format="pyarrow", batch_size=128, concurrency=4,
+            batch_format="pyarrow", batch_size=128, concurrency=_pool(),
         )
         .select_columns(["doc_id", "width", "height", "format", "n_bytes"])
     )

@@ -110,6 +110,11 @@ def run_bench() -> dict:
     headline_s = time.time() - t0
     store_path = res["store_path"]
 
+    # let the cold run's page-cache writeback drain so the warm timing
+    # doesn't pay the cold run's disk flushes
+    os.sync()
+    time.sleep(3)
+
     # warm path: rules already fitted (the steady state at corpus scale)
     work2 = tempfile.mkdtemp(prefix="aper_bench_warm_")
     t1 = time.time()
