@@ -164,7 +164,10 @@ def run_scaling() -> dict:
     # the scaling comparison needs compute >> per-job fixed costs (~5s of
     # actor startup + job launches per level); ~1.6M 2KB docs ≈ 3 GB input
     scaling_docs = os.environ.get("SCALING_DOCS", "1600000")
-    for ncpu in (8, 32):
+    lo, hi = (
+        int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
+    )
+    for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
                    BENCH_DOCS=scaling_docs)
         proc = subprocess.run(
@@ -173,21 +176,22 @@ def run_scaling() -> dict:
         )
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         out[ncpu] = rec
-    t8, t32 = out[8]["value"], out[32]["value"]
-    w8, w32 = out[8]["warm_sec"], out[32]["warm_sec"]
+    ratio = hi / lo
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    w_lo, w_hi = out[lo]["warm_sec"], out[hi]["warm_sec"]
     return {
-        "metric": "scaling efficiency (8 -> 32 CPUs, same input)",
-        "sec_8": t8,
-        "sec_32": t32,
-        "warm_sec_8": w8,
-        "warm_sec_32": w32,
-        "docs_per_sec_8": out[8]["docs_per_sec"],
-        "docs_per_sec_32": out[32]["docs_per_sec"],
-        "docs_per_sec_warm_8": out[8]["docs_per_sec_warm"],
-        "docs_per_sec_warm_32": out[32]["docs_per_sec_warm"],
-        "scaling_efficiency": round((t8 / t32) / (32 / 8), 3),
-        "scaling_efficiency_warm": round((w8 / w32) / (32 / 8), 3),
-        "docs": out[32]["docs"],
+        "metric": f"scaling efficiency ({lo} -> {hi} CPUs, same input)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"warm_sec_{lo}": w_lo,
+        f"warm_sec_{hi}": w_hi,
+        f"docs_per_sec_{lo}": out[lo]["docs_per_sec"],
+        f"docs_per_sec_{hi}": out[hi]["docs_per_sec"],
+        f"docs_per_sec_warm_{lo}": out[lo]["docs_per_sec_warm"],
+        f"docs_per_sec_warm_{hi}": out[hi]["docs_per_sec_warm"],
+        "scaling_efficiency": round((t_lo / t_hi) / ratio, 3),
+        "scaling_efficiency_warm": round((w_lo / w_hi) / ratio, 3),
+        "docs": out[hi]["docs"],
     }
 
 
