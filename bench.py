@@ -10,7 +10,9 @@ over $GRAFT_SF_DIR.
                                     # fresh processes; report efficiency
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     RAY_GRAFT_CPUS (default 32), BENCH_DOCS (default 20000).
+     RAY_GRAFT_CPUS (default 32), BENCH_DOCS (default 100000),
+     BENCH_FILLER_WORDS (default 250 ≈ 2 KB/doc),
+     SCALING_LEVELS (default "8,32"), SCALING_DOCS (default 1600000).
 """
 
 from __future__ import annotations
