@@ -105,6 +105,26 @@ def make_specific_rule(
     return None
 
 
+def validate_no_other_keywords(
+    field_value: str, other_keywords: list[str]
+) -> str | None:
+    """Keyword-contamination guard-rail — parity with the reference's
+    ``_validate_no_other_keywords`` (``/root/reference/src/rule.py:415-467``).
+    Returns an error message when the extracted value contains another
+    field's keyword, else None. NOTE: the reference *defines but disables*
+    this gate (call commented out at ``src/rule.py:235-241``); it is kept
+    available here with the same default-off wiring — the generic rule's
+    negative-lookahead validation regex subsumes it for anchor labels."""
+    if field_value == "":
+        return None  # null fields skip the check
+    for kw in other_keywords:
+        if re.search(r"\b" + re.escape(kw) + r"\b", field_value, re.IGNORECASE):
+            return (
+                f"value {field_value!r} contains forbidden keyword {kw!r}"
+            )
+    return None
+
+
 def fit_field(
     field: str,
     all_labels: list[str],

@@ -70,6 +70,20 @@ _TIPOS_SIS = ["Interno", "Externo", "Mainframe", "Web"]
 
 SEPARATORS = ["\n"] * 8 + [""] * 2 + [" "] * 6 + ["   "] * 2 + ["\t"] * 2
 
+
+def fuzz_text(text: str, rng: random.Random) -> str:
+    """OCR-noise simulator — ``fuzz_text`` parity
+    (``/root/reference/scripts/generate_fake_data.py:159-196``): each space
+    is dropped with 10% probability; the reference's char-substitution map
+    exists but is unused there, so it is omitted here too. The reference
+    generator defines this but feeds values through un-fuzzed
+    (``fuzzed_value = value``, `:244`); callers opt in explicitly."""
+    if not text:
+        return text
+    return "".join(
+        c for c in str(text) if not (c == " " and rng.random() < 0.1)
+    )
+
 EPOCH = _dt.datetime(2024, 1, 1)
 
 # filler vocabulary for realistic page weights (lowercase — can never be

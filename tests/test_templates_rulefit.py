@@ -160,3 +160,30 @@ class TestSpanFastPathEquivalence:
                 via_regex = fr.try_extract(text)[0]
                 via_span = fr.try_extract(text, spans.get(f), True)[0]
                 assert via_regex == via_span, (f, text[:80])
+
+
+class TestParityHelpers:
+    def test_fuzz_text_drops_only_spaces(self):
+        import random
+
+        from adaptive_pdf_extractor_ray.sources.synthetic import fuzz_text
+
+        rng = random.Random(7)
+        out = fuzz_text("a b c d e f g h i j " * 50, rng)
+        assert set(out) <= {"a", "b", "c", "d", "e", "f", "g", "h", "i", "j", " "}
+        assert len(out) < len("a b c d e f g h i j " * 50)  # some spaces dropped
+        assert fuzz_text("", rng) == ""
+        # deterministic given the rng state
+        assert fuzz_text("x y z", random.Random(1)) == fuzz_text(
+            "x y z", random.Random(1)
+        )
+
+    def test_keyword_guard_rail(self):
+        from adaptive_pdf_extractor_ray.functions.rulefit import (
+            validate_no_other_keywords,
+        )
+
+        assert validate_no_other_keywords("Ana Lima", ["Inscricao"]) is None
+        assert validate_no_other_keywords("", ["Inscricao"]) is None  # null skip
+        err = validate_no_other_keywords("foo inscricao bar", ["Inscricao"])
+        assert err is not None and "Inscricao" in err
