@@ -440,6 +440,124 @@ def q_join_revenue(sf_dir: str):
     return df
 
 
+def q_join_large(sf_dir: str):
+    """Both-sides-large join via native hash-partitioned ``Dataset.join``
+    (orders ⋈ lineitem on orderkey), then partial+final revenue rollup."""
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    j = od.join(
+        li, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        tt = pa.table({"o_orderpriority": t["o_orderpriority"], "rev": rev})
+        agg: dict[str, list] = {}
+        import collections
+
+        sums: dict[str, float] = collections.defaultdict(float)
+        cnts: dict[str, int] = collections.defaultdict(int)
+        for p, r in zip(tt["o_orderpriority"].to_pylist(), tt["rev"].to_pylist()):
+            sums[p] += r
+            cnts[p] += 1
+        return pa.table(
+            {
+                "o_orderpriority": list(sums.keys()),
+                "rev": list(sums.values()),
+                "n": pa.array(list(cnts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(
+            ray.data.aggregate.Sum("rev", alias_name="revenue"),
+            ray.data.aggregate.Sum("n", alias_name="n_lineitems"),
+        )
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+JOIN_BUCKETS = 8
+
+
+def q_join_bucketed(sf_dir: str):
+    """Portable explicit partitioned hash join: bucket both sides on
+    ``hash(key) % B``, co-locate with one groupby, pandas-merge inside
+    each bucket (the pattern for engines without a native join, and the
+    place where hot-key salting would plug in)."""
+    import pandas as pd
+
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, JOIN_BUCKETS - 1), pa.int64()
+                ),
+                "key": pc.cast(keys, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+                "price": pa.nulls(len(t), pa.float64()),
+                "disc": pa.nulls(len(t), pa.float64()),
+                "side": pa.array(["o"] * len(t), pa.string()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        keys = t["l_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, JOIN_BUCKETS - 1), pa.int64()
+                ),
+                "key": pc.cast(keys, pa.int64()),
+                "o_orderpriority": pa.nulls(len(t), pa.string()),
+                "price": t["l_extendedprice"],
+                "disc": t["l_discount"],
+                "side": pa.array(["l"] * len(t), pa.string()),
+            }
+        )
+
+    both = od.map_batches(tag_orders, batch_format="pyarrow").union(
+        li.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "o"][["key", "o_orderpriority"]]
+        right = g[g["side"] == "l"][["key", "price", "disc"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame({"o_orderpriority": [], "rev": [], "n": []})
+        m["rev"] = m["price"] * (1 - m["disc"])
+        out = m.groupby("o_orderpriority", as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size")
+        )
+        return out
+
+    agg = (
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            ray.data.aggregate.Sum("rev", alias_name="revenue"),
+            ray.data.aggregate.Sum("n", alias_name="n_lineitems"),
+        )
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df["n_lineitems"] = df["n_lineitems"].astype("int64")
+    return df
+
+
 def q_topk_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -578,6 +696,8 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "agg_lineitem": q_agg_lineitem,
     "join_revenue": q_join_revenue,
+    "join_large": q_join_large,
+    "join_bucketed": q_join_bucketed,
     "topk_orders": q_topk_orders,
     "distinct_events": q_distinct_events,
     "window_hourly": q_window_hourly,
@@ -674,6 +794,19 @@ ORACLES: dict[str, str] = {
         "select c_mktsegment, round(sum(o_totalprice), 2) as revenue, "
         "count(*) as n_orders from orders join customer on o_custkey = c_custkey "
         "group by c_mktsegment"
+    ),
+
+    "join_large": (
+        "select o_orderpriority, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
+        "count(*) as n_lineitems from orders join lineitem "
+        "on o_orderkey = l_orderkey group by o_orderpriority"
+    ),
+    "join_bucketed": (
+        "select o_orderpriority, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
+        "count(*) as n_lineitems from orders join lineitem "
+        "on o_orderkey = l_orderkey group by o_orderpriority"
     ),
     "topk_orders": (
         "select o_orderkey, o_totalprice from orders "
