@@ -593,6 +593,71 @@ def q_window_hourly(sf_dir: str):
     return df
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding windowed aggregate (2h window, 1h step) per event_type,
+    composed from tumbling hourly partials — the compose-from-partials
+    pattern for windows Ray Data lacks natively."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"event_type": t["event_type"], "hour": hour, "value": t["value"]}
+        )
+
+    hourly = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n"),
+            ray.data.aggregate.Sum("value", alias_name="sv"),
+        )
+    )
+
+    def slide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour").set_index("hour")
+        full = g.reindex(
+            pd.date_range(g.index.min(), g.index.max(), freq="1h")
+        ).fillna({"n": 0, "sv": 0.0})
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].iloc[0],
+                "window_start": full.index,
+                "n": (full["n"] + full["n"].shift(-1).fillna(0)).astype("int64"),
+                "sum_value": (full["sv"] + full["sv"].shift(-1).fillna(0.0)).round(2),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return hourly.groupby("event_type").map_groups(slide, batch_format="pandas")
+
+
+def q_event_lag(sf_dir: str):
+    """Per-event as-of/lag: time since the user's previous event — the
+    window-function shape via groupby(user).map_groups over ts-sorted
+    events (pd.merge_asof machinery)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        td = g["ts"] - g["ts"].shift(1)
+        # exact integer microseconds: no float-rounding ambiguity vs SQL
+        out = pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "gap_us": td / pd.Timedelta(microseconds=1),
+            }
+        ).dropna()  # a user's first event has no predecessor
+        out["gap_us"] = out["gap_us"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
 SESSION_GAP_S = 1800
 
 
@@ -701,6 +766,8 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "distinct_events": q_distinct_events,
     "window_hourly": q_window_hourly,
+    "window_sliding": q_sliding_window,
+    "event_lag": q_event_lag,
     "sessionize": q_sessionize,
     "media_meta": q_media_meta,
     "extract_synthetic": q_extract_synthetic,
@@ -816,6 +883,42 @@ ORACLES: dict[str, str] = {
     "window_hourly": (
         "select event_type, date_trunc('hour', ts) as hour, count(*) as n, "
         "round(sum(value), 2) as sum_value from events group by 1, 2"
+    ),
+
+    "window_sliding": (
+        """
+        with hourly as (
+          select event_type, date_trunc('hour', ts) as hour,
+                 count(*)::bigint as n, sum(value) as sv
+          from events group by 1, 2),
+        spans as (
+          select event_type, min(hour) as h0, max(hour) as h1
+          from hourly group by 1),
+        grid as (
+          select s.event_type, gs.h as window_start
+          from spans s, lateral (
+            select unnest(generate_series(s.h0, s.h1,
+                                          interval 1 hour)) as h) gs),
+        joined as (
+          select g.event_type, g.window_start,
+                 coalesce(h1.n, 0) + coalesce(h2.n, 0) as n,
+                 round(coalesce(h1.sv, 0) + coalesce(h2.sv, 0), 2) as sum_value
+          from grid g
+          left join hourly h1 on h1.event_type = g.event_type
+                             and h1.hour = g.window_start
+          left join hourly h2 on h2.event_type = g.event_type
+                             and h2.hour = g.window_start + interval 1 hour)
+        select * from joined
+        """
+    ),
+    "event_lag": (
+        """
+        select event_id, gap_us from (
+          select event_id,
+                 epoch_us(ts - lag(ts) over
+                       (partition by user_id order by ts, event_id)) as gap_us
+          from events) where gap_us is not null
+        """
     ),
     "sessionize": (
         f"""
