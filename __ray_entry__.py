@@ -29,8 +29,14 @@ def entry() -> Any:
 
     cache_root = tempfile.gettempdir() + "/aper_entry_corpus"
     pages_dir, _ = write_corpus(cache_root, n=600, seed=1, shard_rows=200)
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
     work = tempfile.mkdtemp(prefix="aper_entry_")
-    res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False)
+    res = extract_pages(
+        rd.read_parquet(pages_dir), work, write_answers=False,
+        concurrency=max(1, min(8, n_cpus - 2)), batch_size=1024,
+    )
     return res["answers"].select_columns(
         ["url", "fingerprint", "extracted_json", "text_norm", "n_missing", "error"]
     )

@@ -240,6 +240,11 @@ def extract_pages(
             k.split(":", 1)[1]: v
             for k, v in sorted(merged.items()) if k.startswith("metric:")
         }
+        if metrics.get("rows"):
+            # the reference's cache-hit-rate analog (src/metrics.py:83-177)
+            metrics["fast_path_hit_rate"] = round(
+                1.0 - metrics.get("miss_rows", 0) / metrics["rows"], 6
+            )
         stats["metrics"] = metrics
         with open(os.path.join(work_dir, "metrics.json"), "w") as f:
             json.dump(

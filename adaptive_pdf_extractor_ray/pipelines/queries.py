@@ -733,7 +733,8 @@ def q_extract_synthetic(sf_dir: str):
     cache_root = os.path.join(tempfile.gettempdir(), f"aper_corpus_{tag}_{n}")
     pages_dir, _ = write_corpus(cache_root, n=n, seed=1, shard_rows=500)
     work = tempfile.mkdtemp(prefix="aper_work_")
-    res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False)
+    res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False,
+                        concurrency=_pool(8), batch_size=1024)
     return res["answers"].select_columns(
         ["url", "fingerprint", "extracted_json", "text_norm", "n_missing"]
     )
