@@ -38,7 +38,8 @@ def entry() -> Any:
         concurrency=max(1, min(8, n_cpus - 2)), batch_size=1024,
     )
     return res["answers"].select_columns(
-        ["url", "fingerprint", "extracted_json", "text_norm", "n_missing", "error"]
+        ["url", "fingerprint", "extracted_json", "spans_json", "text_norm",
+         "n_missing", "error"]
     )
 
 

@@ -55,5 +55,5 @@ class AnchorRuleExtractor:
         from .rules import FieldRules, extract_row
 
         frs = {f: FieldRules(rs) for f, rs in rules.items()}
-        ans, _, _, _ = extract_row(frs, text, list(frs))
+        ans, _, _, _, _ = extract_row(frs, text, list(frs))
         return ans

@@ -67,19 +67,28 @@ class Rule:
 
     def apply(self, text: str | None) -> str | None:
         """Execute on text. "" = matched-but-empty (null field); None = miss."""
+        return self.apply_span(text)[0]
+
+    def apply_span(self, text: str | None) -> tuple[str | None, int, int]:
+        """Like :meth:`apply`, also returning the stripped capture's
+        character offsets (start == end for the null sentinel; (-1, -1)
+        on a miss)."""
         if not text:
-            return None
+            return None, -1, -1
         self.compile()
         if self._rx is None or not self.pattern:
-            return None
+            return None, -1, -1
         m = self._rx.search(text)
         if m is None:
-            return None
+            return None, -1, -1
         try:
-            captured = m.group(1).strip()
+            raw = m.group(1)
         except IndexError:
-            return None
-        return captured if captured else ""
+            return None, -1, -1
+        captured = raw.strip()
+        lead = len(raw) - len(raw.lstrip())
+        start = m.start(1) + lead
+        return (captured if captured else ""), start, start + len(captured)
 
     def validate(self, value: str | None) -> bool:
         """Anchored-at-start format check of the extracted value."""
@@ -117,48 +126,77 @@ class FieldRules:
         (None = label absent or empty span) and span-kind rules use it
         instead of re-scanning the text.
         """
+        span_info = None if span is None else (span, -1, -1)
+        v, rid, _, _ = self.try_extract_span(text, span_info, have_span)
+        return v, rid
+
+    def try_extract_span(
+        self,
+        text: str | None,
+        span_info: tuple[str, int, int] | None = None,
+        have_span: bool = False,
+    ) -> tuple[str | None, int, int, int]:
+        """Like :meth:`try_extract`, also returning the winning value's
+        character offsets in ``text`` (start == end for null hits;
+        (-1, -1) when unknown or missed). ``span_info`` is the
+        precomputed (value, start, end) anchor span for this field."""
         for r in self.rules:
+            start = end = -1
             if have_span and r.kind == "span":
-                v = span if span else None  # empty/absent span: no value hit
+                if span_info and span_info[0]:
+                    v, start, end = span_info
+                else:
+                    v = None  # empty/absent span: no value hit
             elif have_span and r.kind == "span_null":
-                v = "" if span == "" else None
+                if span_info is not None and span_info[0] == "":
+                    v, start, end = span_info
+                else:
+                    v = None
             else:
-                v = r.apply(text)
+                v, start, end = r.apply_span(text)
             if r.validate(v):
-                return v, r.rule_id
-        return None, -1
+                return v, r.rule_id, start, end
+        return None, -1, -1, -1
 
 
 def extract_row(
     field_rules: dict[str, FieldRules],
     text: str | None,
     all_fields: list[str],
-    spans: dict[str, str] | None = None,
-) -> tuple[dict[str, str | None], list[str], list[str], dict[str, int]]:
+    spans: dict[str, tuple[str, int, int]] | None = None,
+) -> tuple[
+    dict[str, str | None], list[str], list[str], dict[str, int],
+    dict[str, tuple[int, int]],
+]:
     """Fast path for one row — mirrors ``extract_with_cache``.
 
     Reference: ``/root/reference/src/pipeline.py:22-64``. Returns
-    ``(answers, success_fields, missing_fields, hits)`` where ``hits`` maps
-    field -> matched rule_id (weight accounting). ``spans`` (raw anchor
-    spans, "" = empty) enables the single-scan fast path for span-kind
-    rules.
+    ``(answers, success_fields, missing_fields, hits, offsets)`` where
+    ``hits`` maps field -> matched rule_id (weight accounting) and
+    ``offsets`` maps field -> (start, end) character span of the value in
+    ``text`` (start == end for explicit nulls). ``spans`` (precomputed
+    anchor spans with offsets) enables the single-scan fast path for
+    span-kind rules.
     """
     ans: dict[str, str | None] = {}
     success: list[str] = []
     missing: list[str] = []
     hits: dict[str, int] = {}
+    offsets: dict[str, tuple[int, int]] = {}
     have_span = spans is not None
     for f in all_fields:
         fr = field_rules.get(f)
-        value, rid = (
-            fr.try_extract(text, spans.get(f) if have_span else None, have_span)
-            if fr is not None
-            else (None, -1)
+        if fr is None:
+            missing.append(f)
+            continue
+        value, rid, start, end = fr.try_extract_span(
+            text, spans.get(f) if have_span else None, have_span
         )
         if value is not None:
             ans[f] = None if value == NULL_SENTINEL else value
             success.append(f)
             hits[f] = rid
+            offsets[f] = (start, end)
         else:
             missing.append(f)
-    return ans, success, missing, hits
+    return ans, success, missing, hits, offsets

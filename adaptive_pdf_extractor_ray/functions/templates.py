@@ -119,18 +119,32 @@ def fingerprint_text(text: str | None, vocab: list[str]) -> str:
     return fingerprint_of_labels([a.label for a in find_anchors(text, vocab)])
 
 
-def span_extract_raw(text: str, vocab: list[str]) -> dict[str, str]:
-    """Anchor spans with the empty span preserved as "" (label present but
-    no value); a field whose label is absent has no key at all."""
+def span_extract_offsets(
+    text: str, vocab: list[str]
+) -> dict[str, tuple[str, int, int]]:
+    """Anchor spans with character offsets: field -> (value, start, end)
+    where ``text[start:end] == value`` (whitespace-stripped bounds; empty
+    span => value "" with start == end). A field whose label is absent has
+    no key."""
     anchors = find_anchors(text, vocab)
-    out: dict[str, str] = {}
+    out: dict[str, tuple[str, int, int]] = {}
     for i, a in enumerate(anchors):
         f = label_to_field(a.label)
         if f in out:
             continue  # first occurrence wins
         nxt = anchors[i + 1].start if i + 1 < len(anchors) else len(text)
-        out[f] = text[a.end : nxt].strip()
+        raw = text[a.end : nxt]
+        value = raw.strip()
+        lead = len(raw) - len(raw.lstrip())
+        start = a.end + lead
+        out[f] = (value, start, start + len(value))
     return out
+
+
+def span_extract_raw(text: str, vocab: list[str]) -> dict[str, str]:
+    """Anchor spans with the empty span preserved as "" (label present but
+    no value); a field whose label is absent has no key at all."""
+    return {f: v for f, (v, _, _) in span_extract_offsets(text, vocab).items()}
 
 
 def span_extract(text: str, vocab: list[str]) -> dict[str, str | None]:

@@ -52,8 +52,8 @@ def _named(callable_obj):
 
 
 FINAL_COLUMNS = [
-    "url", "warc_ts", "lang", "kind", "error", "fingerprint",
-    "text_norm", "extracted_json", "missing", "hit_rule_ids", "n_missing",
+    "url", "warc_ts", "lang", "kind", "error", "fingerprint", "text_norm",
+    "extracted_json", "spans_json", "missing", "hit_rule_ids", "n_missing",
 ]
 
 # above this many sampled exemplar rows, rule fitting runs as a

@@ -736,7 +736,8 @@ def q_extract_synthetic(sf_dir: str):
     res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False,
                         concurrency=_pool(8), batch_size=1024)
     return res["answers"].select_columns(
-        ["url", "fingerprint", "extracted_json", "text_norm", "n_missing"]
+        ["url", "fingerprint", "extracted_json", "spans_json", "text_norm",
+         "n_missing"]
     )
 
 

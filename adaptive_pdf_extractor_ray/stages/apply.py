@@ -26,7 +26,7 @@ import json
 import pyarrow as pa
 
 from ..functions.rules import extract_row
-from ..functions.templates import span_extract_raw
+from ..functions.templates import span_extract_offsets
 from ..state.rulestore import RuleStore
 
 
@@ -68,12 +68,15 @@ class RuleApplier:
         texts = batch["text_norm"].to_pylist()
         fps = batch["fingerprint"].to_pylist()
         prior_hits: list[list[int]] | None = None
+        prior_spans: list[str | None] | None = None
         if self.merge_with and self.merge_with in batch.column_names:
             prior = batch[self.merge_with].to_pylist()
             prior_missing = batch["missing"].to_pylist()
             prior_nm = batch["n_missing"].to_pylist()
             if "hit_rule_ids" in batch.column_names:
                 prior_hits = batch["hit_rule_ids"].to_pylist()
+            if "spans_json" in batch.column_names:
+                prior_spans = batch["spans_json"].to_pylist()
             # n_missing < 0 marks "fingerprint had no rules at all": retry
             # every field of the (now possibly fitted) template
             subsets = [
@@ -85,15 +88,19 @@ class RuleApplier:
             subsets = [None] * len(batch)
 
         extracted_out: list[str | None] = []
+        spans_out: list[str | None] = []
         missing_out: list[list[str]] = []
         nm_out: list[int] = []
         hits_out: list[list[int]] = []
-        for text, fp, prior_json, fields_subset in zip(texts, fps, prior, subsets):
+        for row_i, (text, fp, prior_json, fields_subset) in enumerate(
+            zip(texts, fps, prior, subsets)
+        ):
             field_rules = self.compiled.get(fp)
             if field_rules is None or text is None:
                 # unknown template (-1 sentinel) or parse failure
                 target = list(fields_subset or [])
                 extracted_out.append(prior_json)
+                spans_out.append(prior_spans[row_i] if prior_spans else None)
                 missing_out.append(target)
                 nm_out.append(len(target) if target else -1)
                 hits_out.append([])
@@ -102,15 +109,21 @@ class RuleApplier:
                 list(fields_subset) if fields_subset is not None else list(field_rules)
             )
             vocab = self.vocab.get(fp)
-            spans = span_extract_raw(text, vocab) if vocab else None
-            ans, _, missing, hits = extract_row(
+            spans = span_extract_offsets(text, vocab) if vocab else None
+            ans, _, missing, hits, offsets = extract_row(
                 field_rules, text, target_fields, spans
             )
+            sp = {f: list(se) for f, se in offsets.items()}
             if prior_json:
                 merged = json.loads(prior_json)
                 merged.update(ans)
                 ans = merged
+            if prior_spans and prior_spans[row_i]:
+                sp_merged = json.loads(prior_spans[row_i])
+                sp_merged.update(sp)
+                sp = sp_merged
             extracted_out.append(json.dumps(ans, ensure_ascii=False, sort_keys=True))
+            spans_out.append(json.dumps(sp, ensure_ascii=False, sort_keys=True))
             missing_out.append(missing)
             nm_out.append(len(missing))
             hits_out.append(list(hits.values()))
@@ -119,10 +132,12 @@ class RuleApplier:
             hits_out = [old + new for old, new in zip(prior_hits, hits_out)]
 
         out = batch.drop_columns(
-            [c for c in ("extracted_json", "missing", "hit_rule_ids", "n_missing")
+            [c for c in ("extracted_json", "spans_json", "missing",
+                         "hit_rule_ids", "n_missing")
              if c in batch.column_names]
         )
         out = out.append_column("extracted_json", pa.array(extracted_out, pa.string()))
+        out = out.append_column("spans_json", pa.array(spans_out, pa.string()))
         out = out.append_column("missing", pa.array(missing_out, pa.list_(pa.string())))
         out = out.append_column("hit_rule_ids", pa.array(hits_out, pa.list_(pa.int64())))
         out = out.append_column("n_missing", pa.array(nm_out, pa.int32()))

@@ -157,3 +157,27 @@ class TestErrorIsolation:
         assert out["u1"]["error"] is not None
         assert out["u2"]["error"] is None
         assert json.loads(out["u2"]["extracted_json"])["nome"] == "Ana"
+
+
+class TestSpans:
+    def test_span_offsets_slice_to_values(self, cold_run):
+        """North-star invariant: per url, every extracted value's span
+        offsets slice text_norm byte-identically to the value (nulls have
+        empty spans)."""
+        res, *_ = cold_run
+        rows = res["answers"].take_all()
+        checked = 0
+        for r in rows:
+            if not r["spans_json"]:
+                continue
+            ans = json.loads(r["extracted_json"])
+            spans = json.loads(r["spans_json"])
+            text = r["text_norm"]
+            for f, (s, e) in spans.items():
+                v = ans.get(f)
+                if v is None:
+                    assert s == e, (r["url"], f)
+                else:
+                    assert text[s:e] == v, (r["url"], f, text[s:e], v)
+                checked += 1
+        assert checked > N  # at least one field per row on average

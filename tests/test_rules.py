@@ -104,12 +104,14 @@ class TestExtractRow:
             "b": FieldRules([R(r"B\s*()(?=C|$)", r"^$", rid=2)]),
             "c": FieldRules([R(r"zzz(\d)", r"^\d$", rid=3)]),
         }
-        ans, success, missing, hits = extract_row(field_rules, "A 7 B C", ["a", "b", "c"])
+        ans, success, missing, hits, offsets = extract_row(
+            field_rules, "A 7 B C", ["a", "b", "c"]
+        )
         assert ans == {"a": "7", "b": None}
         assert success == ["a", "b"]
         assert missing == ["c"]
         assert hits == {"a": 1, "b": 2}
 
     def test_unknown_field_is_missing(self):
-        ans, success, missing, _ = extract_row({}, "text", ["f"])
+        ans, success, missing, _, _ = extract_row({}, "text", ["f"])
         assert missing == ["f"] and ans == {}

@@ -109,7 +109,7 @@ class TestEndToEndFit:
             for fp, fm in fitted.items()
         }
         for norm, fp, r in docs:
-            ans, _, missing, _ = extract_row(frs[fp], norm, list(frs[fp]))
+            ans, _, missing, _, _ = extract_row(frs[fp], norm, list(frs[fp]))
             assert not missing
             want = {
                 k: (normalize_text(v) if v is not None else None)
