@@ -714,6 +714,46 @@ def q_media_meta(sf_dir: str):
     )
 
 
+def q_curate(sf_dir: str):
+    """End-to-end training-data curation: quality gate -> language gate ->
+    exact dedup (keep min doc_id) -> per-doc features. The composition a
+    100 TB pretraining pipeline runs; every stage is the corresponding
+    operator from this repo chained in one streaming dataflow."""
+
+    def features(t: pa.Table) -> pa.Table:
+        q = tx.quality_batch(t)
+        lang = tx.lang_id_batch(t)
+        h = tx.content_hash_batch(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": q["n_tokens"],
+                "stop_ratio": q["stop_ratio"],
+                "predicted_lang": lang["predicted_lang"],
+                "content_md5": h["content_md5"],
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["n_tokens"], 20),
+                    pc.equal(t["predicted_lang"], "en"),
+                )
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    kept = ds.groupby("content_md5").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="doc_id"),
+        ray.data.aggregate.Min("n_tokens", alias_name="n_tokens"),
+    )
+    return kept.select_columns(["doc_id", "n_tokens"])
+
+
 # ---------------------------------------------------------------------------
 # the adaptive-extraction flagship over the synthetic CC-style corpus
 # ---------------------------------------------------------------------------
@@ -772,6 +812,7 @@ QUERIES = {
     "event_lag": q_event_lag,
     "sessionize": q_sessionize,
     "media_meta": q_media_meta,
+    "curate_documents": q_curate,
     "extract_synthetic": q_extract_synthetic,
 }
 
@@ -834,6 +875,23 @@ ORACLES: dict[str, str] = {
         "from embeddings e1 join embeddings e2 "
         "on e1.label = e2.label and e1.vec_id < e2.vec_id "
         "where round(list_cosine_similarity(e1.embedding, e2.embedding), 4) >= 0.35"
+    ),
+
+    "curate_documents": (
+        """
+        with feat as (
+          select doc_id, text,
+                 length(regexp_extract_all(text, '\S+'))::bigint as n_tokens,
+                 (length(regexp_extract_all(text, '\\bthe\\b')) + length(regexp_extract_all(text, '\\ba\\b')) + length(regexp_extract_all(text, '\\bof\\b')) + length(regexp_extract_all(text, '\\band\\b')) + length(regexp_extract_all(text, '\\bto\\b')) + length(regexp_extract_all(text, '\\bin\\b')) + length(regexp_extract_all(text, '\\bis\\b')) + length(regexp_extract_all(text, '\\bit\\b'))) * 1.0 /
+                   greatest(length(regexp_extract_all(text, '\S+')), 1)
+                   as stop_ratio_raw
+          from documents),
+        gated as (
+          select doc_id, text, n_tokens from feat
+          where n_tokens >= 20 and stop_ratio_raw > 0.05)
+        select min(doc_id) as doc_id, min(n_tokens) as n_tokens
+        from gated group by md5(text)
+        """
     ),
     "knn_brute": (
         # sims are ranked at 4 dp with vec_id tie-break on BOTH sides so
