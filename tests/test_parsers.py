@@ -60,3 +60,45 @@ class TestPdf:
     def test_multiline_order_preserved(self):
         text = "\n".join(f"line {i}" for i in range(40))
         assert parse_pdf_text(build_pdf(text)) == text
+
+
+class TestPdfEdgeCases:
+    def test_two_page_pdf_rejected(self):
+        # mirror the reference's single-page contract (src/data.py:219-221)
+        one = build_pdf("page one")
+        two = one.replace(
+            b"/Kids [3 0 R] /Count 1", b"/Kids [3 0 R 6 0 R] /Count 2"
+        ) + b"\n6 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n"
+        with pytest.raises(PdfError, match="2 pages"):
+            parse_pdf_text(two)
+
+    def test_zero_page_pdf_rejected(self):
+        with pytest.raises(PdfError, match="no pages"):
+            parse_pdf_text(b"%PDF-1.4\nno page objects here")
+
+    def test_truncated_flate_is_error_not_crash(self):
+        data = build_pdf("hello flate", compress=True)
+        broken = data[: len(data) // 2] + b"\nendstream\nendobj\n%%EOF\n"
+        with pytest.raises(PdfError):
+            parse_pdf_text(broken)
+
+
+class TestHtmlEdgeCases:
+    def test_unclosed_tags_tolerated(self):
+        doc = "<html><body><div><p>content line one<p>content line two"
+        out = extract_main_text(doc)
+        assert "content line one" in out and "content line two" in out
+
+    def test_empty_and_whitespace_pages(self):
+        assert extract_main_text("") == ""
+        assert extract_main_text("<html><body>   </body></html>") == ""
+
+    def test_nested_boilerplate_inside_content(self):
+        doc = (
+            "<article>real text stays"
+            "<nav><a href='/x'>menu link</a></nav>"
+            " and continues</article>"
+        )
+        out = extract_main_text(doc)
+        assert "real text stays" in out and "continues" in out
+        assert "menu link" not in out
