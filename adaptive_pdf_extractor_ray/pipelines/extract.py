@@ -88,10 +88,14 @@ def extract_pages(
 ) -> dict[str, Any]:
     """Run the full two-wave pipeline; returns {'answers': Dataset, ...stats}."""
     t0 = time.time()
-    vocab = vocab or default_vocab()
     os.makedirs(work_dir, exist_ok=True)
     store_path = store_path or os.path.join(work_dir, "rules.parquet")
     store = RuleStore.load(store_path)
+    if vocab is None:
+        # discovered template families persist their labels through the
+        # store, so warm runs fingerprint them correctly from wave 1
+        vocab = sorted(set(default_vocab()) | store.labels(),
+                       key=lambda s: (-len(s), s))
 
     phases: dict[str, float] = {}
     # wave-1 output is written partitioned by refit status: rows fully

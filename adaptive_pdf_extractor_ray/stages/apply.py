@@ -26,7 +26,11 @@ import json
 import pyarrow as pa
 
 from ..functions.rules import extract_row
-from ..functions.templates import span_extract_offsets
+from ..functions.templates import (
+    UNKNOWN_FINGERPRINT,
+    fingerprint_text,
+    span_extract_offsets,
+)
 from ..state.rulestore import RuleStore
 
 
@@ -63,6 +67,12 @@ class RuleApplier:
                 for r in fr.rules
             ):
                 self.vocab[fp] = [field_label(f) for f in fields]
+        # union vocabulary for refining rows the fingerprinter stamped
+        # 'unk' before their family's labels were discovered
+        self.all_labels: list[str] = sorted(
+            {field_label(f) for fields in self.compiled.values() for f in fields},
+            key=lambda s: (-len(s), s),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text_norm"].to_pylist()
@@ -92,10 +102,22 @@ class RuleApplier:
         missing_out: list[list[str]] = []
         nm_out: list[int] = []
         hits_out: list[list[int]] = []
+        fps_out: list[str] = []
         for row_i, (text, fp, prior_json, fields_subset) in enumerate(
             zip(texts, fps, prior, subsets)
         ):
             field_rules = self.compiled.get(fp)
+            if (
+                field_rules is None
+                and text is not None
+                and fp == UNKNOWN_FINGERPRINT
+                and self.all_labels
+            ):
+                refined = fingerprint_text(text, self.all_labels)
+                if refined in self.compiled:
+                    fp = refined
+                    field_rules = self.compiled[fp]
+            fps_out.append(fp)
             if field_rules is None or text is None:
                 # unknown template (-1 sentinel) or parse failure
                 target = list(fields_subset or [])
@@ -136,6 +158,11 @@ class RuleApplier:
                          "hit_rule_ids", "n_missing")
              if c in batch.column_names]
         )
+        if "fingerprint" in out.column_names:  # refined 'unk' rows
+            out = out.set_column(
+                out.column_names.index("fingerprint"), "fingerprint",
+                pa.array(fps_out, pa.string()),
+            )
         out = out.append_column("extracted_json", pa.array(extracted_out, pa.string()))
         out = out.append_column("spans_json", pa.array(spans_out, pa.string()))
         out = out.append_column("missing", pa.array(missing_out, pa.list_(pa.string())))

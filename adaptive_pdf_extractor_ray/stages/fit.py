@@ -29,25 +29,51 @@ class FitGroup:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         fp = group["fingerprint"][0].as_py()
-        texts = [t for t in group["text_norm"].to_pylist() if t][: self.max_exemplars]
-        vocab = self.vocab
-        if texts and not find_anchors(texts[0], vocab) and self.discover_unknown:
-            # unknown template family: induce anchors from the exemplars
-            induced = discover_anchors(texts)
-            if induced:
-                vocab = induced
-        fitted = fit_template(texts, vocab, max_exemplars=self.max_exemplars)
+        all_texts = [t for t in group["text_norm"].to_pylist() if t]
         rows = {k: [] for k in RULES_SCHEMA.names}
-        for field, rules in fitted.items():
-            for r in rules:
-                rows["fingerprint"].append(fp)
-                rows["field"].append(field)
-                rows["pattern"].append(r.pattern)
-                rows["validation_regex"].append(r.validation_regex)
-                rows["weight"].append(r.weight)
-                rows["rule_id"].append(
-                    rule_content_id(fp, field, r.pattern, r.validation_regex)
-                )
-                rows["rule_idx"].append(r.rule_idx)
-                rows["kind"].append(r.kind)
+
+        def emit(out_fp: str, fitted) -> None:
+            for field, rules in fitted.items():
+                for r in rules:
+                    rows["fingerprint"].append(out_fp)
+                    rows["field"].append(field)
+                    rows["pattern"].append(r.pattern)
+                    rows["validation_regex"].append(r.validation_regex)
+                    rows["weight"].append(r.weight)
+                    rows["rule_id"].append(
+                        rule_content_id(out_fp, field, r.pattern,
+                                        r.validation_regex)
+                    )
+                    rows["rule_idx"].append(r.rule_idx)
+                    rows["kind"].append(r.kind)
+
+        texts = all_texts[: self.max_exemplars]
+        if (
+            texts
+            and self.discover_unknown
+            and not find_anchors(texts[0], self.vocab)
+        ):
+            # Unknown template families: induce anchors from a wider sample,
+            # then SPLIT the group by the refined fingerprint so several
+            # families that all hashed to 'unk' each get their own rules
+            # (the applier re-fingerprints 'unk' rows with the extended
+            # vocabulary; subsequent runs fingerprint correctly from the
+            # start because the rule store's labels extend the vocab).
+            sample = all_texts[: max(self.max_exemplars * 8, 64)]
+            induced = discover_anchors(sample, min_support=0.3)
+            if induced:
+                from ..functions.templates import fingerprint_text
+
+                by_fp: dict[str, list[str]] = {}
+                for t in sample:
+                    by_fp.setdefault(fingerprint_text(t, induced), []).append(t)
+                for sub_fp, sub_texts in sorted(by_fp.items()):
+                    fitted = fit_template(
+                        sub_texts, induced, max_exemplars=self.max_exemplars
+                    )
+                    emit(sub_fp, fitted)
+                return pa.table(rows, schema=RULES_SCHEMA)
+
+        fitted = fit_template(texts, self.vocab, max_exemplars=self.max_exemplars)
+        emit(fp, fitted)
         return pa.table(rows, schema=RULES_SCHEMA)

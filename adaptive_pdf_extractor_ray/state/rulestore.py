@@ -94,6 +94,13 @@ class RuleStore:
     def fingerprints(self) -> set[str]:
         return {fp for fp, _, _ in self._rules.values()}
 
+    def labels(self) -> set[str]:
+        """Anchor labels implied by stored fields — discovered template
+        families extend the fingerprinting vocabulary through the store."""
+        from ..functions.templates import field_label
+
+        return {field_label(f) for _, f, _ in self._rules.values()}
+
     def counts(self) -> dict[str, Any]:
         """Rule-count rollups — the reference's ``total_rules_in_local_cache``
         / ``total_rules_in_global_cache`` (``src/main.py:349-374``)."""

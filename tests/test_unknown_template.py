@@ -48,3 +48,46 @@ def test_unknown_template_discovered_and_extracted(tmp_path, ray_session):
             ok += 1
     # discovery-driven extraction must cover the corpus
     assert ok == 40, f"only {ok}/40 extracted: {out[0]}"
+
+
+def test_two_unknown_families_separate(tmp_path, ray_session):
+    """Two distinct unregistered template families in one corpus must get
+    their own (refined) fingerprints and rules, not a shared 'unk'."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+    from adaptive_pdf_extractor_ray.state.rulestore import RuleStore
+
+    rows, urls = [], []
+    for i in range(30):
+        rows.append(f"Numero Serie\n{1000 + i}\nModelo\nXR-{i % 7}")
+        urls.append(f"a{i}")
+    for i in range(30):
+        rows.append(f"Placa Veiculo\nABC-{1000 + i}\nProprietario\nDONO-{i % 5}")
+        urls.append(f"b{i}")
+    pages = pa.table(
+        {
+            "url": urls,
+            "warc_ts": pa.array([None] * 60, pa.timestamp("us")),
+            "html": pa.array([None] * 60, pa.binary()),
+            "text": rows,
+            "lang": ["pt"] * 60,
+        },
+        schema=PAGES_SCHEMA,
+    )
+    res = extract_pages(
+        rd.from_arrow(pages), str(tmp_path / "w2"), write_answers=False
+    )
+    out = {r["url"]: r for r in res["answers"].take_all()}
+    store = RuleStore.load(res["store_path"])
+    fps = store.fingerprints()
+    assert len(fps) >= 2 and "unk" not in fps, fps
+    a = json.loads(out["a0"]["extracted_json"])
+    b = json.loads(out["b0"]["extracted_json"])
+    assert a.get("numero_serie") == "1000" and a.get("modelo") == "XR-0"
+    assert b.get("placa_veiculo") == "ABC-1000"
+    assert b.get("proprietario") == "DONO-0"
+    # refined fingerprints stamped on the rows themselves
+    assert out["a0"]["fingerprint"] != out["b0"]["fingerprint"]
+    assert out["a0"]["fingerprint"] != "unk"
