@@ -139,3 +139,75 @@ class TestMedia:
 
     def test_frame_sample_plan(self):
         assert frame_sample_plan(10.0, 30.0, 30) == list(range(0, 300, 30))
+
+
+class TestPlantedNearDups:
+    """LSH must find planted near-duplicates that exact dedup cannot."""
+
+    def _docs(self):
+        import random
+
+        rng = random.Random(99)
+        words = [f"w{i}" for i in range(400)]
+        docs = {}
+        for d in range(20):
+            docs[d] = " ".join(rng.choice(words) for _ in range(120))
+        # plant: 100/101 near-dup pair (1-token edit), 102 exact dup of 0
+        docs[100] = docs[0][: len(docs[0]) // 2] + " zz " + docs[0][len(docs[0]) // 2 :]
+        docs[101] = docs[1]  # exact dup
+        return docs
+
+    def test_lsh_catches_planted_pair(self, ray_session):
+        import pyarrow as pa
+
+        docs = self._docs()
+        m = dd.MinHasher(num_perm=128)
+        batch = pa.table(
+            {
+                "doc_id": pa.array(list(docs.keys()), pa.int64()),
+                "text": list(docs.values()),
+            }
+        )
+        bands = dd.explode_bands(m(batch), bands=32).to_pandas()
+        collisions = set()
+        for (_, _), g in bands.groupby(["band_id", "band_hash"]):
+            ids = sorted(g["doc_id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    collisions.add((ids[i], ids[j]))
+        assert (0, 100) in collisions  # planted near-dup found
+        assert (1, 101) in collisions  # exact dup trivially found
+        assert dd.ngram_jaccard(docs[0], docs[100]) > 0.85
+
+    def test_exact_dedup_misses_near_dup(self):
+        import hashlib
+
+        docs = self._docs()
+        assert hashlib.md5(docs[0].encode()).hexdigest() != hashlib.md5(
+            docs[100].encode()
+        ).hexdigest()
+        assert hashlib.md5(docs[1].encode()).hexdigest() == hashlib.md5(
+            docs[101].encode()
+        ).hexdigest()
+
+
+class TestIvfRecall:
+    def test_ivf_recall_vs_brute(self, ray_session):
+        """IVF with nprobe=2 of 8 clusters must keep recall@5 >= 0.5 vs
+        brute force on the sf0.001 embeddings (the documented trade)."""
+        import importlib.util
+        import sys
+
+        spec = importlib.util.spec_from_file_location(
+            "re4t", "/root/repo/__ray_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["re4t"] = mod
+        spec.loader.exec_module(mod)
+        sf = "/root/testdata/sf0.001"
+        brute = mod.queries()["knn_brute"](sf).to_pandas()
+        ivf = mod.queries()["knn_ivf"](sf).to_pandas()
+        b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+        v = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
+        recall = len(b & v) / len(b)
+        assert recall >= 0.5, recall

@@ -91,3 +91,26 @@ def test_two_unknown_families_separate(tmp_path, ray_session):
     # refined fingerprints stamped on the rows themselves
     assert out["a0"]["fingerprint"] != out["b0"]["fingerprint"]
     assert out["a0"]["fingerprint"] != "unk"
+
+
+def test_discovered_family_warm_start(tmp_path, ray_session):
+    """Run 2 with the run-1 store must fingerprint a discovered family
+    correctly from wave 1 (store labels extend the vocabulary): zero
+    misses, zero new rules."""
+    import ray.data as rd
+
+    from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+
+    res1 = extract_pages(
+        rd.from_arrow(_pages(30)), str(tmp_path / "w1"), write_answers=False
+    )
+    assert res1["rules_fitted"] > 0
+    # new docs of the same family, warm store
+    res2 = extract_pages(
+        rd.from_arrow(_pages(40)), str(tmp_path / "w2"),
+        store_path=res1["store_path"], write_answers=False,
+    )
+    assert res2["rules_fitted"] == 0
+    rows = res2["answers"].take_all()
+    assert all(r["n_missing"] == 0 for r in rows)
+    assert all(r["fingerprint"] != "unk" for r in rows)
