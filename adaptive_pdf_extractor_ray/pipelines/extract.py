@@ -244,6 +244,10 @@ def extract_pages(
             k.split(":", 1)[1]: v
             for k, v in sorted(merged.items()) if k.startswith("metric:")
         }
+        # per-partition lineage: the files each wave contributed
+        partitions = {
+            d: sorted(os.listdir(d)) for d in answer_dirs if os.path.isdir(d)
+        }
         if metrics.get("rows"):
             # the reference's cache-hit-rate analog (src/metrics.py:83-177)
             metrics["fast_path_hit_rate"] = round(
@@ -257,6 +261,7 @@ def extract_pages(
                     "rules_fitted": fitted_rows,
                     "rules_total": len(store),
                     "answer_dirs": answer_dirs,
+                    "partitions": partitions,
                     "store_path": store_path,
                 },
                 f, indent=2,
