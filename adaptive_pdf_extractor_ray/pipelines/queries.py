@@ -455,7 +455,6 @@ def q_join_large(sf_dir: str):
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
         tt = pa.table({"o_orderpriority": t["o_orderpriority"], "rev": rev})
-        agg: dict[str, list] = {}
         import collections
 
         sums: dict[str, float] = collections.defaultdict(float)
