@@ -84,11 +84,24 @@ def cmd_synth(args: argparse.Namespace) -> int:
 
 def cmd_evaluate(args: argparse.Namespace) -> int:
     ray = _ray_session(args.num_cpus)
+    import os
+
     import ray.data as rd
 
     from .pipelines.extract import evaluate_accuracy
 
-    answers = rd.read_parquet(args.answer_dirs)
+    dirs = list(args.answer_dirs or [])
+    if args.work_dir:  # shorthand: derive answer dirs from the work dir
+        for d in (
+            os.path.join(args.work_dir, "wave1", "refit=0"),
+            os.path.join(args.work_dir, "wave2"),
+        ):
+            if os.path.isdir(d):
+                dirs.append(d)
+    if not dirs:
+        print(json.dumps({"error": "no answer dirs (pass --answer-dirs or --work-dir)"}))
+        return 2
+    answers = rd.read_parquet(dirs)
     acc = evaluate_accuracy(answers, rd.read_parquet(args.expected))
     print(json.dumps({k: round(v, 6) for k, v in acc.items()}))
     ray.shutdown()
@@ -118,7 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     ps.set_defaults(fn=cmd_synth)
 
     pv = sub.add_parser("evaluate", help="score answers vs expected")
-    pv.add_argument("--answer-dirs", nargs="+", required=True)
+    pv.add_argument("--answer-dirs", nargs="+", default=None)
+    pv.add_argument("--work-dir", default=None,
+                    help="derive answer dirs from an extract work dir")
     pv.add_argument("--expected", required=True)
     pv.add_argument("--num-cpus", type=int, default=None)
     pv.set_defaults(fn=cmd_evaluate)

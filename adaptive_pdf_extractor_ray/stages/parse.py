@@ -38,8 +38,15 @@ def parse_batch(batch: pa.Table) -> pa.Table:
                     raw.append(parse_pdf_text(h))
                     kind.append("pdf")
                 else:
-                    raw.append(extract_main_text(h))
-                    kind.append("html")
+                    doc = bytes(h).decode("utf-8", errors="replace")
+                    # payloads that are mostly undecodable are opaque media,
+                    # not markup — classify honestly, extract nothing
+                    if doc and doc.count("�") / len(doc) > 0.10:
+                        raw.append(None)
+                        kind.append("binary")
+                    else:
+                        raw.append(extract_main_text(doc))
+                        kind.append("html")
             else:
                 raw.append(None)
                 kind.append("empty")

@@ -181,3 +181,28 @@ class TestSpans:
                     assert text[s:e] == v, (r["url"], f, text[s:e], v)
                 checked += 1
         assert checked > N  # at least one field per row on average
+
+
+class TestBinaryPayload:
+    def test_opaque_binary_classified_not_html(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from adaptive_pdf_extractor_ray.sources.synthetic import PAGES_SCHEMA
+
+        rows = pa.table(
+            {
+                "url": ["bin1"],
+                "warc_ts": pa.array([None], pa.timestamp("us")),
+                "html": pa.array([bytes(range(256)) * 4], pa.binary()),
+                "text": pa.array([None], pa.string()),
+                "lang": ["xx"],
+            },
+            schema=PAGES_SCHEMA,
+        )
+        res = extract_pages(
+            rd.from_arrow(rows), str(tmp_path / "w"), write_answers=False
+        )
+        r = res["answers"].take_all()[0]
+        assert r["kind"] == "binary"
+        assert r["error"] is None and r["text_norm"] is None
