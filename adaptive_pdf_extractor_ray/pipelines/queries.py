@@ -713,6 +713,35 @@ def q_media_meta(sf_dir: str):
     )
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame-sampling plumbing: synthesize per-doc duration/fps
+    deterministically from the documents table, explode to sampled frame
+    rows (the fan-out a real frame decoder consumes). Fully
+    SQL-expressible -> oracle-verified."""
+    from ..stages.media import frame_explode_batch
+
+    def meta(t: pa.Table) -> pa.Table:
+        n = t["n_chars"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                # deterministic fake media metadata from row stats
+                "duration_s": pc.cast(
+                    pc.add(pc.divide(pc.cast(n, pa.float64()), 100.0), 1.0),
+                    pa.float64(),
+                ),
+                "fps": pa.array([30.0] * len(t), pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(meta, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda t: frame_explode_batch(t, every_n=30),
+                     batch_format="pyarrow")
+    )
+
+
 def q_curate(sf_dir: str):
     """End-to-end training-data curation: quality gate -> language gate ->
     exact dedup (keep min doc_id) -> per-doc features. The composition a
@@ -812,6 +841,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "media_meta": q_media_meta,
     "curate_documents": q_curate,
+    "media_frames": q_media_frames,
     "extract_synthetic": q_extract_synthetic,
 }
 
@@ -890,6 +920,22 @@ ORACLES: dict[str, str] = {
           where n_tokens >= 20 and stop_ratio_raw > 0.05)
         select min(doc_id) as doc_id, min(n_tokens) as n_tokens
         from gated group by md5(text)
+        """
+    ),
+
+    "media_frames": (
+        """
+        with meta as (
+          select doc_id, n_chars / 100.0 + 1.0 as duration_s, 30.0 as fps
+          from documents),
+        plan as (
+          select doc_id, fps,
+                 unnest(range(0, cast(floor(duration_s * fps) as bigint), 30))
+                   as frame_idx
+          from meta)
+        select doc_id, frame_idx,
+               cast(floor(frame_idx * 1000 / fps) as bigint) as ts_ms
+        from plan
         """
     ),
     "knn_brute": (

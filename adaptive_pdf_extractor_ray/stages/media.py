@@ -98,3 +98,29 @@ def frame_sample_plan(duration_s: float, fps: float, every_n: int) -> list[int]:
     """Frame indices a video frame-sampler would decode (pure plan logic)."""
     total = int(duration_s * fps)
     return list(range(0, total, max(1, every_n)))
+
+
+def frame_explode_batch(batch: pa.Table, every_n: int = 30) -> pa.Table:
+    """Video plumbing: one row per media item -> one row per sampled frame
+    (doc_id, frame_idx, ts_ms). The explode is the Ray-side shape a real
+    frame decoder fans out over; downstream a :class:`MediaDecoder`-style
+    actor decodes each (payload, frame_idx) pair. Metadata columns
+    ``duration_s`` (float) and ``fps`` (float) drive the plan.
+    """
+    doc_ids, frame_idx, ts_ms = [], [], []
+    for did, dur, fps in zip(
+        batch["doc_id"].to_pylist(),
+        batch["duration_s"].to_pylist(),
+        batch["fps"].to_pylist(),
+    ):
+        for f in frame_sample_plan(dur or 0.0, fps or 0.0, every_n):
+            doc_ids.append(did)
+            frame_idx.append(f)
+            ts_ms.append(int(f * 1000 / fps) if fps else 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int64()),
+            "ts_ms": pa.array(ts_ms, pa.int64()),
+        }
+    )

@@ -211,3 +211,21 @@ class TestIvfRecall:
         v = {(r.query_id, r.neighbor_id) for r in ivf.itertuples()}
         recall = len(b & v) / len(b)
         assert recall >= 0.5, recall
+
+
+class TestFrameExplode:
+    def test_explode_shapes_and_plan(self):
+        from adaptive_pdf_extractor_ray.stages.media import frame_explode_batch
+
+        b = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "duration_s": pa.array([2.0, 0.0], pa.float64()),
+                "fps": pa.array([30.0, 30.0], pa.float64()),
+            }
+        )
+        out = frame_explode_batch(b, every_n=30).to_pandas()
+        d1 = out[out.doc_id == 1]
+        assert d1["frame_idx"].tolist() == [0, 30]
+        assert d1["ts_ms"].tolist() == [0, 1000]
+        assert (out.doc_id == 2).sum() == 0  # zero duration -> no frames
