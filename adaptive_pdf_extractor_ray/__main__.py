@@ -39,13 +39,32 @@ def _ray_session(num_cpus: int | None):
 
 def cmd_extract(args: argparse.Namespace) -> int:
     ray = _ray_session(args.num_cpus)
+    import glob
+    import os
+
     import ray.data as rd
 
     from .pipelines.extract import extract_pages
 
+    source = args.input
+    work_dir = args.work_dir
+    if args.num_shards > 1:
+        # shard by input file: each shard is an independent, resumable
+        # unit (own work dir + _done markers) — the multi-node work
+        # partitioning described in SCALING.md
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet"))) or [
+            args.input
+        ]
+        source = files[args.shard :: args.num_shards]
+        if not source:
+            print(json.dumps({"rows": 0, "note": "shard has no input files"}))
+            ray.shutdown()
+            return 0
+        work_dir = os.path.join(args.work_dir, f"shard={args.shard:05d}")
+
     res = extract_pages(
-        rd.read_parquet(args.input),
-        args.work_dir,
+        rd.read_parquet(source),
+        work_dir,
         store_path=args.store,
         concurrency=args.concurrency,
         batch_size=args.batch_size,
@@ -101,7 +120,14 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     if not dirs:
         print(json.dumps({"error": "no answer dirs (pass --answer-dirs or --work-dir)"}))
         return 2
-    answers = rd.read_parquet(dirs)
+    # expand dirs to files: paths containing hive-style segments (shard=NNN)
+    # confuse read_parquet's directory resolution for multi-dir lists
+    import glob as _glob
+
+    files: list[str] = []
+    for d in dirs:
+        files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))) or [d])
+    answers = rd.read_parquet(files)
     acc = evaluate_accuracy(answers, rd.read_parquet(args.expected))
     print(json.dumps({k: round(v, 6) for k, v in acc.items()}))
     ray.shutdown()
@@ -119,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--num-cpus", type=int, default=None)
     pe.add_argument("--concurrency", type=int, default=8)
     pe.add_argument("--batch-size", type=int, default=2048)
+    pe.add_argument("--shard", type=int, default=0,
+                    help="this worker's shard index (input-file striping)")
+    pe.add_argument("--num-shards", type=int, default=1,
+                    help="total shards; >1 makes work-dir per shard")
     pe.set_defaults(fn=cmd_extract)
 
     ps = sub.add_parser("synth", help="generate a synthetic pages corpus")
