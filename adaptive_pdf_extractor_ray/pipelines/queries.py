@@ -742,6 +742,16 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_sample_systematic(sf_dir: str):
+    """Deterministic systematic sampling (every 10th key) — the reproducible
+    sampling primitive (seeded random_sample exists in Ray but cannot be
+    hash-compared against SQL)."""
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 7), 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_curate(sf_dir: str):
     """End-to-end training-data curation: quality gate -> language gate ->
     exact dedup (keep min doc_id) -> per-doc features. The composition a
@@ -841,6 +851,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "media_meta": q_media_meta,
     "curate_documents": q_curate,
+    "sample_systematic": q_sample_systematic,
     "media_frames": q_media_frames,
     "extract_synthetic": q_extract_synthetic,
 }
@@ -937,6 +948,9 @@ ORACLES: dict[str, str] = {
                cast(floor(frame_idx * 1000 / fps) as bigint) as ts_ms
         from plan
         """
+    ),
+    "sample_systematic": (
+        "select doc_id, n_chars from documents where doc_id % 8 = 0"
     ),
     "knn_brute": (
         # sims are ranked at 4 dp with vec_id tie-break on BOTH sides so
