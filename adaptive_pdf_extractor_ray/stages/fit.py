@@ -59,6 +59,12 @@ class FitGroup:
             # (the applier re-fingerprints 'unk' rows with the extended
             # vocabulary; subsequent runs fingerprint correctly from the
             # start because the rule store's labels extend the vocab).
+            # Known boundary: min_support=0.3 separates up to ~3 novel
+            # families per wave; a corpus dropping many new families at
+            # once resolves them over successive waves/runs (each wave's
+            # discovered labels shrink the residual 'unk' pool), and rows
+            # still unresolved stay flagged via n_missing/metrics rather
+            # than being extracted wrongly.
             sample = all_texts[: max(self.max_exemplars * 8, 64)]
             induced = discover_anchors(sample, min_support=0.3)
             if induced:

@@ -206,3 +206,54 @@ class TestBinaryPayload:
         r = res["answers"].take_all()[0]
         assert r["kind"] == "binary"
         assert r["error"] is None and r["text_norm"] is None
+
+
+class TestAdaptiveReordering:
+    def test_weights_flip_rule_try_order_across_runs(
+        self, ray_session, tmp_path
+    ):
+        """The reference's adaptive priority (bubble-up) at checkpoint
+        granularity: a specific rule fitted from early exemplars loses
+        priority to the generic rule once the corpus stops matching it."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from adaptive_pdf_extractor_ray.sources.synthetic import PAGES_SCHEMA
+
+        def pages(texts, tag):
+            return pa.table(
+                {
+                    "url": [f"{tag}{i}" for i in range(len(texts))],
+                    "warc_ts": pa.array([None] * len(texts), pa.timestamp("us")),
+                    "html": pa.array([None] * len(texts), pa.binary()),
+                    "text": texts,
+                    "lang": ["pt"] * len(texts),
+                },
+                schema=PAGES_SCHEMA,
+            )
+
+        # run 1: 6-digit inscricao values -> a tight specific rule fits
+        run1 = [f"Nome Ana{i} Lima Inscricao 10000{i}" for i in range(10)]
+        res1 = extract_pages(
+            rd.from_arrow(pages(run1, "a")), str(tmp_path / "w1"),
+            store_path=str(tmp_path / "rules.parquet"),
+        )
+        store1 = RuleStore.load(res1["store_path"])
+        insc1 = store1.compiled()
+        fp = next(iter(insc1))
+        first_rule_run1 = insc1[fp]["inscricao"].rules[0]
+        assert "[0-9]{6,6}" in first_rule_run1.pattern  # specific leads
+
+        # run 2: 9-digit values -> specific misses, generic collects hits
+        run2 = [f"Nome Rui{i} Dias Inscricao 90000000{i}" for i in range(50)]
+        res2 = extract_pages(
+            rd.from_arrow(pages(run2, "b")), str(tmp_path / "w2"),
+            store_path=res1["store_path"],
+        )
+        store2 = RuleStore.load(res2["store_path"])
+        first_rule_run2 = store2.compiled()[fp]["inscricao"].rules[0]
+        # generic (span) rule outweighs the stale specific rule now
+        assert first_rule_run2.kind == "span", first_rule_run2.pattern
+        # and the 9-digit values were still extracted correctly (fallthrough)
+        out = {r["url"]: r for r in res2["answers"].take_all()}
+        assert json.loads(out["b0"]["extracted_json"])["inscricao"] == "900000000"
