@@ -80,9 +80,10 @@ def q_pages_roundtrip(sf_dir: str):
     """documents -> synthetic pages (text/HTML/PDF by doc_id%3) -> parse ->
     normalize: proves the full ingest surface recovers the text
     byte-identically (S2/M2/M3 + M1)."""
+    from ..functions.templates import default_vocab
+    from ..pipelines.extract import prepare
     from ..sources.htmlio import build_page
     from ..sources.pdfio import build_pdf
-    from ..stages.parse import normalize_batch, parse_batch
 
     def to_pages(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -119,12 +120,11 @@ def q_pages_roundtrip(sf_dir: str):
             }
         )
 
-    return (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(to_pages, batch_format="pyarrow")
-        .map_batches(parse_batch, batch_format="pyarrow")
-        .map_batches(normalize_batch, batch_format="pyarrow")
-        .map_batches(finish, batch_format="pyarrow")
+    pages = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    return prepare(pages, default_vocab()).map_batches(
+        finish, batch_format="pyarrow"
     )
 
 
