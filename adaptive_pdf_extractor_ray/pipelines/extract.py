@@ -85,6 +85,7 @@ def extract_pages(
     batch_size: int = 1024,
     max_exemplars: int = 8,
     write_answers: bool = True,
+    apply_shards: int | None = None,
 ) -> dict[str, Any]:
     """Run the full two-wave pipeline; returns {'answers': Dataset, ...stats}."""
     t0 = time.time()
@@ -109,15 +110,43 @@ def extract_pages(
     wave2_dir = os.path.join(work_dir, "wave2")
     wave1_done = os.path.join(work_dir, "wave1._done")
     if not os.path.exists(wave1_done):  # resumable: skip completed wave 1
-        rules_ref = ray.put(store.to_table())
-        applied = pages.map_batches(
-            ExtractBatch,
-            fn_constructor_args=(rules_ref, vocab),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-            zero_copy_batch=True,
-        ).select_columns(FINAL_COLUMNS).map_batches(
+        if apply_shards:
+            # sharded-store path (extreme template cardinality): parse as
+            # elastic tasks, co-locate fingerprint buckets, load/compile
+            # only each bucket's slice of the store per worker
+            from ..stages.apply import fingerprint_bucket, make_bucket_applier
+
+            store.save(store_path)  # bucket appliers read from disk
+            prepared = prepare(pages, vocab, batch_size=batch_size)
+
+            def add_bucket(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "bucket",
+                    pa.array(
+                        [fingerprint_bucket(fp, apply_shards)
+                         for fp in t["fingerprint"].to_pylist()],
+                        pa.int64(),
+                    ),
+                )
+
+            applied = (
+                prepared.map_batches(add_bucket, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                .groupby("bucket")
+                .map_groups(make_bucket_applier(store_path, apply_shards),
+                            batch_format="pyarrow")
+            )
+        else:
+            rules_ref = ray.put(store.to_table())
+            applied = pages.map_batches(
+                ExtractBatch,
+                fn_constructor_args=(rules_ref, vocab),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+                zero_copy_batch=True,
+            )
+        applied = applied.select_columns(FINAL_COLUMNS).map_batches(
             lambda t: t.append_column(
                 "refit",
                 pc.cast(pc.not_equal(t["n_missing"], 0), pa.int32()),

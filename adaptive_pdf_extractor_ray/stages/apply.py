@@ -197,6 +197,56 @@ class ExtractBatch(RuleApplier):
         return super().__call__(b)
 
 
+def fingerprint_bucket(fp: str, num_buckets: int) -> int:
+    """Stable fingerprint -> bucket assignment (md5-based, worker-safe)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(fp.encode("utf-8")).digest()[:4], "big"
+    ) % num_buckets
+
+
+# per-worker cache: (store_path, mtime, bucket) -> compiled RuleApplier.
+# Worker processes persist across tasks, so each bucket's rules compile
+# once per worker even though map_groups runs as stateless tasks.
+_BUCKET_APPLIER_CACHE: dict = {}
+
+
+def make_bucket_applier(store_path: str, num_buckets: int):
+    """Sharded-store apply for extreme template cardinality.
+
+    The broadcast pattern ships (and compiles) the WHOLE rule table in
+    every actor — fine to ~1M rules, prohibitive beyond (compile time and
+    heap scale with store size). This path instead co-locates each
+    fingerprint bucket's rows via ``groupby("bucket")`` and loads/compiles
+    only that bucket's slice of the store (parquet filter pushdown on the
+    fingerprint hash), so per-worker state is ``O(store / num_buckets)``.
+    Trade: one all-to-all shuffle of the page rows per wave — the
+    documented fallback in SCALING.md, not the default.
+    """
+
+    def apply_bucket(group: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        bucket = group["bucket"][0].as_py()
+        key = (store_path, os.path.getmtime(store_path), bucket)
+        applier = _BUCKET_APPLIER_CACHE.get(key)
+        if applier is None:
+            full = pq.read_table(store_path)
+            mask = [
+                fingerprint_bucket(fp, num_buckets) == bucket
+                for fp in full["fingerprint"].to_pylist()
+            ]
+            applier = RuleApplier(full.filter(pa.array(mask)))
+            _BUCKET_APPLIER_CACHE[key] = applier
+        out = applier(group.drop_columns(["bucket"]))
+        return out
+
+    return apply_bucket
+
+
 def hit_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial aggregation of rule hits: (rule_id, hits) rows.
 

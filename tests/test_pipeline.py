@@ -257,3 +257,29 @@ class TestAdaptiveReordering:
         # and the 9-digit values were still extracted correctly (fallthrough)
         out = {r["url"]: r for r in res2["answers"].take_all()}
         assert json.loads(out["b0"]["extracted_json"])["inscricao"] == "900000000"
+
+
+class TestShardedStoreApply:
+    def test_sharded_apply_matches_broadcast(self, corpus, tmp_path_factory):
+        """apply_shards path (groupby-bucket, per-bucket store slices) must
+        produce the same answers as the broadcast actor-pool path."""
+        import ray.data as rd
+
+        pages_dir, exp_dir = corpus
+        # broadcast run
+        w1 = str(tmp_path_factory.mktemp("bc"))
+        r1 = extract_pages(rd.read_parquet(pages_dir), w1, write_answers=False)
+        # sharded run, warm from the broadcast store (deterministic rules)
+        w2 = str(tmp_path_factory.mktemp("sh"))
+        r2 = extract_pages(
+            rd.read_parquet(pages_dir), w2, store_path=r1["store_path"],
+            write_answers=False, apply_shards=4,
+        )
+        a = {r["url"]: r for r in r1["answers"].take_all()}
+        b = {r["url"]: r for r in r2["answers"].take_all()}
+        assert set(a) == set(b)
+        for u in a:
+            assert a[u]["extracted_json"] == b[u]["extracted_json"], u
+            assert a[u]["text_norm"] == b[u]["text_norm"], u
+        acc = evaluate_accuracy(r2["answers"], __import__("ray").data.read_parquet(exp_dir))
+        assert acc["field_accuracy"] == 1.0
