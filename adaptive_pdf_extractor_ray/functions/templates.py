@@ -156,6 +156,126 @@ def span_extract(text: str, vocab: list[str]) -> dict[str, str | None]:
     return {f: (v if v else None) for f, v in span_extract_raw(text, vocab).items()}
 
 
+def _candidate_phrases(text: str) -> set[str]:
+    """Runs of 1-3 consecutive Title-Case tokens in one text."""
+    token_rx = re.compile(r"[A-ZÀ-Ö][a-zà-ö]+")
+    toks = [(m.group(0), m.start(), m.end()) for m in token_rx.finditer(text)]
+    seen: set[str] = set()
+    for i in range(len(toks)):
+        for n in (3, 2, 1):
+            if i + n > len(toks):
+                continue
+            if all(toks[j + 1][1] == toks[j][2] + 1 for j in range(i, i + n - 1)):
+                seen.add(text[toks[i][1] : toks[i + n - 1][2]])
+    return seen
+
+
+def discover_families(
+    texts: list[str],
+    min_family: int = 4,
+    anchor_support: float = 0.95,
+) -> list[list[str]]:
+    """Separate MANY unknown template families in one sample by greedy
+    peeling, with a guard against recurring *value* phrases.
+
+    The separating property: a true anchor label appears in ~every doc of
+    its family (templates always render labels), while value phrases
+    recur in only a fraction. Loop: take the most-supported candidate
+    phrase as a family seed; its family = docs containing it; accept as
+    anchors only candidates present in >= ``anchor_support`` of the
+    family; drop longer-phrase-contained fragments; peel those docs and
+    repeat. Returns one label list per family (possibly overlapping
+    vocabularies across families).
+    """
+    cand_per_doc = [_candidate_phrases(t) for t in texts]
+
+    def jacc(a: set[str], b: set[str]) -> float:
+        if not a and not b:
+            return 1.0
+        if not a or not b:
+            return 0.0
+        return len(a & b) / len(a | b)
+
+    # cluster docs by candidate-set similarity: same-family docs share
+    # their family phrases (high Jaccard); cross-family docs share only
+    # generic fragments like single common tokens (low Jaccard) — this is
+    # what support-based peeling gets wrong when families share a token.
+    def supported(members: list[int], support: float) -> set[str]:
+        need = max(1, int(support * len(members)))
+        counts: dict[str, int] = {}
+        for i in members:
+            for p in cand_per_doc[i]:
+                counts[p] = counts.get(p, 0) + 1
+        return {p for p, c in counts.items() if c >= need}
+
+    # pass 1: similarity clusters (may over-split a family whose docs
+    # differ by a recurring value phrase)
+    pool = list(range(len(texts)))
+    clusters: list[tuple[list[int], set[str]]] = []
+    while len(pool) >= min_family:
+        seed = pool[0]
+        members = [
+            i for i in pool if jacc(cand_per_doc[seed], cand_per_doc[i]) >= 0.5
+        ]
+        if len(members) < min_family:
+            pool = pool[1:]  # residual doc: too few peers in this sample
+            continue
+        clusters.append((members, supported(members, anchor_support)))
+        member_set = set(members)
+        pool = [i for i in pool if i not in member_set]
+
+    # pass 2: merge clusters whose supported-phrase sets overlap — the
+    # with-value-phrase and without halves of one family rejoin here, and
+    # re-gating over the union demotes the value phrase below support
+    merged = True
+    while merged:
+        merged = False
+        for a in range(len(clusters)):
+            for b in range(a + 1, len(clusters)):
+                if jacc(clusters[a][1], clusters[b][1]) >= 0.3:
+                    mem = clusters[a][0] + clusters[b][0]
+                    clusters[a] = (mem, supported(mem, anchor_support))
+                    clusters.pop(b)
+                    merged = True
+                    break
+            if merged:
+                break
+
+    families: list[list[str]] = []
+    for members, raw in clusters:
+        accepted = sorted(raw, key=lambda s: (-len(s), s))
+        final: list[str] = []
+        for p in accepted:
+            if not any(p in a for a in final):
+                final.append(p)
+        if final:
+            families.append(final)
+
+    # pass 3: exclusivity filter. A parasitic "family" induced by a value
+    # phrase recurring ACROSS real families matches only docs that some
+    # real family also fully matches; a real family always has docs
+    # matching it alone. Drop families with zero exclusive documents.
+    if len(families) > 1:
+        full_sets: list[set[int]] = []
+        for labels in families:
+            fset = set()
+            for i, t in enumerate(texts):
+                found = {a.label for a in find_anchors(t, labels)}
+                if found >= set(labels):
+                    fset.add(i)
+            full_sets.append(fset)
+        keep = []
+        for fi, labels in enumerate(families):
+            others = set().union(
+                *(s for fj, s in enumerate(full_sets) if fj != fi)
+            ) if len(full_sets) > 1 else set()
+            if full_sets[fi] - others:
+                keep.append(labels)
+        if keep:
+            families = keep
+    return families
+
+
 def discover_anchors(texts: list[str], min_support: float = 0.8) -> list[str]:
     """Induce anchor labels for an *unknown* template family.
 

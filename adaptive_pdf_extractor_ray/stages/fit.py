@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.rulefit import fit_template
-from ..functions.templates import discover_anchors, find_anchors
+from ..functions.templates import discover_families, find_anchors
 from ..state.rulestore import RULES_SCHEMA, rule_content_id
 
 
@@ -53,29 +53,37 @@ class FitGroup:
             and self.discover_unknown
             and not find_anchors(texts[0], self.vocab)
         ):
-            # Unknown template families: induce anchors from a wider sample,
-            # then SPLIT the group by the refined fingerprint so several
-            # families that all hashed to 'unk' each get their own rules
-            # (the applier re-fingerprints 'unk' rows with the extended
-            # vocabulary; subsequent runs fingerprint correctly from the
-            # start because the rule store's labels extend the vocab).
-            # Known boundary: min_support=0.3 separates up to ~3 novel
-            # families per wave; a corpus dropping many new families at
-            # once resolves them over successive waves/runs (each wave's
-            # discovered labels shrink the residual 'unk' pool), and rows
-            # still unresolved stay flagged via n_missing/metrics rather
-            # than being extracted wrongly.
-            sample = all_texts[: max(self.max_exemplars * 8, 64)]
-            induced = discover_anchors(sample, min_support=0.3)
-            if induced:
+            # Unknown template families: greedy family peeling
+            # (discover_families) separates MANY families in one wave —
+            # the anchor_support>=0.95 gate inside a family is what keeps
+            # recurring *value* phrases from being promoted to anchors.
+            # Each family fits with its own vocabulary under its refined
+            # fingerprint; the applier re-fingerprints 'unk' rows with the
+            # extended (store-derived) vocabulary, and subsequent runs
+            # fingerprint correctly from wave 1. Families with < min_family
+            # exemplars in the sample stay flagged (n_missing) for later
+            # waves rather than being extracted wrongly.
+            sample = all_texts[: max(self.max_exemplars * 16, 128)]
+            families = discover_families(sample, min_family=4)
+            if families:
                 from ..functions.templates import fingerprint_text
 
-                by_fp: dict[str, list[str]] = {}
+                # assign each sample doc to the family whose anchors it
+                # carries most of; fit each family with ITS vocabulary
+                by_fp: dict[str, tuple[list[str], list[str]]] = {}
                 for t in sample:
-                    by_fp.setdefault(fingerprint_text(t, induced), []).append(t)
-                for sub_fp, sub_texts in sorted(by_fp.items()):
+                    best, best_n = None, 0
+                    for labels in families:
+                        n = len([a for a in find_anchors(t, labels)])
+                        if n > best_n:
+                            best, best_n = labels, n
+                    if best is None:
+                        continue
+                    sub_fp = fingerprint_text(t, best)
+                    by_fp.setdefault(sub_fp, (best, []))[1].append(t)
+                for sub_fp, (labels, sub_texts) in sorted(by_fp.items()):
                     fitted = fit_template(
-                        sub_texts, induced, max_exemplars=self.max_exemplars
+                        sub_texts, labels, max_exemplars=self.max_exemplars
                     )
                     emit(sub_fp, fitted)
                 return pa.table(rows, schema=RULES_SCHEMA)

@@ -114,3 +114,69 @@ def test_discovered_family_warm_start(tmp_path, ray_session):
     rows = res2["answers"].take_all()
     assert all(r["n_missing"] == 0 for r in rows)
     assert all(r["fingerprint"] != "unk" for r in rows)
+
+
+def test_eight_unknown_families_one_wave(tmp_path, ray_session):
+    """Greedy family peeling must separate many novel families arriving
+    in a single corpus, despite recurring value phrases."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+    from adaptive_pdf_extractor_ray.state.rulestore import RuleStore
+
+    rng = random.Random(5)
+    fams = {
+        f"fam{k}": [f"Campo {chr(65+k)}{j}".replace(chr(65+k)+"0", chr(65+k)) or f"Campo{k}{j}"
+                    for j in range(3)]
+        for k in range(8)
+    }
+    # simpler deterministic label sets: 8 families × 3 distinct labels
+    fams = {
+        k: [f"{name} Um", f"{name} Dois", f"{name} Tres"]
+        for k, name in enumerate(
+            ["Alpha", "Bravo", "Carta", "Delta", "Eco", "Fox", "Golfe", "Hotel"]
+        )
+    }
+    rows, urls, truth = [], [], []
+    i = 0
+    for k, labels in fams.items():
+        for d in range(12):
+            vals = [f"V{k}-{d}-{j}" for j in range(3)]
+            # recurring value phrase in ~half the docs (the trap)
+            if d % 2 == 0:
+                vals[1] = "Situacao Regular Aqui"
+            parts = []
+            for lab, v in zip(labels, vals):
+                parts.append(f"{lab}\n{v}")
+            rows.append("\n".join(parts))
+            urls.append(f"u{i}")
+            truth.append((k, dict(zip(labels, vals))))
+            i += 1
+    order = list(range(len(rows)))
+    rng.shuffle(order)
+    pages = pa.table(
+        {
+            "url": [urls[j] for j in order],
+            "warc_ts": pa.array([None] * len(order), pa.timestamp("us")),
+            "html": pa.array([None] * len(order), pa.binary()),
+            "text": [rows[j] for j in order],
+            "lang": ["pt"] * len(order),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    res = extract_pages(
+        rd.from_arrow(pages), str(tmp_path / "w8"), write_answers=False
+    )
+    store = RuleStore.load(res["store_path"])
+    assert len(store.fingerprints()) >= 8, store.fingerprints()
+    out = {r["url"]: r for r in res["answers"].take_all()}
+    full = sum(1 for r in out.values() if r["n_missing"] == 0)
+    assert full >= int(0.9 * len(out)), f"{full}/{len(out)} fully extracted"
+    # no value phrase promoted to an anchor: 'Situacao Regular Aqui' must
+    # appear as a VALUE somewhere, not as a field name
+    for r in out.values():
+        ans = json.loads(r["extracted_json"] or "{}")
+        assert "situacao_regular_aqui" not in ans
