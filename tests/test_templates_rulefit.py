@@ -187,3 +187,28 @@ class TestParityHelpers:
         assert validate_no_other_keywords("", ["Inscricao"]) is None  # null skip
         err = validate_no_other_keywords("foo inscricao bar", ["Inscricao"])
         assert err is not None and "Inscricao" in err
+
+
+class TestDiscoverFamilies:
+    def test_gibberish_yields_nothing(self):
+        from adaptive_pdf_extractor_ray.functions.templates import discover_families
+
+        assert discover_families(["lower case only words"] * 10) in ([], None) or \
+            discover_families(["lower case only words"] * 10) == []
+        assert discover_families([]) == []
+        assert discover_families(["Xy"] * 2) == []  # below min_family
+
+    def test_single_family(self):
+        from adaptive_pdf_extractor_ray.functions.templates import discover_families
+
+        texts = [f"Campo Nome V{i} Campo Valor W{i}" for i in range(10)]
+        fams = discover_families(texts)
+        assert len(fams) == 1
+        assert "Campo Nome" in fams[0] and "Campo Valor" in fams[0]
+
+    def test_never_crashes_on_mixed_noise(self):
+        from adaptive_pdf_extractor_ray.functions.templates import discover_families
+
+        texts = ["", "   ", "A", "Aa Bb Cc " * 50, "ZZZ 123", "ção ãé Í"] * 3
+        out = discover_families(texts)
+        assert isinstance(out, list)
