@@ -283,6 +283,20 @@ def extract_pages(
                 1.0 - metrics.get("miss_rows", 0) / metrics["rows"], 6
             )
         stats["metrics"] = metrics
+        # corpus-level drift ledger: one JSONL record per run next to the
+        # rule store, so successive runs over a corpus can be compared
+        # (hit-rate regressions, error spikes, rule growth)
+        try:
+            with open(store_path + ".history.jsonl", "a") as hf:
+                hf.write(json.dumps({
+                    "ts": time.time(),
+                    "work_dir": work_dir,
+                    "rules_fitted": fitted_rows,
+                    "rules_total": len(store),
+                    **metrics,
+                }) + "\n")
+        except OSError:
+            pass  # ledger is best-effort
         with open(os.path.join(work_dir, "metrics.json"), "w") as f:
             json.dump(
                 {
