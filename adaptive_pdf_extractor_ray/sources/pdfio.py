@@ -148,6 +148,8 @@ def parse_pdf_text(data: bytes | memoryview) -> str:
         # the stream's dict starts at the owning "N 0 obj" keyword
         hdr_at = raw.rfind(b"obj", 0, m.start())
         hdr = raw[max(hdr_at, 0) : m.start()]
+        if b"/Image" in hdr or b"/DCTDecode" in hdr or b"/JPXDecode" in hdr:
+            continue  # image XObjects: megabytes of pixels, no text ops
         lm = _LENGTH_RX.search(hdr)
         if lm is not None:  # exact byte length (robust to \r-final payloads)
             body = raw[m.end() : m.end() + int(lm.group(1))]
@@ -159,6 +161,8 @@ def parse_pdf_text(data: bytes | memoryview) -> str:
                 body = zlib.decompress(body)
             except zlib.error as e:
                 raise PdfError(f"bad Flate stream: {e}") from e
+        if b"BT" not in body:
+            continue  # no text objects: skip tokenizing binary payloads
         try:
             s = body.decode("latin-1")
         except Exception as e:  # pragma: no cover - latin-1 never fails
