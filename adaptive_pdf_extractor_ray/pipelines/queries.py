@@ -557,6 +557,51 @@ def q_join_bucketed(sf_dir: str):
     return df
 
 
+def q_multihop_join(sf_dir: str):
+    """Three-table broadcast chain: customer ⋈ nation ⋈ region — the
+    dimension-snowflake lookup composed from two broadcast maps."""
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nref = ray.put(
+        {
+            int(k): (n, int(r))
+            for k, n, r in zip(nat["n_nationkey"], nat["n_name"], nat["n_regionkey"])
+        }
+    )
+    rref = ray.put(dict(zip((int(k) for k in reg["r_regionkey"]), reg["r_name"])))
+
+    class Lookup:
+        def __init__(self, nr, rr):
+            self.nat = ray.get(nr)
+            self.reg = ray.get(rr)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            regions = []
+            for k in t["c_nationkey"].to_pylist():
+                n = self.nat.get(int(k))
+                regions.append(self.reg.get(n[1]) if n else None)
+            return pa.table(
+                {
+                    "r_name": pa.array(regions, pa.string()),
+                    "c_acctbal": t["c_acctbal"],
+                }
+            )
+
+    agg = (
+        _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(Lookup, fn_constructor_args=(nref, rref),
+                     batch_format="pyarrow", concurrency=_pool())
+        .groupby("r_name")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_customers"),
+            ray.data.aggregate.Sum("c_acctbal", alias_name="total_acctbal"),
+        )
+    )
+    df = agg.to_pandas()
+    df["total_acctbal"] = df["total_acctbal"].round(2)
+    return df
+
+
 def q_topk_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -843,6 +888,7 @@ QUERIES = {
     "join_revenue": q_join_revenue,
     "join_large": q_join_large,
     "join_bucketed": q_join_bucketed,
+    "multihop_join": q_multihop_join,
     "topk_orders": q_topk_orders,
     "distinct_events": q_distinct_events,
     "window_hourly": q_window_hourly,
@@ -993,6 +1039,12 @@ ORACLES: dict[str, str] = {
         "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
         "count(*) as n_lineitems from orders join lineitem "
         "on o_orderkey = l_orderkey group by o_orderpriority"
+    ),
+    "multihop_join": (
+        "select r_name, count(*) as n_customers, "
+        "round(sum(c_acctbal), 2) as total_acctbal "
+        "from customer join nation on c_nationkey = n_nationkey "
+        "join region on n_regionkey = r_regionkey group by r_name"
     ),
     "topk_orders": (
         "select o_orderkey, o_totalprice from orders "
