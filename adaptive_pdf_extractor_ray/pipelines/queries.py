@@ -9,9 +9,10 @@ table / pandas DataFrame whose row set matches the oracle SQL exactly
 
 Coverage maps to SURVEY.md §2 plus the training-data operator family
 (dedup / similarity / text analysis / multimodal) that a 100 TB pipeline
-needs. Non-SQL-expressible ops (minhash, simhash, blake2b-derived fakes,
-the full adaptive-extraction flagship) have no oracle entry and get the
-driver's rows-only check.
+needs. Even the MinHash-LSH and SimHash family is value-verified (md5 +
+mod-2^64 arithmetic reproduced in pure SQL); only genuinely procedural
+ops (union-find clustering, IVF ANN, winnowing fingerprints, fake media
+decode, the full adaptive-extraction flagship) use the rows-only check.
 """
 
 from __future__ import annotations
@@ -208,19 +209,36 @@ def q_dedup_exact(sf_dir: str):
     return agg
 
 
-def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup clusters: shingle -> minhash -> band groupby ->
-    candidate pairs -> Jaccard >= 0.5 verify -> min-label components."""
+def _lsh_candidate_pairs(sf_dir: str):
+    """shingle -> md5 minhash -> band groupby -> candidate pairs (the LSH
+    core, fully SQL-reproducible)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
-        dd.MinHasher, fn_constructor_kwargs={"num_perm": 64},
-        batch_format="pyarrow", concurrency=_pool(),
+        dd.MinHasher, batch_format="pyarrow", concurrency=_pool(),
     )
     bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
-    pairs_ds = bands.groupby(["band_id", "band_hash"]).map_groups(
-        dd.bucket_pairs, batch_format="pyarrow"
+    return bands.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: dd.bucket_pairs(g, max_bucket=100_000),
+        batch_format="pyarrow",
     )
-    pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH candidate pairs — value-verified against a pure-SQL
+    re-implementation of the whole minhash (md5 hashing, mod-2^64
+    permutations, banding)."""
+    import pandas as pd
+
+    pairs = sorted({(r["a"], r["b"]) for r in _lsh_candidate_pairs(sf_dir).take_all()})
+    df = pd.DataFrame(pairs or [], columns=["a", "b"])
+    return df.astype({"a": "int64", "b": "int64"})
+
+
+def q_dedup_minhash_clusters(sf_dir: str):
+    """Near-dup clusters: LSH candidates -> Jaccard >= 0.5 verify ->
+    min-label connected components (rows-only: union-find is procedural)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = {(r["a"], r["b"]) for r in _lsh_candidate_pairs(sf_dir).take_all()}
 
     # verification needs the candidate docs' texts (small set): broadcast
     cand_ids = sorted({i for p in pairs for i in p})
@@ -258,7 +276,8 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash signatures + 16-bit band keys (Hamming<=3 bucketing)."""
+    """SimHash signatures + 16-bit band keys (Hamming<=3 bucketing) —
+    value-verified against a pure-SQL simhash."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         dd.simhash_batch, batch_format="pyarrow"
     )
@@ -268,15 +287,7 @@ def q_dedup_jaccard(sf_dir: str):
     """n-gram Jaccard near-dup pairs among same-length-bucket candidates
     (bounded verification of the LSH candidate set)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = docs.map_batches(
-        dd.MinHasher, fn_constructor_kwargs={"num_perm": 64},
-        batch_format="pyarrow", concurrency=_pool(),
-    )
-    bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
-    pairs_ds = bands.groupby(["band_id", "band_hash"]).map_groups(
-        dd.bucket_pairs, batch_format="pyarrow"
-    )
-    pairs = sorted({(r["a"], r["b"]) for r in pairs_ds.take_all()})
+    pairs = sorted({(r["a"], r["b"]) for r in _lsh_candidate_pairs(sf_dir).take_all()})
     ids = {i for p in pairs for i in p}
     texts: dict[int, str] = {}
     if ids:
@@ -879,6 +890,7 @@ QUERIES = {
     "doc_fingerprint_rolling": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "embedding_neardup": q_embedding_neardup,
@@ -1106,3 +1118,85 @@ ORACLES: dict[str, str] = {
         """
     ),
 }
+
+
+# -- SQL re-implementations of the minhash / simhash family ----------------
+# (appended to ORACLES: the whole LSH computation is md5 + mod-2^64
+# arithmetic, so DuckDB reproduces it value-for-value)
+
+def _minhash_cte() -> str:
+    perms = ", ".join(
+        f"({i}, {a}::hugeint, {b}::hugeint)"
+        for i, (a, b) in enumerate(zip(dd.PERM_A, dd.PERM_B))
+    )
+    rows_per_band = dd.NUM_PERM // dd.LSH_BANDS
+    return f"""
+with toks as (
+  select doc_id, string_split(text, ' ') as toks from documents),
+sh as (
+  select doc_id,
+         case when len(toks) >= 3 then
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         when len(toks) >= 1 then [array_to_string(toks, ' ')]
+         else [] end as shingles
+  from toks),
+shu as (select doc_id, unnest(shingles) as s from sh),
+hv as (select doc_id,
+              ('0x' || substr(md5(s), 1, 16))::ubigint as h from shu),
+perms(p_idx, a, b) as (values {perms}),
+pv as (
+  select doc_id, p_idx,
+         min(((a * h::hugeint + b) % 18446744073709551616::hugeint)::ubigint)
+           as mh
+  from hv cross join perms group by doc_id, p_idx),
+sig as (select doc_id, list(mh order by p_idx) as sig from pv group by doc_id),
+bandix(band_id) as (select unnest(range({dd.LSH_BANDS}))),
+bands as (
+  select doc_id, band_id,
+         md5(array_to_string(
+           list_slice(sig, band_id * {rows_per_band} + 1,
+                      band_id * {rows_per_band} + {rows_per_band}), '|'))
+           as band_hash
+  from sig cross join bandix),
+pairs as (
+  select distinct x.doc_id as a, y.doc_id as b
+  from bands x join bands y
+    on x.band_id = y.band_id and x.band_hash = y.band_hash
+   and x.doc_id < y.doc_id)
+"""
+
+
+ORACLES["dedup_minhash_lsh"] = _minhash_cte() + "select a, b from pairs"
+
+ORACLES["dedup_ngram_jaccard"] = _minhash_cte() + """
+, sd as (select doc_id, list_distinct(shingles) as sd from sh)
+select p.a, p.b,
+       round(len(list_intersect(xa.sd, xb.sd))::double /
+             (len(xa.sd) + len(xb.sd) - len(list_intersect(xa.sd, xb.sd))),
+             6) as jaccard
+from pairs p
+join sd xa on xa.doc_id = p.a
+join sd xb on xb.doc_id = p.b
+"""
+
+ORACLES["dedup_simhash"] = """
+with tk as (select doc_id, unnest(string_split(text, ' ')) as t from documents),
+th as (select doc_id, ('0x' || substr(md5(t), 1, 16))::ubigint as h from tk),
+bitix(bit) as (select unnest(range(64))),
+bits as (
+  select doc_id, bit,
+         sum(case when (h >> bit) & 1 = 1 then 1 else -1 end) as acc
+  from th cross join bitix group by doc_id, bit),
+sim as (
+  select doc_id,
+         sum(case when acc > 0 then (1::hugeint << bit) else 0::hugeint end)
+           ::ubigint as simhash
+  from bits group by doc_id)
+select doc_id, simhash,
+       ((simhash >> 0) & 65535)::bigint as band0,
+       ((simhash >> 16) & 65535)::bigint as band1,
+       ((simhash >> 32) & 65535)::bigint as band2,
+       ((simhash >> 48) & 65535)::bigint as band3
+from sim
+"""

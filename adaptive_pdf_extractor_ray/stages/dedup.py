@@ -7,27 +7,44 @@ Ray-Data-native shapes (see /opt-public Ray Data docs patterns):
 - **MinHash/LSH**: per-batch numpy minhash signatures -> explode to
   (band_id, band_hash, doc_id) rows -> ``groupby(band)`` emits candidate
   pairs -> n-gram Jaccard verification per pair -> connected components by
-  min-label propagation. Hashing is blake2b-based and fully deterministic
-  (no process-salt randomness), so results are stable across runs/workers.
+  min-label propagation. Hashing is md5-derived and fully deterministic
+  (no process-salt randomness), so results are stable across runs/workers
+  AND reproducible in SQL for oracle verification.
 - **SimHash**: 64-bit signatures; near-dup buckets via 4×16-bit band
   exact match (Hamming ≤3 guarantee by pigeonhole).
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+# Every hash here is md5-derived and permutations use plain mod-2^64 wrap
+# arithmetic so the WHOLE minhash/simhash computation is reproducible in
+# ANSI SQL (DuckDB: ('0x'||substr(md5(s),1,16))::ubigint and HUGEINT
+# mod-2^64) — which is what lets the driver value-verify these ops
+# against an oracle instead of a rows-only check.
+
+NUM_PERM = 32
+LSH_BANDS = 8  # 4 rows per band
+
+
+def _perm_constants(num_perm: int = NUM_PERM) -> tuple[list[int], list[int]]:
+    rng = np.random.RandomState(271828)  # fixed: deterministic everywhere
+    a = [int(x) | 1 for x in rng.randint(1, 1 << 62, size=num_perm, dtype=np.int64)]
+    b = [int(x) for x in rng.randint(0, 1 << 62, size=num_perm, dtype=np.int64)]
+    return a, b
+
+
+PERM_A, PERM_B = _perm_constants()
 
 
 def _hash64(token: str) -> int:
-    """Deterministic 64-bit token hash (two crc32 views — ~10x faster than
-    a cryptographic hash; LSH/MinHash need uniformity, not security)."""
-    b = token.encode("utf-8")
-    return (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    """First 8 bytes of md5, big-endian — SQL:
+    ``('0x' || substr(md5(t), 1, 16))::ubigint``."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
 
 def _shingles(text: str, k: int = 3) -> list[str]:
@@ -37,21 +54,20 @@ def _shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
-def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.RandomState(271828)  # fixed: deterministic across cluster
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    return a, b
-
-
 class MinHasher:
     """Stateful actor stage: permutation params computed once per actor."""
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 3, col: str = "text"):
+    def __init__(self, num_perm: int = NUM_PERM, shingle_k: int = 3,
+                 col: str = "text"):
         self.num_perm = num_perm
         self.k = shingle_k
         self.col = col
-        self.a, self.b = _perm_params(num_perm)
+        a, b = (
+            (PERM_A, PERM_B) if num_perm <= NUM_PERM
+            else _perm_constants(num_perm)
+        )
+        self.a = np.array(a[:num_perm], dtype=np.uint64)
+        self.b = np.array(b[:num_perm], dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text, self.k)
@@ -59,8 +75,8 @@ class MinHasher:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
         with np.errstate(over="ignore"):
-            # (a*h + b) mod p, for all perms × shingles
-            vals = (np.outer(self.a, base) + self.b[:, None]) % _MERSENNE
+            # (a*h + b) mod 2^64 — the wrap IS the modulus (SQL parity)
+            vals = np.outer(self.a, base) + self.b[:, None]
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -69,23 +85,27 @@ class MinHasher:
             {
                 "doc_id": batch["doc_id"],
                 "minhash": pa.array(
-                    [s.astype(np.int64, copy=False).tolist() for s in sigs],
-                    pa.list_(pa.int64()),
+                    [[int(v) for v in s] for s in sigs],
+                    pa.list_(pa.uint64()),
                 ),
             }
         )
 
 
-def explode_bands(batch: pa.Table, bands: int = 16) -> pa.Table:
-    """signature rows -> (band_id, band_hash, doc_id) rows for the LSH groupby."""
+def explode_bands(batch: pa.Table, bands: int = LSH_BANDS) -> pa.Table:
+    """signature rows -> (band_id, band_hash, doc_id) rows for the LSH
+    groupby. band_hash = md5 of the band's values '|'-joined (SQL parity:
+    ``md5(array_to_string(list_slice(sig, lo, hi), '|'))``)."""
+    import hashlib as _hl
+
     doc_ids: list[int] = []
     band_ids: list[int] = []
-    band_hashes: list[int] = []
+    band_hashes: list[str] = []
     for did, sig in zip(batch["doc_id"].to_pylist(), batch["minhash"].to_pylist()):
         rows_per_band = len(sig) // bands
         for b in range(bands):
-            chunk = tuple(sig[b * rows_per_band : (b + 1) * rows_per_band])
-            h = hash(chunk) & ((1 << 62) - 1)  # CPython tuple-hash is deterministic for ints
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            h = _hl.md5("|".join(str(int(v)) for v in chunk).encode()).hexdigest()
             doc_ids.append(did)
             band_ids.append(b)
             band_hashes.append(h)
@@ -93,7 +113,7 @@ def explode_bands(batch: pa.Table, bands: int = 16) -> pa.Table:
         {
             "doc_id": pa.array(doc_ids, pa.int64()),
             "band_id": pa.array(band_ids, pa.int64()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
+            "band_hash": pa.array(band_hashes, pa.string()),
         }
     )
 
@@ -140,7 +160,7 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "simhash": pa.array([s - (1 << 63) for s in sigs], pa.int64()),
+            "simhash": pa.array(sigs, pa.uint64()),
             **{
                 f"band{b}": pa.array([(s >> (16 * b)) & 0xFFFF for s in sigs], pa.int64())
                 for b in range(4)
