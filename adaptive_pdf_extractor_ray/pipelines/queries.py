@@ -808,6 +808,38 @@ def q_sample_systematic(sf_dir: str):
     )
 
 
+VOCAB_TOP_K = 50
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus vocabulary building: per-batch partial term counts ->
+    grouped Sum -> global top-K with deterministic tie-break (the
+    tokenizer-vocab construction step of a pretraining pipeline)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for w in (s or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("n")
+    )
+    df = agg.to_pandas().rename(columns={"sum(n)": "n"})
+    df = df.sort_values(["n", "term"], ascending=[False, True]).head(VOCAB_TOP_K)
+    return df.reset_index(drop=True)
+
+
 def q_curate(sf_dir: str):
     """End-to-end training-data curation: quality gate -> language gate ->
     exact dedup (keep min doc_id) -> per-doc features. The composition a
@@ -909,6 +941,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "media_meta": q_media_meta,
     "curate_documents": q_curate,
+    "vocab_top_terms": q_top_terms,
     "sample_systematic": q_sample_systematic,
     "media_frames": q_media_frames,
     "extract_synthetic": q_extract_synthetic,
@@ -1005,6 +1038,15 @@ ORACLES: dict[str, str] = {
         select doc_id, frame_idx,
                cast(floor(frame_idx * 1000 / fps) as bigint) as ts_ms
         from plan
+        """
+    ),
+    "vocab_top_terms": (
+        """
+        with t as (select unnest(string_split(text, ' ')) as term
+                   from documents),
+        c as (select term, count(*)::bigint as n from t
+              where term <> '' group by term)
+        select term, n from c order by n desc, term asc limit 50
         """
     ),
     "sample_systematic": (
