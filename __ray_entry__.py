@@ -52,6 +52,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB SQL equivalents (same column names, same rounding)."""
-    from adaptive_pdf_extractor_ray.pipelines.queries import ORACLES
+    from adaptive_pdf_extractor_ray.pipelines.queries import all_oracles
 
-    return dict(ORACLES)
+    return all_oracles()

@@ -885,26 +885,67 @@ def q_curate(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+FLAGSHIP_N = 2000
+
+
+def flagship_corpus(n: int = FLAGSHIP_N) -> tuple[str, str]:
+    """Lazily write the deterministic flagship corpus (pages + expected
+    ground truth) to a fixed, sf-independent path; returns
+    (pages_dir, expected_dir). Called by both the Ray query and the
+    oracle-SQL composer so either side can run first."""
+    import tempfile
+
+    from ..sources.synthetic import write_corpus
+
+    root = os.path.join(tempfile.gettempdir(), f"aper_flagship_{n}")
+    return write_corpus(root, n=n, seed=1, shard_rows=500)
+
+
 def q_extract_synthetic(sf_dir: str):
     """Full two-wave adaptive extraction over the deterministic synthetic
-    pages corpus (cold start: fit + apply). Non-SQL: rows-only check, but
-    pytest verifies 100% field accuracy + byte-identical text separately."""
+    pages corpus (cold start: fit + apply). Value-verified: the oracle is
+    a SELECT over the generator's independent ``expected`` ground-truth
+    table (url, fingerprint via DuckDB md5 over the sorted label set,
+    expected_norm_json as extracted_json, expected_text as text_norm,
+    n_missing = 0), so a single wrong field value, missed null, or
+    normalization drift on any of the 2000 docs fails the hash."""
     import tempfile
 
     from ..pipelines.extract import extract_pages
-    from ..sources.synthetic import write_corpus
 
-    n = 2000
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    cache_root = os.path.join(tempfile.gettempdir(), f"aper_corpus_{tag}_{n}")
-    pages_dir, _ = write_corpus(cache_root, n=n, seed=1, shard_rows=500)
+    pages_dir, _ = flagship_corpus()
     work = tempfile.mkdtemp(prefix="aper_work_")
     res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False,
                         concurrency=_pool(8), batch_size=1024)
     return res["answers"].select_columns(
-        ["url", "fingerprint", "extracted_json", "spans_json", "text_norm",
-         "n_missing"]
+        ["url", "fingerprint", "extracted_json", "text_norm", "n_missing"]
     )
+
+
+def _flagship_oracle_sql() -> str:
+    """Reproduce the engine-side answer table from the generator's ground
+    truth, independently of the extraction code path: the template
+    fingerprint (md5 of the sorted '|'-joined anchor-label set,
+    ``functions/templates.py:108-113``) is recomputed by DuckDB's own
+    ``md5()`` over label-set string literals derived from the template
+    registry — not from any engine-computed hash."""
+    from ..functions.templates import TEMPLATE_FIELDS, field_label
+
+    _, exp_dir = flagship_corpus()
+    whens = " ".join(
+        "when '{}' then substr(md5('{}'), 1, 16)".format(
+            label, "|".join(sorted(field_label(f) for f in fields))
+        )
+        for label, fields in sorted(TEMPLATE_FIELDS.items())
+    )
+    return f"""
+        select url,
+               case label {whens} end as fingerprint,
+               expected_norm_json as extracted_json,
+               expected_text as text_norm,
+               0 as n_missing
+        from read_parquet('{exp_dir}/*.parquet')
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1242,3 +1283,12 @@ select doc_id, simhash,
        ((simhash >> 48) & 65535)::bigint as band3
 from sim
 """
+
+
+def all_oracles() -> dict[str, str]:
+    """ORACLES plus the lazily-composed entries (the flagship oracle
+    writes its fixture corpus on first call, so it is not built at module
+    import)."""
+    out = dict(ORACLES)
+    out["extract_synthetic"] = _flagship_oracle_sql()
+    return out
