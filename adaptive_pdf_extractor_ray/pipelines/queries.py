@@ -223,56 +223,38 @@ def _lsh_candidate_pairs(sf_dir: str):
     )
 
 
+def _lsh_distinct_pairs(sf_dir: str) -> rd.Dataset:
+    """Distinct candidate pairs as a Dataset (the same pair can surface
+    from several bands): distributed groupby dedup, never a driver set."""
+    return (
+        _lsh_candidate_pairs(sf_dir)
+        .groupby(["a", "b"])
+        .aggregate(ray.data.aggregate.Count(alias_name="n_bands"))
+        .select_columns(["a", "b"])
+    )
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH candidate pairs — value-verified against a pure-SQL
     re-implementation of the whole minhash (md5 hashing, mod-2^64
     permutations, banding)."""
-    import pandas as pd
-
-    pairs = sorted({(r["a"], r["b"]) for r in _lsh_candidate_pairs(sf_dir).take_all()})
-    df = pd.DataFrame(pairs or [], columns=["a", "b"])
-    return df.astype({"a": "int64", "b": "int64"})
+    return _lsh_distinct_pairs(sf_dir)
 
 
 def q_dedup_minhash_clusters(sf_dir: str):
-    """Near-dup clusters: LSH candidates -> Jaccard >= 0.5 verify ->
-    min-label connected components (rows-only: union-find is procedural)."""
+    """Near-dup clusters: LSH candidates -> distributed text join ->
+    Jaccard >= 0.5 verify in map_batches -> min-label-propagation
+    connected components. Every step is a Dataset op (joins, groupbys);
+    nothing driver-side scales with the corpus or the pair set. The
+    oracle reproduces the whole chain in SQL, components via a recursive
+    CTE."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = {(r["a"], r["b"]) for r in _lsh_candidate_pairs(sf_dir).take_all()}
-
-    # verification needs the candidate docs' texts (small set): broadcast
-    cand_ids = sorted({i for p in pairs for i in p})
-    texts: dict[int, str] = {}
-    if cand_ids:
-        id_set = set(cand_ids)
-        for b in docs.iter_batches(batch_format="pyarrow", batch_size=4096):
-            for i, s in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-                if i in id_set:
-                    texts[i] = s
-    parent: dict[int, int] = {i: i for i in cand_ids}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    verified = []
-    for a, b in sorted(pairs):
-        j = dd.ngram_jaccard(texts[a], texts[b])
-        if j >= 0.5:
-            verified.append((a, b, round(j, 6)))
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    rows = [
-        {"doc_id": i, "rep_id": find(i)}
-        for i in cand_ids
-        if find(i) != i or any(find(j) == i for j in cand_ids if j != i)
-    ]
-    import pandas as pd
-
-    return pd.DataFrame(rows or [], columns=["doc_id", "rep_id"]).astype("int64")
+    pairs = _lsh_distinct_pairs(sf_dir)
+    with_texts = dd.attach_pair_texts(pairs, docs, num_partitions=_pool())
+    verified = with_texts.map_batches(
+        dd.jaccard_pairs_batch, batch_format="pyarrow"
+    ).filter(expr="jaccard >= 0.5").select_columns(["a", "b"])
+    return dd.connected_components(verified, num_partitions=_pool())
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -284,25 +266,14 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_jaccard(sf_dir: str):
-    """n-gram Jaccard near-dup pairs among same-length-bucket candidates
-    (bounded verification of the LSH candidate set)."""
+    """n-gram Jaccard over the LSH candidate-pair set: distributed text
+    joins on doc_id (a then b) + per-batch verification — no driver-side
+    text collection or pair materialization."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = sorted({(r["a"], r["b"]) for r in _lsh_candidate_pairs(sf_dir).take_all()})
-    ids = {i for p in pairs for i in p}
-    texts: dict[int, str] = {}
-    if ids:
-        for b in docs.iter_batches(batch_format="pyarrow", batch_size=4096):
-            for i, s in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-                if i in ids:
-                    texts[i] = s
-    import pandas as pd
-
-    rows = [
-        {"a": a, "b": b, "jaccard": round(dd.ngram_jaccard(texts[a], texts[b]), 6)}
-        for a, b in pairs
-    ]
-    df = pd.DataFrame(rows or [], columns=["a", "b", "jaccard"])
-    return df.astype({"a": "int64", "b": "int64", "jaccard": "float64"})
+    pairs = _lsh_distinct_pairs(sf_dir)
+    return dd.attach_pair_texts(pairs, docs, num_partitions=_pool()).map_batches(
+        dd.jaccard_pairs_batch, batch_format="pyarrow"
+    )
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1213,9 +1184,10 @@ def _minhash_cte() -> str:
         for i, (a, b) in enumerate(zip(dd.PERM_A, dd.PERM_B))
     )
     rows_per_band = dd.NUM_PERM // dd.LSH_BANDS
+    tokenize = dd.SQL_TOKENIZE.format(col="text")
     return f"""
 with toks as (
-  select doc_id, string_split(text, ' ') as toks from documents),
+  select doc_id, {tokenize} as toks from documents),
 sh as (
   select doc_id,
          case when len(toks) >= 3 then
@@ -1263,8 +1235,36 @@ join sd xa on xa.doc_id = p.a
 join sd xb on xb.doc_id = p.b
 """
 
-ORACLES["dedup_simhash"] = """
-with tk as (select doc_id, unnest(string_split(text, ' ')) as t from documents),
+# clusters = the full chain (LSH pairs -> Jaccard>=0.5 verify -> connected
+# components); components via a recursive CTE (min reachable node id ==
+# min-label-propagation fixpoint). The verify threshold applies to the
+# 6-dp-rounded jaccard on both sides.
+ORACLES["dedup_minhash_clusters"] = _minhash_cte() + """
+, sd as (select doc_id, list_distinct(shingles) as sd from sh),
+verified as (
+  select p.a, p.b
+  from pairs p
+  join sd xa on xa.doc_id = p.a
+  join sd xb on xb.doc_id = p.b
+  where round(len(list_intersect(xa.sd, xb.sd))::double /
+              (len(xa.sd) + len(xb.sd) - len(list_intersect(xa.sd, xb.sd))),
+              6) >= 0.5),
+edges as (select a as src, b as dst from verified
+          union select b, a from verified)
+select node as doc_id, rep_id from (
+  with recursive r(node, reached) as (
+    select src, src from edges
+    union
+    select r.node, e.dst from r join edges e on e.src = r.reached
+  )
+  select node, min(reached) as rep_id from r group by node
+)
+"""
+
+ORACLES["dedup_simhash"] = f"""
+with tk as (select doc_id,
+                   unnest({dd.SQL_TOKENIZE.format(col="text")}) as t
+            from documents),
 th as (select doc_id, ('0x' || substr(md5(t), 1, 16))::ubigint as h from tk),
 bitix(bit) as (select unnest(range(64))),
 bits as (

@@ -17,6 +17,7 @@ Ray-Data-native shapes (see /opt-public Ray Data docs patterns):
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -47,8 +48,26 @@ def _hash64(token: str) -> int:
     return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
 
 
+# The dedup family's tokenizer is DEFINED as an ASCII-whitespace split
+# with empty tokens dropped, identically on the engine side (this regex)
+# and the oracle side (``SQL_TOKENIZE``) — NOT Python ``str.split()``,
+# whose unicode-whitespace behavior (U+00A0 etc.) DuckDB's RE2 cannot
+# reproduce. Any text, including multi-space / tab / newline runs,
+# tokenizes the same on both sides.
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+SQL_TOKENIZE = (
+    "list_filter(regexp_split_to_array({col}, '[ \\t\\n\\r\\f\\v]+'),"
+    " t -> t <> '')"
+)
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _WS_RE.split(text) if t]
+
+
 def _shingles(text: str, k: int = 3) -> list[str]:
-    toks = text.split()
+    toks = _tokens(text)
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
@@ -142,7 +161,7 @@ def ngram_jaccard(t1: str, t2: str, k: int = 3) -> float:
 
 
 def simhash64(text: str) -> int:
-    toks = text.split()
+    toks = _tokens(text)
     if not toks:
         return 0
     hs = np.array([_hash64(t) for t in toks], dtype=np.uint64)
@@ -167,3 +186,108 @@ def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             },
         }
     )
+
+
+def jaccard_pairs_batch(batch: pa.Table, k: int = 3,
+                        a_col: str = "text_a", b_col: str = "text_b") -> pa.Table:
+    """Per-pair n-gram Jaccard over a joined candidate-pair batch
+    (a, b, text_a, text_b) -> (a, b, jaccard). Runs inside map_batches
+    after the two text joins, so verification is fully distributed — no
+    driver-side text collection."""
+    vals = [
+        round(ngram_jaccard(ta or "", tb or "", k), 6)
+        for ta, tb in zip(batch[a_col].to_pylist(), batch[b_col].to_pylist())
+    ]
+    return pa.table(
+        {
+            "a": batch["a"],
+            "b": batch["b"],
+            "jaccard": pa.array(vals, pa.float64()),
+        }
+    )
+
+
+def attach_pair_texts(pairs, docs, *, num_partitions: int = 8):
+    """Candidate-pair Dataset (a, b) + docs Dataset (doc_id, text) ->
+    (a, b, text_a, text_b) via two distributed hash joins on doc_id.
+    The dedup graph is orders of magnitude smaller than the corpus, so
+    both joins move only candidate rows plus their matched texts — never
+    the full documents table to the driver."""
+    j1 = pairs.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"})  # join drops the right key column
+    return j1.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"})
+
+
+def connected_components(edges, *, num_partitions: int = 8,
+                         max_rounds: int = 30):
+    """Distributed connected components over an edge Dataset (a, b) by
+    iterative min-label propagation: per round, every node takes the min
+    of its own label and its neighbors' labels (one hash join + one
+    groupby-min, both distributed); converges in O(component diameter)
+    rounds — near-dup clusters are shallow, so typically <5. Each round's
+    label table (O(nodes), tiny vs the corpus) is materialized so the
+    iteration doesn't re-execute prior rounds' lineage; convergence is
+    detected by the label-sum fixpoint (sums strictly decrease until
+    stable). Returns a Dataset (doc_id, rep_id) — every edge endpoint,
+    labeled with its component's min node id.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t["a"], t["b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    E = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    if E.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "rep_id": pa.array([], pa.int64())})
+        )
+
+    def fold_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": t["src"],
+                "rep": pc.min_element_wise(t["src"], t["rep"]),
+            }
+        )
+
+    labels = (
+        E.groupby("src").aggregate(Min("dst", alias_name="rep"))
+        .map_batches(fold_self, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("rep")
+    for _ in range(max_rounds):
+        nb = E.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("dst",), right_on=("node",),
+        ).select_columns(["src", "rep"])
+        both = nb.union(labels.rename_columns({"node": "src"}))
+        labels = (
+            both.groupby("src").aggregate(Min("rep", alias_name="rep"))
+            .rename_columns({"src": "node"})
+            .materialize()
+        )
+        cur_sum = labels.sum("rep")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.rename_columns({"node": "doc_id", "rep": "rep_id"})
