@@ -44,8 +44,18 @@ def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _strip_meta(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). Files written via pandas
+    carry a b'pandas' metadata dict that makes pa.Schema unhashable, which
+    defeats Ray's block-schema dedup in every downstream shuffle (the
+    'Failed to hash the schemas' warning)."""
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(_pq(sf_dir, name), columns=columns)
+    return rd.read_parquet(_pq(sf_dir, name), columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 
@@ -585,9 +595,14 @@ def q_multihop_join(sf_dir: str):
 
 
 def q_topk_orders(sf_dir: str):
+    """Top-10 orders by price: per-block partial top-10 + tiny final
+    reduce — no global sort shuffle for a 10-row answer."""
+    from ..stages.topk import dataset_topk
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
-    return top
+    return dataset_topk(
+        ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10
+    )
 
 
 def q_distinct_events(sf_dir: str):
@@ -800,15 +815,20 @@ def q_top_terms(sf_dir: str):
             }
         )
 
+    from ..stages.topk import dataset_topk
+
     agg = (
         _read(sf_dir, "documents", ["text"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term")
         .sum("n")
+        .rename_columns({"sum(n)": "n"})
     )
-    df = agg.to_pandas().rename(columns={"sum(n)": "n"})
-    df = df.sort_values(["n", "term"], ascending=[False, True]).head(VOCAB_TOP_K)
-    return df.reset_index(drop=True)
+    # web-scale vocabularies are billions of terms: never materialize the
+    # count table — per-block top-K partials + one tiny final reduce
+    return dataset_topk(
+        agg, [("n", "descending"), ("term", "ascending")], VOCAB_TOP_K
+    )
 
 
 def q_curate(sf_dir: str):
