@@ -9,10 +9,13 @@ table / pandas DataFrame whose row set matches the oracle SQL exactly
 
 Coverage maps to SURVEY.md §2 plus the training-data operator family
 (dedup / similarity / text analysis / multimodal) that a 100 TB pipeline
-needs. Even the MinHash-LSH and SimHash family is value-verified (md5 +
-mod-2^64 arithmetic reproduced in pure SQL); only genuinely procedural
-ops (union-find clustering, IVF ANN, winnowing fingerprints, fake media
-decode, the full adaptive-extraction flagship) use the rows-only check.
+needs. Everything is value-verified — including MinHash-LSH / SimHash
+(md5 + mod-2^64 arithmetic in pure SQL), near-dup clustering (recursive-
+CTE connected components), the rolling-hash winnowing fingerprint (exact
+uint64 recurrence replayed in an iterative HUGEINT CTE), the fake media
+decode (md5-derived), and the adaptive-extraction flagship (generator
+ground-truth table) — except ``knn_ivf``, which is approximate by design
+(recall < 1) and uses the rows-only check plus a pytest recall bound.
 """
 
 from __future__ import annotations
@@ -1057,6 +1060,24 @@ ORACLES: dict[str, str] = {
         """
     ),
 
+    # fake decode = md5-derived metadata (stages/media.py:_fake_meta);
+    # format keys off the first PAYLOAD BYTE (via to_hex(encode())), not
+    # the first character, so non-ASCII text stays byte-exact
+    "media_meta": (
+        """
+        select doc_id,
+               64 + ('0x' || substr(md5(text), 1, 8))::uinteger % 1856
+                 as width,
+               64 + ('0x' || substr(md5(text), 9, 8))::uinteger % 1016
+                 as height,
+               case when octet_length(encode(text)) = 0 then 'jpeg'
+                    else ['jpeg', 'png', 'webp']
+                         [1 + ('0x' || substr(to_hex(encode(text)), 1, 2))::int % 3]
+               end as format,
+               octet_length(encode(text)) as n_bytes
+        from documents
+        """
+    ),
     "media_frames": (
         """
         with meta as (
@@ -1254,6 +1275,62 @@ from pairs p
 join sd xa on xa.doc_id = p.a
 join sd xb on xb.doc_id = p.b
 """
+
+# Rolling-hash winnowing fingerprint, emulated exactly in SQL: the engine
+# computes h_i over 16-byte windows in numpy uint64 (wrap mod 2^64, then
+# mask to 61 bits each step, stages/text.py:106-127); the oracle replays
+# the identical recurrence per byte in an iterative CTE over HUGEINT with
+# explicit positive-mod arithmetic, reading bytes from to_hex(encode()).
+# The B^(w-1) table is computed here in pure Python int arithmetic.
+def _rolling_oracle_sql() -> str:
+    def bw_of(w: int) -> int:
+        bw = 1
+        for _ in range(w - 1):
+            bw = ((bw * 1000003) % 2**64) % 2**61
+        return bw
+
+    bws = ", ".join(f"({w}, {bw_of(w)}::hugeint)" for w in range(1, 17))
+    m64 = 18446744073709551616
+    mask = 2305843009213693952
+    return f"""
+with src as (
+  select doc_id, to_hex(encode(text)) as hx,
+         octet_length(encode(text)) as n,
+         least(16, octet_length(encode(text))) as w
+  from documents),
+bws(w, bw) as (values {bws}),
+s2 as (select src.*, bws.bw from src join bws using (w) where n > 0),
+r as (
+  with recursive rr(doc_id, t, acc) as (
+    select doc_id, 1,
+           ('0x' || substr(hx, 1, 2))::ubigint::hugeint % {mask}
+    from s2
+    union all
+    select rr.doc_id, rr.t + 1,
+      case when rr.t + 1 <= s2.w then
+        ((rr.acc * 1000003
+          + ('0x' || substr(s2.hx, 2*(rr.t+1)-1, 2))::ubigint::hugeint)
+          % {m64}) % {mask}
+      else
+        (((((rr.acc
+             - ('0x' || substr(s2.hx, 2*(rr.t+1-s2.w)-1, 2))::ubigint::hugeint
+               * s2.bw)
+            * 1000003
+            + ('0x' || substr(s2.hx, 2*(rr.t+1)-1, 2))::ubigint::hugeint)
+           % {m64}) + {m64}) % {m64}) % {mask}
+      end
+    from rr join s2 using (doc_id) where rr.t < s2.n
+  ) select * from rr
+),
+fp as (
+  select r.doc_id, min(r.acc)::bigint as fingerprint64
+  from r join s2 using (doc_id) where r.t >= s2.w group by r.doc_id)
+select d.doc_id, coalesce(fp.fingerprint64, 0) as fingerprint64
+from documents d left join fp using (doc_id)
+"""
+
+
+ORACLES["doc_fingerprint_rolling"] = _rolling_oracle_sql()
 
 # clusters = the full chain (LSH pairs -> Jaccard>=0.5 verify -> connected
 # components); components via a recursive CTE (min reachable node id ==

@@ -29,10 +29,12 @@ except ImportError:
 
 
 def _fake_meta(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic pseudo-decode: metadata derived from a content hash."""
-    h = hashlib.blake2b(payload, digest_size=8).digest()
+    """Deterministic pseudo-decode: metadata derived from a content hash.
+    md5-based so the driver's DuckDB oracle can recompute it value-for-
+    value (``('0x' || substr(md5(payload), 1, 8))::uint`` etc.)."""
+    h = hashlib.md5(payload).digest()
     width = 64 + (int.from_bytes(h[:4], "big") % 1856)  # 64..1919
-    height = 64 + (int.from_bytes(h[4:], "big") % 1016)  # 64..1079
+    height = 64 + (int.from_bytes(h[4:8], "big") % 1016)  # 64..1079
     fmt = ("jpeg", "png", "webp")[payload[:1][0] % 3 if payload else 0]
     return width, height, fmt
 
