@@ -85,6 +85,12 @@ class Rule:
             raw = m.group(1)
         except IndexError:
             return None, -1, -1
+        if raw is None:
+            # group 1 exists but did not participate in the match (e.g.
+            # 'Foo|(Bar)' matching 'Foo') — a miss, not a crash; mirrors
+            # execute_rule's catch-all (reference src/rule.py:96-99) so a
+            # store-supplied rule can't break row-level fault isolation
+            return None, -1, -1
         captured = raw.strip()
         lead = len(raw) - len(raw.lstrip())
         start = m.start(1) + lead

@@ -221,7 +221,9 @@ def extract_pages(
             store.add(row["fingerprint"], row["field"], r)
             new_store_rows += len(store) - before
         fitted_rows = new_store_rows
-        store.save(store_path)
+        # merge=True: concurrent shards sharing one store fold their
+        # fitted rules / weight deltas instead of last-writer-wins
+        store.save(store_path, merge=True)
     phases["fit"] = time.time() - t0 - sum(phases.values())
 
     # --- wave 2: re-apply only the refit=1 partition with updated rules --
@@ -252,7 +254,16 @@ def extract_pages(
         "answer_dirs": answer_dirs,
     }
 
-    if write_answers:
+    hits_done = os.path.join(work_dir, "hits._done")
+    if write_answers and os.path.exists(hits_done):
+        # resume of a COMPLETED run: the hit counts from these answers are
+        # already folded into the store — folding again would double-count
+        # every weight on every rerun (idempotent-resume guard)
+        metrics_path = os.path.join(work_dir, "metrics.json")
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                stats["metrics"] = json.load(f).get("metrics", {})
+    elif write_answers:
         # one column-pruned pass serves BOTH weight accounting and run
         # metrics: per-batch partials -> driver-side Sum merge (commutative
         # integer adds; a distributed groupby would shuffle more rows in
@@ -268,7 +279,7 @@ def extract_pages(
             int(k.split(":", 1)[1]): v
             for k, v in merged.items() if k.startswith("hit:")
         })
-        store.save(store_path)
+        store.save(store_path, merge=True)
         metrics = {
             k.split(":", 1)[1]: v
             for k, v in sorted(merged.items()) if k.startswith("metric:")
@@ -309,6 +320,11 @@ def extract_pages(
                 },
                 f, indent=2,
             )
+        # marker LAST: hits are folded exactly once even across crashes
+        # (worst case a crash before this line re-folds on resume, but a
+        # completed run never double-counts)
+        with open(hits_done, "w") as f:
+            f.write(json.dumps({"ts": time.time()}))
     phases["wave2_write_hits"] = time.time() - t0 - sum(phases.values())
 
     stats.update(

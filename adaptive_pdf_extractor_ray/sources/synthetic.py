@@ -297,6 +297,16 @@ def write_corpus(
         with open(manifest) as f:
             if json.load(f) == want:
                 return pages_dir, exp_dir
+    # parameter set changed (or manifest missing): clear any previous
+    # corpus first — a smaller regeneration must not leave stale
+    # part-*.parquet shards to be read alongside the new ones
+    import shutil
+
+    for d in (pages_dir, exp_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    if os.path.exists(manifest):
+        os.remove(manifest)
     os.makedirs(pages_dir, exist_ok=True)
     os.makedirs(exp_dir, exist_ok=True)
     shards = [

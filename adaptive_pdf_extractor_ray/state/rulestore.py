@@ -56,6 +56,10 @@ class RuleStore:
     def __init__(self) -> None:
         # rule_id -> (fingerprint, field, Rule)
         self._rules: dict[int, tuple[str, str, Rule]] = {}
+        # rule_id -> weight at load/creation time: lets a concurrent-safe
+        # save() fold only this process's weight DELTA into the on-disk
+        # table (commutative merge across shards sharing one store)
+        self._base: dict[int, int] = {}
 
     # -- construction -----------------------------------------------------
     def add(self, fingerprint: str, field: str, rule: Rule) -> int:
@@ -64,6 +68,7 @@ class RuleStore:
         if existing is None:
             rule.rule_id = rid
             self._rules[rid] = (fingerprint, field, rule)
+            self._base.setdefault(rid, rule.weight)
         else:  # same content: keep the max weight / min idx seen
             old = existing[2]
             old.weight = max(old.weight, rule.weight)
@@ -163,14 +168,52 @@ class RuleStore:
         return store
 
     # -- persistence -------------------------------------------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, *, merge: bool = False) -> None:
+        """Atomic Parquet checkpoint.
+
+        ``merge=True`` makes the read-modify-write safe for concurrent
+        workers sharing one store (the CLI's --shard mode): under an
+        exclusive flock it re-loads the on-disk table and folds this
+        process's changes in — rules missing locally are kept, and for
+        shared rules the on-disk weight gets only this process's weight
+        DELTA since load (commutative: N shards each adding their own
+        hit counts sum correctly instead of last-writer-wins)."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        tmp = path + ".tmp"
-        pq.write_table(self.to_table(), tmp)
-        os.replace(tmp, path)  # atomic checkpoint
+        if not merge:
+            tmp = path + ".tmp"
+            pq.write_table(self.to_table(), tmp)
+            os.replace(tmp, path)  # atomic checkpoint
+            return
+        import fcntl
+
+        with open(path + ".lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(path):
+                    disk = RuleStore.from_table(pq.read_table(path))
+                    for rid, (fp, field, r) in disk._rules.items():
+                        mine = self._rules.get(rid)
+                        if mine is None:
+                            self._rules[rid] = (fp, field, r)
+                            self._base[rid] = r.weight
+                        else:
+                            m = mine[2]
+                            delta = m.weight - self._base.get(rid, m.weight)
+                            m.weight = r.weight + max(0, delta)
+                            m.rule_idx = min(m.rule_idx, r.rule_idx)
+                # new baseline: a later save() in this process folds only
+                # the changes made after this point
+                self._base = {rid: e[2].weight for rid, e in self._rules.items()}
+                tmp = path + ".tmp"
+                pq.write_table(self.to_table(), tmp)
+                os.replace(tmp, path)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
 
     @classmethod
     def load(cls, path: str) -> "RuleStore":
         if not os.path.exists(path):
             return cls()
-        return cls.from_table(pq.read_table(path))
+        store = cls.from_table(pq.read_table(path))
+        store._base = {rid: e[2].weight for rid, e in store._rules.items()}
+        return store

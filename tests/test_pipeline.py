@@ -283,3 +283,45 @@ class TestShardedStoreApply:
             assert a[u]["text_norm"] == b[u]["text_norm"], u
         acc = evaluate_accuracy(r2["answers"], __import__("ray").data.read_parquet(exp_dir))
         assert acc["field_accuracy"] == 1.0
+
+
+class TestIdempotentWeights:
+    def test_rerun_of_completed_workdir_keeps_weights(
+        self, cold_run, corpus, tmp_path_factory
+    ):
+        """Re-running extract_pages on a finished work_dir must not fold
+        the same hits into rule weights again (resume idempotency)."""
+        import ray.data as rd
+
+        res, pages_dir, _, work = cold_run
+        before = {
+            r["rule_id"]: r["weight"]
+            for r in RuleStore.load(res["store_path"]).to_table().to_pylist()
+        }
+        extract_pages(rd.read_parquet(pages_dir), work)
+        after = {
+            r["rule_id"]: r["weight"]
+            for r in RuleStore.load(res["store_path"]).to_table().to_pylist()
+        }
+        assert before == after
+
+
+class TestRuleFaultIsolation:
+    def test_nonparticipating_group_is_miss_not_crash(self):
+        from adaptive_pdf_extractor_ray.functions.rules import Rule
+
+        r = Rule(pattern=r"Foo|(Bar)", validation_regex=r"^.*$")
+        assert r.apply("Foo something") is None  # group 1 didn't participate
+        assert r.apply("Bar") == "Bar"
+
+
+class TestCorpusRegeneration:
+    def test_param_change_clears_stale_shards(self, tmp_path, ray_session):
+        import glob
+
+        root = str(tmp_path / "c")
+        write_corpus(root, n=400, seed=1, shard_rows=100)  # 4 shards
+        assert len(glob.glob(f"{root}/pages/part-*.parquet")) == 4
+        write_corpus(root, n=100, seed=1, shard_rows=100)  # 1 shard
+        assert len(glob.glob(f"{root}/pages/part-*.parquet")) == 1
+        assert len(glob.glob(f"{root}/expected/part-*.parquet")) == 1

@@ -69,3 +69,37 @@ class TestExtractorProtocol:
         rules = ex.fit(texts)
         out = ex.apply(rules, "Nome Zeca Inscricao 99999")
         assert out == {"nome": "Zeca", "inscricao": "99999"}
+
+
+class TestMergedSave:
+    def test_concurrent_shards_merge_not_lastwriter(self, tmp_path):
+        """Two workers sharing one store: fitted rules from both survive
+        and shared-rule weights sum deltas (not last-writer-wins)."""
+        path = str(tmp_path / "rules.parquet")
+        base = RuleStore()
+        rid = base.add("fp", "f", R(r"A(\d+)", r"^\d+$", w=1, idx=0))
+        base.save(path)
+
+        s1 = RuleStore.load(path)
+        s2 = RuleStore.load(path)
+        s1.add("fp1", "f1", R(r"X(\d+)", r"^\d+$", w=1, idx=0))
+        s1.apply_hits({rid: 10})
+        s2.add("fp2", "f2", R(r"Y(\d+)", r"^\d+$", w=1, idx=0))
+        s2.apply_hits({rid: 5})
+        s1.save(path, merge=True)
+        s2.save(path, merge=True)
+
+        final = RuleStore.load(path)
+        assert len(final) == 3  # both shards' fitted rules survive
+        shared = final._rules[rid][2]
+        assert shared.weight == 1 + 10 + 5  # deltas sum, not max/overwrite
+
+    def test_second_merged_save_folds_only_new_delta(self, tmp_path):
+        path = str(tmp_path / "rules.parquet")
+        s = RuleStore()
+        rid = s.add("fp", "f", R(r"A(\d+)", r"^\d+$", w=1, idx=0))
+        s.save(path, merge=True)
+        s.apply_hits({rid: 3})
+        s.save(path, merge=True)
+        s.save(path, merge=True)  # no new hits: weight must not drift
+        assert RuleStore.load(path)._rules[rid][2].weight == 4
