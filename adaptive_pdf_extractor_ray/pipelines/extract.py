@@ -98,6 +98,16 @@ def extract_pages(
         vocab = sorted(set(default_vocab()) | store.labels(),
                        key=lambda s: (-len(s), s))
 
+    # a per-record extraction_schema column (reference-ingest path) rides
+    # through wave 1's parquet so wave 2 can honor it on miss rows
+    try:
+        schema_names = pages.schema().names
+    except Exception:
+        schema_names = []
+    final_cols = FINAL_COLUMNS + (
+        ["schema_fields"] if "schema_fields" in (schema_names or []) else []
+    )
+
     phases: dict[str, float] = {}
     # wave-1 output is written partitioned by refit status: rows fully
     # extracted land in ``refit=0`` (final — never rewritten), miss rows in
@@ -146,7 +156,7 @@ def extract_pages(
                 concurrency=concurrency,
                 zero_copy_batch=True,
             )
-        applied = applied.select_columns(FINAL_COLUMNS).map_batches(
+        applied = applied.select_columns(final_cols).map_batches(
             lambda t: t.append_column(
                 "refit",
                 pc.cast(pc.not_equal(t["n_missing"], 0), pa.int32()),
@@ -236,7 +246,7 @@ def extract_pages(
             batch_size=batch_size,
             concurrency=concurrency,
             zero_copy_batch=True,
-        ).select_columns(FINAL_COLUMNS)
+        ).select_columns(final_cols)
         # atomic: write to a temp dir, rename when complete (resume-safe)
         tmp_dir = wave2_dir + "._tmp"
         if os.path.isdir(tmp_dir):

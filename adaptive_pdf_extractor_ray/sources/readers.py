@@ -21,6 +21,72 @@ import pyarrow as pa
 from .synthetic import EPOCH, PAGES_SCHEMA
 
 
+def _tolerant_json_load(src: str):
+    """JSON with json5-style relaxations, matching the reference's
+    ``json5.load`` ingest (``/root/reference/src/data.py:103-121``):
+    ``//`` line and ``/* */`` block comments and trailing commas are
+    accepted (none inside string literals). Falls back to the installed
+    ``json5`` package for anything more exotic, if present."""
+    import re
+
+    try:
+        return json.loads(src)
+    except json.JSONDecodeError:
+        pass
+    try:  # pragma: no cover - json5 not in this container
+        import json5  # type: ignore
+
+        return json5.loads(src)
+    except ImportError:
+        pass
+    # strip comments / trailing commas outside string literals
+    out: list[str] = []
+    i, n = 0, len(src)
+    in_str = False
+    while i < n:
+        c = src[i]
+        if in_str:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(src[i + 1])
+                i += 1
+            elif c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+            out.append(c)
+        elif c == "/" and i + 1 < n and src[i + 1] == "/":
+            while i < n and src[i] != "\n":
+                i += 1
+            continue
+        elif c == "/" and i + 1 < n and src[i + 1] == "*":
+            i = src.find("*/", i + 2)
+            i = n if i < 0 else i + 2
+            continue
+        else:
+            out.append(c)
+        i += 1
+    cleaned = re.sub(r",(\s*[}\]])", r"\1", "".join(out))
+    return json.loads(cleaned)
+
+
+def schema_vocab(meta: pa.Table) -> list[str]:
+    """Anchor labels implied by the per-record ``extraction_schema``s —
+    the data-driven vocabulary extension that lets a dataset declare
+    fields beyond the built-in template registry
+    (reference ``src/data.py:157-168``: the record's schema defines what
+    to extract). Pass the union of this and ``default_vocab()`` as
+    ``extract_pages(vocab=...)``."""
+    from ..functions.templates import default_vocab, field_label
+
+    fields: set[str] = set()
+    for s in meta["extraction_schema_json"].to_pylist():
+        if s:
+            fields.update(json.loads(s))
+    labels = {field_label(f) for f in fields} | set(default_vocab())
+    return sorted(labels, key=lambda s: (-len(s), s))
+
+
 def read_reference_dataset(
     json_path: str, data_folder: str | None = None
 ) -> tuple[pa.Table, pa.Table]:
@@ -32,7 +98,7 @@ def read_reference_dataset(
     """
     data_folder = data_folder or os.path.dirname(json_path)
     with open(json_path, encoding="utf-8") as f:
-        records = json.load(f)
+        records = _tolerant_json_load(f.read())
 
     urls, htmls, texts = [], [], []
     labels, schemas, expected = [], [], []
@@ -74,6 +140,16 @@ def read_reference_dataset(
             "lang": pa.array(["pt"] * n, pa.string()),
         },
         schema=PAGES_SCHEMA,
+    )
+    # per-record extraction target: the record's schema DEFINES which
+    # fields to extract (reference src/data.py:157-168) — carried in the
+    # row so the apply stage can honor it without a side lookup
+    pages = pages.append_column(
+        "schema_fields",
+        pa.array(
+            [sorted(json.loads(s)) if s else None for s in schemas],
+            pa.list_(pa.string()),
+        ),
     )
     meta = pa.table(
         {

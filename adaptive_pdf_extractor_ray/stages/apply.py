@@ -97,6 +97,15 @@ class RuleApplier:
             prior = [None] * len(batch)
             subsets = [None] * len(batch)
 
+        # per-record extraction target (reference src/data.py:157-168):
+        # when present, the record's extraction_schema — not the set of
+        # fitted rules — defines WHICH fields this row extracts (both
+        # restricting discovered anchors and extending past the registry)
+        schema_lists = (
+            batch["schema_fields"].to_pylist()
+            if "schema_fields" in batch.column_names else None
+        )
+
         extracted_out: list[str | None] = []
         spans_out: list[str | None] = []
         missing_out: list[list[str]] = []
@@ -106,6 +115,7 @@ class RuleApplier:
         for row_i, (text, fp, prior_json, fields_subset) in enumerate(
             zip(texts, fps, prior, subsets)
         ):
+            schema = schema_lists[row_i] if schema_lists else None
             field_rules = self.compiled.get(fp)
             if (
                 field_rules is None
@@ -119,17 +129,26 @@ class RuleApplier:
                     field_rules = self.compiled[fp]
             fps_out.append(fp)
             if field_rules is None or text is None:
-                # unknown template (-1 sentinel) or parse failure
-                target = list(fields_subset or [])
+                # unknown template (-1 sentinel) or parse failure; with a
+                # row schema the retry set is known precisely
+                if fields_subset is not None:
+                    target = list(fields_subset)
+                elif schema and text is not None:
+                    target = list(schema)
+                else:
+                    target = []
                 extracted_out.append(prior_json)
                 spans_out.append(prior_spans[row_i] if prior_spans else None)
                 missing_out.append(target)
                 nm_out.append(len(target) if target else -1)
                 hits_out.append([])
                 continue
-            target_fields = (
-                list(fields_subset) if fields_subset is not None else list(field_rules)
-            )
+            if fields_subset is not None:
+                target_fields = list(fields_subset)
+            elif schema:
+                target_fields = list(schema)
+            else:
+                target_fields = list(field_rules)
             vocab = self.vocab.get(fp)
             spans = span_extract_offsets(text, vocab) if vocab else None
             ans, _, missing, hits, offsets = extract_row(

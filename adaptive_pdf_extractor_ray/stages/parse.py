@@ -55,16 +55,17 @@ def parse_batch(batch: pa.Table) -> pa.Table:
             raw.append(None)
             kind.append("error")
             err.append(f"{type(e).__name__}: {e}")
-    return pa.table(
-        {
-            "url": batch["url"],
-            "warc_ts": batch["warc_ts"],
-            "lang": batch["lang"],
-            "raw_text": pa.array(raw, pa.string()),
-            "kind": pa.array(kind, pa.string()),
-            "error": pa.array(err, pa.string()),
-        }
-    )
+    cols = {
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "lang": batch["lang"],
+        "raw_text": pa.array(raw, pa.string()),
+        "kind": pa.array(kind, pa.string()),
+        "error": pa.array(err, pa.string()),
+    }
+    if "schema_fields" in batch.column_names:  # per-record extraction target
+        cols["schema_fields"] = batch["schema_fields"]
+    return pa.table(cols)
 
 
 def normalize_batch(batch: pa.Table) -> pa.Table:

@@ -33,7 +33,10 @@ def test_reader_builds_canonical_pages(tmp_path):
     path = _write_fixture(tmp_path)
     pages, meta = read_reference_dataset(path)
     assert pages.num_rows == 2
-    assert pages.column_names == ["url", "warc_ts", "html", "text", "lang"]
+    assert pages.column_names == [
+        "url", "warc_ts", "html", "text", "lang", "schema_fields"
+    ]
+    assert pages["schema_fields"][0].as_py() == ["inscricao", "nome"]
     assert pages["text"][0].as_py().startswith("Nome Ana")
     assert bytes(pages["html"][1].as_py())[:5] == b"%PDF-"
     assert json.loads(meta["expected_json"][0].as_py())["nome"] == "Ana Lima"
@@ -55,3 +58,74 @@ def test_reader_rows_extract_end_to_end(tmp_path, ray_session):
     assert a0 == {"nome": "Ana Lima", "inscricao": "123456"}
     a1 = json.loads(out["ref://dataset/1"]["extracted_json"])
     assert a1 == {"nome": "Zeca Dias", "inscricao": "445566"}
+
+
+def test_json5_tolerant_ingest(tmp_path):
+    """Reference datasets load with json5 (src/data.py:103-121): comments
+    and trailing commas must ingest."""
+    p = tmp_path / "ds.json"
+    p.write_text(
+        """
+        // dataset with json5-isms
+        [
+          {
+            "label": "carteira_oab", /* block comment */
+            "extraction_schema": {"nome": "nome",},
+            "pdf_text": "Nome Ana // not a comment inside a string",
+            "expected_answer": {"nome": "Ana"},
+          },
+        ]
+        """
+    )
+    pages, meta = read_reference_dataset(str(p))
+    assert pages.num_rows == 1
+    assert "// not a comment" in pages["text"][0].as_py()
+    assert json.loads(meta["expected_json"][0].as_py()) == {"nome": "Ana"}
+
+
+def test_schema_only_field_extracts(tmp_path, ray_session):
+    """A record whose extraction_schema names a field absent from the
+    template registry (label present in the text) must still extract —
+    the schema, not the registry, defines the target set
+    (reference src/data.py:157-168, prompt instruction 2 src/llm.py:40-47).
+    Also: a text anchor NOT in the schema must not be extracted."""
+    import ray.data as rd
+
+    from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+    from adaptive_pdf_extractor_ray.sources.readers import schema_vocab
+
+    records = []
+    for i in range(12):
+        records.append(
+            {
+                "label": "registro_interno",
+                "extraction_schema": {
+                    "matricula_interna": "registry-unknown field",
+                    "nome": "name",
+                },
+                # 'Situacao' anchors in the text but is NOT in the schema
+                "pdf_text": (
+                    f"Matricula Interna {700000 + i}\n"
+                    f"Nome Pessoa {chr(65 + i)} Silva\n"
+                    f"Situacao Situação Regular"
+                ),
+                "expected_answer": {
+                    "matricula_interna": str(700000 + i),
+                    "nome": f"Pessoa {chr(65 + i)} Silva",
+                },
+            }
+        )
+    p = tmp_path / "ds.json"
+    p.write_text(json.dumps(records, ensure_ascii=False))
+    pages, meta = read_reference_dataset(str(p))
+    res = extract_pages(
+        rd.from_arrow(pages), str(tmp_path / "work"), write_answers=False,
+        vocab=schema_vocab(meta),
+    )
+    rows = {r["url"]: r for r in res["answers"].take_all()}
+    assert len(rows) == 12
+    for i in range(12):
+        got = json.loads(rows[f"ref://ds/{i}"]["extracted_json"])
+        assert got.get("matricula_interna") == str(700000 + i)
+        assert got.get("nome") == f"Pessoa {chr(65 + i)} Silva"
+        assert "situacao" not in got  # schema restricts discovered anchors
