@@ -16,11 +16,12 @@ Two implementations with identical output on ASCII-whitespace text:
 - :func:`normalize_text_array` — vectorized pyarrow RE2 kernels for the
   hot path (``pc.replace_substring_regex`` + ``utf8_trim_whitespace``).
 
-Divergence note: Python ``str.split()`` splits on *unicode* whitespace
-(e.g. U+00A0) while RE2 ``\\s`` is ``[ \\t\\n\\r\\f\\v]``. The corpus this
-engine targets is normalized through the same path on both sides, and the
-test suite asserts byte-equality of the two implementations over every
-fixture corpus; for adversarial unicode input prefer the scalar oracle.
+The final whitespace collapse matches Python ``str.split()``'s *unicode*
+whitespace set exactly: the vectorized path collapses the explicit RE2
+class ``_UNICODE_WS`` (every codepoint where ``str.isspace()`` is true —
+U+00A0, U+2000-200A, U+3000, ... — enumerated, not ``\\s``), so the two
+implementations are byte-identical on arbitrary unicode input (property-
+tested). ``normalize_sql`` uses the same class for the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -41,6 +42,16 @@ _STEPS: list[tuple[str, str]] = [
 ]
 
 _COMPILED = [(re.compile(p), r) for p, r in _STEPS]
+
+# Every codepoint Python's str.isspace() accepts (the str.split() /
+# str.strip() whitespace set), as an RE2 character class. Enumerated so
+# the vectorized and SQL paths collapse EXACTLY what the scalar oracle
+# collapses — RE2's \s is ASCII-only and would diverge on U+00A0 etc.
+_UNICODE_WS = (
+    "\\x{0009}-\\x{000D}\\x{001C}-\\x{001F}\\x{0020}\\x{0085}\\x{00A0}"
+    "\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}"
+    "\\x{3000}"
+)
 
 
 def normalize_text(text: str | None) -> str | None:
@@ -63,8 +74,11 @@ def normalize_text_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.Chunk
         arr = pc.cast(arr, pa.string())
     for pattern, replacement in _STEPS:
         arr = pc.replace_substring_regex(arr, pattern=pattern, replacement=replacement)
-    # steps 5/6 final collapse: any whitespace run -> single space, then strip
-    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    # steps 5/6 final collapse: any (unicode) whitespace run -> single
+    # space, then strip — the exact str.split() whitespace set
+    arr = pc.replace_substring_regex(
+        arr, pattern=f"[{_UNICODE_WS}]+", replacement=" "
+    )
     return pc.utf8_trim_whitespace(arr)
 
 
@@ -78,5 +92,5 @@ def normalize_sql(col: str) -> str:
         pat = pattern.replace("'", "''")
         rep = replacement.replace("\\", "\\")
         expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
-    expr = f"regexp_replace({expr}, '\\s+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '[{_UNICODE_WS}]+', ' ', 'g')"
     return f"trim({expr})"

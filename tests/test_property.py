@@ -96,3 +96,61 @@ class TestRuleEngineRobustness:
         r = Rule(pattern=r"K()(?=Z|$)", validation_regex=r"^$")
         out = r.apply("KZ" + tail)
         assert out == ""
+
+
+class TestUnicodeWhitespaceParity:
+    """normalize_text_array must equal the scalar oracle on arbitrary
+    unicode-whitespace input (VERDICT r1 item 10)."""
+
+    _WS = [chr(c) for c in range(0x11000) if chr(c).isspace()]
+
+    @given(
+        st.lists(
+            st.one_of(
+                st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=6),
+                st.sampled_from([chr(c) for c in range(0x11000) if chr(c).isspace()]),
+            ),
+            max_size=30,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_array_matches_scalar_on_unicode_ws(self, parts):
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.functions.textnorm import (
+            normalize_text,
+            normalize_text_array,
+        )
+
+        s = "".join(parts)
+        got = normalize_text_array(pa.array([s], pa.string()))[0].as_py()
+        assert got == normalize_text(s)
+
+    def test_nbsp_and_ideographic_space(self):
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.functions.textnorm import (
+            normalize_text,
+            normalize_text_array,
+        )
+
+        s = "a b　c d   e"
+        assert (
+            normalize_text_array(pa.array([s]))[0].as_py()
+            == normalize_text(s)
+            == "a b c d e"
+        )
+
+    def test_sql_matches_scalar_on_unicode_ws(self):
+        import duckdb
+
+        from adaptive_pdf_extractor_ray.functions.textnorm import (
+            normalize_sql,
+            normalize_text,
+        )
+
+        s = "a b　c   d"
+        (got,) = duckdb.connect().execute(
+            f"select {normalize_sql('?')}", [s]
+        ).fetchone()
+        assert got == normalize_text(s)
