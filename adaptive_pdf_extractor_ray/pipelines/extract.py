@@ -189,18 +189,25 @@ def extract_pages(
     have_miss_rows = os.path.isdir(miss_dir)
     fitter = FitGroup(vocab, max_exemplars=max_exemplars)
     if have_miss_rows:
+        # the per-batch cap bounds rows at max_exemplars × fps per READ
+        # TASK, which still multiplies under extreme read parallelism ×
+        # template cardinality — so the sampled set is materialized into
+        # the (distributed, spillable) object store and only its COUNT
+        # decides the route; the driver never pulls an unbounded set
         sampled = ray.data.read_parquet(
             miss_dir, columns=["fingerprint", "text_norm"]
         ).map_batches(sample_exemplars, batch_format="pyarrow",
-                      zero_copy_batch=True)
-        sampled_rows = sampled.take_all()  # ≤ max_exemplars × fps × read tasks
+                      zero_copy_batch=True).materialize()
+        n_sampled = sampled.count()
     else:
-        sampled_rows = []
-    if len(sampled_rows) <= DRIVER_FIT_LIMIT:
+        n_sampled = 0
+    if n_sampled == 0:
+        rule_rows = []
+    elif n_sampled <= DRIVER_FIT_LIMIT:
         # moderate template cardinality: fit on the driver (exemplar set is
         # tiny; a Ray groupby would cost more in shuffle machinery)
         by_fp: dict[str, list[str]] = {}
-        for r in sampled_rows:
+        for r in sampled.take_all():
             by_fp.setdefault(r["fingerprint"], []).append(r["text_norm"])
         rule_rows = []
         for fp, texts in sorted(by_fp.items()):
@@ -211,6 +218,8 @@ def extract_pages(
             rule_rows.extend(tbl.to_pylist())
     else:
         # huge template cardinality: distribute the fit as the wide step
+        # (a second per-group cap inside FitGroup bounds each group to
+        # max_exemplars regardless of how many read tasks contributed)
         rule_rows = (
             sampled.groupby("fingerprint")
             .map_groups(_named(fitter), batch_format="pyarrow")

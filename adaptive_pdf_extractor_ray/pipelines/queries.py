@@ -402,35 +402,53 @@ def q_agg_lineitem(sf_dir: str):
     return df
 
 
+# broadcast-join routing threshold: above this the "small" side is not a
+# bounded dimension any more (a dict of 5M (int, short-string) pairs is a
+# few hundred MB in every actor — the ceiling of sane broadcast) and the
+# plan switches to the hash-partitioned Dataset.join
+BROADCAST_MAX_ROWS = 5_000_000
+
+
 def q_join_revenue(sf_dir: str):
-    """orders ⋈ customer via broadcast small side (J1 pattern)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    """orders ⋈ customer, size-routed: broadcast lookup (J1 pattern) while
+    customer fits the broadcast budget, hash-partitioned ``Dataset.join``
+    beyond it — same result either way (asserted by the shared oracle)."""
+    import pyarrow.parquet as pq_
 
-    class Join:
-        def __init__(self, ref):
-            self.seg = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in t["o_custkey"].to_pylist()]
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(segs, pa.string()),
-                    "o_totalprice": t["o_totalprice"],
-                }
-            )
-
-    agg = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(Join, fn_constructor_args=(cref,),
-                     batch_format="pyarrow", concurrency=_pool())
-        .groupby("c_mktsegment")
-        .aggregate(
-            ray.data.aggregate.Sum("o_totalprice", alias_name="revenue"),
-            ray.data.aggregate.Count(alias_name="n_orders"),
+    n_small = pq_.ParquetFile(_pq(sf_dir, "customer")).metadata.num_rows
+    if n_small > BROADCAST_MAX_ROWS:
+        joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).join(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+            join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
         )
+    else:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+        cref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+        class Join:
+            def __init__(self, ref):
+                self.seg = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                segs = [self.seg.get(k) for k in t["o_custkey"].to_pylist()]
+                return pa.table(
+                    {
+                        "c_mktsegment": pa.array(segs, pa.string()),
+                        "o_totalprice": t["o_totalprice"],
+                    }
+                )
+
+        joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            Join, fn_constructor_args=(cref,),
+            batch_format="pyarrow", concurrency=_pool(),
+        )
+
+    agg = joined.groupby("c_mktsegment").aggregate(
+        ray.data.aggregate.Sum("o_totalprice", alias_name="revenue"),
+        ray.data.aggregate.Count(alias_name="n_orders"),
     )
-    df = agg.to_pandas()
+    df = agg.to_pandas()[["c_mktsegment", "revenue", "n_orders"]]
     df["revenue"] = df["revenue"].round(2)
     return df
 

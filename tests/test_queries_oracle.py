@@ -101,3 +101,19 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(os_) >= 14
+
+
+def test_join_revenue_routes_to_hash_join_above_threshold(ray_session, monkeypatch):
+    """The size router must produce identical results through the
+    Dataset.join path (forced by dropping the broadcast ceiling)."""
+    import pandas as pd
+
+    from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    via_broadcast = q.q_join_revenue(sf)
+    monkeypatch.setattr(q, "BROADCAST_MAX_ROWS", 0)
+    via_join = q.q_join_revenue(sf)
+    a = via_broadcast.sort_values("c_mktsegment").reset_index(drop=True)
+    b = via_join.sort_values("c_mktsegment").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
