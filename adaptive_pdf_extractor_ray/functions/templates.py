@@ -113,8 +113,13 @@ def find_anchors(text: str, vocab: list[str]) -> list[Anchor]:
         rx = _VOCAB_RX_CACHE[key] = _vocab_regex(vocab)
     anchors = [Anchor(m.group(1), m.start(1), m.end(1)) for m in rx.finditer(text)]
     found = {a.label for a in anchors}
-    missing = tuple(sorted((v for v in vocab if v not in found),
-                           key=lambda s: (-len(s), s)))
+    # cheap C-level substring precheck: a label that does not occur in the
+    # text at all (the common case — every doc "misses" the other
+    # templates' labels) never reaches the relaxed regex scan
+    missing = tuple(sorted(
+        (v for v in vocab if v not in found and v in text),
+        key=lambda s: (-len(s), s),
+    ))
     if missing:
         rx2 = _GLUE_RX_CACHE.get(missing)
         if rx2 is None:
