@@ -270,6 +270,148 @@ def q_dedup_minhash_clusters(sf_dir: str):
     return dd.connected_components(verified, num_partitions=_pool())
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Cluster-aware dedup curation: LSH candidates -> Jaccard verify ->
+    connected components -> keep ONE survivor per near-dup cluster (the
+    member with the most tokens; ties -> min doc_id). The end-to-end
+    near-dup dedup step of a pretraining pipeline, fully distributed
+    (joins + groupbys), value-verified via recursive-CTE + window SQL."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _lsh_distinct_pairs(sf_dir)
+    verified = dd.attach_pair_texts(pairs, docs, num_partitions=_pool()).map_batches(
+        dd.jaccard_pairs_batch, batch_format="pyarrow"
+    ).filter(expr="jaccard >= 0.5").select_columns(["a", "b"])
+    cc = dd.connected_components(verified, num_partitions=_pool())
+    qual = docs.map_batches(tx.token_count_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j = cc.join(qual, join_type="inner", num_partitions=_pool(),
+                on=("doc_id",))
+
+    def pick(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_tokens", "descending"), ("doc_id", "ascending")]
+        )
+        first = g.take(idx.slice(0, 1))
+        return pa.table(
+            {
+                "rep_id": first["rep_id"],
+                "keep_doc_id": first["doc_id"],
+                "n_members": pa.array([g.num_rows], pa.int64()),
+                "best_n_tokens": first["n_tokens"],
+            }
+        )
+
+    return j.groupby("rep_id").map_groups(pick, batch_format="pyarrow")
+
+
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc TF-IDF top-3 terms: per-batch (doc, term, tf) partials ->
+    df via groupby(term) rowcount -> hash join tf⋈df on term -> vectorized
+    scoring -> per-doc top-K (sorted on the ROUNDED score so the SQL
+    oracle's selection matches bit-for-bit)."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    n_docs = pq_.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        d_out: list[int] = []
+        t_out: list[str] = []
+        c_out: list[int] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in (s or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+            for w, c in counts.items():
+                d_out.append(did)
+                t_out.append(w)
+                c_out.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "term": pa.array(t_out, pa.string()),
+                "tf": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    tfs = docs.map_batches(explode, batch_format="pyarrow")
+    df = tfs.groupby("term").aggregate(
+        ray.data.aggregate.Count(alias_name="df")
+    )
+    joined = tfs.join(df, join_type="inner", num_partitions=_pool(),
+                      on=("term",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = np.asarray(t["tf"].to_pylist(), dtype=np.float64)
+        dfv = np.asarray(t["df"].to_pylist(), dtype=np.float64)
+        s = np.round(tf * np.log(float(n_docs) / dfv), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "tfidf": pa.array(s, pa.float64()),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("tfidf", "descending"), ("term", "ascending")]
+        )
+        return g.take(idx.slice(0, TFIDF_K))
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: distinct (term, doc_id) postings -> per-term
+    sorted first-10 posting list (comma-joined) + doc frequency. The
+    index-construction shape: one shuffle on term, list assembly inside
+    the group."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        d_out: list[int] = []
+        t_out: list[str] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in {w for w in (s or "").split(" ") if w}:
+                d_out.append(did)
+                t_out.append(w)
+        return pa.table(
+            {
+                "term": pa.array(t_out, pa.string()),
+                "doc_id": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    def postings(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g["doc_id"].to_pylist()))
+        return pa.table(
+            {
+                "term": pa.array([g["term"][0].as_py()], pa.string()),
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array(
+                    [",".join(str(i) for i in ids[:10])], pa.string()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(postings, batch_format="pyarrow")
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash signatures + 16-bit band keys (Hamming<=3 bucketing) —
     value-verified against a pure-SQL simhash."""
@@ -978,6 +1120,9 @@ QUERIES = {
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_keep_best": q_dedup_keep_best,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "inverted_index": q_inverted_index,
     "embedding_neardup": q_embedding_neardup,
     "knn_brute": q_knn_brute,
     "knn_ivf": q_knn_ivf,
@@ -1374,6 +1519,76 @@ select node as doc_id, rep_id from (
   )
   select node, min(reached) as rep_id from r group by node
 )
+"""
+
+# keep-best = the same cluster chain + token counts + per-cluster argmax
+# (window rank on n_tokens desc, doc_id asc)
+ORACLES["dedup_keep_best"] = _minhash_cte() + """
+, sd as (select doc_id, list_distinct(shingles) as sd from sh),
+verified as (
+  select p.a, p.b
+  from pairs p
+  join sd xa on xa.doc_id = p.a
+  join sd xb on xb.doc_id = p.b
+  where round(len(list_intersect(xa.sd, xb.sd))::double /
+              (len(xa.sd) + len(xb.sd) - len(list_intersect(xa.sd, xb.sd))),
+              6) >= 0.5),
+edges as (select a as src, b as dst from verified
+          union select b, a from verified),
+comp as (
+  select node, rep_id from (
+    with recursive r(node, reached) as (
+      select src, src from edges
+      union
+      select r.node, e.dst from r join edges e on e.src = r.reached
+    )
+    select node, min(reached) as rep_id from r group by node
+  )),
+tc as (select doc_id,
+              length(regexp_extract_all(text, '\\S+'))::bigint as n_tokens
+       from documents)
+select rep_id, doc_id as keep_doc_id, n_members, n_tokens as best_n_tokens
+from (
+  select c.rep_id, c.node as doc_id, tc.n_tokens,
+         row_number() over (partition by c.rep_id
+                            order by tc.n_tokens desc, c.node asc) as rn,
+         count(*) over (partition by c.rep_id) as n_members
+  from comp c join tc on tc.doc_id = c.node)
+where rn = 1
+"""
+
+ORACLES["tfidf_top_terms"] = """
+with tf as (
+  select doc_id, term, count(*)::bigint as tf
+  from (select doc_id, unnest(string_split(text, ' ')) as term
+        from documents)
+  where term <> '' group by doc_id, term),
+df as (select term, count(*)::bigint as df from tf group by term),
+n as (select count(*)::double as n_docs from documents),
+scored as (
+  select tf.doc_id, tf.term,
+         round(tf.tf * ln((select n_docs from n) / df.df), 6) as tfidf
+  from tf join df using (term)),
+ranked as (
+  select *, row_number() over (partition by doc_id
+                               order by tfidf desc, term asc) as rn
+  from scored)
+select doc_id, term, tfidf from ranked where rn <= 3
+"""
+
+ORACLES["inverted_index"] = """
+with posting as (
+  select distinct term, doc_id
+  from (select doc_id, unnest(string_split(text, ' ')) as term
+        from documents)
+  where term <> ''),
+agg as (
+  select term, count(*)::bigint as df,
+         list(doc_id order by doc_id) as ids
+  from posting group by term)
+select term, df,
+       array_to_string(list_slice(ids, 1, 10), ',') as postings
+from agg
 """
 
 ORACLES["dedup_simhash"] = f"""

@@ -31,6 +31,8 @@ SUBSET = [
     "topk_orders",
     "window_hourly",
     "sessionize",
+    "tfidf_top_terms",
+    "inverted_index",
 ]
 
 
