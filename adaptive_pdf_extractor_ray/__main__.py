@@ -21,11 +21,19 @@ import sys
 
 
 def _ray_session(num_cpus: int | None):
+    """Returns (ray, owns_session): shutdown only a session we started —
+    an embedding caller's (or the test fixture's) session is left alone."""
+    import os
+
     import ray
 
-    if not ray.is_initialized():
+    owns = not ray.is_initialized()
+    if owns:
+        # under `ray job submit` the job runtime exports RAY_ADDRESS and
+        # the CLI attaches to the running cluster; standalone it starts a
+        # local session
         ray.init(
-            address="local",
+            address=os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
@@ -34,11 +42,11 @@ def _ray_session(num_cpus: int | None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, owns
 
 
 def cmd_extract(args: argparse.Namespace) -> int:
-    ray = _ray_session(args.num_cpus)
+    ray, owns_session = _ray_session(args.num_cpus)
     import glob
     import os
 
@@ -62,11 +70,12 @@ def cmd_extract(args: argparse.Namespace) -> int:
             return 0
         work_dir = os.path.join(args.work_dir, f"shard={args.shard:05d}")
 
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
     res = extract_pages(
         rd.read_parquet(source),
         work_dir,
         store_path=args.store,
-        concurrency=args.concurrency,
+        concurrency=max(1, min(args.concurrency, n_cpus - 2)),
         batch_size=args.batch_size,
     )
     summary = {
@@ -84,12 +93,78 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
     summary["rule_counts"] = RuleStore.load(res["store_path"]).counts()
     print(json.dumps(summary))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
+def cmd_watch(args: argparse.Namespace) -> int:
+    """Incremental corpus ingestion: poll --input for parquet shards that
+    have not been processed yet; run extraction over each new batch into
+    its own resumable sub-work-dir, all sharing one rule store (safe —
+    the store save is lock + delta-merge). Stops when an ``_COMPLETE``
+    sentinel file appears in the input dir and everything is ingested,
+    after ``--max-polls`` empty polls, or immediately with ``--once``.
+    The processed-set ledger (``ingested.json``) makes the watcher itself
+    resumable."""
+    ray, owns_session = _ray_session(args.num_cpus)
+    import glob
+    import os
+    import time as _time
+
+    import ray.data as rd
+
+    from .pipelines.extract import extract_pages
+
+    # never size the actor pool to (or past) the whole session — a pool
+    # that reserves every core deadlocks against the read/write tasks
+    n_cpus = int(ray.cluster_resources().get("CPU", 4))
+    concurrency = max(1, min(args.concurrency, n_cpus - 2))
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    ledger_path = os.path.join(args.work_dir, "ingested.json")
+    store_path = args.store or os.path.join(args.work_dir, "rules.parquet")
+    seen: list[str] = []
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            seen = json.load(f)
+    batches = 0
+    rows = 0
+    empty_polls = 0
+    while True:
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        new = [f for f in files if f not in set(seen)]
+        if new:
+            empty_polls = 0
+            wd = os.path.join(args.work_dir, f"ingest-{len(seen):08d}")
+            res = extract_pages(
+                rd.read_parquet(new), wd, store_path=store_path,
+                concurrency=concurrency, batch_size=args.batch_size,
+            )
+            rows += res["answers"].count()
+            batches += 1
+            seen.extend(new)
+            tmp = ledger_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(seen, f)
+            os.replace(tmp, ledger_path)
+        else:
+            empty_polls += 1
+        done = os.path.exists(os.path.join(args.input, "_COMPLETE")) and not new
+        if args.once or done or (args.max_polls and empty_polls >= args.max_polls):
+            break
+        _time.sleep(args.poll_s)
+    print(json.dumps({
+        "batches": batches, "files_ingested": len(seen), "rows": rows,
+        "store_path": store_path,
+    }))
+    if owns_session:
+        ray.shutdown()
     return 0
 
 
 def cmd_synth(args: argparse.Namespace) -> int:
-    ray = _ray_session(args.num_cpus)
+    ray, owns_session = _ray_session(args.num_cpus)
     from .sources.synthetic import write_corpus
 
     pages_dir, exp_dir = write_corpus(
@@ -97,12 +172,13 @@ def cmd_synth(args: argparse.Namespace) -> int:
         filler_words=args.filler_words,
     )
     print(json.dumps({"pages": pages_dir, "expected": exp_dir}))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
     return 0
 
 
 def cmd_evaluate(args: argparse.Namespace) -> int:
-    ray = _ray_session(args.num_cpus)
+    ray, owns_session = _ray_session(args.num_cpus)
     import os
 
     import ray.data as rd
@@ -130,7 +206,8 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     answers = rd.read_parquet(files)
     acc = evaluate_accuracy(answers, rd.read_parquet(args.expected))
     print(json.dumps({k: round(v, 6) for k, v in acc.items()}))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
     return 0
 
 
@@ -150,6 +227,22 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--num-shards", type=int, default=1,
                     help="total shards; >1 makes work-dir per shard")
     pe.set_defaults(fn=cmd_extract)
+
+    pw = sub.add_parser(
+        "watch", help="incremental ingestion: extract new input shards as they appear"
+    )
+    pw.add_argument("--input", required=True)
+    pw.add_argument("--work-dir", required=True)
+    pw.add_argument("--store", default=None)
+    pw.add_argument("--num-cpus", type=int, default=None)
+    pw.add_argument("--concurrency", type=int, default=8)
+    pw.add_argument("--batch-size", type=int, default=2048)
+    pw.add_argument("--poll-s", type=float, default=5.0)
+    pw.add_argument("--once", action="store_true",
+                    help="one ingestion pass, then exit")
+    pw.add_argument("--max-polls", type=int, default=0,
+                    help="exit after N consecutive empty polls (0 = never)")
+    pw.set_defaults(fn=cmd_watch)
 
     ps = sub.add_parser("synth", help="generate a synthetic pages corpus")
     ps.add_argument("--out", required=True)

@@ -325,3 +325,50 @@ class TestCorpusRegeneration:
         write_corpus(root, n=100, seed=1, shard_rows=100)  # 1 shard
         assert len(glob.glob(f"{root}/pages/part-*.parquet")) == 1
         assert len(glob.glob(f"{root}/expected/part-*.parquet")) == 1
+
+
+class TestIncrementalWatch:
+    def test_watch_ingests_in_arrival_order_and_resumes(
+        self, tmp_path, ray_session
+    ):
+        """CLI watch: two arrival waves of input shards extract
+        incrementally into one shared store; the second invocation picks
+        up only the new files (ledger resume)."""
+        import glob
+        import shutil
+
+        from adaptive_pdf_extractor_ray.__main__ import main
+
+        src = tmp_path / "incoming"
+        src.mkdir()
+        corpus = tmp_path / "gen"
+        pages_dir, _ = write_corpus(str(corpus), n=300, seed=7, shard_rows=100)
+        parts = sorted(glob.glob(f"{pages_dir}/part-*.parquet"))
+        assert len(parts) == 3
+        shutil.copy(parts[0], src / "a.parquet")
+        work = tmp_path / "watchwork"
+
+        rc = main(["watch", "--input", str(src), "--work-dir", str(work),
+                   "--once"])
+        assert rc == 0
+
+        shutil.copy(parts[1], src / "b.parquet")
+        shutil.copy(parts[2], src / "c.parquet")
+        (src / "_COMPLETE").write_text("")
+        rc = main(["watch", "--input", str(src), "--work-dir", str(work),
+                   "--poll-s", "0.1"])
+        assert rc == 0
+
+        import json as _json
+
+        ledger = _json.loads((work / "ingested.json").read_text())
+        assert len(ledger) == 3
+        # all 300 rows extracted across the incremental batches
+        import ray.data as rd
+
+        answer_files = []
+        for d in sorted(glob.glob(f"{work}/ingest-*")):
+            for sub in ("wave1/refit=0", "wave2"):
+                answer_files.extend(sorted(glob.glob(f"{d}/{sub}/*.parquet")))
+        total = rd.read_parquet(answer_files).count()
+        assert total == 300
