@@ -775,6 +775,43 @@ def q_distinct_events(sf_dir: str):
     return pd.DataFrame({"event_type": sorted(vals)})
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (event attribution): for every event, the most recent
+    STRICTLY earlier 'click' by the same user, plus the gap in seconds.
+    Ray Data has no native as-of join; the shape is
+    ``groupby(key).map_groups`` with a vectorized ``searchsorted`` merge
+    inside the group — the partitioning assumption (one key's history
+    fits a group) is the same as sessionize and is the documented
+    contract. Oracle: DuckDB ``ASOF LEFT JOIN``."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def asof(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("ts", "ascending")])
+        g = g.take(order)
+        ts = g["ts"].to_pandas().values  # datetime64[ns], sorted
+        ids = np.asarray(g["event_id"].to_pylist(), dtype=np.int64)
+        is_click = np.asarray(
+            [t == "click" for t in g["event_type"].to_pylist()], dtype=bool
+        )
+        r_ts, r_id = ts[is_click], ids[is_click]
+        idx = np.searchsorted(r_ts, ts, side="left") - 1  # last click < ts
+        valid = idx >= 0
+        prior = [int(r_id[i]) if ok else None for i, ok in zip(idx, valid)]
+        gaps = [
+            round(float((t - r_ts[i]) / np.timedelta64(1, "s")), 6) if ok else None
+            for t, i, ok in zip(ts, idx, valid)
+        ]
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "prior_click_id": pa.array(prior, pa.int64()),
+                "gap_s": pa.array(gaps, pa.float64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+
+
 def q_window_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -1133,6 +1170,7 @@ QUERIES = {
     "multihop_join": q_multihop_join,
     "topk_orders": q_topk_orders,
     "distinct_events": q_distinct_events,
+    "asof_join": q_asof_join,
     "window_hourly": q_window_hourly,
     "window_sliding": q_sliding_window,
     "event_lag": q_event_lag,
@@ -1321,6 +1359,16 @@ ORACLES: dict[str, str] = {
         "order by o_totalprice desc, o_orderkey asc limit 10"
     ),
     "distinct_events": "select distinct event_type from events",
+    "asof_join": (
+        """
+        with clicks as (select user_id, ts as c_ts, event_id as c_id
+                        from events where event_type = 'click')
+        select e.event_id, c.c_id as prior_click_id,
+               round(epoch(e.ts - c.c_ts), 6) as gap_s
+        from events e asof left join clicks c
+          on e.user_id = c.user_id and e.ts > c.c_ts
+        """
+    ),
     "window_hourly": (
         "select event_type, date_trunc('hour', ts) as hour, count(*) as n, "
         "round(sum(value), 2) as sum_value from events group by 1, 2"
