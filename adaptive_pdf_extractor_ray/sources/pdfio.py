@@ -127,13 +127,12 @@ _ARR_STR_RX = re.compile(r"\((?:\\.|[^\\()])*\)", re.DOTALL)
 Y_LINE_TOLERANCE = 2.0
 
 
-def parse_pdf_text(data: bytes | memoryview) -> str:
-    """Extract text from a single-page PDF via XY-cut line reconstruction.
+def parse_pdf_runs(data: bytes | memoryview) -> list[tuple[float, float, str]]:
+    """Positional text runs ``(y, x, text)`` of a single-page PDF —
+    the layout-grid extractor's input (`functions/layout.py`), sharing
+    the same stream walk as :func:`parse_pdf_text`.
 
-    Raises :class:`PdfError` for non-PDF bytes or page count != 1 — the
-    caller maps that to the row's ``error`` column (row-level fault
-    isolation, vs the reference's hard assert at ``src/data.py:219-221``).
-    """
+    Raises :class:`PdfError` for non-PDF bytes or page count != 1."""
     raw = bytes(data)
     if not raw.startswith(PDF_MAGIC):
         raise PdfError("not a PDF (missing %PDF- magic)")
@@ -183,10 +182,21 @@ def parse_pdf_text(data: bytes | memoryview) -> str:
             else:
                 x, y = float(t.group("e")), float(t.group("f"))
 
+    runs.sort(key=lambda r: (-r[0], r[1]))
+    return runs
+
+
+def parse_pdf_text(data: bytes | memoryview) -> str:
+    """Extract text from a single-page PDF via XY-cut line reconstruction.
+
+    Raises :class:`PdfError` for non-PDF bytes or page count != 1 — the
+    caller maps that to the row's ``error`` column (row-level fault
+    isolation, vs the reference's hard assert at ``src/data.py:219-221``).
+    """
+    runs = parse_pdf_runs(data)
     if not runs:
         return ""
     # XY-cut: bucket into lines by y (descending), sort by x inside a line
-    runs.sort(key=lambda r: (-r[0], r[1]))
     lines: list[list[tuple[float, str]]] = []
     last_y: float | None = None
     for y, x, txt in runs:

@@ -1,0 +1,132 @@
+"""Layout-grid extraction over the reference's REAL scanned-card PDFs.
+
+The reference has no committed ground truth for these 4 PDFs (its
+`data/real/dataset.json` records have no `expected_answer`) — they are
+exactly the detached-header layouts it pays an LLM for. The expected
+values below are hand-audited from the PDFs' own positional text runs
+(`parse_pdf_runs` output; e.g. oab_3 renders the header row
+"Inscrição | Seccional | Subseção" at y≈380 with the value row
+"101943 | PR | CONSELHO SECCIONAL - PARANÁ" x-aligned at y≈353).
+The grid extractor recovers them deterministically — no LLM.
+"""
+
+import json
+import os
+
+import pytest
+
+REAL = "/root/reference/data/real"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REAL), reason="reference real corpus not present"
+)
+
+OAB_LABELS = {
+    "nome": "Nome", "inscricao": "Inscricao", "seccional": "Seccional",
+    "subsecao": "Subsecao", "categoria": "Categoria",
+    "endereco_profissional": "Endereco Profissional",
+    "telefone_profissional": "Telefone Profissional", "situacao": "Situacao",
+}
+OAB_ENUMS = {
+    "categoria": ["ADVOGADO", "ADVOGADA", "SUPLEMENTAR", "ESTAGIARIO",
+                  "ESTAGIARIA"],
+    "situacao": ["Situação Regular", "Situação Irregular"],
+}
+OAB_3_EXPECTED = {
+    "nome": "SON GOKU",
+    "inscricao": "101943",
+    "seccional": "PR",
+    "subsecao": "CONSELHO SECCIONAL - PARANÁ",
+    "categoria": "SUPLEMENTAR",
+    "situacao": "SITUAÇÃO REGULAR",
+    "endereco_profissional": None,  # label present, no value on the card
+    "telefone_profissional": None,
+}
+
+
+def _extract(pdf: str, labels, **kw):
+    from adaptive_pdf_extractor_ray.functions.layout import grid_extract
+    from adaptive_pdf_extractor_ray.sources.pdfio import parse_pdf_runs
+
+    return grid_extract(parse_pdf_runs(open(pdf, "rb").read()), labels, **kw)
+
+
+class TestOabCard:
+    def test_all_eight_fields(self):
+        got = _extract(f"{REAL}/oab_3.pdf", OAB_LABELS, enums=OAB_ENUMS,
+                       headline_field="nome")
+        assert got == OAB_3_EXPECTED
+
+
+class TestTelaScreens:
+    def test_tela3_detail_grid(self):
+        """tela_sistema_3: the record-detail grid headers (the synthetic
+        tela_sistema template's own fields) with values one line below,
+        column-aligned."""
+        got = _extract(
+            f"{REAL}/tela_sistema_3.pdf",
+            {
+                "data_base": "Data Base",
+                "data_vencimento": "Data Vencimento",
+                "quantidade_parcelas": "Qtd. Parcelas",
+                "produto": "Produto",
+            },
+        )
+        assert got == {
+            "data_base": "04/02/2021",
+            "data_vencimento": "25/03/2030",
+            "quantidade_parcelas": "96",
+            "produto": "REFINANCIAMENTO",
+        }
+
+    def test_tela1_table_row_and_inline(self):
+        """tela_sistema_1: right-aligned numeric table columns (center
+        estimation) plus an inline 'Label: value' run."""
+        got = _extract(
+            f"{REAL}/tela_sistema_1.pdf",
+            {
+                "vcto_mais_antigo": "Vcto mais antigo",
+                "dias_atraso_sistema": "Dias atraso Sistema",
+                "saldo_vencido": "Saldo Vencido",
+                "saldo_a_vencer": "Saldo a Vencer",
+                "total_geral": "Total Geral",
+                "data_referencia": "Data Referência",
+            },
+        )
+        assert got["vcto_mais_antigo"] == "12/10/2025"
+        assert got["saldo_vencido"] == "0,00"
+        assert got["saldo_a_vencer"] == "76.871,20"
+        assert got["total_geral"] == "76.871,20"
+        assert got["data_referencia"] == "05/09/2025"  # inline rule
+
+
+class TestGridStage:
+    def test_map_batches_stage_over_real_pdfs(self, ray_session):
+        import ray.data as rd
+
+        from adaptive_pdf_extractor_ray.stages.layout_grid import GridPdfExtract
+
+        rows = [
+            {"url": "oab_3", "html": open(f"{REAL}/oab_3.pdf", "rb").read()},
+            {"url": "bad", "html": b"not a pdf"},
+        ]
+        out = {
+            r["url"]: r
+            for r in rd.from_items(rows).map_batches(
+                GridPdfExtract,
+                fn_constructor_args=(OAB_LABELS, OAB_ENUMS, "nome"),
+                batch_format="pyarrow",
+                concurrency=1,
+            ).take_all()
+        }
+        assert json.loads(out["oab_3"]["extracted_json"]) == OAB_3_EXPECTED
+        assert out["bad"]["extracted_json"] is None
+        assert "PdfError" in out["bad"]["error"]
+
+
+class TestFoldHelper:
+    def test_accent_and_colon_folding(self):
+        from adaptive_pdf_extractor_ray.functions.layout import fold
+
+        assert fold("Inscrição") == fold("Inscricao") == "inscricao"
+        assert fold("Data Referência:") == fold("data referencia")
