@@ -994,6 +994,37 @@ def q_sample_systematic(sf_dir: str):
     )
 
 
+# per-language keep rates out of 1000 (a corpus-rebalancing sample:
+# downsample the head language, keep more of the tail). Deterministic:
+# the keep decision hashes ONLY the row key, so it is reproducible
+# across runs, workers, and in SQL.
+STRATIFIED_RATES = {"en": 200, "_default": 600}
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling by language: keep a row iff
+    md5(doc_id) mod 1000 < rate(lang). The rebalancing step of a
+    multilingual pretraining mix, as one vectorized filter — no shuffle,
+    no RNG state."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        mask = [
+            int.from_bytes(
+                _hl.md5(str(i).encode()).digest()[:4], "big"
+            ) % 1000
+            < STRATIFIED_RATES.get(lang, STRATIFIED_RATES["_default"])
+            for i, lang in zip(ids, langs)
+        ]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 VOCAB_TOP_K = 50
 
 
@@ -1179,6 +1210,7 @@ QUERIES = {
     "curate_documents": q_curate,
     "vocab_top_terms": q_top_terms,
     "sample_systematic": q_sample_systematic,
+    "sample_stratified": q_sample_stratified,
     "media_frames": q_media_frames,
     "extract_synthetic": q_extract_synthetic,
 }
@@ -1277,6 +1309,14 @@ ORACLES: dict[str, str] = {
                end as format,
                octet_length(encode(text)) as n_bytes
         from documents
+        """
+    ),
+    "sample_stratified": (
+        """
+        select doc_id, lang from documents
+        where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::uinteger
+              % 1000
+              < case when lang = 'en' then 200 else 600 end
         """
     ),
     "media_frames": (
