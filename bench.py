@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "join_revenue",
     "window_hourly",
     "sessionize",
+    "asof_join",
+    "tfidf_top_terms",
+    "vocab_top_terms",
+    "dedup_keep_best",
 ]
 
 
