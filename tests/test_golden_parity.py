@@ -124,3 +124,34 @@ def test_other_committed_corpora(ray_session, tmp_path_factory, stem):
     answers = {r["url"]: r for r in res["answers"].take_all()}
     match, tot, misses = _scores(answers, meta.to_pydict())
     assert match / tot >= REF_ACCURACY_WITH_CACHE, (match / tot, misses)
+
+
+def test_warm_store_transfers_across_seeds(ray_session, tmp_path_factory):
+    """The reference's experiment grid reuses a warmed cache across
+    datasets (docs/experiment.md: 'with cache' runs). Mirror it: fit on
+    seed 1, then run seed 2 with the SAME store — accuracy must still
+    clear the reference's number and the warm run must fit few or no new
+    rules (the templates transfer)."""
+    import ray.data as rd
+
+    from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+    from adaptive_pdf_extractor_ray.sources.readers import read_reference_dataset
+
+    pages1, _ = read_reference_dataset(DS1)
+    w1 = tmp_path_factory.mktemp("xseed1")
+    r1 = extract_pages(rd.from_arrow(pages1), str(w1), write_answers=False)
+
+    pages2, meta2 = read_reference_dataset(
+        f"{FAKE}/datasets/fake_dataset_1000samples_seed_2.json"
+    )
+    w2 = tmp_path_factory.mktemp("xseed2")
+    r2 = extract_pages(
+        rd.from_arrow(pages2), str(w2), store_path=r1["store_path"],
+        write_answers=False,
+    )
+    answers = {r["url"]: r for r in r2["answers"].take_all()}
+    match, tot, misses = _scores(answers, meta2.to_pydict())
+    assert match / tot >= REF_ACCURACY_WITH_CACHE, (match / tot, misses)
+    # warm transfer: the second corpus needs (almost) no new rules
+    assert r2["rules_fitted"] <= r1["rules_total"] * 0.25, (
+        r2["rules_fitted"], r1["rules_total"])

@@ -130,3 +130,34 @@ class TestFoldHelper:
 
         assert fold("Inscrição") == fold("Inscricao") == "inscricao"
         assert fold("Data Referência:") == fold("data referencia")
+
+
+class TestGridRobustness:
+    def test_random_runs_never_crash(self):
+        """grid_extract over arbitrary run geometry: total function, no
+        exceptions, labeled fields only ever map to run text."""
+        import random
+
+        from adaptive_pdf_extractor_ray.functions.layout import grid_extract
+
+        rng = random.Random(13)
+        labels = {"a": "Alpha", "b": "Beta Gamma"}
+        words = ["Alpha", "Beta Gamma", "x", "1,00", "", "  ", "Álpha",
+                 "Alpha:", "value here", "Beta Gamma: inline"]
+        for _ in range(200):
+            runs = [
+                (rng.uniform(-100, 700), rng.uniform(0, 800),
+                 rng.choice(words))
+                for _ in range(rng.randint(0, 25))
+            ]
+            out = grid_extract(runs, labels, enums={"a": ["x"]},
+                               headline_field="b")
+            assert set(out) <= {"a", "b"}
+            for v in out.values():
+                assert v is None or isinstance(v, str)
+
+    def test_empty_and_single_run(self):
+        from adaptive_pdf_extractor_ray.functions.layout import grid_extract
+
+        assert grid_extract([], {"a": "Alpha"}) == {}
+        assert grid_extract([(10.0, 10.0, "Alpha")], {"a": "Alpha"}) == {"a": None}
