@@ -86,6 +86,7 @@ def extract_pages(
     max_exemplars: int = 8,
     write_answers: bool = True,
     apply_shards: int | None = None,
+    pdf_layout: str = "linear",
 ) -> dict[str, Any]:
     """Run the full two-wave pipeline; returns {'answers': Dataset, ...stats}."""
     t0 = time.time()
@@ -151,6 +152,7 @@ def extract_pages(
             applied = pages.map_batches(
                 ExtractBatch,
                 fn_constructor_args=(rules_ref, vocab),
+                fn_constructor_kwargs={"pdf_layout": pdf_layout},
                 batch_format="pyarrow",
                 batch_size=batch_size,
                 concurrency=concurrency,

@@ -66,11 +66,23 @@ def build_pdf(text: str, compress: bool = False) -> bytes:
     y. Latin-1 text only (covers the pt_BR corpus alphabet).
     """
     lines = text.split("\n")
-    ops = ["BT", "/F1 12 Tf"]
+    runs = []
     y = 760
     for ln in lines:
-        ops.append(f"1 0 0 1 72 {y} Tm ({_escape_pdf_string(ln)}) Tj")
+        runs.append((72.0, float(y), ln))
         y -= 14
+    return build_pdf_from_runs(runs, compress=compress)
+
+
+def build_pdf_from_runs(
+    runs: list[tuple[float, float, str]], compress: bool = False
+) -> bytes:
+    """Build a single-page PDF from explicit ``(x, y, text)`` runs — the
+    fixture builder for detached-header / grid layouts (labels and
+    values on different lines, x-aligned by column)."""
+    ops = ["BT", "/F1 12 Tf"]
+    for x, y, txt in runs:
+        ops.append(f"1 0 0 1 {x:g} {y:g} Tm ({_escape_pdf_string(txt)}) Tj")
     ops.append("ET")
     content = "\n".join(ops).encode("latin-1")
     filt = b""

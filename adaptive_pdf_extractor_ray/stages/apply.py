@@ -201,19 +201,90 @@ class ExtractBatch(RuleApplier):
     prescribes, without fusing task stages into a pool bottleneck.
     """
 
-    def __init__(self, rules_ref, vocab: list[str], merge_with: str | None = None):
+    def __init__(self, rules_ref, vocab: list[str], merge_with: str | None = None,
+                 pdf_layout: str = "linear"):
         from .parse import make_fingerprint_fn
 
         super().__init__(rules_ref, merge_with)
+        self.vocab_list = list(vocab)
+        self.pdf_layout = pdf_layout
         self._fingerprint = make_fingerprint_fn(vocab)
+
+    def _grid_rows(self, batch: pa.Table) -> dict[int, dict]:
+        """pdf_layout="grid": extract detached-header card PDFs from
+        positional runs (functions/layout.py) — the layouts whose labels
+        and values sit on different lines, x-aligned by column, which the
+        linear text path cannot see (the reference pays an LLM for
+        these). Rows where the grid finds no labels fall through to the
+        linear path untouched."""
+        from ..functions.layout import grid_extract
+        from ..functions.templates import fingerprint_of_labels, label_to_field
+        from ..sources.pdfio import PDF_MAGIC, parse_pdf_runs
+
+        labels = {label_to_field(lab): lab for lab in self.vocab_list}
+        out: dict[int, dict] = {}
+        for i, payload in enumerate(batch["html"].to_pylist()):
+            if payload is None:
+                continue
+            if bytes(payload[: len(PDF_MAGIC)]) != PDF_MAGIC:
+                continue
+            try:
+                ans = grid_extract(parse_pdf_runs(payload), labels)
+            except Exception:
+                continue  # linear path parses/reports the row
+            if ans:
+                out[i] = {
+                    "extracted_json": json.dumps(
+                        ans, ensure_ascii=False, sort_keys=True
+                    ),
+                    "fingerprint": fingerprint_of_labels(
+                        [labels[f] for f in ans]
+                    ),
+                }
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .parse import normalize_batch, parse_batch
 
+        grid = (
+            self._grid_rows(batch)
+            if self.pdf_layout == "grid" and "html" in batch.column_names
+            else {}
+        )
         b = parse_batch(batch)
         b = normalize_batch(b)
         b = self._fingerprint(b)
-        return super().__call__(b)
+        out = super().__call__(b)
+        if not grid:
+            return out
+        # override the grid-resolved rows: fully extracted, no rule hits
+        cols = {
+            "extracted_json": out["extracted_json"].to_pylist(),
+            "spans_json": out["spans_json"].to_pylist(),
+            "missing": out["missing"].to_pylist(),
+            "hit_rule_ids": out["hit_rule_ids"].to_pylist(),
+            "n_missing": out["n_missing"].to_pylist(),
+            "fingerprint": out["fingerprint"].to_pylist(),
+        }
+        for i, g in grid.items():
+            cols["extracted_json"][i] = g["extracted_json"]
+            cols["spans_json"][i] = "{}"  # grid values have no text spans
+            cols["missing"][i] = []
+            cols["hit_rule_ids"][i] = []
+            cols["n_missing"][i] = 0
+            cols["fingerprint"][i] = g["fingerprint"]
+        types = {
+            "extracted_json": pa.string(), "spans_json": pa.string(),
+            "missing": pa.list_(pa.string()),
+            "hit_rule_ids": pa.list_(pa.int64()),
+            "n_missing": pa.int32(), "fingerprint": pa.string(),
+        }
+        for name, vals in cols.items():
+            out = out.set_column(
+                out.column_names.index(name), name,
+                pa.array(vals, types[name]),
+            )
+        return out
 
 
 def fingerprint_bucket(fp: str, num_buckets: int) -> int:

@@ -161,3 +161,100 @@ class TestGridRobustness:
 
         assert grid_extract([], {"a": "Alpha"}) == {}
         assert grid_extract([(10.0, 10.0, "Alpha")], {"a": "Alpha"}) == {"a": None}
+
+
+class TestGridPipelineMode:
+    def test_extract_pages_grid_mode_on_card_corpus(
+        self, ray_session, tmp_path
+    ):
+        """extract_pages(pdf_layout='grid'): a corpus of detached-header
+        card PDFs (labels on one line, values x-aligned a line below —
+        invisible to the linear text path) extracts fully in wave 1 with
+        no rule fitting, ending in the refit=0 partition."""
+        import ray.data as rd
+
+        from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+        from adaptive_pdf_extractor_ray.sources.pdfio import build_pdf_from_runs
+        from adaptive_pdf_extractor_ray.sources.synthetic import PAGES_SCHEMA
+
+        import datetime as dt
+
+        import pyarrow as pa
+
+        rows = []
+        want = {}
+        for i in range(30):
+            nome = f"PESSOA {chr(65 + i % 26)}"
+            insc = str(700000 + i)
+            secc = ["PR", "SP", "RJ"][i % 3]
+            # header row at y=700, value row at y=680, x-aligned columns;
+            # 'nome' label column has NO value below on every 5th card
+            runs = [
+                (72, 700, "Nome"), (250, 700, "Inscricao"),
+                (420, 700, "Seccional"),
+                (250, 680, insc), (420, 680, secc),
+            ]
+            if i % 5 != 0:
+                runs.append((72, 680, nome))
+            rows.append({
+                "url": f"card://{i}",
+                "warc_ts": dt.datetime(2024, 1, 1, 0, 0, i),
+                "html": build_pdf_from_runs(runs, compress=(i % 2 == 0)),
+                "text": None,
+                "lang": "pt",
+            })
+            want[f"card://{i}"] = {
+                "nome": nome if i % 5 != 0 else None,
+                "inscricao": insc,
+                "seccional": secc,
+            }
+        pages = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+        res = extract_pages(
+            rd.from_arrow(pages), str(tmp_path / "w"), pdf_layout="grid",
+            write_answers=False,
+        )
+        got = {r["url"]: r for r in res["answers"].take_all()}
+        assert len(got) == 30
+        for url, exp in want.items():
+            assert json.loads(got[url]["extracted_json"]) == exp, url
+            assert got[url]["n_missing"] == 0
+        # grid rows never enter the fit wave
+        assert res["rules_fitted"] == 0
+        import os as _os
+
+        assert _os.path.isdir(str(tmp_path / "w" / "wave1" / "refit=0"))
+        assert not _os.path.isdir(str(tmp_path / "w" / "wave2"))
+
+    def test_linear_mode_unchanged_on_card_corpus(self, ray_session, tmp_path):
+        """Sanity: the same card corpus through the DEFAULT linear mode
+        does NOT produce the grid answers (the detached-header layout is
+        genuinely invisible to the text path) — documenting why the mode
+        exists."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from adaptive_pdf_extractor_ray.pipelines.extract import extract_pages
+        from adaptive_pdf_extractor_ray.sources.pdfio import build_pdf_from_runs
+        from adaptive_pdf_extractor_ray.sources.synthetic import PAGES_SCHEMA
+
+        runs = [
+            (72, 700, "Nome"), (250, 700, "Inscricao"), (420, 700, "Seccional"),
+            (72, 680, "PESSOA A"), (250, 680, "700001"), (420, 680, "PR"),
+        ]
+        pages = pa.Table.from_pylist(
+            [{
+                "url": "card://x",
+                "warc_ts": dt.datetime(2024, 1, 1),
+                "html": build_pdf_from_runs(runs),
+                "text": None,
+                "lang": "pt",
+            }],
+            schema=PAGES_SCHEMA,
+        )
+        res = extract_pages(rd.from_arrow(pages), str(tmp_path / "w2"),
+                            write_answers=False)
+        (row,) = res["answers"].take_all()
+        got = json.loads(row["extracted_json"] or "{}")
+        assert got.get("inscricao") != "700001"  # linear path can't see it
