@@ -77,6 +77,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
         store_path=args.store,
         concurrency=max(1, min(args.concurrency, n_cpus - 2)),
         batch_size=args.batch_size,
+        pdf_layout=args.pdf_layout,
     )
     summary = {
         "rows": res["answers"].count(),
@@ -226,6 +227,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="this worker's shard index (input-file striping)")
     pe.add_argument("--num-shards", type=int, default=1,
                     help="total shards; >1 makes work-dir per shard")
+    pe.add_argument("--pdf-layout", choices=["linear", "grid"],
+                    default="linear",
+                    help="'grid' extracts detached-header card PDFs from "
+                         "positional runs (labels and values on separate "
+                         "x-aligned lines)")
     pe.set_defaults(fn=cmd_extract)
 
     pw = sub.add_parser(
