@@ -1144,6 +1144,41 @@ def q_extract_synthetic(sf_dir: str):
     )
 
 
+def card_corpus(n: int = 500) -> tuple[str, str]:
+    """Lazily write the detached-header card-PDF corpus (grid-extraction
+    driver gate); fixed sf-independent path like flagship_corpus."""
+    import tempfile
+
+    from ..sources.synthetic import write_card_corpus
+
+    root = os.path.join(tempfile.gettempdir(), f"aper_cards_{n}")
+    return write_card_corpus(root, n=n, seed=1)
+
+
+def q_extract_grid_cards(sf_dir: str):
+    """Grid-extraction pipeline mode over detached-header card PDFs
+    (labels and values on separate x-aligned lines — invisible to any
+    linear text path; the layouts the reference pays an LLM for).
+    Value-verified against the generator's independent ground truth."""
+    import tempfile
+
+    from ..pipelines.extract import extract_pages
+
+    pages_dir, _ = card_corpus()
+    work = tempfile.mkdtemp(prefix="aper_cards_work_")
+    res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False,
+                        pdf_layout="grid", concurrency=_pool(4))
+    return res["answers"].select_columns(["url", "extracted_json", "n_missing"])
+
+
+def _card_oracle_sql() -> str:
+    _, exp_dir = card_corpus()
+    return f"""
+        select url, expected_json as extracted_json, 0 as n_missing
+        from read_parquet('{exp_dir}/*.parquet')
+    """
+
+
 def _flagship_oracle_sql() -> str:
     """Reproduce the engine-side answer table from the generator's ground
     truth, independently of the extraction code path: the template
@@ -1213,6 +1248,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "media_frames": q_media_frames,
     "extract_synthetic": q_extract_synthetic,
+    "extract_grid_cards": q_extract_grid_cards,
 }
 
 
@@ -1709,4 +1745,5 @@ def all_oracles() -> dict[str, str]:
     import)."""
     out = dict(ORACLES)
     out["extract_synthetic"] = _flagship_oracle_sql()
+    out["extract_grid_cards"] = _card_oracle_sql()
     return out

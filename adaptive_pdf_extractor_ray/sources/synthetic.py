@@ -336,3 +336,78 @@ def write_corpus(
     with open(manifest, "w") as f:
         json.dump(want, f)
     return pages_dir, exp_dir
+
+
+def write_card_corpus(out_dir: str, n: int, seed: int = 1) -> tuple[str, str]:
+    """Deterministic corpus of DETACHED-HEADER card PDFs (labels on one
+    line, values x-aligned a line below — the real-corpus layout the
+    linear text path cannot see) plus its ground-truth table. Fixture
+    for the grid-extraction driver gate; idempotent like write_corpus."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .pdfio import build_pdf_from_runs
+
+    pages_dir = os.path.join(out_dir, "pages")
+    exp_dir = os.path.join(out_dir, "expected")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"kind": "card", "n": n, "seed": seed}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return pages_dir, exp_dir
+    import shutil
+
+    for d in (pages_dir, exp_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    os.makedirs(pages_dir, exist_ok=True)
+    os.makedirs(exp_dir, exist_ok=True)
+
+    urls, htmls, exp_json = [], [], []
+    for i in range(n):
+        rng = random.Random((seed << 32) ^ (i * 2654435761 % (1 << 61)))
+        nome = f"{rng.choice(_FIRST)} {rng.choice(_SUR)}"
+        insc = str(rng.randint(10**5, 10**9))
+        secc = rng.choice(_STATES)
+        # header row / value row; every 5th card omits the nome value
+        runs = [
+            (72.0, 700.0, "Nome"), (250.0, 700.0, "Inscricao"),
+            (420.0, 700.0, "Seccional"),
+            (250.0, 680.0, insc), (420.0, 680.0, secc),
+        ]
+        expected = {"inscricao": insc, "nome": None, "seccional": secc}
+        if i % 5 != 0:
+            runs.append((72.0, 680.0, nome))
+            expected["nome"] = nome
+        urls.append(f"card://{seed}/{i}")
+        htmls.append(build_pdf_from_runs(runs, compress=(i % 2 == 0)))
+        exp_json.append(
+            json.dumps(expected, ensure_ascii=False, sort_keys=True)
+        )
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [EPOCH + _dt.timedelta(seconds=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([None] * n, pa.string()),
+            "lang": pa.array(["pt"] * n, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    expected_t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "expected_json": pa.array(exp_json, pa.string()),
+        }
+    )
+    pq.write_table(pages, os.path.join(pages_dir, "part-00000.parquet"))
+    pq.write_table(expected_t, os.path.join(exp_dir, "part-00000.parquet"))
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return pages_dir, exp_dir
