@@ -924,6 +924,62 @@ def q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q_sessionize_bucketed(sf_dir: str):
+    """Sessionize WITHOUT the per-key-history-fits-a-group assumption:
+    partition by (user, day) — bounded groups however long a user's
+    history grows — compute per-bucket session counts plus boundary
+    timestamps, then stitch adjacent buckets whose boundary gap is
+    within the session window (a second, tiny groupby over one row per
+    (user, day)). Value-verified equal to the plain ``sessionize``
+    (same oracle SQL), proving the decomposition is exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                           pa.timestamp("us")),
+        )
+
+    def bucket_summary(g) -> "pa.Table":
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "day": [g["day"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int((gaps > SESSION_GAP_S).sum()) + 1],
+                "first_ts": [g["ts"].iloc[0]],
+                "last_ts": [g["ts"].iloc[-1]],
+            }
+        )
+
+    def stitch(g) -> "pa.Table":
+        import pandas as pd
+
+        g = g.sort_values("day")
+        boundary_gaps = (
+            g["first_ts"].shift(-1) - g["last_ts"]
+        ).dt.total_seconds().dropna()
+        merged = int((boundary_gaps <= SESSION_GAP_S).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [int(g["n_events"].sum())],
+                "n_sessions": [int(g["n_sessions"].sum()) - merged],
+            }
+        )
+
+    buckets = (
+        ds.map_batches(day_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .map_groups(bucket_summary, batch_format="pandas")
+    )
+    return buckets.groupby("user_id").map_groups(stitch, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # multimodal stub plumbing
 # ---------------------------------------------------------------------------
@@ -1241,6 +1297,7 @@ QUERIES = {
     "window_sliding": q_sliding_window,
     "event_lag": q_event_lag,
     "sessionize": q_sessionize,
+    "sessionize_bucketed": q_sessionize_bucketed,
     "media_meta": q_media_meta,
     "curate_documents": q_curate,
     "vocab_top_terms": q_top_terms,
@@ -1549,6 +1606,8 @@ pairs as (
    and x.doc_id < y.doc_id)
 """
 
+
+ORACLES["sessionize_bucketed"] = ORACLES["sessionize"]
 
 ORACLES["dedup_minhash_lsh"] = _minhash_cte() + "select a, b from pairs"
 
