@@ -899,6 +899,88 @@ def q_event_lag(sf_dir: str):
     return ds.groupby("user_id").map_groups(lag, batch_format="pandas")
 
 
+def q_event_lag_bucketed(sf_dir: str):
+    """event_lag WITHOUT the per-key-history assumption: (user, day)
+    buckets compute within-bucket gaps + one boundary-summary row
+    (first/last ts, first event id); a tiny per-user pass over the
+    summaries emits the cross-boundary gaps. Union == the plain
+    operator's per-event output exactly (same oracle)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def day_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                           pa.timestamp("us")),
+        )
+
+    def bucket_lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        td = (g["ts"] - g["ts"].shift(1)) / pd.Timedelta(microseconds=1)
+        gaps = pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "gap_us": td,
+                "kind": "gap",
+                "user_id": int(g["user_id"].iloc[0]),
+                "first_ts": pd.NaT,
+                "last_ts": pd.NaT,
+            }
+        ).dropna(subset=["gap_us"])
+        summary = pd.DataFrame(
+            {
+                "event_id": [int(g["event_id"].iloc[0])],
+                "gap_us": [float("nan")],
+                "kind": ["summary"],
+                "user_id": [int(g["user_id"].iloc[0])],
+                "first_ts": [g["ts"].iloc[0]],
+                "last_ts": [g["ts"].iloc[-1]],
+            }
+        )
+        both = pd.concat([gaps, summary], ignore_index=True)
+        # return Arrow: pandas blocks carry an unhashable schema that
+        # defeats Ray's block-schema dedup in the NEXT shuffle
+        return pa.Table.from_pandas(
+            both, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("first_ts")
+        gap = (g["first_ts"] - g["last_ts"].shift(1)) / pd.Timedelta(
+            microseconds=1
+        )
+        out = pd.DataFrame(
+            {"event_id": g["event_id"].astype("int64"), "gap_us": gap}
+        ).dropna()
+        out["gap_us"] = out["gap_us"].astype("int64")
+        return out
+
+    mixed = (
+        ds.map_batches(day_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .map_groups(bucket_lag, batch_format="pandas")
+    )
+
+    def finish_gaps(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "gap_us": pc.cast(t["gap_us"], pa.int64()),
+            }
+        )
+
+    gaps = mixed.filter(expr="kind == 'gap'").map_batches(
+        finish_gaps, batch_format="pyarrow"
+    )
+    boundary = (
+        mixed.filter(expr="kind == 'summary'")
+        .groupby("user_id")
+        .map_groups(stitch, batch_format="pandas")
+    )
+    return gaps.union(boundary)
+
+
 SESSION_GAP_S = 1800
 
 
@@ -945,7 +1027,7 @@ def q_sessionize_bucketed(sf_dir: str):
         gaps = g["ts"].diff().dt.total_seconds().fillna(0.0)
         import pandas as pd
 
-        return pd.DataFrame(
+        return pa.Table.from_pandas(pd.DataFrame(
             {
                 "user_id": [int(g["user_id"].iloc[0])],
                 "day": [g["day"].iloc[0]],
@@ -954,7 +1036,7 @@ def q_sessionize_bucketed(sf_dir: str):
                 "first_ts": [g["ts"].iloc[0]],
                 "last_ts": [g["ts"].iloc[-1]],
             }
-        )
+        ), preserve_index=False).replace_schema_metadata(None)
 
     def stitch(g) -> "pa.Table":
         import pandas as pd
@@ -1296,6 +1378,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "window_sliding": q_sliding_window,
     "event_lag": q_event_lag,
+    "event_lag_bucketed": q_event_lag_bucketed,
     "sessionize": q_sessionize,
     "sessionize_bucketed": q_sessionize_bucketed,
     "media_meta": q_media_meta,
@@ -1608,6 +1691,7 @@ pairs as (
 
 
 ORACLES["sessionize_bucketed"] = ORACLES["sessionize"]
+ORACLES["event_lag_bucketed"] = ORACLES["event_lag"]
 
 ORACLES["dedup_minhash_lsh"] = _minhash_cte() + "select a, b from pairs"
 
