@@ -1240,6 +1240,82 @@ def q_curate(sf_dir: str):
     return kept.select_columns(["doc_id", "n_tokens"])
 
 
+def q_curate_neardup(sf_dir: str):
+    """The COMPLETE curation composition: quality + language gate ->
+    exact dedup (keep min doc_id per content hash) -> MinHash-LSH
+    near-dup clustering over the survivors -> keep the best member per
+    cluster (max tokens, tie min doc_id). Every stage is the
+    corresponding standalone operator chained as one dataflow; the final
+    subtraction is a hash-partitioned ``left_anti`` join, so nothing
+    driver-side scales with the corpus."""
+
+    def features(t: pa.Table) -> pa.Table:
+        q = tx.quality_batch(t)
+        lang = tx.lang_id_batch(t)
+        h = tx.content_hash_batch(t)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": q["n_tokens"],
+                "predicted_lang": lang["predicted_lang"],
+                "content_md5": h["content_md5"],
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    gated = docs.map_batches(
+        features, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], 20),
+                pc.equal(t["predicted_lang"], "en"),
+            )
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    surv = gated.groupby("content_md5").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="doc_id"),
+        ray.data.aggregate.Min("n_tokens", alias_name="n_tokens"),
+    ).select_columns(["doc_id", "n_tokens"])
+
+    texts = surv.join(docs, join_type="inner", num_partitions=_pool(),
+                      on=("doc_id",))
+    sigs = texts.select_columns(["doc_id", "text"]).map_batches(
+        dd.MinHasher, batch_format="pyarrow", concurrency=_pool(),
+    )
+    pairs = (
+        sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(lambda g: dd.bucket_pairs(g, max_bucket=100_000),
+                    batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(ray.data.aggregate.Count(alias_name="n_bands"))
+        .select_columns(["a", "b"])
+    )
+    verified = dd.attach_pair_texts(
+        pairs, texts.select_columns(["doc_id", "text"]),
+        num_partitions=_pool(),
+    ).map_batches(dd.jaccard_pairs_batch, batch_format="pyarrow").filter(
+        expr="jaccard >= 0.5"
+    ).select_columns(["a", "b"])
+    cc = dd.connected_components(verified, num_partitions=_pool())
+    members = cc.join(surv, join_type="inner", num_partitions=_pool(),
+                      on=("doc_id",))
+
+    def losers(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_tokens", "descending"), ("doc_id", "ascending")]
+        )
+        return g.take(idx.slice(1)).select(["doc_id"])
+
+    loser_ds = members.groupby("rep_id").map_groups(
+        losers, batch_format="pyarrow"
+    )
+    return surv.join(loser_ds, join_type="left_anti",
+                     num_partitions=_pool(), on=("doc_id",))
+
+
 # ---------------------------------------------------------------------------
 # the adaptive-extraction flagship over the synthetic CC-style corpus
 # ---------------------------------------------------------------------------
@@ -1383,6 +1459,7 @@ QUERIES = {
     "sessionize_bucketed": q_sessionize_bucketed,
     "media_meta": q_media_meta,
     "curate_documents": q_curate,
+    "curate_neardup": q_curate_neardup,
     "vocab_top_terms": q_top_terms,
     "sample_systematic": q_sample_systematic,
     "sample_stratified": q_sample_stratified,
@@ -1646,7 +1723,9 @@ ORACLES: dict[str, str] = {
 # (appended to ORACLES: the whole LSH computation is md5 + mod-2^64
 # arithmetic, so DuckDB reproduces it value-for-value)
 
-def _minhash_cte() -> str:
+def _minhash_cte_body(source: str = "documents") -> str:
+    """The minhash/LSH CTE chain WITHOUT the leading `with`, over an
+    arbitrary (doc_id, text) relation — composable after other CTEs."""
     perms = ", ".join(
         f"({i}, {a}::hugeint, {b}::hugeint)"
         for i, (a, b) in enumerate(zip(dd.PERM_A, dd.PERM_B))
@@ -1654,8 +1733,8 @@ def _minhash_cte() -> str:
     rows_per_band = dd.NUM_PERM // dd.LSH_BANDS
     tokenize = dd.SQL_TOKENIZE.format(col="text")
     return f"""
-with toks as (
-  select doc_id, {tokenize} as toks from documents),
+toks as (
+  select doc_id, {tokenize} as toks from {source}),
 sh as (
   select doc_id,
          case when len(toks) >= 3 then
@@ -1690,10 +1769,64 @@ pairs as (
 """
 
 
+def _minhash_cte() -> str:
+    return "with " + _minhash_cte_body()
+
+
 ORACLES["sessionize_bucketed"] = ORACLES["sessionize"]
 ORACLES["event_lag_bucketed"] = ORACLES["event_lag"]
 
 ORACLES["dedup_minhash_lsh"] = _minhash_cte() + "select a, b from pairs"
+
+ORACLES["curate_neardup"] = """
+with feat as (
+  select doc_id, text,
+         length(regexp_extract_all(text, '\\S+'))::bigint as n_tokens,
+         (length(regexp_extract_all(text, '\\bthe\\b')) + length(regexp_extract_all(text, '\\ba\\b')) + length(regexp_extract_all(text, '\\bof\\b')) + length(regexp_extract_all(text, '\\band\\b')) + length(regexp_extract_all(text, '\\bto\\b')) + length(regexp_extract_all(text, '\\bin\\b')) + length(regexp_extract_all(text, '\\bis\\b')) + length(regexp_extract_all(text, '\\bit\\b'))) * 1.0 /
+           greatest(length(regexp_extract_all(text, '\\S+')), 1)
+           as stop_ratio_raw
+  from documents),
+gated as (
+  select doc_id, text, n_tokens from feat
+  where n_tokens >= 20 and stop_ratio_raw > 0.05),
+surv as (
+  select min(doc_id) as doc_id, min(n_tokens) as n_tokens
+  from gated group by md5(text)),
+survtext as (
+  select s.doc_id, s.n_tokens, d.text
+  from surv s join documents d using (doc_id)),
+""" + _minhash_cte_body("survtext") + """,
+sd as (select doc_id, list_distinct(shingles) as sd from sh),
+verified as (
+  select p.a, p.b
+  from pairs p
+  join sd xa on xa.doc_id = p.a
+  join sd xb on xb.doc_id = p.b
+  where round(len(list_intersect(xa.sd, xb.sd))::double /
+              (len(xa.sd) + len(xb.sd) - len(list_intersect(xa.sd, xb.sd))),
+              6) >= 0.5),
+edges as (select a as src, b as dst from verified
+          union select b, a from verified),
+comp as (
+  select node, rep_id from (
+    with recursive r(node, reached) as (
+      select src, src from edges
+      union
+      select r.node, e.dst from r join edges e on e.src = r.reached
+    )
+    select node, min(reached) as rep_id from r group by node
+  )),
+losers as (
+  select doc_id from (
+    select c.node as doc_id,
+           row_number() over (partition by c.rep_id
+                              order by s.n_tokens desc, c.node asc) as rn
+    from comp c join surv s on s.doc_id = c.node)
+  where rn > 1)
+select s.doc_id, s.n_tokens from surv s
+where s.doc_id not in (select doc_id from losers)
+"""
+
 
 ORACLES["dedup_ngram_jaccard"] = _minhash_cte() + """
 , sd as (select doc_id, list_distinct(shingles) as sd from sh)
