@@ -812,6 +812,148 @@ def q_asof_join(sf_dir: str):
     return ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
 
 
+def q_asof_join_bucketed(sf_dir: str):
+    """asof_join WITHOUT the per-key-history assumption: (user, day)
+    buckets resolve each event's prior click within the bucket; a tiny
+    per-user carry pass over bucket summaries (latest click of every
+    earlier bucket) resolves the events whose prior click is in an older
+    bucket, attached back via a hash join on (user, day). Value-verified
+    identical to the plain ``asof_join``."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def day_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "day", pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                           pa.timestamp("us")),
+        )
+
+    def bucket_asof(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].values
+        ids = g["event_id"].to_numpy(dtype="int64")
+        is_click = (g["event_type"] == "click").to_numpy()
+        r_ts, r_id = ts[is_click], ids[is_click]
+        idx = np.searchsorted(r_ts, ts, side="left") - 1
+        rows = pd.DataFrame(
+            {
+                "kind": "ev",
+                "event_id": ids,
+                "user_id": int(g["user_id"].iloc[0]),
+                "day": g["day"].iloc[0],
+                "ts": ts,
+                "prior_click_id": [
+                    int(r_id[i]) if i >= 0 else None for i in idx
+                ],
+                "prior_ts": [r_ts[i] if i >= 0 else None for i in idx],
+            }
+        )
+        summary = pd.DataFrame(
+            {
+                "kind": ["sum"],
+                "event_id": [-1],
+                "user_id": [int(g["user_id"].iloc[0])],
+                "day": [g["day"].iloc[0]],
+                "ts": [pd.NaT],
+                "prior_click_id": [int(r_id[-1]) if len(r_id) else None],
+                "prior_ts": [r_ts[-1] if len(r_id) else None],
+            }
+        )
+        return pa.Table.from_pandas(
+            pd.concat([rows, summary], ignore_index=True),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    def carry(g: pd.DataFrame) -> pa.Table:
+        """Per user: for each bucket, the latest click from EARLIER
+        buckets (running forward-fill over day-sorted summaries)."""
+        g = g.sort_values("day")
+        prev_id = g["prior_click_id"].shift(1).ffill()
+        prev_ts = g["prior_ts"].shift(1).ffill()
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "day": g["day"],
+                "carry_id": prev_id,
+                "carry_ts": prev_ts,
+            }
+        ).dropna(subset=["carry_id"])
+        out["carry_id"] = out["carry_id"].astype("int64")
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    mixed = (
+        ds.map_batches(day_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .map_groups(bucket_asof, batch_format="pandas")
+    )
+
+    def finish_resolved(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["ts"], pa.timestamp("us"))
+        b = pc.cast(t["prior_ts"], pa.timestamp("us"))
+        gap = pc.round(
+            pc.divide(pc.cast(pc.subtract(a, b), pa.int64()), 1_000_000.0),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "prior_click_id": pc.cast(t["prior_click_id"], pa.int64()),
+                "gap_s": pc.cast(gap, pa.float64()),
+            }
+        )
+
+    def _f_resolved(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.equal(t["kind"], "ev"),
+                                pc.is_valid(t["prior_click_id"])))
+
+    resolved = mixed.map_batches(
+        _f_resolved, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(finish_resolved, batch_format="pyarrow")
+
+    carries = (
+        mixed.filter(expr="kind == 'sum'")
+        .groupby("user_id")
+        .map_groups(carry, batch_format="pandas")
+    )
+    def _f_unresolved(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.equal(t["kind"], "ev"),
+                                pc.is_null(t["prior_click_id"])))
+
+    unresolved = mixed.map_batches(
+        _f_unresolved, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["event_id", "user_id", "day", "ts"])
+
+    def finish_carried(t: pa.Table) -> pa.Table:
+        have = t["carry_id"] if "carry_id" in t.column_names else pa.nulls(
+            len(t), pa.int64()
+        )
+        cts = t["carry_ts"] if "carry_ts" in t.column_names else pa.nulls(
+            len(t), pa.timestamp("us")
+        )
+        a = pc.cast(t["ts"], pa.timestamp("us"))
+        b = pc.cast(cts, pa.timestamp("us"))
+        gap = pc.round(
+            pc.divide(pc.cast(pc.subtract(a, b), pa.int64()), 1_000_000.0),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "prior_click_id": pc.cast(have, pa.int64()),
+                "gap_s": pc.cast(gap, pa.float64()),
+            }
+        )
+
+    filled = unresolved.join(
+        carries, join_type="left_outer", num_partitions=_pool(),
+        on=("user_id", "day"),
+    ).map_batches(finish_carried, batch_format="pyarrow")
+    return resolved.union(filled)
+
+
 def q_window_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
@@ -1451,6 +1593,7 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "distinct_events": q_distinct_events,
     "asof_join": q_asof_join,
+    "asof_join_bucketed": q_asof_join_bucketed,
     "window_hourly": q_window_hourly,
     "window_sliding": q_sliding_window,
     "event_lag": q_event_lag,
@@ -1774,6 +1917,7 @@ def _minhash_cte() -> str:
 
 
 ORACLES["sessionize_bucketed"] = ORACLES["sessionize"]
+ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
 ORACLES["event_lag_bucketed"] = ORACLES["event_lag"]
 
 ORACLES["dedup_minhash_lsh"] = _minhash_cte() + "select a, b from pairs"
