@@ -1676,9 +1676,9 @@ ORACLES: dict[str, str] = {
         """
         with feat as (
           select doc_id, text,
-                 length(regexp_extract_all(text, '\S+'))::bigint as n_tokens,
+                 length(regexp_extract_all(text, '\\S+'))::bigint as n_tokens,
                  (length(regexp_extract_all(text, '\\bthe\\b')) + length(regexp_extract_all(text, '\\ba\\b')) + length(regexp_extract_all(text, '\\bof\\b')) + length(regexp_extract_all(text, '\\band\\b')) + length(regexp_extract_all(text, '\\bto\\b')) + length(regexp_extract_all(text, '\\bin\\b')) + length(regexp_extract_all(text, '\\bis\\b')) + length(regexp_extract_all(text, '\\bit\\b'))) * 1.0 /
-                   greatest(length(regexp_extract_all(text, '\S+')), 1)
+                   greatest(length(regexp_extract_all(text, '\\S+')), 1)
                    as stop_ratio_raw
           from documents),
         gated as (

@@ -132,14 +132,18 @@ class IvfIndexKnn:
             mask = np.isin(assign, self.probes[qi])
             if not mask.any():
                 continue
-            sims = Xn[mask] @ self.Q[qi]
+            sims = np.round(Xn[mask] @ self.Q[qi], 6)
             sub_ids = ids[mask]
             k = min(self.k, len(sims))
-            top = np.argpartition(-sims, kth=k - 1)[:k]
+            # deterministic partial selection on the ROUNDED sim with
+            # neighbor-id tie-break: the survivor set is independent of
+            # block layout (argpartition at a tie boundary would not be)
+            top = sorted(range(len(sims)),
+                         key=lambda j: (-sims[j], sub_ids[j]))[:k]
             for j in top:
                 out_q.append(int(self.query_ids[qi]))
                 out_n.append(int(sub_ids[j]))
-                out_s.append(round(float(sims[j]), 6))
+                out_s.append(float(sims[j]))
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
