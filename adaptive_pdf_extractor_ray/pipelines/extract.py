@@ -314,6 +314,14 @@ def extract_pages(
             metrics["fast_path_hit_rate"] = round(
                 1.0 - metrics.get("miss_rows", 0) / metrics["rows"], 6
             )
+            # run-cost accounting — the deterministic analog of the
+            # reference's per-run time/cost report (src/metrics.py:
+            # 83-177; there: LLM tokens and dollars, here: wall time and
+            # throughput — this engine's marginal cost per doc is CPU
+            # seconds, not API spend)
+            elapsed = time.time() - t0
+            metrics["wall_s"] = round(elapsed, 3)
+            metrics["docs_per_sec"] = round(metrics["rows"] / max(elapsed, 1e-9), 1)
         stats["metrics"] = metrics
         # corpus-level drift ledger: one JSONL record per run next to the
         # rule store, so successive runs over a corpus can be compared

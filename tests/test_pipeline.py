@@ -372,3 +372,24 @@ class TestIncrementalWatch:
                 answer_files.extend(sorted(glob.glob(f"{d}/{sub}/*.parquet")))
         total = rd.read_parquet(answer_files).count()
         assert total == 300
+
+
+@pytest.mark.parametrize("seed,tela_ratio,filler", [(11, 0.5, 0), (17, 0.0, 40), (23, 1.0, 10)])
+def test_accuracy_100_across_protocol_variants(
+    ray_session, tmp_path_factory, seed, tela_ratio, filler
+):
+    """100% field accuracy holds across generator-protocol variants:
+    different seeds, template mixes (all-carteira / all-tela / 50-50)
+    and filler weights — not just the default fixture."""
+    import ray.data as rd
+
+    root = tmp_path_factory.mktemp(f"var_{seed}")
+    pages_dir, exp_dir = write_corpus(
+        str(root), n=400, seed=seed, shard_rows=200,
+        tela_ratio=tela_ratio, filler_words=filler,
+    )
+    work = str(tmp_path_factory.mktemp(f"var_work_{seed}"))
+    res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False)
+    acc = evaluate_accuracy(res["answers"], rd.read_parquet(exp_dir))
+    assert acc["field_accuracy"] == 1.0
+    assert acc["doc_accuracy"] == 1.0
