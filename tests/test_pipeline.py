@@ -393,3 +393,56 @@ def test_accuracy_100_across_protocol_variants(
     acc = evaluate_accuracy(res["answers"], rd.read_parquet(exp_dir))
     assert acc["field_accuracy"] == 1.0
     assert acc["doc_accuracy"] == 1.0
+
+
+class TestConcurrentShards:
+    def test_two_shard_processes_share_one_store(self, tmp_path_factory):
+        """Two CLI shard processes running CONCURRENTLY against one
+        rules.parquet: the flock + delta-merge save must preserve both
+        shards' fitted rules and all answers (the ADVICE r1 scenario —
+        previously last-writer-wins)."""
+        import glob
+        import json as _json
+        import subprocess
+        import sys
+
+        root = tmp_path_factory.mktemp("conc")
+        corpus = root / "gen"
+        pages_dir, exp_dir = write_corpus(str(corpus), n=400, seed=5,
+                                          shard_rows=100)
+        work = root / "run"
+        store = str(work / "rules.parquet")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "adaptive_pdf_extractor_ray",
+                 "extract", "--input", pages_dir, "--work-dir", str(work),
+                 "--store", store, "--shard", str(i), "--num-shards", "2",
+                 "--num-cpus", "4", "--concurrency", "2"],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                cwd="/root/repo",
+                env={k: v for k, v in os.environ.items()
+                     if k != "RAY_ADDRESS"},
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=420) for p in procs]
+        assert all(p.returncode == 0 for p in procs), [
+            o[1].decode()[-500:] for o in outs
+        ]
+        outs = [o[0] for o in outs]
+        rows = sum(
+            _json.loads(o.decode().strip().splitlines()[-1])["rows"]
+            for o in outs
+        )
+        assert rows == 400
+        final = RuleStore.load(store)
+        assert len(final.fingerprints()) == 2  # both templates survived
+        # all answers across both shard work-dirs score 100%
+        import ray.data as rd
+
+        files = []
+        for d in sorted(glob.glob(f"{work}/shard=*")):
+            for sub in ("wave1/refit=0", "wave2"):
+                files.extend(sorted(glob.glob(f"{d}/{sub}/*.parquet")))
+        acc = evaluate_accuracy(rd.read_parquet(files), rd.read_parquet(exp_dir))
+        assert acc["field_accuracy"] == 1.0
