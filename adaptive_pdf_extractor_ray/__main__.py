@@ -16,6 +16,7 @@ argparse. Owns its own Ray session (guarded), unlike the library code.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import sys
 
@@ -132,31 +133,104 @@ def cmd_watch(args: argparse.Namespace) -> int:
     batches = 0
     rows = 0
     empty_polls = 0
+    failures = 0
+    prev_sizes: dict[str, int] = {}
+    attempts: dict[str, int] = {}  # per-file failed-batch count
+
+    def extract_batch(file_list: list[str]) -> int:
+        """One resumable batch over an explicit file set -> row count.
+
+        The sub-work-dir is keyed by the md5 of the FILE LIST, not the
+        ledger length: if a crash left a half-finished batch and the set
+        of pending files changed by restart, a fresh work dir is used —
+        a stale wave1._done marker can never silently skip files that
+        were not in the original batch. The list is also persisted as a
+        manifest inside the work dir (lineage / debugging)."""
+        batch_key = hashlib.md5(
+            "\n".join(file_list).encode("utf-8")
+        ).hexdigest()[:16]
+        wd = os.path.join(args.work_dir, f"ingest-{batch_key}")
+        os.makedirs(wd, exist_ok=True)
+        manifest = os.path.join(wd, "files.json")
+        if not os.path.exists(manifest):
+            with open(manifest + ".tmp", "w") as f:
+                json.dump(file_list, f)
+            os.replace(manifest + ".tmp", manifest)
+        res = extract_pages(
+            rd.read_parquet(file_list), wd, store_path=store_path,
+            concurrency=concurrency, batch_size=args.batch_size,
+        )
+        return res["answers"].count()
+
     while True:
         files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
-        new = [f for f in files if f not in set(seen)]
+        sizes = {}
+        for f in files:
+            try:
+                sizes[f] = os.path.getsize(f)
+            except OSError:
+                continue  # vanished between glob and stat
+        # write-completeness: a shard still being copied when polled would
+        # fail the whole batch — only take files whose size is unchanged
+        # since the previous poll (producers without atomic renames are
+        # picked up one poll later; with --once everything visible is
+        # taken, matching the single-pass contract). Files that failed
+        # --max-retries batches are quarantined: retried no further,
+        # never ledgered, reported at exit.
+        seen_set = set(seen)
+        pending = [
+            f for f in sizes
+            if f not in seen_set and attempts.get(f, 0) < args.max_retries
+        ]
+        new = [
+            f for f in pending
+            if args.once or prev_sizes.get(f) == sizes[f]
+        ]
+        prev_sizes = sizes
         if new:
             empty_polls = 0
-            wd = os.path.join(args.work_dir, f"ingest-{len(seen):08d}")
-            res = extract_pages(
-                rd.read_parquet(new), wd, store_path=store_path,
-                concurrency=concurrency, batch_size=args.batch_size,
-            )
-            rows += res["answers"].count()
-            batches += 1
-            seen.extend(new)
-            tmp = ledger_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(seen, f)
-            os.replace(tmp, ledger_path)
+            ok_files: list[str] = []
+            try:
+                rows += extract_batch(new)
+                ok_files = new
+                batches += 1
+            except Exception:
+                # a bad shard must not kill the watcher or poison its
+                # batch-mates: isolate the failure per file
+                for f in new:
+                    try:
+                        rows += extract_batch([f])
+                        ok_files.append(f)
+                        batches += 1
+                    except Exception as e:
+                        failures += 1
+                        attempts[f] = attempts.get(f, 0) + 1
+                        print(json.dumps({
+                            "warn": "shard failed; left out of ledger",
+                            "error": str(e)[:500], "file": f,
+                            "attempts": attempts[f],
+                        }), file=sys.stderr)
+            if ok_files:
+                seen.extend(ok_files)
+                tmp = ledger_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(seen, f)
+                os.replace(tmp, ledger_path)
         else:
             empty_polls += 1
-        done = os.path.exists(os.path.join(args.input, "_COMPLETE")) and not new
+        done = (
+            os.path.exists(os.path.join(args.input, "_COMPLETE"))
+            and not pending  # includes files deferred by the size gate
+        )
         if args.once or done or (args.max_polls and empty_polls >= args.max_polls):
             break
         _time.sleep(args.poll_s)
     print(json.dumps({
         "batches": batches, "files_ingested": len(seen), "rows": rows,
+        "failures": failures,
+        "quarantined": sorted(
+            f for f in attempts if attempts[f] >= args.max_retries
+        ),
         "store_path": store_path,
     }))
     if owns_session:
@@ -248,6 +322,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="one ingestion pass, then exit")
     pw.add_argument("--max-polls", type=int, default=0,
                     help="exit after N consecutive empty polls (0 = never)")
+    pw.add_argument("--max-retries", type=int, default=3,
+                    help="quarantine a shard after N failed batches "
+                         "(never ledgered; reported at exit)")
     pw.set_defaults(fn=cmd_watch)
 
     ps = sub.add_parser("synth", help="generate a synthetic pages corpus")

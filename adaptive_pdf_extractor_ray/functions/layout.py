@@ -45,6 +45,28 @@ def fold(s: str) -> str:
     return stripped.casefold().strip().rstrip(":").strip()
 
 
+def _fold_char(c: str) -> str:
+    nfd = unicodedata.normalize("NFD", c)
+    return "".join(ch for ch in nfd if not unicodedata.combining(ch)).casefold()
+
+
+def _fold_cut(raw: str, folded_prefix: str) -> int | None:
+    """Index into ``raw`` where its fold first covers ``folded_prefix``.
+
+    ``len(folded_prefix)`` is NOT a valid cut into raw: fold() changes
+    string length for NFD-decomposed accents (combining marks dropped)
+    and casefold expansions (ß -> ss). Scanning raw and folding
+    incrementally keeps the cut aligned to original characters."""
+    acc = ""
+    for i, ch in enumerate(raw):
+        acc += _fold_char(ch)
+        if acc == folded_prefix:
+            return i + 1
+        if len(acc) >= len(folded_prefix) and not folded_prefix.startswith(acc):
+            return None
+    return None
+
+
 def _lines(runs: list[tuple[float, float, str]]):
     """Group (y, x, text) runs into visual lines (desc y, asc x)."""
     out: list[list[tuple[float, float, str]]] = []
@@ -108,11 +130,18 @@ def grid_extract(
             for lf, f in by_fold.items():
                 if fd.startswith(lf) and len(fd) > len(lf) and f not in out:
                     raw = txt.strip()
-                    # cut at the original-text boundary: find the first
-                    # ':' or whitespace gap after the label prefix
-                    cut = len(lf)
-                    rest = raw[cut:].lstrip(" : ")
-                    # tolerate accents: recompute via fold-aligned scan
+                    # fold-aligned cut into the ORIGINAL text (len(lf)
+                    # misaligns when fold changed lengths: NFD accents
+                    # drop combining marks, casefold expands eszett)
+                    cut = _fold_cut(raw, lf)
+                    if cut is None:
+                        continue
+                    # strip whitespace/nbsp and at most ONE ':' separator
+                    # (a blanket lstrip would eat legitimate leading ':'
+                    # characters of the value itself)
+                    rest = raw[cut:].lstrip(" \t\u00a0")
+                    if rest.startswith(":"):
+                        rest = rest[1:].lstrip(" \t\u00a0")
                     if not rest:
                         continue
                     out[f] = rest

@@ -61,6 +61,23 @@ FINAL_COLUMNS = [
 DRIVER_FIT_LIMIT = 50_000
 
 
+def _wave1_fits_in_object_store(pages: ray.data.Dataset) -> bool:
+    """Whether wave-1 output blocks can be HELD in the object store for
+    the in-session fast path (wave 2 + metrics read the cached blocks
+    instead of re-reading the checkpoint parquet from disk). The parquet
+    checkpoint is still written either way — it stays the crash-resume
+    unit; this only removes the disk ROUND-TRIP of a healthy run.
+    Conservative: require the (metadata-estimated) input size ×3 to fit
+    in the cluster's object store, else stream-and-reread as before
+    (at 100 TB the pipeline must not pin the corpus in memory)."""
+    try:
+        est = pages.size_bytes()
+        cap = ray.cluster_resources().get("object_store_memory", 0)
+    except Exception:
+        return False
+    return bool(est) and bool(cap) and est * 3 < cap
+
+
 def prepare(pages: ray.data.Dataset, vocab: list[str], *,
             batch_size: int = 1024, **_ignored) -> ray.data.Dataset:
     """parse -> normalize -> fingerprint (stateless tasks; Ray fuses the
@@ -87,8 +104,18 @@ def extract_pages(
     write_answers: bool = True,
     apply_shards: int | None = None,
     pdf_layout: str = "linear",
+    hold_wave1_blocks: bool | None = None,
+    report=None,
 ) -> dict[str, Any]:
-    """Run the full two-wave pipeline; returns {'answers': Dataset, ...stats}."""
+    """Run the full two-wave pipeline; returns {'answers': Dataset, ...stats}.
+
+    ``report``: optional callable ``(metrics: dict) -> None`` invoked once
+    per run with the final metrics record — the pluggable experiment-sink
+    hook (the reference pushes the same accounting to wandb,
+    ``/root/reference/src/metrics.py:386-416``; here the default sinks are
+    the local ``metrics.json`` + the per-store ``.history.jsonl`` drift
+    ledger, and a callback can forward to any external tracker). Sink
+    failures are swallowed — reporting must never fail the run."""
     t0 = time.time()
     os.makedirs(work_dir, exist_ok=True)
     store_path = store_path or os.path.join(work_dir, "rules.parquet")
@@ -120,6 +147,11 @@ def extract_pages(
     miss_dir = os.path.join(wave1_dir, "refit=1")
     wave2_dir = os.path.join(work_dir, "wave2")
     wave1_done = os.path.join(work_dir, "wave1._done")
+    # in-session block reuse (healthy-run fast path): wave 2 and the
+    # metrics pass consume wave 1's materialized blocks from the object
+    # store instead of re-reading the checkpoint parquet
+    inmem_wave1: ray.data.Dataset | None = None
+    inmem_wave2: ray.data.Dataset | None = None
     if not os.path.exists(wave1_done):  # resumable: skip completed wave 1
         if apply_shards:
             # sharded-store path (extreme template cardinality): parse as
@@ -148,10 +180,13 @@ def extract_pages(
                             batch_format="pyarrow")
             )
         else:
-            rules_ref = ray.put(store.to_table())
+            # constructor args are plain values (path + mtime), not object
+            # store refs: a restarted actor reloads the rule checkpoint
+            # from disk instead of failing on a lost ObjectRef (ray#53727)
+            mtime = os.path.getmtime(store_path) if os.path.exists(store_path) else 0.0
             applied = pages.map_batches(
                 ExtractBatch,
-                fn_constructor_args=(rules_ref, vocab),
+                fn_constructor_args=((store_path, mtime), vocab),
                 fn_constructor_kwargs={"pdf_layout": pdf_layout},
                 batch_format="pyarrow",
                 batch_size=batch_size,
@@ -165,6 +200,17 @@ def extract_pages(
             ),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+        # hold blocks only when a fit wave is EXPECTED (cold store): the
+        # materialize barrier costs the apply->write streaming overlap,
+        # which is pure loss on warm runs that never re-read the misses
+        hold = (
+            hold_wave1_blocks
+            if hold_wave1_blocks is not None
+            else len(store) == 0
+        )
+        if hold and _wave1_fits_in_object_store(pages):
+            applied = applied.materialize()
+            inmem_wave1 = applied
         applied.write_parquet(wave1_dir, partition_cols=["refit"],
                               compression="zstd")
         with open(wave1_done, "w") as f:
@@ -196,10 +242,17 @@ def extract_pages(
         # template cardinality — so the sampled set is materialized into
         # the (distributed, spillable) object store and only its COUNT
         # decides the route; the driver never pulls an unbounded set
-        sampled = ray.data.read_parquet(
-            miss_dir, columns=["fingerprint", "text_norm"]
-        ).map_batches(sample_exemplars, batch_format="pyarrow",
-                      zero_copy_batch=True).materialize()
+        if inmem_wave1 is not None:
+            miss_src = inmem_wave1.filter(expr="refit == 1").select_columns(
+                ["fingerprint", "text_norm"]
+            )
+        else:
+            miss_src = ray.data.read_parquet(
+                miss_dir, columns=["fingerprint", "text_norm"]
+            )
+        sampled = miss_src.map_batches(
+            sample_exemplars, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
         n_sampled = sampled.count()
     else:
         n_sampled = 0
@@ -249,15 +302,26 @@ def extract_pages(
 
     # --- wave 2: re-apply only the refit=1 partition with updated rules --
     if have_miss_rows and not os.path.isdir(wave2_dir):
-        rules_ref2 = ray.put(store.to_table())
-        wave2 = ray.data.read_parquet(miss_dir).map_batches(
+        if not os.path.exists(store_path):
+            # nothing was fitted (no store on disk yet): checkpoint the
+            # (possibly empty) store so wave-2 actors have a path to load
+            store.save(store_path)
+        mtime2 = os.path.getmtime(store_path)
+        if inmem_wave1 is not None:  # healthy-run fast path: no disk re-read
+            miss_rows_ds = inmem_wave1.filter(expr="refit == 1")
+        else:
+            miss_rows_ds = ray.data.read_parquet(miss_dir)
+        wave2 = miss_rows_ds.map_batches(
             RuleApplier,
-            fn_constructor_args=(rules_ref2, "extracted_json"),
+            fn_constructor_args=((store_path, mtime2), "extracted_json"),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
             zero_copy_batch=True,
         ).select_columns(final_cols)
+        if inmem_wave1 is not None:
+            wave2 = wave2.materialize()
+            inmem_wave2 = wave2
         # atomic: write to a temp dir, rename when complete (resume-safe)
         tmp_dir = wave2_dir + "._tmp"
         if os.path.isdir(tmp_dir):
@@ -266,6 +330,7 @@ def extract_pages(
             shutil.rmtree(tmp_dir)
         wave2.write_parquet(tmp_dir, compression="zstd")
         os.replace(tmp_dir, wave2_dir)
+    phases["wave2"] = time.time() - t0 - sum(phases.values())
 
     answer_dirs = [d for d in (done0_dir, wave2_dir) if os.path.isdir(d)]
     answers = ray.data.read_parquet(answer_dirs, columns=FINAL_COLUMNS)
@@ -288,11 +353,25 @@ def extract_pages(
         # one column-pruned pass serves BOTH weight accounting and run
         # metrics: per-batch partials -> driver-side Sum merge (commutative
         # integer adds; a distributed groupby would shuffle more rows in
-        # machinery than the partials contain)
-        partials = ray.data.read_parquet(
-            answer_dirs, columns=["hit_rule_ids", "error", "n_missing", "kind"]
-        ).map_batches(answer_partials, batch_format="pyarrow",
-                      zero_copy_batch=True).take_all()
+        # machinery than the partials contain). When this run's blocks are
+        # still in the object store (in-session fast path) the pass reads
+        # them instead of the checkpoint parquet.
+        metric_cols = ["hit_rule_ids", "error", "n_missing", "kind"]
+        if inmem_wave1 is not None and (
+            not have_miss_rows or inmem_wave2 is not None
+        ):
+            partial_src = inmem_wave1.filter(expr="refit == 0").select_columns(
+                metric_cols
+            )
+            if inmem_wave2 is not None:
+                partial_src = partial_src.union(
+                    inmem_wave2.select_columns(metric_cols)
+                )
+        else:
+            partial_src = ray.data.read_parquet(answer_dirs, columns=metric_cols)
+        partials = partial_src.map_batches(
+            answer_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
         merged: dict[str, int] = {}
         for r in partials:
             merged[r["key"]] = merged.get(r["key"], 0) + r["n"]
@@ -354,7 +433,19 @@ def extract_pages(
         # completed run never double-counts)
         with open(hits_done, "w") as f:
             f.write(json.dumps({"ts": time.time()}))
-    phases["wave2_write_hits"] = time.time() - t0 - sum(phases.values())
+    phases["hits_metrics"] = time.time() - t0 - sum(phases.values())
+
+    if report is not None and "metrics" in stats:
+        try:  # external sink must never fail the run
+            report({
+                "work_dir": work_dir,
+                "rules_fitted": fitted_rows,
+                "rules_total": len(store),
+                "phases": dict(phases),
+                **stats["metrics"],
+            })
+        except Exception:
+            pass
 
     stats.update(
         {

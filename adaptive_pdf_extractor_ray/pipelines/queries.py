@@ -47,26 +47,35 @@ def _pq(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _strip_meta(t: pa.Table) -> pa.Table:
-    """Drop schema-level metadata (zero-copy). Files written via pandas
-    carry a b'pandas' metadata dict that makes pa.Schema unhashable, which
-    defeats Ray's block-schema dedup in every downstream shuffle (the
-    'Failed to hash the schemas' warning)."""
-    return t.replace_schema_metadata(None) if t.schema.metadata else t
-
-
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(_pq(sf_dir, name), columns=columns).map_batches(
-        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    """Column-pruned parquet read with the pandas metadata stripped AT THE
+    READ: files written via pandas carry a b'pandas' metadata dict that
+    makes pa.Schema unhashable, which defeats Ray's block-schema dedup in
+    every downstream shuffle (the 'Failed to hash the schemas' warning).
+    Passing the stripped, projected schema to read_parquet fixes it at the
+    source — no extra map stage, and the ReadParquet op itself is clean."""
+    import pyarrow.parquet as pq_
+
+    path = _pq(sf_dir, name)
+    full = pq_.read_schema(path).remove_metadata()
+    schema = (
+        pa.schema([full.field(n) for n in columns]) if columns else full
     )
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
-
-def _pool(cap: int = 4) -> int:
-    """Actor-pool size that always leaves CPUs for task stages (a fixed
-    pool reserving every core of a small session deadlocks the pipeline)."""
+def _pool(cap: int | None = None) -> int:
+    """Cluster-proportional parallelism for actor pools and join/shuffle
+    partition counts: ~3/4 of the session's CPUs (the rest runs the task
+    stages around the pool), never more than n-2 — a pool reserving every
+    core of a small session deadlocks against its read/write tasks.
+    ``cap`` bounds stages whose useful parallelism is intrinsically
+    limited; by default the size scales with the cluster."""
     n = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(cap, n - 2))
+    size = max(2, (n * 3) // 4)
+    if cap is not None:
+        size = min(size, cap)
+    return max(1, min(size, n - 2))
 
 MARKERS = ["spark", "join", "merge", "window", "stream", "vector"]
 
@@ -230,9 +239,11 @@ def _lsh_candidate_pairs(sf_dir: str):
         dd.MinHasher, batch_format="pyarrow", concurrency=_pool(),
     )
     bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
+    # default max_bucket: all-pairs while a bucket is small (exact LSH,
+    # what the oracle replicates); giant skewed buckets (boilerplate /
+    # empty pages) take the bounded star+adjacency path in bucket_pairs
     return bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: dd.bucket_pairs(g, max_bucket=100_000),
-        batch_format="pyarrow",
+        dd.bucket_pairs, batch_format="pyarrow",
     )
 
 
@@ -444,12 +455,13 @@ def q_embedding_neardup(sf_dir: str):
     # co-locate each label bucket (the pre-partitioning assumption: near
     # dups share a coarse bucket; here the synthetic label is the bucket)
     out = ds.groupby("label").map_groups(lambda g: f(g), batch_format="pyarrow")
-    import pandas as pd
-
-    df = out.to_pandas()
-    if df.empty:  # preserve schema even when no pair clears the threshold
-        df = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    return df[["a", "b"]]
+    # stays a Dataset end-to-end (pair sets are unbounded in principle);
+    # the union with a typed empty table guarantees the (a, b) int64
+    # schema even when no pair clears the threshold
+    empty = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    return out.select_columns(["a", "b"]).union(empty)
 
 
 # ---------------------------------------------------------------------------
@@ -473,9 +485,11 @@ def _query_vectors(sf_dir: str) -> dict:
 def q_knn_brute(sf_dir: str):
     """Brute-force cosine top-k: broadcast query matrix, numpy matmul per
     batch, partial top-k per batch, final top-k per query."""
-    qref = ray.put(_query_vectors(sf_dir))
+    # plain constructor values (tiny query matrix), not object-store refs:
+    # restart-safe (ray#53727) and shipped once per actor either way
+    q = _query_vectors(sf_dir)
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        sim.BruteKnn, fn_constructor_args=(qref, KNN_K),
+        sim.BruteKnn, fn_constructor_args=(q, KNN_K),
         batch_format="pyarrow", concurrency=_pool(),
     )
     return partials.groupby("query_id").map_groups(
@@ -483,17 +497,81 @@ def q_knn_brute(sf_dir: str):
     ).select_columns(["query_id", "neighbor_id"])
 
 
+def ivf_oracle_sql(sf_dir: str) -> str:
+    """DuckDB replication of the WHOLE IVF path for a given sf dir: the
+    engine's (deterministic, first-512-row k-means) centroid matrix is
+    embedded as float literals, and SQL independently recomputes the
+    vector-to-bucket assignment (argmin squared L2, first-centroid
+    tie-break), per-query probe set (2 nearest centroids to the
+    normalized query), candidate filtering, cosine ranking (round 6) and
+    top-5 with neighbor-id tie-break. Centroids depend on the data, so
+    the SQL is composed per sf dir (all_oracles embeds the driver's
+    sf0.01 tables); everything past the centroid literals is
+    value-verified."""
+    import pyarrow.parquet as pq_
+
+    emb = _pq(sf_dir, "embeddings")
+    sample = pq_.read_table(emb, columns=["embedding"])
+    X = np.asarray(sample["embedding"].to_pylist()[:512], dtype=np.float64)
+    C = sim.kmeans_lite(X, n_clusters=min(8, len(X)))
+    cent_rows = ", ".join(
+        f"({ci}, [{', '.join(repr(float(v)) for v in row)}]::double[])"
+        for ci, row in enumerate(C)
+    )
+    t = pq_.read_table(emb, columns=["vec_id"])
+    qids = ", ".join(
+        str(i) for i in pc.take(
+            t["vec_id"], pc.sort_indices(t["vec_id"])[:N_QUERIES]
+        ).to_pylist()
+    )
+    return f"""
+with cent(cid, cvec) as (values {cent_rows}),
+v as (select vec_id, embedding::double[] as vec from embeddings),
+assign as (
+  select vec_id, vec, cid from (
+    select v.vec_id, v.vec, c.cid,
+           row_number() over (
+             partition by v.vec_id
+             order by list_distance(v.vec, c.cvec), c.cid) as rn
+    from v cross join cent c) where rn = 1),
+q as (
+  select vec_id as query_id,
+         list_transform(vec, x -> x / sqrt(list_sum(
+             list_transform(vec, y -> y * y)))) as qn,
+         vec as qraw
+  from v where vec_id in ({qids})),
+probes as (
+  select query_id, cid from (
+    select q.query_id, c.cid,
+           row_number() over (
+             partition by q.query_id
+             order by list_distance(q.qn, c.cvec), c.cid) as rn
+    from q cross join cent c) where rn <= 2),
+cand as (
+  select q.query_id, a.vec_id as neighbor_id,
+         round(list_cosine_similarity(a.vec, q.qraw), 6) as sim
+  from q join probes p using (query_id)
+  join assign a on a.cid = p.cid),
+ranked as (
+  select *, row_number() over (
+      partition by query_id order by sim desc, neighbor_id asc) as rn
+  from cand)
+select query_id, neighbor_id, sim from ranked where rn <= {KNN_K}
+"""
+
+
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed ANN (scale path; recall<1 by design: rows-only check)."""
+    """IVF-bucketed ANN (scale path; recall<1 by design vs brute force —
+    but the IVF computation itself is deterministic and value-verified
+    against ``ivf_oracle_sql``'s full DuckDB replication)."""
     q = _query_vectors(sf_dir)
     import pyarrow.parquet as pq
 
     sample = pq.read_table(_pq(sf_dir, "embeddings"), columns=["embedding"])
     X = np.asarray(sample["embedding"].to_pylist()[:512], dtype=np.float64)
     C = sim.kmeans_lite(X, n_clusters=min(8, len(X)))
-    qref, cref = ray.put(q), ray.put(C)
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        sim.IvfIndexKnn, fn_constructor_args=(qref, cref),
+        sim.IvfIndexKnn, fn_constructor_args=(q, C),
         batch_format="pyarrow", concurrency=_pool(),
     )
     return partials.groupby("query_id").map_groups(
@@ -561,7 +639,7 @@ def q_join_revenue(sf_dir: str):
     if n_small > BROADCAST_MAX_ROWS:
         joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).join(
             _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
-            join_type="inner", num_partitions=8,
+            join_type="inner", num_partitions=_pool(),
             on=("o_custkey",), right_on=("c_custkey",),
         )
     else:
@@ -601,7 +679,7 @@ def q_join_large(sf_dir: str):
     od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     j = od.join(
-        li, join_type="inner", num_partitions=8,
+        li, join_type="inner", num_partitions=_pool(),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -786,7 +864,13 @@ def q_asof_join(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def asof(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("ts", "ascending")])
+        # (ts, event_id) sort: with duplicate timestamps per user the
+        # chosen prior click is deterministic (max event_id among the
+        # latest strictly-earlier clicks) — matching the bucketed variant
+        # and the oracle's explicit tie-break ordering
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
         g = g.take(order)
         ts = g["ts"].to_pandas().values  # datetime64[ns], sorted
         ids = np.asarray(g["event_id"].to_pylist(), dtype=np.int64)
@@ -810,6 +894,27 @@ def q_asof_join(sf_dir: str):
         )
 
     return ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+
+
+_ASOF_MIXED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("event_id", pa.int64()),
+        ("user_id", pa.int64()),
+        ("day", pa.timestamp("us")),
+        ("ts", pa.timestamp("us")),
+        ("prior_click_id", pa.int64()),
+        ("prior_ts", pa.timestamp("us")),
+    ]
+)
+_ASOF_CARRY_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("day", pa.timestamp("us")),
+        ("carry_id", pa.int64()),
+        ("carry_ts", pa.timestamp("us")),
+    ]
+)
 
 
 def q_asof_join_bucketed(sf_dir: str):
@@ -860,10 +965,14 @@ def q_asof_join_bucketed(sf_dir: str):
                 "prior_ts": [r_ts[-1] if len(r_id) else None],
             }
         )
-        return pa.Table.from_pandas(
+        # explicit schema: a bucket whose prior_click_id is ALL null
+        # would otherwise produce an arrow null-typed column, and blocks
+        # with divergent schemas break the downstream hash join
+        t = pa.Table.from_pandas(
             pd.concat([rows, summary], ignore_index=True),
             preserve_index=False,
         ).replace_schema_metadata(None)
+        return t.cast(_ASOF_MIXED_SCHEMA)
 
     def carry(g: pd.DataFrame) -> pa.Table:
         """Per user: for each bucket, the latest click from EARLIER
@@ -882,7 +991,7 @@ def q_asof_join_bucketed(sf_dir: str):
         out["carry_id"] = out["carry_id"].astype("int64")
         return pa.Table.from_pandas(
             out, preserve_index=False
-        ).replace_schema_metadata(None)
+        ).replace_schema_metadata(None).cast(_ASOF_CARRY_SCHEMA)
 
     mixed = (
         ds.map_batches(day_bucket, batch_format="pyarrow", zero_copy_batch=True)
@@ -926,31 +1035,74 @@ def q_asof_join_bucketed(sf_dir: str):
         _f_unresolved, batch_format="pyarrow", zero_copy_batch=True
     ).select_columns(["event_id", "user_id", "day", "ts"])
 
-    def finish_carried(t: pa.Table) -> pa.Table:
-        have = t["carry_id"] if "carry_id" in t.column_names else pa.nulls(
-            len(t), pa.int64()
-        )
-        cts = t["carry_ts"] if "carry_ts" in t.column_names else pa.nulls(
-            len(t), pa.timestamp("us")
-        )
-        a = pc.cast(t["ts"], pa.timestamp("us"))
-        b = pc.cast(cts, pa.timestamp("us"))
-        gap = pc.round(
-            pc.divide(pc.cast(pc.subtract(a, b), pa.int64()), 1_000_000.0),
-            ndigits=6,
-        )
+    # attach carries to unresolved events via an explicit bucketed merge
+    # (union tagged rows -> groupby (user, day) -> in-group fill): the
+    # same co-location as a hash join, but robust to runtime-only
+    # schemas / empty key partitions, with every group output pinned to
+    # one explicit arrow schema
+    def tag_unresolved(t: pa.Table) -> pa.Table:
         return pa.table(
             {
+                "mkind": pa.array(["ev2"] * len(t), pa.string()),
                 "event_id": pc.cast(t["event_id"], pa.int64()),
-                "prior_click_id": pc.cast(have, pa.int64()),
-                "gap_s": pc.cast(gap, pa.float64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "day": pc.cast(t["day"], pa.timestamp("us")),
+                "ts": pc.cast(t["ts"], pa.timestamp("us")),
+                "carry_id": pa.nulls(len(t), pa.int64()),
+                "carry_ts": pa.nulls(len(t), pa.timestamp("us")),
             }
         )
 
-    filled = unresolved.join(
-        carries, join_type="left_outer", num_partitions=_pool(),
-        on=("user_id", "day"),
-    ).map_batches(finish_carried, batch_format="pyarrow")
+    def tag_carry(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mkind": pa.array(["carry"] * len(t), pa.string()),
+                "event_id": pa.nulls(len(t), pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "day": pc.cast(t["day"], pa.timestamp("us")),
+                "ts": pa.nulls(len(t), pa.timestamp("us")),
+                "carry_id": pc.cast(t["carry_id"], pa.int64()),
+                "carry_ts": pc.cast(t["carry_ts"], pa.timestamp("us")),
+            }
+        )
+
+    def fill_group(g: pa.Table) -> pa.Table:
+        kinds = g["mkind"].to_pylist()
+        c_id = c_ts = None
+        for i, k in enumerate(kinds):
+            if k == "carry":
+                c_id = g["carry_id"][i].as_py()
+                c_ts = g["carry_ts"][i].as_py()
+                break
+        ev_ids, prior, gaps = [], [], []
+        for i, k in enumerate(kinds):
+            if k != "ev2":
+                continue
+            ev_ids.append(g["event_id"][i].as_py())
+            prior.append(c_id)
+            if c_ts is None:
+                gaps.append(None)
+            else:
+                gaps.append(
+                    round((g["ts"][i].as_py() - c_ts).total_seconds(), 6)
+                )
+        return pa.table(
+            {
+                "event_id": pa.array(ev_ids, pa.int64()),
+                "prior_click_id": pa.array(prior, pa.int64()),
+                "gap_s": pa.array(gaps, pa.float64()),
+            }
+        )
+
+    tagged = unresolved.map_batches(
+        tag_unresolved, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        carries.map_batches(tag_carry, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    )
+    filled = tagged.groupby(["user_id", "day"]).map_groups(
+        fill_group, batch_format="pyarrow"
+    )
     return resolved.union(filled)
 
 
@@ -1228,7 +1380,11 @@ def q_media_meta(sf_dir: str):
     return (
         docs.map_batches(to_payload, batch_format="pyarrow")
         .map_batches(
-            MediaDecoder, fn_constructor_kwargs={"payload_col": "payload"},
+            MediaDecoder,
+            # force_fake: the oracle replicates the md5-derived decode in
+            # SQL, which must hold even in environments where PIL exists
+            fn_constructor_kwargs={"payload_col": "payload",
+                                   "force_fake": True},
             batch_format="pyarrow", batch_size=128, concurrency=_pool(),
         )
         .select_columns(["doc_id", "width", "height", "format", "n_bytes"])
@@ -1429,8 +1585,7 @@ def q_curate_neardup(sf_dir: str):
     pairs = (
         sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_hash"])
-        .map_groups(lambda g: dd.bucket_pairs(g, max_bucket=100_000),
-                    batch_format="pyarrow")
+        .map_groups(dd.bucket_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(ray.data.aggregate.Count(alias_name="n_bands"))
         .select_columns(["a", "b"])
@@ -1494,7 +1649,7 @@ def q_extract_synthetic(sf_dir: str):
     pages_dir, _ = flagship_corpus()
     work = tempfile.mkdtemp(prefix="aper_work_")
     res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False,
-                        concurrency=_pool(8), batch_size=1024)
+                        concurrency=_pool(), batch_size=1024)
     return res["answers"].select_columns(
         ["url", "fingerprint", "extracted_json", "text_norm", "n_missing"]
     )
@@ -1523,7 +1678,7 @@ def q_extract_grid_cards(sf_dir: str):
     pages_dir, _ = card_corpus()
     work = tempfile.mkdtemp(prefix="aper_cards_work_")
     res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False,
-                        pdf_layout="grid", concurrency=_pool(4))
+                        pdf_layout="grid", concurrency=_pool())
     return res["answers"].select_columns(["url", "extracted_json", "n_missing"])
 
 
@@ -1796,13 +1951,25 @@ ORACLES: dict[str, str] = {
     ),
     "distinct_events": "select distinct event_type from events",
     "asof_join": (
+        # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF
+        # picks an arbitrary row among equal c_ts — this window form pins
+        # the tie-break (max c_ts, then max c_id) to match the engine's
+        # (ts, event_id)-sorted searchsorted exactly, data-independent
         """
         with clicks as (select user_id, ts as c_ts, event_id as c_id
-                        from events where event_type = 'click')
-        select e.event_id, c.c_id as prior_click_id,
-               round(epoch(e.ts - c.c_ts), 6) as gap_s
-        from events e asof left join clicks c
-          on e.user_id = c.user_id and e.ts > c.c_ts
+                        from events where event_type = 'click'),
+        best as (
+          select event_id, c_id, c_ts from (
+            select e.event_id, c.c_id, c.c_ts,
+                   row_number() over (
+                     partition by e.event_id
+                     order by c.c_ts desc, c.c_id desc) as rn
+            from events e join clicks c
+              on e.user_id = c.user_id and e.ts > c.c_ts)
+          where rn = 1)
+        select e.event_id, b.c_id as prior_click_id,
+               round(epoch(e.ts - b.c_ts), 6) as gap_s
+        from events e left join best b using (event_id)
         """
     ),
     "window_hourly": (
@@ -2166,4 +2333,10 @@ def all_oracles() -> dict[str, str]:
     out = dict(ORACLES)
     out["extract_synthetic"] = _flagship_oracle_sql()
     out["extract_grid_cards"] = _card_oracle_sql()
+    # knn_ivf's oracle embeds data-dependent centroid literals, so it is
+    # composed against the driver's gate tables (sf0.01); the per-sf form
+    # is pytest-verified at every sf in tests/test_knn_ivf_oracle.py
+    ivf_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if os.path.isfile(_pq(ivf_sf, "embeddings")):
+        out["knn_ivf"] = ivf_oracle_sql(ivf_sf)
     return out

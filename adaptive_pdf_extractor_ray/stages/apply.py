@@ -35,9 +35,22 @@ from ..state.rulestore import RuleStore
 
 
 def _resolve_store(rules_ref) -> RuleStore:
-    """Accept an ObjectRef (broadcast), an Arrow table, or a RuleStore."""
+    """Accept a ``(store_path, mtime)`` tuple (the durable form: plain
+    values survive actor restarts — ray#53727 loses object-store
+    constructor args), an ObjectRef (broadcast), an Arrow table, or a
+    RuleStore. The flagship passes the path form: each actor loads the
+    checkpointed parquet once in ``__init__``; the mtime pins WHICH
+    checkpoint the wave was launched against (identity only — the load
+    itself reads the path)."""
+    import os
+
     import ray
 
+    if isinstance(rules_ref, tuple):
+        path, _mtime = rules_ref
+        return RuleStore.load(path) if os.path.exists(path) else RuleStore()
+    if isinstance(rules_ref, str):
+        return RuleStore.load(rules_ref) if os.path.exists(rules_ref) else RuleStore()
     if isinstance(rules_ref, ray.ObjectRef):
         rules_ref = ray.get(rules_ref)
     if isinstance(rules_ref, pa.Table):

@@ -99,13 +99,21 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t or "") for t in batch[self.col].to_pylist()]
+        texts = batch[self.col].to_pylist()
+        sigs = [self.signature(t or "") for t in texts]
+        # content_md5 rides along so over-cap LSH buckets can collapse
+        # byte-identical documents before pairing (bucket_pairs skew guard)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "minhash": pa.array(
                     [[int(v) for v in s] for s in sigs],
                     pa.list_(pa.uint64()),
+                ),
+                "content_md5": pa.array(
+                    [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                     for t in texts],
+                    pa.string(),
                 ),
             }
         )
@@ -117,10 +125,15 @@ def explode_bands(batch: pa.Table, bands: int = LSH_BANDS) -> pa.Table:
     ``md5(array_to_string(list_slice(sig, lo, hi), '|'))``)."""
     import hashlib as _hl
 
+    have_content = "content_md5" in batch.column_names
+    content = batch["content_md5"].to_pylist() if have_content else None
     doc_ids: list[int] = []
     band_ids: list[int] = []
     band_hashes: list[str] = []
-    for did, sig in zip(batch["doc_id"].to_pylist(), batch["minhash"].to_pylist()):
+    contents: list[str] = []
+    for row_i, (did, sig) in enumerate(
+        zip(batch["doc_id"].to_pylist(), batch["minhash"].to_pylist())
+    ):
         rows_per_band = len(sig) // bands
         for b in range(bands):
             chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
@@ -128,24 +141,88 @@ def explode_bands(batch: pa.Table, bands: int = LSH_BANDS) -> pa.Table:
             doc_ids.append(did)
             band_ids.append(b)
             band_hashes.append(h)
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int64()),
-            "band_hash": pa.array(band_hashes, pa.string()),
-        }
-    )
+            if have_content:
+                contents.append(content[row_i])
+    cols = {
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "band_id": pa.array(band_ids, pa.int64()),
+        "band_hash": pa.array(band_hashes, pa.string()),
+    }
+    if have_content:
+        cols["content_md5"] = pa.array(contents, pa.string())
+    return pa.table(cols)
 
 
-def bucket_pairs(group: pa.Table, max_bucket: int = 64) -> pa.Table:
-    """One LSH bucket -> candidate pairs (a < b). Oversized buckets are
-    truncated to ``max_bucket`` docs (logged via column) — skew guard."""
-    ids = sorted(group["doc_id"].to_pylist())[:max_bucket]
+def bucket_pairs(group: pa.Table, max_bucket: int = 1000,
+                 rep_neighbors: int = 8) -> pa.Table:
+    """One LSH bucket -> candidate pairs (a < b), skew-proof.
+
+    Buckets up to ``max_bucket`` docs emit all C(n,2) pairs — the exact
+    LSH semantics (and what the SQL oracle replicates; fixture buckets
+    never exceed the cap). Real web corpora DO produce giant buckets:
+    boilerplate/empty pages share every band (``MinHasher.signature``
+    maps shingle-less text to a constant all-max signature), and a naive
+    all-pairs there is O(n²) rows from ONE task. Over-cap buckets instead:
+
+    1. collapse byte-identical documents (same ``content_md5``) to their
+       min-doc_id representative, pairing the members to it in a star —
+       O(members) pairs, guaranteed Jaccard 1.0, keeps the component
+       connected;
+    2. all-pairs over the representatives while they fit ``max_bucket``;
+       beyond that each (sorted) representative pairs with its next
+       ``rep_neighbors`` — bounded O(reps × k), and mutually-similar
+       bucket members stay transitively connected for the components
+       pass. Dropped pair volume is logged (no silent caps).
+    """
+    ids = group["doc_id"].to_pylist()
+    n = len(ids)
+    if n <= max_bucket:
+        ids = sorted(ids)
+        a_out, b_out = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
+
+    import logging
+
+    if "content_md5" in group.column_names:
+        hashes = group["content_md5"].to_pylist()
+    else:  # no content column: every doc is its own representative
+        hashes = [str(i) for i in ids]
+    by_content: dict[str, list[int]] = {}
+    for did, ch in zip(ids, hashes):
+        by_content.setdefault(ch, []).append(did)
     a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
+    reps: list[int] = []
+    for members in by_content.values():
+        members.sort()
+        reps.append(members[0])
+        for m in members[1:]:  # identical-content star
+            a_out.append(members[0])
+            b_out.append(m)
+    reps.sort()
+    if len(reps) <= max_bucket:
+        for i in range(len(reps)):
+            for j in range(i + 1, len(reps)):
+                a_out.append(reps[i])
+                b_out.append(reps[j])
+    else:
+        for i in range(len(reps)):
+            for j in range(i + 1, min(i + 1 + rep_neighbors, len(reps))):
+                a_out.append(reps[i])
+                b_out.append(reps[j])
+    logging.getLogger(__name__).warning(
+        "LSH skew guard: bucket of %d docs (%d distinct contents) emitted "
+        "%d candidate pairs instead of all-pairs %d "
+        "(identical-content star + %s)",
+        n, len(reps), len(a_out), n * (n - 1) // 2,
+        "rep all-pairs" if len(reps) <= max_bucket
+        else f"{rep_neighbors}-neighbor rep adjacency",
+    )
     return pa.table(
         {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
     )
@@ -224,7 +301,8 @@ def attach_pair_texts(pairs, docs, *, num_partitions: int = 8):
 
 
 def connected_components(edges, *, num_partitions: int = 8,
-                         max_rounds: int = 30):
+                         max_rounds: int = 30,
+                         stats: dict | None = None):
     """Distributed connected components over an edge Dataset (a, b) by
     iterative min-label propagation: per round, every node takes the min
     of its own label and its neighbors' labels (one hash join + one
@@ -275,7 +353,9 @@ def connected_components(edges, *, num_partitions: int = 8,
         .materialize()
     )
     prev_sum = labels.sum("rep")
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         nb = E.join(
             labels, join_type="inner", num_partitions=num_partitions,
             on=("dst",), right_on=("node",),
@@ -290,4 +370,7 @@ def connected_components(edges, *, num_partitions: int = 8,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:  # observability: bench reports round counts
+        stats["cc_rounds"] = rounds
+        stats["cc_nodes"] = labels.count()
     return labels.rename_columns({"node": "doc_id", "rep": "rep_id"})

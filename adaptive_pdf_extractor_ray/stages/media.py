@@ -48,14 +48,31 @@ class MediaDecoder:
     """
 
     def __init__(self, payload_col: str = "payload", strict: bool = False,
-                 thumb_size: int = 8):
+                 thumb_size: int = 8, force_fake: bool = False):
         self.col = payload_col
         self.strict = strict
         self.thumb = thumb_size
+        # force_fake pins the md5-derived deterministic decode even where
+        # PIL exists — used by the oracle-verified query so its SQL
+        # replication stays valid in every environment
+        self.force_fake = force_fake
 
     def _decode(self, payload: bytes) -> dict:
-        if _HAVE_PIL:  # pragma: no cover - library absent here
-            raise NotImplementedError("real PIL decode path not exercised in CI")
+        if _HAVE_PIL and not self.force_fake:  # pragma: no cover - lib absent here
+            import io
+
+            with Image.open(io.BytesIO(payload)) as img:
+                width, height = img.size
+                fmt = (img.format or "unknown").lower()
+                thumb_img = img.convert("L").resize((self.thumb, self.thumb))
+                thumb = [int(v) for v in thumb_img.getdata()]
+            return {
+                "width": width,
+                "height": height,
+                "format": fmt,
+                "n_bytes": len(payload),
+                "thumb": thumb,
+            }
         if self.strict:
             raise NotImplementedError(
                 "media decode requires PIL/soundfile/av (not in this container)"
@@ -79,9 +96,11 @@ class MediaDecoder:
             try:
                 metas.append(self._decode(bytes(payload or b"")))
                 errs.append(None)
-            except NotImplementedError as e:
+            except Exception as e:
+                # per-row error isolation: at web scale corrupt payloads
+                # are routine — one bad image must not fail the batch
                 metas.append(None)
-                errs.append(str(e))
+                errs.append(f"{type(e).__name__}: {e}")
         out = {
             "width": pa.array([m["width"] if m else None for m in metas], pa.int64()),
             "height": pa.array([m["height"] if m else None for m in metas], pa.int64()),

@@ -60,6 +60,12 @@ class RuleStore:
         # save() fold only this process's weight DELTA into the on-disk
         # table (commutative merge across shards sharing one store)
         self._base: dict[int, int] = {}
+        # rule_id -> fit-origin weight floor raised by add()'s max()
+        # branch this session: a refit raising a rule's weight is a
+        # deterministic PRIOR, not an observed hit count, so merge takes
+        # max(disk, floor) + hit-delta instead of treating the raise as
+        # additive (which would inflate weights on every warm refit)
+        self._fit_floor: dict[int, int] = {}
 
     # -- construction -----------------------------------------------------
     def add(self, fingerprint: str, field: str, rule: Rule) -> int:
@@ -71,7 +77,18 @@ class RuleStore:
             self._base.setdefault(rid, rule.weight)
         else:  # same content: keep the max weight / min idx seen
             old = existing[2]
-            old.weight = max(old.weight, rule.weight)
+            raised = max(0, rule.weight - old.weight)
+            if raised:
+                # a fit-origin weight raise is NOT this shard's observed
+                # hit delta: raise _base by the same amount (so the
+                # delta-merge save() folds only hit counts) and record
+                # the floor (so the merge can still honor the raise via
+                # max(disk, floor) instead of dropping it)
+                old.weight += raised
+                self._base[rid] = self._base.get(rid, 0) + raised
+                self._fit_floor[rid] = max(
+                    self._fit_floor.get(rid, 0), rule.weight
+                )
             old.rule_idx = min(old.rule_idx, rule.rule_idx)
         return rid
 
@@ -198,12 +215,19 @@ class RuleStore:
                             self._base[rid] = r.weight
                         else:
                             m = mine[2]
+                            # hit-only delta (fit raises moved _base up);
+                            # the fit-origin floor is honored via max()
+                            # — idempotent across repeated warm refits,
+                            # additive across shards' observed hits
                             delta = m.weight - self._base.get(rid, m.weight)
-                            m.weight = r.weight + max(0, delta)
+                            m.weight = max(
+                                r.weight, self._fit_floor.get(rid, 0)
+                            ) + max(0, delta)
                             m.rule_idx = min(m.rule_idx, r.rule_idx)
                 # new baseline: a later save() in this process folds only
                 # the changes made after this point
                 self._base = {rid: e[2].weight for rid, e in self._rules.items()}
+                self._fit_floor = {}
                 tmp = path + ".tmp"
                 pq.write_table(self.to_table(), tmp)
                 os.replace(tmp, path)

@@ -34,6 +34,9 @@ FILLER_WORDS = int(os.environ.get("BENCH_FILLER_WORDS", "250"))
 SKIP_QUERIES = os.environ.get("BENCH_SKIP_QUERIES") == "1"
 # median-of-N warm repeats: damps host/page-cache noise on shared VMs
 WARM_REPEATS = int(os.environ.get("BENCH_WARM_REPEATS", "1"))
+# dedup-at-scale section: LSH/verify/components/keep-best over this many
+# near-dup docs (>=100k so machinery constants no longer dominate)
+DEDUP_DOCS = int(os.environ.get("BENCH_DEDUP_DOCS", "100000"))
 
 BENCH_QUERIES = [
     "normalize_text",
@@ -52,6 +55,104 @@ BENCH_QUERIES = [
     "vocab_top_terms",
     "dedup_keep_best",
 ]
+
+
+def _write_dedup_corpus(out_dir: str, n: int, seed: int = 1) -> str:
+    """Deterministic near-dup corpus for the dedup-at-scale bench:
+    families of 5 near-identical docs (base + k-token mutations), plus
+    ~2% byte-identical repeats and ~1% empty docs (the adversarial web
+    shapes: boilerplate + blank pages)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    fam = n // 5
+    toks = rng.randint(0, 5000, size=(fam, 60))
+    texts: list[str] = []
+    for i in range(n):
+        f, m = divmod(i, 5)
+        row = toks[f].copy()
+        if m:  # mutate m tokens -> near-dup of the family base
+            pos = rng.randint(0, 60, size=m)
+            row[pos] = rng.randint(5000, 6000, size=m)
+        texts.append(" ".join(f"w{t}" for t in row))
+    for i in range(0, n, 50):  # 2% byte-identical repeats of doc 0's family
+        texts[i] = texts[0]
+    for i in range(0, n, 100):  # 1% empty docs (constant minhash signature)
+        texts[i] = ""
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        path,
+    )
+    return out_dir
+
+
+def run_dedup_scale(n_docs: int) -> dict:
+    """MinHash LSH -> verify -> connected components -> keep-best over a
+    ≥100k-doc near-dup corpus: the dedup family at a scale where the
+    machinery constant no longer dominates. Reports docs/s and the CC
+    round count (must stay small — components are shallow by design)."""
+    import ray
+
+    from adaptive_pdf_extractor_ray.pipelines.queries import (
+        _lsh_distinct_pairs,
+        _pool,
+        _read,
+    )
+    from adaptive_pdf_extractor_ray.stages import dedup as dd
+    from adaptive_pdf_extractor_ray.stages import text as tx
+
+    sf_dir = _write_dedup_corpus(
+        os.path.join(tempfile.gettempdir(), f"aper_dedup_{n_docs}"), n_docs
+    )
+    t0 = time.time()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _lsh_distinct_pairs(sf_dir).materialize()
+    n_pairs = pairs.count()
+    verified = dd.attach_pair_texts(
+        pairs, docs, num_partitions=_pool()
+    ).map_batches(dd.jaccard_pairs_batch, batch_format="pyarrow").filter(
+        expr="jaccard >= 0.5"
+    ).select_columns(["a", "b"])
+    cc_stats: dict = {}
+    cc = dd.connected_components(verified, num_partitions=_pool(),
+                                 stats=cc_stats)
+    qual = docs.map_batches(tx.token_count_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    import pyarrow.compute as _pc
+
+    j = cc.join(qual, join_type="inner", num_partitions=_pool(),
+                on=("doc_id",))
+
+    def pick(g):
+        import pyarrow as pa
+
+        idx = _pc.sort_indices(
+            g, sort_keys=[("n_tokens", "descending"), ("doc_id", "ascending")]
+        )
+        first = g.take(idx.slice(0, 1))
+        return pa.table({"rep_id": first["rep_id"],
+                         "keep_doc_id": first["doc_id"]})
+
+    n_clusters = j.groupby("rep_id").map_groups(
+        pick, batch_format="pyarrow"
+    ).count()
+    wall = time.time() - t0
+    return {
+        "docs": n_docs,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "candidate_pairs": n_pairs,
+        "cc_rounds": cc_stats.get("cc_rounds"),
+        "cc_nodes": cc_stats.get("cc_nodes"),
+        "clusters": n_clusters,
+    }
 
 
 def _consume(res) -> int:
@@ -150,12 +251,14 @@ def run_bench() -> dict:
     from adaptive_pdf_extractor_ray.pipelines.queries import QUERIES
 
     qtimes: dict[str, float] = {}
+    dedup_scale: dict = {}
     if not SKIP_QUERIES:
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
             tq = time.time()
             _consume(fn(SF_DIR))
             qtimes[name] = round(time.time() - tq, 3)
+        dedup_scale = run_dedup_scale(DEDUP_DOCS)
 
     ray.shutdown()
     return {
@@ -169,6 +272,7 @@ def run_bench() -> dict:
         "docs_per_sec_warm": round(n_docs / warm_s, 1),
         "phases": {k: round(v, 2) for k, v in res["phases"].items()},
         "queries": qtimes,
+        "dedup_scale": dedup_scale,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }

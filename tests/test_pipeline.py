@@ -373,6 +373,91 @@ class TestIncrementalWatch:
         total = rd.read_parquet(answer_files).count()
         assert total == 300
 
+    def test_watch_workdir_keyed_by_file_set_not_ledger_length(
+        self, tmp_path, ray_session
+    ):
+        """A crashed batch's stale wave1._done must never skip files that
+        were not in the original batch: the sub-work-dir is keyed by the
+        md5 of the batch's file list, so a restart whose pending set has
+        changed gets a fresh work dir (and each batch records its file
+        manifest)."""
+        import glob
+        import hashlib
+        import shutil
+
+        from adaptive_pdf_extractor_ray.__main__ import main
+
+        src = tmp_path / "incoming"
+        src.mkdir()
+        corpus = tmp_path / "gen"
+        pages_dir, _ = write_corpus(str(corpus), n=200, seed=3, shard_rows=100)
+        parts = sorted(glob.glob(f"{pages_dir}/part-*.parquet"))
+        shutil.copy(parts[0], src / "b.parquet")
+        work = tmp_path / "watchwork"
+        work.mkdir()
+
+        # simulate the pre-crash state: a batch over ONLY [b] completed
+        # wave 1 (its _done marker exists) but died before finishing —
+        # then c arrived before restart
+        key_b = hashlib.md5(str(src / "b.parquet").encode()).hexdigest()[:16]
+        stale = work / f"ingest-{key_b}"
+        stale.mkdir()
+        (stale / "wave1._done").write_text("{}")
+        shutil.copy(parts[1], src / "c.parquet")
+
+        rc = main(["watch", "--input", str(src), "--work-dir", str(work),
+                   "--once"])
+        assert rc == 0
+        # the restarted batch [b, c] got its OWN work dir and extracted
+        # both files — nothing was silently dropped by the stale marker
+        import ray.data as rd
+
+        answer_files = []
+        for d in sorted(glob.glob(f"{work}/ingest-*")):
+            if str(d) == str(stale):
+                continue
+            for sub in ("wave1/refit=0", "wave2"):
+                answer_files.extend(sorted(glob.glob(f"{d}/{sub}/*.parquet")))
+        assert rd.read_parquet(answer_files).count() == 200
+        # the batch recorded its file manifest
+        manifests = glob.glob(f"{work}/ingest-*/files.json")
+        assert any(
+            sorted(json.load(open(m))) == [str(src / "b.parquet"),
+                                           str(src / "c.parquet")]
+            for m in manifests
+        )
+
+    def test_watch_defers_unstable_files_and_survives_bad_shards(
+        self, tmp_path, ray_session, capsys
+    ):
+        """Without --once a file is only taken after its size is stable
+        across two polls, and a corrupt shard fails its batch without
+        killing the watcher or entering the ledger."""
+        import glob
+        import shutil
+
+        from adaptive_pdf_extractor_ray.__main__ import main
+
+        src = tmp_path / "incoming"
+        src.mkdir()
+        corpus = tmp_path / "gen"
+        pages_dir, _ = write_corpus(str(corpus), n=100, seed=5, shard_rows=100)
+        part = sorted(glob.glob(f"{pages_dir}/part-*.parquet"))[0]
+        shutil.copy(part, src / "good.parquet")
+        (src / "bad.parquet").write_bytes(b"not a parquet file")
+        work = tmp_path / "watchwork"
+
+        rc = main(["watch", "--input", str(src), "--work-dir", str(work),
+                   "--poll-s", "0.05", "--max-polls", "2"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["failures"] >= 1
+        ledger = json.loads((work / "ingested.json").read_text())
+        # the good shard was ingested (after the one-poll stability
+        # deferral); the corrupt one was retried but never ledgered
+        assert str(src / "good.parquet") in ledger
+        assert str(src / "bad.parquet") not in ledger
+
 
 @pytest.mark.parametrize("seed,tela_ratio,filler", [(11, 0.5, 0), (17, 0.0, 40), (23, 1.0, 10)])
 def test_accuracy_100_across_protocol_variants(

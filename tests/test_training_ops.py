@@ -38,7 +38,9 @@ class TestMinHash:
         batch = pa.table({"doc_id": [1, 2], "text": ["x y z w v u", "p q r s t"]})
         bands = dd.explode_bands(m(batch), bands=16)
         assert len(bands) == 2 * 16
-        assert bands.column_names == ["doc_id", "band_id", "band_hash"]
+        assert bands.column_names == [
+            "doc_id", "band_id", "band_hash", "content_md5"
+        ]
 
     def test_identical_docs_collide_in_every_band(self):
         m = dd.MinHasher(num_perm=64)
@@ -139,6 +141,46 @@ class TestMedia:
 
     def test_frame_sample_plan(self):
         assert frame_sample_plan(10.0, 30.0, 30) == list(range(0, 300, 30))
+
+    def test_force_fake_pins_md5_decode(self):
+        # the oracle-verified query pins the md5-derived decode even in
+        # environments where PIL exists
+        dec_fake = MediaDecoder(force_fake=True)
+        b = pa.table({"doc_id": [1], "payload": [b"payload bytes"]})
+        out = dec_fake(b).to_pandas()
+        import hashlib as _hl
+
+        h = _hl.md5(b"payload bytes").digest()
+        assert out["width"][0] == 64 + (int.from_bytes(h[:4], "big") % 1856)
+
+    def test_real_pil_decode_when_available(self):
+        from adaptive_pdf_extractor_ray.stages import media as md
+
+        if not md._HAVE_PIL:
+            import pytest as _pytest
+
+            _pytest.skip("PIL not in this container (honest stub boundary)")
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 10), (1, 2, 3)).save(buf, format="PNG")
+        out = MediaDecoder()(pa.table(
+            {"doc_id": [1], "payload": [buf.getvalue()]}
+        )).to_pandas()
+        assert out["width"][0] == 20 and out["height"][0] == 10
+        assert out["format"][0] == "png"
+        assert len(out["thumb"][0]) == 64
+
+    def test_corrupt_payload_isolated_per_row(self):
+        # a payload the decoder cannot handle yields decode_error on ITS
+        # row only; batch-mates still decode (web-scale error isolation)
+        dec = MediaDecoder(strict=True)
+        b = pa.table({"doc_id": [1, 2], "payload": [b"bad", b"also bad"]})
+        out = dec(b).to_pandas()
+        assert out["decode_error"].notna().all()
+        assert len(out) == 2
 
 
 class TestPlantedNearDups:
