@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.templates import default_vocab
+from ..functions.templates import UNKNOWN_FINGERPRINT, default_vocab
 from ..stages.apply import ExtractBatch, RuleApplier, answer_partials
 from ..stages.fit import FitGroup
 from ..stages.parse import make_fingerprint_fn, normalize_batch, parse_batch
@@ -223,12 +223,20 @@ def extract_pages(
     # O(fingerprints × exemplars × read-parallelism) rows, never the
     # corpus (cold start would otherwise shuffle everything — the skew
     # guard from SURVEY §4).
+    # The 'unk' fingerprint pools EVERY yet-unrecognized template family,
+    # and FitGroup's family discovery needs a sample of its full diversity
+    # (it peels families from max(16*max_exemplars, 128) texts) — capping
+    # it at max_exemplars like a known template would starve discovery of
+    # all but the first family whenever one batch holds the misses.
+    unk_cap = max(16 * max_exemplars, 128)
+
     def sample_exemplars(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["text_norm"]))
         keep: list[int] = []
         seen: dict[str, int] = {}
         for i, fp in enumerate(t["fingerprint"].to_pylist()):
-            if seen.get(fp, 0) < max_exemplars:
+            cap = unk_cap if fp == UNKNOWN_FINGERPRINT else max_exemplars
+            if seen.get(fp, 0) < cap:
                 seen[fp] = seen.get(fp, 0) + 1
                 keep.append(i)
         return t.take(pa.array(keep, pa.int64()))

@@ -77,6 +77,16 @@ def _pool(cap: int | None = None) -> int:
         size = min(size, cap)
     return max(1, min(size, n - 2))
 
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet metadata (no data read) — sizes shuffle
+    partition counts to the data instead of pinning them to the cluster
+    (a 25-row join sized to 24 partitions spends actor spinup to move
+    kilobytes; see stages.dedup.adaptive_partitions)."""
+    import pyarrow.parquet as pq_
+
+    return pq_.ParquetFile(_pq(sf_dir, name)).metadata.num_rows
+
+
 MARKERS = ["spark", "join", "merge", "window", "stream", "vector"]
 
 
@@ -274,11 +284,11 @@ def q_dedup_minhash_clusters(sf_dir: str):
     CTE."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = _lsh_distinct_pairs(sf_dir)
-    with_texts = dd.attach_pair_texts(pairs, docs, num_partitions=_pool())
+    with_texts = dd.attach_pair_texts(pairs, docs)
     verified = with_texts.map_batches(
         dd.jaccard_pairs_batch, batch_format="pyarrow"
     ).filter(expr="jaccard >= 0.5").select_columns(["a", "b"])
-    return dd.connected_components(verified, num_partitions=_pool())
+    return dd.connected_components(verified)
 
 
 def q_dedup_keep_best(sf_dir: str):
@@ -289,13 +299,14 @@ def q_dedup_keep_best(sf_dir: str):
     (joins + groupbys), value-verified via recursive-CTE + window SQL."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = _lsh_distinct_pairs(sf_dir)
-    verified = dd.attach_pair_texts(pairs, docs, num_partitions=_pool()).map_batches(
+    verified = dd.attach_pair_texts(pairs, docs).map_batches(
         dd.jaccard_pairs_batch, batch_format="pyarrow"
     ).filter(expr="jaccard >= 0.5").select_columns(["a", "b"])
-    cc = dd.connected_components(verified, num_partitions=_pool())
+    cc = dd.connected_components(verified).materialize()
     qual = docs.map_batches(tx.token_count_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
-    j = cc.join(qual, join_type="inner", num_partitions=_pool(),
+    j = cc.join(qual, join_type="inner",
+                num_partitions=dd.adaptive_partitions(cc.count()),
                 on=("doc_id",))
 
     def pick(g: pa.Table) -> pa.Table:
@@ -355,8 +366,13 @@ def q_tfidf_top_terms(sf_dir: str):
     df = tfs.groupby("term").aggregate(
         ray.data.aggregate.Count(alias_name="df")
     )
-    joined = tfs.join(df, join_type="inner", num_partitions=_pool(),
-                      on=("term",))
+    joined = tfs.join(
+        df, join_type="inner",
+        num_partitions=dd.adaptive_partitions(
+            _table_rows(sf_dir, "documents") * 32  # ~term rows per corpus
+        ),
+        on=("term",),
+    )
 
     def score(t: pa.Table) -> pa.Table:
         tf = np.asarray(t["tf"].to_pylist(), dtype=np.float64)
@@ -437,7 +453,7 @@ def q_dedup_jaccard(sf_dir: str):
     text collection or pair materialization."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = _lsh_distinct_pairs(sf_dir)
-    return dd.attach_pair_texts(pairs, docs, num_partitions=_pool()).map_batches(
+    return dd.attach_pair_texts(pairs, docs).map_batches(
         dd.jaccard_pairs_batch, batch_format="pyarrow"
     )
 
@@ -639,7 +655,8 @@ def q_join_revenue(sf_dir: str):
     if n_small > BROADCAST_MAX_ROWS:
         joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).join(
             _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
-            join_type="inner", num_partitions=_pool(),
+            join_type="inner",
+            num_partitions=dd.adaptive_partitions(_table_rows(sf_dir, "orders")),
             on=("o_custkey",), right_on=("c_custkey",),
         )
     else:
@@ -679,7 +696,8 @@ def q_join_large(sf_dir: str):
     od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     j = od.join(
-        li, join_type="inner", num_partitions=_pool(),
+        li, join_type="inner",
+        num_partitions=dd.adaptive_partitions(_table_rows(sf_dir, "lineitem")),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -847,10 +865,14 @@ def q_topk_orders(sf_dir: str):
 
 
 def q_distinct_events(sf_dir: str):
-    vals = _read(sf_dir, "events", ["event_type"]).unique("event_type")
-    import pandas as pd
-
-    return pd.DataFrame({"event_type": sorted(vals)})
+    """Distinct values as a distributed groupby — stays a Dataset (a
+    driver-side ``unique()`` would bound the operator to driver memory
+    at high cardinality)."""
+    return (
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type").count()
+        .select_columns(["event_type"])
+    )
 
 
 def q_asof_join(sf_dir: str):
@@ -1577,8 +1599,11 @@ def q_curate_neardup(sf_dir: str):
         ray.data.aggregate.Min("n_tokens", alias_name="n_tokens"),
     ).select_columns(["doc_id", "n_tokens"])
 
-    texts = surv.join(docs, join_type="inner", num_partitions=_pool(),
-                      on=("doc_id",))
+    texts = surv.join(
+        docs, join_type="inner",
+        num_partitions=dd.adaptive_partitions(_table_rows(sf_dir, "documents")),
+        on=("doc_id",),
+    )
     sigs = texts.select_columns(["doc_id", "text"]).map_batches(
         dd.MinHasher, batch_format="pyarrow", concurrency=_pool(),
     )
@@ -1592,12 +1617,13 @@ def q_curate_neardup(sf_dir: str):
     )
     verified = dd.attach_pair_texts(
         pairs, texts.select_columns(["doc_id", "text"]),
-        num_partitions=_pool(),
     ).map_batches(dd.jaccard_pairs_batch, batch_format="pyarrow").filter(
         expr="jaccard >= 0.5"
     ).select_columns(["a", "b"])
-    cc = dd.connected_components(verified, num_partitions=_pool())
-    members = cc.join(surv, join_type="inner", num_partitions=_pool(),
+    cc = dd.connected_components(verified)
+    cc = cc.materialize()  # small: only docs that appear in verified pairs
+    members = cc.join(surv, join_type="inner",
+                      num_partitions=dd.adaptive_partitions(cc.count()),
                       on=("doc_id",))
 
     def losers(g: pa.Table) -> pa.Table:
@@ -1609,8 +1635,11 @@ def q_curate_neardup(sf_dir: str):
     loser_ds = members.groupby("rep_id").map_groups(
         losers, batch_format="pyarrow"
     )
-    return surv.join(loser_ds, join_type="left_anti",
-                     num_partitions=_pool(), on=("doc_id",))
+    return surv.join(
+        loser_ds, join_type="left_anti",
+        num_partitions=dd.adaptive_partitions(_table_rows(sf_dir, "documents")),
+        on=("doc_id",),
+    )
 
 
 # ---------------------------------------------------------------------------

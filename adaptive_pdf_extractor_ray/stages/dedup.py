@@ -100,21 +100,26 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.col].to_pylist()
-        sigs = [self.signature(t or "") for t in texts]
-        # content_md5 rides along so over-cap LSH buckets can collapse
-        # byte-identical documents before pairing (bucket_pairs skew guard)
+        # one signature per DISTINCT content: web corpora repeat
+        # boilerplate massively, and the signature is a pure function of
+        # the text — the md5 key also rides along so over-cap LSH buckets
+        # can collapse byte-identical docs before pairing (skew guard)
+        hashes = [
+            hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts
+        ]
+        sig_cache: dict[str, list[int]] = {}
+        sigs: list[list[int]] = []
+        for t, h in zip(texts, hashes):
+            s = sig_cache.get(h)
+            if s is None:
+                s = [int(v) for v in self.signature(t or "")]
+                sig_cache[h] = s
+            sigs.append(s)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "minhash": pa.array(
-                    [[int(v) for v in s] for s in sigs],
-                    pa.list_(pa.uint64()),
-                ),
-                "content_md5": pa.array(
-                    [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-                     for t in texts],
-                    pa.string(),
-                ),
+                "minhash": pa.array(sigs, pa.list_(pa.uint64())),
+                "content_md5": pa.array(hashes, pa.string()),
             }
         )
 
@@ -284,12 +289,35 @@ def jaccard_pairs_batch(batch: pa.Table, k: int = 3,
     )
 
 
-def attach_pair_texts(pairs, docs, *, num_partitions: int = 8):
+def adaptive_partitions(n_rows: int, *, rows_per_part: int = 100_000,
+                        cap: int | None = None) -> int:
+    """Hash-shuffle partition count scaled to the DATA, clamped to the
+    cluster: every ``num_partitions`` costs a shuffle-aggregator actor
+    per operation, so sizing a 25-row pair join to the cluster's 24
+    cores spends minutes of actor spinup to move kilobytes (the
+    iterative components loop pays it per round). Rows dominate below
+    the cluster clamp; the clamp keeps giant inputs from oversubscribing
+    a small session."""
+    import ray
+
+    if cap is None:
+        n_cpu = int(ray.cluster_resources().get("CPU", 4))
+        cap = max(2, (n_cpu * 3) // 4)
+    return max(2, min(cap, n_rows // rows_per_part + 2))
+
+
+def attach_pair_texts(pairs, docs, *, num_partitions: int | None = None):
     """Candidate-pair Dataset (a, b) + docs Dataset (doc_id, text) ->
     (a, b, text_a, text_b) via two distributed hash joins on doc_id.
     The dedup graph is orders of magnitude smaller than the corpus, so
     both joins move only candidate rows plus their matched texts — never
-    the full documents table to the driver."""
+    the full documents table to the driver. With ``num_partitions=None``
+    the pair set is materialized once (also avoiding a double execution
+    of its lineage by the two joins) and the partition count adapts to
+    its size."""
+    if num_partitions is None:
+        pairs = pairs.materialize()
+        num_partitions = adaptive_partitions(pairs.count())
     j1 = pairs.join(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=("doc_id",),
@@ -300,7 +328,7 @@ def attach_pair_texts(pairs, docs, *, num_partitions: int = 8):
     ).rename_columns({"text": "text_b"})
 
 
-def connected_components(edges, *, num_partitions: int = 8,
+def connected_components(edges, *, num_partitions: int | None = None,
                          max_rounds: int = 30,
                          stats: dict | None = None):
     """Distributed connected components over an edge Dataset (a, b) by
@@ -331,6 +359,10 @@ def connected_components(edges, *, num_partitions: int = 8,
         )
 
     E = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        # per-round joins/groupbys pay a shuffle-aggregator actor per
+        # partition: size to the (already-materialized) edge count
+        num_partitions = adaptive_partitions(E.count())
     if E.count() == 0:
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()),

@@ -116,13 +116,12 @@ def run_dedup_scale(n_docs: int) -> dict:
     pairs = _lsh_distinct_pairs(sf_dir).materialize()
     n_pairs = pairs.count()
     verified = dd.attach_pair_texts(
-        pairs, docs, num_partitions=_pool()
+        pairs, docs, num_partitions=dd.adaptive_partitions(n_pairs)
     ).map_batches(dd.jaccard_pairs_batch, batch_format="pyarrow").filter(
         expr="jaccard >= 0.5"
     ).select_columns(["a", "b"])
     cc_stats: dict = {}
-    cc = dd.connected_components(verified, num_partitions=_pool(),
-                                 stats=cc_stats)
+    cc = dd.connected_components(verified, stats=cc_stats)
     qual = docs.map_batches(tx.token_count_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
     import pyarrow.compute as _pc

@@ -50,6 +50,9 @@ def value_hash(df: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # data-dependent oracles (knn_ivf centroid literals) must be composed
+    # against THIS run's tables, not the driver-gate default of sf0.01
+    os.environ.setdefault("GRAFT_ORACLE_SF_DIR", sf_dir)
 
     import ray
 
