@@ -77,6 +77,16 @@ def _pool(cap: int | None = None) -> int:
         size = min(size, cap)
     return max(1, min(size, n - 2))
 
+
+def _apool(cap: int | None = None) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds ``(1, _pool(cap))``: the pool starts
+    at one actor and grows toward the cluster-proportional max only while
+    the operator is backlogged. A fixed pool of ~3/4 of the cluster pays
+    the full actor spinup (~2 s for 24 actors) even when the input is a
+    few thousand rows; at 100 TB the same pool still reaches the max."""
+    return (1, _pool(cap))
+
+
 def _table_rows(sf_dir: str, name: str) -> int:
     """Row count from parquet metadata (no data read) — sizes shuffle
     partition counts to the data instead of pinning them to the cluster
@@ -246,7 +256,7 @@ def _lsh_candidate_pairs(sf_dir: str):
     core, fully SQL-reproducible)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
-        dd.MinHasher, batch_format="pyarrow", concurrency=_pool(),
+        dd.MinHasher, batch_format="pyarrow", concurrency=_apool(),
     )
     bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
     # default max_bucket: all-pairs while a bucket is small (exact LSH,
@@ -506,7 +516,7 @@ def q_knn_brute(sf_dir: str):
     q = _query_vectors(sf_dir)
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         sim.BruteKnn, fn_constructor_args=(q, KNN_K),
-        batch_format="pyarrow", concurrency=_pool(),
+        batch_format="pyarrow", concurrency=_apool(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
@@ -588,7 +598,7 @@ def q_knn_ivf(sf_dir: str):
     C = sim.kmeans_lite(X, n_clusters=min(8, len(X)))
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         sim.IvfIndexKnn, fn_constructor_args=(q, C),
-        batch_format="pyarrow", concurrency=_pool(),
+        batch_format="pyarrow", concurrency=_apool(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
@@ -678,7 +688,7 @@ def q_join_revenue(sf_dir: str):
 
         joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
             Join, fn_constructor_args=(cref,),
-            batch_format="pyarrow", concurrency=_pool(),
+            batch_format="pyarrow", concurrency=_apool(),
         )
 
     agg = joined.groupby("c_mktsegment").aggregate(
@@ -841,7 +851,7 @@ def q_multihop_join(sf_dir: str):
     agg = (
         _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
         .map_batches(Lookup, fn_constructor_args=(nref, rref),
-                     batch_format="pyarrow", concurrency=_pool())
+                     batch_format="pyarrow", concurrency=_apool())
         .groupby("r_name")
         .aggregate(
             ray.data.aggregate.Count(alias_name="n_customers"),
@@ -1407,7 +1417,7 @@ def q_media_meta(sf_dir: str):
             # SQL, which must hold even in environments where PIL exists
             fn_constructor_kwargs={"payload_col": "payload",
                                    "force_fake": True},
-            batch_format="pyarrow", batch_size=128, concurrency=_pool(),
+            batch_format="pyarrow", batch_size=128, concurrency=_apool(),
         )
         .select_columns(["doc_id", "width", "height", "format", "n_bytes"])
     )
@@ -1605,7 +1615,7 @@ def q_curate_neardup(sf_dir: str):
         on=("doc_id",),
     )
     sigs = texts.select_columns(["doc_id", "text"]).map_batches(
-        dd.MinHasher, batch_format="pyarrow", concurrency=_pool(),
+        dd.MinHasher, batch_format="pyarrow", concurrency=_apool(),
     )
     pairs = (
         sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
@@ -1678,7 +1688,7 @@ def q_extract_synthetic(sf_dir: str):
     pages_dir, _ = flagship_corpus()
     work = tempfile.mkdtemp(prefix="aper_work_")
     res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False,
-                        concurrency=_pool(), batch_size=1024)
+                        concurrency=_apool(), batch_size=1024)
     return res["answers"].select_columns(
         ["url", "fingerprint", "extracted_json", "text_norm", "n_missing"]
     )
@@ -1707,7 +1717,7 @@ def q_extract_grid_cards(sf_dir: str):
     pages_dir, _ = card_corpus()
     work = tempfile.mkdtemp(prefix="aper_cards_work_")
     res = extract_pages(rd.read_parquet(pages_dir), work, write_answers=False,
-                        pdf_layout="grid", concurrency=_pool())
+                        pdf_layout="grid", concurrency=_apool())
     return res["answers"].select_columns(["url", "extracted_json", "n_missing"])
 
 
