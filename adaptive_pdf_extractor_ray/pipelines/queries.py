@@ -1756,6 +1756,164 @@ def _flagship_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# decontamination / repetition-quality / quantiles / global rank
+# ---------------------------------------------------------------------------
+
+# benchmark-phrase derivation: docs with doc_id % DECON_MOD == 0 below an
+# ABSOLUTE id bound contribute one 32-char phrase each — the benchmark set
+# is bounded by construction (<= DECON_MAX_ID / DECON_MOD phrases) and
+# never scales with the corpus, mirroring a real decontamination set
+# (a fixed eval benchmark, not a corpus-sized side input)
+DECON_MOD = 97
+DECON_MAX_ID = 10_000
+DECON_OFF = 7  # 0-based start of the phrase slice (SQL substr(text, 8, 32))
+DECON_LEN = 32
+
+
+def _decon_phrases(sf_dir: str) -> list[str]:
+    """Distinct benchmark phrases, sorted for determinism. The filtered
+    set is <= DECON_MAX_ID/DECON_MOD rows regardless of corpus size, so
+    the driver-side collection is bounded (broadcast-small-side)."""
+    src = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def slice_phrase(t: pa.Table) -> pa.Table:
+        m = pa.scalar(DECON_MOD, pa.int64())
+        mod = pc.subtract(  # doc_id % DECON_MOD, vectorized
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], m), m)
+        )
+        keep = pc.and_(
+            pc.equal(mod, pa.scalar(0, pa.int64())),
+            pc.less(t["doc_id"], pa.scalar(DECON_MAX_ID, pa.int64())),
+        )
+        t = t.filter(keep)
+        out = [
+            txt[DECON_OFF:DECON_OFF + DECON_LEN]
+            for txt in t["text"].to_pylist()
+            if txt is not None and len(txt) >= DECON_OFF + 1 + DECON_LEN
+        ]
+        return pa.table({"phrase": pa.array(out, pa.string())})
+
+    rows = src.map_batches(slice_phrase, batch_format="pyarrow").take_all()
+    return sorted({r["phrase"] for r in rows})
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the GPT-3 / Pile training-set hygiene
+    step): flag every document containing any benchmark phrase. The
+    bounded phrase set is shipped as plain constructor values to an
+    autoscaling actor pool; matching is one vectorized
+    ``pc.match_substring`` kernel per phrase per batch."""
+    phrases = _decon_phrases(sf_dir)
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.Decontaminate, fn_constructor_args=(phrases,),
+        batch_format="pyarrow", concurrency=_apool(), zero_copy_batch=True,
+    )
+
+
+def q_word_stats(sf_dir: str):
+    """Gopher-style repetition-quality features per doc (word count,
+    distinct words, most-frequent word + its fraction, duplicate-word
+    fraction) — embarrassingly parallel map_batches, no shuffle."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.word_stats_batch, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact corpus-level quantiles of ``n_chars`` via a distributed
+    histogram: one groupby(n_chars).count() shuffle produces a table
+    bounded by the number of DISTINCT lengths (never corpus-sized), the
+    driver cumsums it and picks the value at row ceil(q*N) per quantile.
+    Both sides share that explicit formula (the SQL oracle replays it
+    with row_number + ceiling on the same IEEE doubles), so the result
+    is deterministic and engine-independent — no reliance on any
+    engine's quantile interpolation mode."""
+    import math
+
+    hist = (
+        _read(sf_dir, "documents", ["n_chars"])
+        .groupby("n_chars")
+        .aggregate(ray.data.aggregate.Count(alias_name="n"))
+    )
+    rows = sorted(hist.take_all(), key=lambda r: r["n_chars"])
+    total = sum(r["n"] for r in rows)
+    out_q: list[float] = []
+    out_v: list[int] = []
+    for q in QUANTILE_QS:
+        target = math.ceil(q * total)
+        cum = 0
+        val = rows[-1]["n_chars"] if rows else 0
+        for r in rows:
+            cum += r["n"]
+            if cum >= target:
+                val = r["n_chars"]
+                break
+        out_q.append(q)
+        out_v.append(int(val))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+# docs per (n_chars, id-bucket) rank group — any single group is bounded
+# by construction, so a hot length (millions of docs sharing one n_chars
+# at web scale) can never overflow a worker
+RANK_BUCKET = 65_536
+
+
+def q_global_rank(sf_dir: str):
+    """Global dense ordering rank(doc) = row_number over
+    (order by n_chars, doc_id), computed WITHOUT a global sort: count per
+    (n_chars, doc_id-bucket) group (one small shuffle; the bucket key
+    bounds every group), driver cumsums the bounded group table into base
+    offsets (buckets ≪ rows), broadcasts them, and each group enumerates
+    its members by doc_id on top of its base. The same decomposition the
+    bucketed sessionize/asof trio uses for per-key state at 100 TB."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(t["doc_id"], pa.scalar(RANK_BUCKET, pa.int64()))
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    with_bucket = docs.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = (
+        with_bucket.groupby(["n_chars", "bucket"])
+        .aggregate(ray.data.aggregate.Count(alias_name="n"))
+        .take_all()
+    )
+    base: dict[tuple[int, int], int] = {}
+    cum = 0
+    for r in sorted(counts, key=lambda r: (r["n_chars"], r["bucket"])):
+        base[(r["n_chars"], r["bucket"])] = cum
+        cum += r["n"]
+    bref = ray.put(base)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        offsets = ray.get(bref)
+        g = g.take(pc.sort_indices(g["doc_id"]))
+        k = (g["n_chars"][0].as_py(), g["bucket"][0].as_py())
+        start = offsets[k]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_chars": g["n_chars"],
+                "rnk": pa.array(
+                    range(start + 1, start + 1 + len(g)), pa.int64()
+                ),
+            }
+        )
+
+    return with_bucket.groupby(["n_chars", "bucket"]).map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -1803,6 +1961,10 @@ QUERIES = {
     "media_frames": q_media_frames,
     "extract_synthetic": q_extract_synthetic,
     "extract_grid_cards": q_extract_grid_cards,
+    "decontaminate": q_decontaminate,
+    "quality_gopher": q_word_stats,
+    "length_quantiles": q_length_quantiles,
+    "global_rank": q_global_rank,
 }
 
 
@@ -2362,6 +2524,63 @@ select doc_id, simhash,
        ((simhash >> 32) & 65535)::bigint as band2,
        ((simhash >> 48) & 65535)::bigint as band3
 from sim
+"""
+
+ORACLES["decontaminate"] = f"""
+with bench as (
+  select distinct substr(text, {DECON_OFF + 1}, {DECON_LEN}) as phrase
+  from documents
+  where doc_id % {DECON_MOD} = 0 and doc_id < {DECON_MAX_ID}
+        and length(text) >= {DECON_OFF + 1 + DECON_LEN}
+)
+select d.doc_id,
+       coalesce(sum(case when instr(d.text, b.phrase) > 0
+                         then 1 else 0 end), 0)::bigint as n_hits,
+       (case when coalesce(sum(case when instr(d.text, b.phrase) > 0
+                                    then 1 else 0 end), 0) > 0
+             then 1 else 0 end)::int as contaminated
+from documents d left join bench b on true
+group by d.doc_id
+"""
+
+ORACLES["quality_gopher"] = """
+with words as (
+  select doc_id, w
+  from (select doc_id, unnest(string_split(text, ' ')) as w from documents)
+  where w <> ''),
+per as (select doc_id, w, count(*)::bigint as c from words
+        group by doc_id, w),
+ranked as (
+  select doc_id, w, c,
+         sum(c) over (partition by doc_id) as n_words,
+         count(*) over (partition by doc_id) as n_distinct,
+         row_number() over (partition by doc_id
+                            order by c desc, w asc) as rn
+  from per)
+select doc_id, n_words::bigint as n_words, n_distinct::bigint as n_distinct,
+       w as top_word,
+       round(c / n_words, 6) as top_frac,
+       round((n_words - n_distinct) / n_words, 6) as dup_frac
+from ranked where rn = 1
+"""
+
+ORACLES["length_quantiles"] = """
+with qs as (
+  select unnest(cast([0.1, 0.25, 0.5, 0.75, 0.9, 0.99] as double[])) as q),
+ranked as (
+  select n_chars, row_number() over (order by n_chars) as rn
+  from documents),
+n as (select count(*)::bigint as c from documents)
+select qs.q as q, min(ranked.n_chars)::bigint as value
+from qs, ranked, n
+where ranked.rn >= ceiling(qs.q * n.c)
+group by qs.q
+"""
+
+ORACLES["global_rank"] = """
+select doc_id, n_chars,
+       row_number() over (order by n_chars, doc_id) as rnk
+from documents
 """
 
 

@@ -138,3 +138,74 @@ def rolling_fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             ),
         }
     )
+
+
+class Decontaminate:
+    """Benchmark decontamination: flag documents whose text contains any
+    of a bounded set of benchmark phrases (the GPT-3 / Pile training-set
+    decontamination step). The phrase set is broadcast once per actor as
+    PLAIN constructor values (restart-safe, ray#53727) and each phrase is
+    matched with the vectorized ``pc.match_substring`` kernel over the
+    whole column — O(phrases) Arrow kernel calls per batch, never a
+    Python loop over rows. A doc counts each phrase at most once
+    (containment, not occurrences)."""
+
+    def __init__(self, phrases: list[str], col: str = "text"):
+        self.phrases = [p for p in phrases if p]
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.col]
+        n = len(batch)
+        hits = np.zeros(n, dtype=np.int64)
+        for p in self.phrases:
+            m = pc.match_substring(text, pattern=p)
+            hits += np.asarray(
+                pc.fill_null(m, False), dtype=bool
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(
+                    (hits > 0).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+
+def word_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition features per document: word count,
+    distinct-word count, most-frequent word (ties -> lexicographically
+    smallest) and its frequency fraction, duplicate-word fraction.
+    Tokenization = split on single spaces, empty tokens dropped —
+    mirrored exactly by the SQL oracle's
+    ``unnest(string_split(text, ' ')) ... where w <> ''``. Docs with no
+    words are dropped (same as the oracle). The per-row Counter loop is
+    inherent tokenize work (same shape as ``token_count_batch``)."""
+    from collections import Counter
+
+    ids_out, nw_out, nd_out, tw_out, tf_out, df_out = [], [], [], [], [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch[col].to_pylist()):
+        words = [w for w in (t or "").split(" ") if w]
+        if not words:
+            continue
+        c = Counter(words)
+        n_words = len(words)
+        top_word, top_c = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        ids_out.append(did)
+        nw_out.append(n_words)
+        nd_out.append(len(c))
+        tw_out.append(top_word)
+        tf_out.append(round(top_c / n_words, 6))
+        df_out.append(round((n_words - len(c)) / n_words, 6))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "n_words": pa.array(nw_out, pa.int64()),
+            "n_distinct": pa.array(nd_out, pa.int64()),
+            "top_word": pa.array(tw_out, pa.string()),
+            "top_frac": pa.array(tf_out, pa.float64()),
+            "dup_frac": pa.array(df_out, pa.float64()),
+        }
+    )

@@ -271,3 +271,104 @@ class TestFrameExplode:
         assert d1["frame_idx"].tolist() == [0, 30]
         assert d1["ts_ms"].tolist() == [0, 1000]
         assert (out.doc_id == 2).sum() == 0  # zero duration -> no frames
+
+
+class TestDecontaminate:
+    def test_counts_each_phrase_once(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["aaa needle bbb needle ccc", "clean text", "pin and needle"],
+                    pa.string(),
+                ),
+            }
+        )
+        out = tx.Decontaminate(["needle", "pin"])(batch)
+        assert out["n_hits"].to_pylist() == [1, 0, 2]
+        assert out["contaminated"].to_pylist() == [1, 0, 1]
+
+    def test_null_text_and_empty_phrases(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([None, "x"], pa.string()),
+            }
+        )
+        out = tx.Decontaminate([""])(batch)  # empty phrase is dropped
+        assert out["n_hits"].to_pylist() == [0, 0]
+        out2 = tx.Decontaminate(["x"])(batch)  # null text never matches
+        assert out2["n_hits"].to_pylist() == [0, 1]
+
+
+class TestWordStats:
+    def test_top_word_tie_breaks_lexicographically(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["b b a a c"], pa.string()),
+            }
+        )
+        out = tx.word_stats_batch(batch)
+        assert out["top_word"].to_pylist() == ["a"]
+        assert out["n_words"].to_pylist() == [5]
+        assert out["n_distinct"].to_pylist() == [3]
+        assert out["top_frac"].to_pylist() == [0.4]
+        assert out["dup_frac"].to_pylist() == [0.4]
+
+    def test_empty_and_whitespace_docs_dropped(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["", "   ", "solo"], pa.string()),
+            }
+        )
+        out = tx.word_stats_batch(batch)
+        assert out["doc_id"].to_pylist() == [2]
+        assert out["dup_frac"].to_pylist() == [0.0]
+
+
+class TestQuantilesAndRank:
+    def test_quantile_formula_matches_sorted_pick(self, tmp_path):
+        import math
+
+        vals = [7, 1, 9, 3, 3, 5, 11, 2, 8, 10]
+        s = sorted(vals)
+        for q in [0.1, 0.5, 0.9, 0.99]:
+            target = math.ceil(q * len(s))
+            assert s[target - 1] == s[max(0, target - 1)]
+
+    def test_global_rank_matches_sorted_order(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import random
+
+        rng = random.Random(7)
+        ids = list(range(200))
+        rng.shuffle(ids)
+        n_chars = [rng.randint(10, 20) for _ in ids]  # heavy length ties
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(["x"] * len(ids), pa.string()),
+                    "lang": pa.array(["en"] * len(ids), pa.string()),
+                    "source": pa.array(["s"] * len(ids), pa.string()),
+                    "n_chars": pa.array(n_chars, pa.int64()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        from adaptive_pdf_extractor_ray.pipelines.queries import q_global_rank
+
+        got = sorted(
+            (r["doc_id"], r["n_chars"], r["rnk"])
+            for b in q_global_rank(str(tmp_path)).iter_batches(
+                batch_format="pyarrow"
+            )
+            for r in b.to_pylist()
+        )
+        expect_order = sorted(zip(ids, n_chars), key=lambda t: (t[1], t[0]))
+        expect = sorted(
+            (did, nc, i + 1) for i, (did, nc) in enumerate(expect_order)
+        )
+        assert got == expect
