@@ -328,20 +328,74 @@ def attach_pair_texts(pairs, docs, *, num_partitions: int | None = None):
     ).rename_columns({"text": "text_b"})
 
 
+# size-routing threshold for connected_components: below this many edges
+# the whole graph fits one worker comfortably (2M symmetrized int64 pairs
+# ≈ 64 MB) and a single union-find task beats ~5 shuffle ops per
+# propagation round; above it the iterative label-propagation dataflow
+# takes over. Same routing idea as queries.BROADCAST_MAX_ROWS.
+SMALL_EDGE_LIMIT = 1_000_000
+
+
+def _union_find_batch(t: pa.Table) -> pa.Table:
+    """Union-find over one (symmetrized) edge batch -> (doc_id, rep_id)
+    with rep_id = min node id of the component — byte-identical to the
+    min-label-propagation fixpoint, computed in one pass."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    src = t["src"].to_pylist()
+    dst = t["dst"].to_pylist()
+    for a, b in zip(src, dst):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id keeps the min-label invariant
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "rep_id": pa.array([find(n) for n in nodes], pa.int64()),
+        }
+    )
+
+
 def connected_components(edges, *, num_partitions: int | None = None,
                          max_rounds: int = 30,
-                         stats: dict | None = None):
-    """Distributed connected components over an edge Dataset (a, b) by
-    iterative min-label propagation: per round, every node takes the min
-    of its own label and its neighbors' labels (one hash join + one
-    groupby-min, both distributed); converges in O(component diameter)
-    rounds — near-dup clusters are shallow, so typically <5. Each round's
-    label table (O(nodes), tiny vs the corpus) is materialized so the
-    iteration doesn't re-execute prior rounds' lineage; convergence is
-    detected by the label-sum fixpoint (sums strictly decrease until
-    stable). Returns a Dataset (doc_id, rep_id) — every edge endpoint,
-    labeled with its component's min node id.
-    """
+                         stats: dict | None = None,
+                         small_limit: int | None = None):
+    """Distributed connected components over an edge Dataset (a, b),
+    size-routed on the (materialized, counted) edge set:
+
+    - ``<= small_limit`` edges (default ``SMALL_EDGE_LIMIT``): one
+      union-find task over the whole graph inside the object store —
+      the dedup graph is orders of magnitude smaller than the corpus,
+      so this is the common case even at large corpus scale.
+    - beyond: iterative min-label propagation — per round, every node
+      takes the min of its own label and its neighbors' labels (one
+      hash join + one groupby-min, both distributed); converges in
+      O(component diameter) rounds — near-dup clusters are shallow, so
+      typically <5. Each round's label table (O(nodes), tiny vs the
+      corpus) is materialized so the iteration doesn't re-execute prior
+      rounds' lineage; convergence is detected by the label-sum fixpoint
+      (sums strictly decrease until stable).
+
+    Both paths return the same Dataset (doc_id, rep_id) — every edge
+    endpoint, labeled with its component's MIN node id (equivalence
+    asserted in tests). ``stats`` gains ``cc_path`` plus round/node
+    counts for observability."""
     import ray.data
     from ray.data.aggregate import Min
 
@@ -359,15 +413,38 @@ def connected_components(edges, *, num_partitions: int | None = None,
         )
 
     E = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edges = E.count()
     if num_partitions is None:
         # per-round joins/groupbys pay a shuffle-aggregator actor per
         # partition: size to the (already-materialized) edge count
-        num_partitions = adaptive_partitions(E.count())
-    if E.count() == 0:
+        num_partitions = adaptive_partitions(n_edges)
+    if n_edges == 0:
         return ray.data.from_arrow(
             pa.table({"doc_id": pa.array([], pa.int64()),
                       "rep_id": pa.array([], pa.int64())})
         )
+    limit = SMALL_EDGE_LIMIT if small_limit is None else small_limit
+    if n_edges <= limit:
+        # size-routed small path (the join_revenue pattern): one
+        # union-find task replaces ~5 shuffle ops PER ROUND of label
+        # propagation — same result, none of the iterative machinery.
+        # The edges stay in the object store; the driver never holds them.
+        if stats is not None:
+            stats["cc_path"] = "union_find_task"
+            stats["cc_rounds"] = 0  # closed-form, no propagation rounds
+        out = (
+            E.repartition(1)
+            .map_batches(
+                _union_find_batch, batch_format="pyarrow",
+                batch_size=max(2 * n_edges, 1),  # whole graph, one batch
+            )
+        )
+        if stats is not None:
+            out = out.materialize()
+            stats["cc_nodes"] = out.count()
+        return out
+    if stats is not None:
+        stats["cc_path"] = "label_propagation"
 
     def fold_self(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -372,3 +372,38 @@ class TestQuantilesAndRank:
             (did, nc, i + 1) for i, (did, nc) in enumerate(expect_order)
         )
         assert got == expect
+
+
+class TestComponentsSizeRouting:
+    def test_small_and_big_paths_agree(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        rng = random.Random(11)
+        # chains + stars + isolated pairs, with shuffled endpoint order
+        edges = []
+        for base in range(0, 400, 40):
+            ids = [base + i for i in range(rng.randint(2, 12))]
+            rng.shuffle(ids)
+            for a, b in zip(ids, ids[1:]):
+                edges.append((a, b) if rng.random() < 0.5 else (b, a))
+        t = pa.table(
+            {
+                "a": pa.array([e[0] for e in edges], pa.int64()),
+                "b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+        s_small, s_big = {}, {}
+        small = dd.connected_components(
+            rd.from_arrow(t), stats=s_small
+        ).to_pandas()
+        big = dd.connected_components(
+            rd.from_arrow(t), stats=s_big, small_limit=0
+        ).to_pandas()
+        assert s_small["cc_path"] == "union_find_task"
+        assert s_big["cc_path"] == "label_propagation"
+        key = lambda df: sorted(map(tuple, df[["doc_id", "rep_id"]].values))
+        assert key(small) == key(big)
+        # rep is the component min on both paths
+        assert all(r <= d for d, r in key(small))
