@@ -1913,6 +1913,53 @@ def q_global_rank(sf_dir: str):
     )
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (the class-prototype build of an
+    embedding-space pipeline) in long form (label, pos, value): the
+    canonical combiner shape — each batch pre-aggregates to one partial
+    (label, vector-sum, count) row set with numpy, so the groupby
+    shuffles O(labels × read-parallelism) partial rows, never the
+    corpus; the final per-label reduce sums a handful of partials.
+    ``pos`` is 1-based to match SQL ``generate_subscripts``."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        labels = np.asarray(t["label"].to_pylist())
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.append(int(lab))
+            out_s.append(X[m].sum(axis=0).tolist())
+            out_n.append(int(m.sum()))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int32()),
+                "vsum": pa.array(out_s, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        S = np.asarray(g["vsum"].to_pylist(), dtype=np.float64).sum(axis=0)
+        n = int(pc.sum(g["n"]).as_py())
+        vals = np.round(S / n, 6)
+        lab = g["label"][0].as_py()
+        return pa.table(
+            {
+                "label": pa.array([lab] * len(vals), pa.int32()),
+                "pos": pa.array(range(1, len(vals) + 1), pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1965,6 +2012,7 @@ QUERIES = {
     "quality_gopher": q_word_stats,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
+    "label_centroids": q_label_centroids,
 }
 
 
@@ -2581,6 +2629,15 @@ ORACLES["global_rank"] = """
 select doc_id, n_chars,
        row_number() over (order by n_chars, doc_id) as rnk
 from documents
+"""
+
+ORACLES["label_centroids"] = """
+with flat as (
+  select label, unnest(embedding) as val,
+         generate_subscripts(embedding, 1) as pos
+  from embeddings)
+select label, pos::bigint as pos, round(avg(val), 6) as value
+from flat group by label, pos
 """
 
 
