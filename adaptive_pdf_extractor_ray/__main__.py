@@ -286,6 +286,42 @@ def cmd_evaluate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Training-data curation over a directory holding documents.parquet
+    (doc_id/text [+lang/source/n_chars]): quality gate -> language gate ->
+    exact dedup, plus MinHash-LSH near-dup keep-best with ``--near-dup``.
+    Survivor rows (with text re-attached via a hash join sized to the
+    survivor count) stream to ``--out`` as zstd parquet."""
+    ray, owns_session = _ray_session(args.num_cpus)
+    import os
+
+    import ray.data as rd
+
+    from .pipelines.queries import QUERIES, _table_rows
+    from .stages import dedup as dd
+
+    chain = "curate_neardup" if args.near_dup else "curate_documents"
+    survivors = QUERIES[chain](args.input)
+    docs = rd.read_parquet(os.path.join(args.input, "documents.parquet"))
+    out = survivors.join(
+        docs, join_type="inner",
+        num_partitions=dd.adaptive_partitions(
+            _table_rows(args.input, "documents")
+        ),
+        on=("doc_id",),
+    )
+    out.write_parquet(args.out, compression="zstd")
+    n_in = _table_rows(args.input, "documents")
+    n_kept = rd.read_parquet(args.out).count()
+    print(json.dumps({
+        "chain": chain, "rows_in": n_in, "rows_kept": n_kept,
+        "out": args.out,
+    }))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="adaptive_pdf_extractor_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -335,6 +371,18 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--filler-words", type=int, default=0)
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_synth)
+
+    pc_ = sub.add_parser(
+        "curate",
+        help="quality/lang/dedup curation over a documents.parquet dir",
+    )
+    pc_.add_argument("--input", required=True,
+                     help="directory holding documents.parquet")
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--near-dup", action="store_true",
+                     help="also run MinHash-LSH near-dup keep-best")
+    pc_.add_argument("--num-cpus", type=int, default=None)
+    pc_.set_defaults(fn=cmd_curate)
 
     pv = sub.add_parser("evaluate", help="score answers vs expected")
     pv.add_argument("--answer-dirs", nargs="+", default=None)

@@ -531,3 +531,40 @@ class TestConcurrentShards:
                 files.extend(sorted(glob.glob(f"{d}/{sub}/*.parquet")))
         acc = evaluate_accuracy(rd.read_parquet(files), rd.read_parquet(exp_dir))
         assert acc["field_accuracy"] == 1.0
+
+
+class TestCurateCli:
+    def test_curate_writes_survivors_with_text(self, ray_session, tmp_path, capsys):
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from adaptive_pdf_extractor_ray.__main__ import main
+
+        # 6 good en docs (2 byte-identical), 1 short, 1 non-en-looking
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "it runs far away to the old barn in the field again ") * 3
+        texts = [base, base, base + "tail one", base + "tail two",
+                 base + "tail three", base + "tail four",
+                 "too short", "zzz qqq xxx vvv kkk www " * 10]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = tmp_path / "curated"
+        rc = main(["curate", "--input", str(tmp_path), "--out", str(out)])
+        assert rc == 0
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows_in"] == len(texts)
+        got = pq.read_table(str(out)).to_pylist()
+        assert rep["rows_kept"] == len(got)
+        kept_ids = {r["doc_id"] for r in got}
+        assert 0 in kept_ids and 1 not in kept_ids  # exact dup dropped
+        assert all("text" in r and r["text"] for r in got)  # text re-attached
