@@ -148,6 +148,7 @@ def run_dedup_scale(n_docs: int) -> dict:
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
         "candidate_pairs": n_pairs,
+        "cc_path": cc_stats.get("cc_path"),
         "cc_rounds": cc_stats.get("cc_rounds"),
         "cc_nodes": cc_stats.get("cc_nodes"),
         "clusters": n_clusters,
