@@ -87,12 +87,30 @@ class MinHasher:
         )
         self.a = np.array(a[:num_perm], dtype=np.uint64)
         self.b = np.array(b[:num_perm], dtype=np.uint64)
+        # per-actor shingle-hash memo: web corpora repeat boilerplate
+        # shingles massively across documents, and md5-per-shingle is the
+        # signature's hot loop. Exact-semantics cache (pure function);
+        # bounded, dropped wholesale when full.
+        self._shingle_memo: dict[str, int] = {}
+
+    _MEMO_MAX = 1 << 20  # ~16M heap per actor at ~16 B/entry
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
+        # min over a multiset == min over its set: dedup shingles first
+        sh = list(dict.fromkeys(_shingles(text, self.k)))
         if not sh:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        memo = self._shingle_memo
+        if len(memo) > self._MEMO_MAX:
+            memo.clear()
+        vals_it = []
+        for s in sh:
+            h = memo.get(s)
+            if h is None:
+                h = _hash64(s)
+                memo[s] = h
+            vals_it.append(h)
+        base = np.array(vals_it, dtype=np.uint64)
         with np.errstate(over="ignore"):
             # (a*h + b) mod 2^64 — the wrap IS the modulus (SQL parity)
             vals = np.outer(self.a, base) + self.b[:, None]
