@@ -347,11 +347,36 @@ def attach_pair_texts(pairs, docs, *, num_partitions: int | None = None):
 
 
 # size-routing threshold for connected_components: below this many edges
-# the whole graph fits one worker comfortably (2M symmetrized int64 pairs
-# ≈ 64 MB) and a single union-find task beats ~5 shuffle ops per
-# propagation round; above it the iterative label-propagation dataflow
-# takes over. Same routing idea as queries.BROADCAST_MAX_ROWS.
-SMALL_EDGE_LIMIT = 1_000_000
+# the whole graph fits one worker comfortably (8M symmetrized int64 pairs
+# ≈ 128 MB Arrow + a node-id dict a few hundred MB of Python heap) and a
+# single union-find task beats ~5 shuffle ops per propagation round;
+# above it the iterative label-propagation dataflow takes over. Same
+# routing idea as queries.BROADCAST_MAX_ROWS.
+SMALL_EDGE_LIMIT = 4_000_000
+
+
+def _grouped_min(ds, key: str, val: str, out: str, n_parts: int):
+    """groupby(key).min(val) via salt-partition + Arrow C++ ``group_by``
+    — ``Dataset.groupby().aggregate(Min)`` combines rows at Python speed
+    and dominates the label-propagation rounds at millions of edges. The
+    salt is a deterministic mix of the key, so all rows of a key land in
+    one partition: exact."""
+
+    def salt(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            p = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+        return t.append_column("p", pa.array(p.astype(np.int64)))
+
+    def mn(g: pa.Table) -> pa.Table:
+        r = g.select([key, val]).group_by(key).aggregate([(val, "min")])
+        return r.rename_columns([key, out])
+
+    return (
+        ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(mn, batch_format="pyarrow")
+    )
 
 
 def _union_find_batch(t: pa.Table) -> pa.Table:
@@ -415,7 +440,6 @@ def connected_components(edges, *, num_partitions: int | None = None,
     asserted in tests). ``stats`` gains ``cc_path`` plus round/node
     counts for observability."""
     import ray.data
-    from ray.data.aggregate import Min
 
     def sym(t: pa.Table) -> pa.Table:
         a, b = t["a"], t["b"]
@@ -475,7 +499,7 @@ def connected_components(edges, *, num_partitions: int | None = None,
         )
 
     labels = (
-        E.groupby("src").aggregate(Min("dst", alias_name="rep"))
+        _grouped_min(E, "src", "dst", "rep", num_partitions)
         .map_batches(fold_self, batch_format="pyarrow")
         .materialize()
     )
@@ -489,7 +513,7 @@ def connected_components(edges, *, num_partitions: int | None = None,
         ).select_columns(["src", "rep"])
         both = nb.union(labels.rename_columns({"node": "src"}))
         labels = (
-            both.groupby("src").aggregate(Min("rep", alias_name="rep"))
+            _grouped_min(both, "src", "rep", "rep", num_partitions)
             .rename_columns({"src": "node"})
             .materialize()
         )
