@@ -282,6 +282,34 @@ def _lsh_distinct_pairs(sf_dir: str) -> rd.Dataset:
     return _distinct_pairs(_lsh_candidate_pairs(sf_dir))
 
 
+def _grouped_count(ds: rd.Dataset, key: str, out: str) -> rd.Dataset:
+    """groupby(key).count() via salted partitions + per-partition Arrow
+    C++ ``group_by`` — ``Dataset.groupby().aggregate(Count)`` combines
+    rows at Python speed and dominated the TF-IDF chain at 100k docs
+    (133 s remote CPU for the df rowcount). The salt is a deterministic
+    crc32 of the key (NOT Python ``hash``, which is per-process salted
+    and would scatter a key across partitions), so the count is exact."""
+    import zlib
+
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, n_cpu * 2)
+
+    def salt(t: pa.Table) -> pa.Table:
+        p = [zlib.crc32(v.encode("utf-8")) % n_parts
+             for v in t[key].to_pylist()]
+        return t.append_column("p", pa.array(p, pa.int64()))
+
+    def cnt(g: pa.Table) -> pa.Table:
+        r = g.select([key]).group_by(key).aggregate([([], "count_all")])
+        return r.rename_columns([key, out])
+
+    return (
+        ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(cnt, batch_format="pyarrow")
+    )
+
+
 def _distinct_pairs(pairs: rd.Dataset) -> rd.Dataset:
     """Exact distinct over an (a, b) pair Dataset: salt-partition shuffle
     + per-partition Arrow C++ ``group_by`` (see _lsh_distinct_pairs)."""
@@ -407,9 +435,54 @@ def q_tfidf_top_terms(sf_dir: str):
         )
 
     tfs = docs.map_batches(explode, batch_format="pyarrow")
-    df = tfs.groupby("term").aggregate(
-        ray.data.aggregate.Count(alias_name="df")
-    )
+    df = _grouped_count(tfs, "term", "df").materialize()
+    if df.count() <= BROADCAST_MAX_ROWS:
+        # the df side is the DISTINCT vocabulary — orders of magnitude
+        # smaller than the tf rows. Broadcasting it as a dict lets ONE
+        # fused stage over the documents table tokenize, score and take
+        # the per-doc top-K in place, emitting K rows per doc — replacing
+        # a shuffle of EVERY tf row for the join (57 s remote CPU at 100k
+        # docs) plus a second 30M-row shuffle for the per-doc groupby.
+        # The hash-join path below stays the route for vocabularies past
+        # the broadcast budget (raw web token space can reach hundreds of
+        # millions).
+        lookup: dict[str, int] = {}
+        for b in df.iter_batches(batch_format="pyarrow"):
+            lookup.update(zip(b["term"].to_pylist(), b["df"].to_pylist()))
+        dref = ray.put(lookup)
+        log_n = float(n_docs)
+
+        def fused_topk(t: pa.Table) -> pa.Table:
+            m = ray.get(dref)
+            d_out: list[int] = []
+            t_out: list[str] = []
+            s_out: list[float] = []
+            for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                counts: dict[str, int] = {}
+                for w in (s or "").split(" "):
+                    if w:
+                        counts[w] = counts.get(w, 0) + 1
+                if not counts:
+                    continue
+                scored = sorted(
+                    ((round(c * np.log(log_n / m[w]), 6), w)
+                     for w, c in counts.items()),
+                    key=lambda x: (-x[0], x[1]),
+                )[:TFIDF_K]
+                for sc, w in scored:
+                    d_out.append(did)
+                    t_out.append(w)
+                    s_out.append(sc)
+            return pa.table(
+                {
+                    "doc_id": pa.array(d_out, pa.int64()),
+                    "term": pa.array(t_out, pa.string()),
+                    "tfidf": pa.array(s_out, pa.float64()),
+                }
+            )
+
+        return docs.map_batches(fused_topk, batch_format="pyarrow",
+                                zero_copy_batch=True)
     joined = tfs.join(
         df, join_type="inner",
         num_partitions=dd.adaptive_partitions(
