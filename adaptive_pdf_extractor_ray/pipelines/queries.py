@@ -2065,6 +2065,220 @@ def q_label_centroids(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# webtext curation family (round 3): PII redaction, corpus line dedup,
+# training-sequence chunking/packing, bigram vocab, quality tiers,
+# per-domain accounting
+# ---------------------------------------------------------------------------
+
+
+def _pii_page(doc_id: int, text: str) -> str:
+    """Deterministic PII-bearing page derived from a documents row (the
+    raw text carries no addresses); the SQL oracle rebuilds it with the
+    identical concatenation."""
+    return (
+        f"{text} contact user{doc_id}@mail{doc_id % 7}.com visit"
+        f" http://site{doc_id % 13}.example/p{doc_id} call"
+        f" 555-{doc_id % 10000:04d}"
+    )
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (webtext publishing hygiene): count + mask URLs,
+    emails and phone numbers with three vectorized RE2 kernels per batch
+    (``pc.count_substring_regex`` / ``pc.replace_substring_regex``) in a
+    fixed order — URL, email, phone — mirrored exactly by nested
+    ``regexp_replace(..., 'g')`` in the oracle."""
+
+    def derive(t: pa.Table) -> pa.Table:
+        pages = [
+            _pii_page(d, txt)
+            for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array(pages, pa.string())}
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(tx.pii_redact_batch, batch_format="pyarrow")
+    )
+
+
+LINE_MIN_DOCS = 5  # a line repeated across >= this many docs is boilerplate
+
+
+def q_line_dedup(sf_dir: str):
+    """Corpus-level duplicate-line removal (the CCNet / RefinedWeb
+    boilerplate pass): pages derived from documents carry a per-source
+    header and per-lang footer; pass 1 computes global line doc-frequency
+    from per-batch PARTIAL counts keyed by md5 (the shuffle moves
+    (hash, count) rows, never line text); the frequent set — bounded by
+    construction, it's the boilerplate — is broadcast to a pass-2 actor
+    pool that re-derives lines per doc and drops members. No doc text is
+    ever shuffled."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    freq = (
+        docs.map_batches(
+            tx.line_count_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("line_md5")
+        .sum("nd")
+    )
+
+    def keep_frequent(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["sum(nd)"], pa.scalar(LINE_MIN_DOCS, pa.int64()))
+        )
+
+    drop = {
+        r["line_md5"]
+        for r in freq.map_batches(
+            keep_frequent, batch_format="pyarrow"
+        ).take_all()
+    }
+    return docs.map_batches(
+        tx.LineDedup,
+        fn_constructor_args=(drop,),
+        batch_format="pyarrow",
+        concurrency=_apool(),
+        zero_copy_batch=True,
+    )
+
+
+def q_chunk_windows(sf_dir: str):
+    """Training-sequence chunking: overlapping fixed-size token windows
+    (32-token window, 24-token stride) per document — embarrassingly
+    parallel flat expansion, no shuffle."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.chunk_windows_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def q_pack_sequences(sf_dir: str):
+    """Deterministic contiguous sequence packing (doc -> fixed-token-
+    budget training sequence, in doc_id order) WITHOUT a global sort: a
+    distributed prefix sum. Per-doc token counts carry a bounded
+    (doc_id // RANK_BUCKET) bucket key; one small groupby sums tokens per
+    bucket, the driver cumsums the bucket table (buckets ≪ rows) into
+    broadcast base offsets, and each bucket group enumerates its local
+    cumsum on top of its base — the same bounded-group decomposition as
+    q_global_rank / the bucketed event trio."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokc(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(t["text"], pattern="[^ ]+"), pa.int64()
+        )
+        b = pc.cast(
+            pc.divide(t["doc_id"], pa.scalar(RANK_BUCKET, pa.int64())),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n, "bucket": b})
+
+    wt = docs.map_batches(tokc, batch_format="pyarrow", zero_copy_batch=True)
+    sums = wt.groupby("bucket").sum("n_tokens").take_all()
+    base: dict[int, int] = {}
+    cum = 0
+    for r in sorted(sums, key=lambda r: r["bucket"]):
+        base[r["bucket"]] = cum
+        cum += r["sum(n_tokens)"]
+    bref = ray.put(base)
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        offsets = ray.get(bref)
+        g = g.take(pc.sort_indices(g["doc_id"]))
+        n = np.asarray(g["n_tokens"], dtype=np.int64)
+        start = offsets[g["bucket"][0].as_py()] + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "start_tok": pa.array(start, pa.int64()),
+                "seq_id": pa.array(start // PACK_BUDGET, pa.int64()),
+            }
+        )
+
+    return wt.groupby("bucket").map_groups(pack_group, batch_format="pyarrow")
+
+
+BIGRAM_K = 30
+
+
+def q_bigram_topk(sf_dir: str):
+    """Corpus bigram vocabulary: per-batch partial adjacent-pair counts
+    (combiner) -> grouped Sum -> exact global top-K via per-block
+    partial top-K (stages.topk), deterministic (n desc, bigram asc)
+    tie-break."""
+    from ..stages.topk import dataset_topk
+
+    agg = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(
+            tx.bigram_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bigram")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+    return dataset_topk(
+        agg, [("n", "descending"), ("bigram", "ascending")], BIGRAM_K
+    )
+
+
+def q_quality_tiers(sf_dir: str):
+    """Tier extraction: route every document into a quality tier
+    (high / mid / low) from its Gopher-style repetition features — two
+    stateless vectorized stages, no shuffle. Thresholds live in
+    stages.text (TIER_*), mirrored by the oracle's CASE."""
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            tx.word_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(tx.quality_tier_batch, batch_format="pyarrow")
+    )
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-(source, lang) corpus accounting — the crawl-domain rollup of
+    a webtext pipeline: one groupby over two low-cardinality keys; the
+    mean is derived from (sum, count) after the aggregate so rounding is
+    controlled on both sides."""
+    agg = (
+        _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+        .groupby(["source", "lang"])
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_docs"),
+            ray.data.aggregate.Sum("n_chars", alias_name="total_chars"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.round(
+            pc.divide(
+                pc.cast(t["total_chars"], pa.float64()),
+                pc.cast(t["n_docs"], pa.float64()),
+            ),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "total_chars": pc.cast(t["total_chars"], pa.int64()),
+                "avg_chars": avg,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -2117,6 +2331,13 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
+    "pii_redact": q_pii_redact,
+    "line_dedup": q_line_dedup,
+    "chunk_windows": q_chunk_windows,
+    "pack_sequences": q_pack_sequences,
+    "bigram_topk": q_bigram_topk,
+    "quality_tiers": q_quality_tiers,
+    "domain_stats": q_domain_stats,
 }
 
 
@@ -2742,6 +2963,135 @@ with flat as (
   from embeddings)
 select label, pos::bigint as pos, round(avg(val), 6) as value
 from flat group by label, pos
+"""
+
+ORACLES["pii_redact"] = f"""
+with page as (
+  select doc_id,
+         text || ' contact user' || doc_id || '@mail' || (doc_id % 7) ||
+         '.com visit http://site' || (doc_id % 13) || '.example/p' ||
+         doc_id || ' call 555-' || lpad((doc_id % 10000)::varchar, 4, '0')
+           as page
+  from documents)
+select doc_id,
+       regexp_replace(regexp_replace(regexp_replace(page,
+           '{tx.PII_URL}', '<URL>', 'g'),
+           '{tx.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{tx.PII_PHONE}', '<PHONE>', 'g') as clean,
+       length(regexp_extract_all(page, '{tx.PII_URL}'))::bigint as n_urls,
+       length(regexp_extract_all(page, '{tx.PII_EMAIL}'))::bigint as n_emails,
+       length(regexp_extract_all(page, '{tx.PII_PHONE}'))::bigint as n_phones
+from page
+"""
+
+ORACLES["line_dedup"] = f"""
+with base as (
+  select doc_id, source, lang,
+         list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from documents),
+lines as (
+  select doc_id, 0::bigint as line_no,
+         'home about contact ' || source || ' navigation menu' as line
+  from base
+  union all
+  select doc_id, (s // {tx.LINE_TOKENS})::bigint + 1 as line_no,
+         array_to_string(list_slice(ws, s + 1, s + {tx.LINE_TOKENS}), ' ')
+           as line
+  from (select doc_id, ws, unnest(range(0, len(ws), {tx.LINE_TOKENS})) as s
+        from base)
+  union all
+  select doc_id, 1000000::bigint as line_no,
+         'copyright footer ' || lang || ' all rights reserved' as line
+  from base),
+freq as (select line, count(distinct doc_id) as nd from lines group by line)
+select l.doc_id,
+       count(*)::bigint as n_lines,
+       sum(case when f.nd < {LINE_MIN_DOCS} then 1 else 0 end)::bigint
+         as n_kept,
+       coalesce(string_agg(case when f.nd < {LINE_MIN_DOCS} then l.line end,
+                           chr(10) order by l.line_no), '') as text_clean
+from lines l join freq f using (line)
+group by l.doc_id
+"""
+
+ORACLES["chunk_windows"] = f"""
+with base as (
+  select doc_id, list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from documents),
+wins as (
+  select doc_id, ws, unnest(range(0, len(ws), {tx.CHUNK_STRIDE})) as s
+  from base where len(ws) > 0)
+select doc_id, (s // {tx.CHUNK_STRIDE})::bigint as chunk_id,
+       least({tx.CHUNK_TOKENS}, len(ws) - s)::bigint as n_tokens,
+       array_to_string(list_slice(ws, s + 1, s + {tx.CHUNK_TOKENS}), ' ')
+         as chunk
+from wins
+"""
+
+ORACLES["pack_sequences"] = f"""
+with tc as (
+  select doc_id,
+         length(regexp_extract_all(text, '[^ ]+'))::bigint as n_tokens
+  from documents),
+c as (
+  select doc_id, n_tokens,
+         coalesce(sum(n_tokens) over (order by doc_id
+             rows between unbounded preceding and 1 preceding), 0)::bigint
+           as start_tok
+  from tc)
+select doc_id, n_tokens, start_tok,
+       (start_tok // {PACK_BUDGET})::bigint as seq_id
+from c
+"""
+
+ORACLES["bigram_topk"] = f"""
+with t as (
+  select doc_id, list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from documents),
+w as (select doc_id, unnest(ws) as w, generate_subscripts(ws, 1) as pos
+      from t),
+bg as (select a.w || ' ' || b.w as bigram
+       from w a join w b on b.doc_id = a.doc_id and b.pos = a.pos + 1),
+cnt as (select bigram, count(*)::bigint as n from bg group by bigram),
+r as (select *, row_number() over (order by n desc, bigram asc) as rn
+      from cnt)
+select bigram, n from r where rn <= {BIGRAM_K}
+"""
+
+ORACLES["quality_tiers"] = f"""
+with words as (
+  select doc_id, w
+  from (select doc_id, unnest(string_split(text, ' ')) as w from documents)
+  where w <> ''),
+per as (select doc_id, w, count(*)::bigint as c from words
+        group by doc_id, w),
+ranked as (
+  select doc_id, w, c,
+         sum(c) over (partition by doc_id) as n_words,
+         count(*) over (partition by doc_id) as n_distinct,
+         row_number() over (partition by doc_id
+                            order by c desc, w asc) as rn
+  from per),
+s as (
+  select doc_id, n_words,
+         round(c / n_words, 6) as top_frac,
+         round((n_words - n_distinct) / n_words, 6) as dup_frac
+  from ranked where rn = 1)
+select doc_id,
+       case when n_words < {tx.TIER_LOW_WORDS} or dup_frac >= {tx.TIER_LOW_DUP}
+                 or top_frac >= {tx.TIER_LOW_TOP} then 'low'
+            when n_words >= {tx.TIER_HIGH_WORDS} and dup_frac < {tx.TIER_HIGH_DUP}
+                 and top_frac < {tx.TIER_HIGH_TOP} then 'high'
+            else 'mid' end as tier,
+       n_words::bigint as n_words, top_frac, dup_frac
+from s
+"""
+
+ORACLES["domain_stats"] = """
+select source, lang, count(*)::bigint as n_docs,
+       sum(n_chars)::bigint as total_chars,
+       round(sum(n_chars)::double / count(*), 6) as avg_chars
+from documents group by source, lang
 """
 
 

@@ -174,6 +174,214 @@ class Decontaminate:
         )
 
 
+# -- PII redaction (webtext hygiene) -----------------------------------------
+#
+# Patterns are RE2-compatible and behave identically in Arrow
+# (pc.replace_substring_regex) and DuckDB (regexp_replace(..., 'g')) so the
+# operator is value-verifiable. Replacement order is fixed: URL first (so an
+# address inside a URL never leaks into the email pass), then email, then
+# phone (the earlier passes leave no digit-hyphen runs behind).
+PII_URL = r"http://[^ ]+"
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}-\d{4}"
+
+
+def pii_redact_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Count + redact URLs / emails / phone numbers in one vectorized pass
+    (three count kernels + three replace kernels per batch, no row loop)."""
+    text = batch[col]
+    n_urls = pc.cast(pc.count_substring_regex(text, pattern=PII_URL), pa.int64())
+    n_emails = pc.cast(pc.count_substring_regex(text, pattern=PII_EMAIL), pa.int64())
+    n_phones = pc.cast(pc.count_substring_regex(text, pattern=PII_PHONE), pa.int64())
+    clean = pc.replace_substring_regex(text, pattern=PII_URL, replacement="<URL>")
+    clean = pc.replace_substring_regex(clean, pattern=PII_EMAIL, replacement="<EMAIL>")
+    clean = pc.replace_substring_regex(clean, pattern=PII_PHONE, replacement="<PHONE>")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "clean": clean,
+            "n_urls": n_urls,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+        }
+    )
+
+
+# -- corpus-level line dedup (CCNet / RefinedWeb boilerplate removal) --------
+
+LINE_TOKENS = 8  # content-line width when deriving pages from documents
+
+
+def doc_lines(source: str, lang: str, text: str) -> list[str]:
+    """Deterministic multi-line page derived from a documents row: a
+    header shared by every doc of the same source, LINE_TOKENS-word
+    content lines, and a footer shared per lang — the repeated-boilerplate
+    structure corpus-level line dedup exists to remove. The SQL oracle
+    reconstructs the identical page."""
+    words = [w for w in (text or "").split(" ") if w]
+    lines = [f"home about contact {source} navigation menu"]
+    for i in range(0, len(words), LINE_TOKENS):
+        lines.append(" ".join(words[i : i + LINE_TOKENS]))
+    lines.append(f"copyright footer {lang} all rights reserved")
+    return lines
+
+
+def line_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial doc-frequency per line hash. Lines are deduped
+    within each doc first, so partials are summable across batches (each
+    doc lives in exactly one batch); only (16-byte-hash, count) rows ever
+    reach the shuffle — never line text, never corpus-sized."""
+    counts: dict[str, int] = {}
+    for src, lang, t in zip(
+        batch["source"].to_pylist(),
+        batch["lang"].to_pylist(),
+        batch["text"].to_pylist(),
+    ):
+        for ln in set(doc_lines(src, lang, t)):
+            h = hashlib.md5(ln.encode("utf-8")).hexdigest()
+            counts[h] = counts.get(h, 0) + 1
+    return pa.table(
+        {
+            "line_md5": pa.array(list(counts.keys()), pa.string()),
+            "nd": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+class LineDedup:
+    """Second pass of corpus-level line dedup: re-derive each doc's lines
+    and drop members of the broadcast frequent-line set (boilerplate).
+    The set is bounded (lines repeated across >= min_docs docs), shipped
+    once per actor as plain constructor values."""
+
+    def __init__(self, drop_hashes: set[str]):
+        self.drop = drop_hashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_lines, n_kept, texts = [], [], [], []
+        for did, src, lang, t in zip(
+            batch["doc_id"].to_pylist(),
+            batch["source"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            lines = doc_lines(src, lang, t)
+            kept = [
+                ln
+                for ln in lines
+                if hashlib.md5(ln.encode("utf-8")).hexdigest() not in self.drop
+            ]
+            ids.append(did)
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            texts.append("\n".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "text_clean": pa.array(texts, pa.string()),
+            }
+        )
+
+
+# -- training-sequence chunking ----------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_windows_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Fixed-size token windows with overlap (training-sequence prep):
+    window = CHUNK_TOKENS words, stride = CHUNK_STRIDE. Emits one row per
+    (doc, window); the per-row split/join is inherent tokenize work."""
+    ids, chunk_ids, n_toks, chunks = [], [], [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch[col].to_pylist()):
+        words = [w for w in (t or "").split(" ") if w]
+        if not words:
+            continue
+        for ci, start in enumerate(range(0, len(words), CHUNK_STRIDE)):
+            win = words[start : start + CHUNK_TOKENS]
+            ids.append(did)
+            chunk_ids.append(ci)
+            n_toks.append(len(win))
+            chunks.append(" ".join(win))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_id": pa.array(chunk_ids, pa.int64()),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "chunk": pa.array(chunks, pa.string()),
+        }
+    )
+
+
+def bigram_partials(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Per-batch partial counts of adjacent word pairs — the combiner
+    shape: the groupby shuffles O(distinct bigrams per batch), never one
+    row per occurrence."""
+    counts: dict[str, int] = {}
+    for t in batch[col].to_pylist():
+        words = [w for w in (t or "").split(" ") if w]
+        for a, b in zip(words, words[1:]):
+            bg = a + " " + b
+            counts[bg] = counts.get(bg, 0) + 1
+    return pa.table(
+        {
+            "bigram": pa.array(list(counts.keys()), pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+# quality-tier cut points (chosen against the synthetic corpus quantiles:
+# n_words median 56, top_frac median 0.11, dup_frac median 0.55 — each tier
+# is non-trivially populated); must stay in sync with the SQL oracle CASE
+TIER_LOW_WORDS = 25
+TIER_LOW_DUP = 0.65
+TIER_LOW_TOP = 0.14
+TIER_HIGH_WORDS = 56
+TIER_HIGH_DUP = 0.5
+TIER_HIGH_TOP = 0.11
+
+
+def quality_tier_batch(stats: pa.Table) -> pa.Table:
+    """Quality-tier assignment over ``word_stats_batch`` output (the
+    tier-extraction step of a webtext curation pipeline): 'low' fails any
+    Gopher-ish floor, 'high' clears every ceiling, 'mid' otherwise.
+    Pure ``pc.if_else`` chain — vectorized, mirrors the SQL CASE exactly
+    (comparisons run on the 6-dp-rounded fractions both sides)."""
+    nw, tf, df = stats["n_words"], stats["top_frac"], stats["dup_frac"]
+    is_low = pc.or_(
+        pc.or_(
+            pc.less(nw, pa.scalar(TIER_LOW_WORDS, pa.int64())),
+            pc.greater_equal(df, pa.scalar(TIER_LOW_DUP)),
+        ),
+        pc.greater_equal(tf, pa.scalar(TIER_LOW_TOP)),
+    )
+    is_high = pc.and_(
+        pc.and_(
+            pc.greater_equal(nw, pa.scalar(TIER_HIGH_WORDS, pa.int64())),
+            pc.less(df, pa.scalar(TIER_HIGH_DUP)),
+        ),
+        pc.less(tf, pa.scalar(TIER_HIGH_TOP)),
+    )
+    tier = pc.if_else(
+        is_low,
+        pa.scalar("low"),
+        pc.if_else(is_high, pa.scalar("high"), pa.scalar("mid")),
+    )
+    return pa.table(
+        {
+            "doc_id": stats["doc_id"],
+            "tier": tier,
+            "n_words": stats["n_words"],
+            "top_frac": stats["top_frac"],
+            "dup_frac": stats["dup_frac"],
+        }
+    )
+
+
 def word_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher-style repetition features per document: word count,
     distinct-word count, most-frequent word (ties -> lexicographically

@@ -33,6 +33,11 @@ SUBSET = [
     "sessionize",
     "tfidf_top_terms",
     "inverted_index",
+    "pii_redact",
+    "chunk_windows",
+    "pack_sequences",
+    "quality_tiers",
+    "domain_stats",
 ]
 
 

@@ -407,3 +407,94 @@ class TestComponentsSizeRouting:
         assert key(small) == key(big)
         # rep is the component min on both paths
         assert all(r <= d for d, r in key(small))
+
+
+class TestWebtextOps:
+    def test_pii_redact_masks_everything(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": [
+                    "hi bob@corp.io see http://x.y/z?a=1 or call 555-1234 now"
+                ],
+            }
+        )
+        out = tx.pii_redact_batch(batch)
+        clean = out["clean"][0].as_py()
+        assert "<EMAIL>" in clean and "<URL>" in clean and "<PHONE>" in clean
+        assert "bob@" not in clean and "http" not in clean
+        assert "555-1234" not in clean
+        assert out["n_emails"][0].as_py() == 1
+        assert out["n_urls"][0].as_py() == 1
+        assert out["n_phones"][0].as_py() == 1
+
+    def test_pii_redact_order_url_before_email(self):
+        # an email-looking token glued to a URL must be consumed by the
+        # URL pass, never half-redacted
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": ["go http://u@host.com/p end"],
+            }
+        )
+        out = tx.pii_redact_batch(batch)
+        assert out["clean"][0].as_py() == "go <URL> end"
+
+    def test_doc_lines_roundtrip(self):
+        lines = tx.doc_lines("src9", "fr", " ".join(str(i) for i in range(20)))
+        assert lines[0].endswith("src9 navigation menu")
+        assert lines[-1].startswith("copyright footer fr")
+        # 20 tokens -> 3 content lines of 8/8/4
+        assert len(lines) == 5
+        assert lines[3] == "16 17 18 19"
+
+    def test_line_dedup_drops_only_frequent(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "source": ["s"],
+                "lang": ["en"],
+                "text": ["a b c d e f g h unique tail"],
+            }
+        )
+        import hashlib as _h
+
+        header = tx.doc_lines("s", "en", "x")[0]
+        drop = {_h.md5(header.encode()).hexdigest()}
+        out = tx.LineDedup(drop)(batch)
+        assert out["n_lines"][0].as_py() == 4  # header + 2 content + footer
+        assert out["n_kept"][0].as_py() == 3
+        assert "navigation menu" not in out["text_clean"][0].as_py()
+        assert "unique tail" in out["text_clean"][0].as_py()
+
+    def test_chunk_windows_cover_all_tokens(self):
+        words = " ".join(f"w{i}" for i in range(70))
+        batch = pa.table(
+            {"doc_id": pa.array([7], pa.int64()), "text": [words]}
+        )
+        out = tx.chunk_windows_batch(batch)
+        # stride 24 over 70 tokens -> starts 0, 24, 48
+        assert out["chunk_id"].to_pylist() == [0, 1, 2]
+        assert out["n_tokens"].to_pylist() == [32, 32, 22]
+        assert out["chunk"][0].as_py().startswith("w0 ")
+        assert out["chunk"][2].as_py().endswith(" w69")
+
+    def test_bigram_partials_counts(self):
+        batch = pa.table({"text": ["a b a b", "b a"]})
+        out = tx.bigram_partials(batch)
+        d = dict(zip(out["bigram"].to_pylist(), out["n"].to_pylist()))
+        assert d == {"a b": 2, "b a": 2}
+
+    def test_quality_tier_boundaries(self):
+        stats = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "n_words": pa.array([100, 10, 40], pa.int64()),
+                "n_distinct": pa.array([90, 5, 25], pa.int64()),
+                "top_word": ["x", "y", "z"],
+                "top_frac": pa.array([0.05, 0.3, 0.12], pa.float64()),
+                "dup_frac": pa.array([0.1, 0.5, 0.4], pa.float64()),
+            }
+        )
+        out = tx.quality_tier_batch(stats)
+        assert out["tier"].to_pylist() == ["high", "low", "mid"]
