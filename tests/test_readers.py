@@ -129,3 +129,67 @@ def test_schema_only_field_extracts(tmp_path, ray_session):
         assert got.get("matricula_interna") == str(700000 + i)
         assert got.get("nome") == f"Pessoa {chr(65 + i)} Silva"
         assert "situacao" not in got  # schema restricts discovered anchors
+
+
+class TestHtmlScannerParity:
+    """The fast tag scanner must extract byte-identically to the stdlib
+    HTMLParser path on any input (the scanner is the product; the stdlib
+    path is the robustness reference)."""
+
+    def test_built_pages_roundtrip(self):
+        import random
+
+        from adaptive_pdf_extractor_ray.sources.htmlio import (
+            build_page, extract_main_text, extract_main_text_reference)
+
+        rng = random.Random(7)
+        words = ["alpha", "b&w", "<x>", 'q"t', "fin", "épsilon", "a'b"]
+        for i in range(200):
+            text = " ".join(rng.choices(words, k=rng.randint(1, 150)))
+            page = build_page(text, title=f"t{i}")
+            assert extract_main_text(page) == text
+            assert extract_main_text_reference(page) == text
+
+    def test_gnarly_html_parity(self):
+        from adaptive_pdf_extractor_ray.sources.htmlio import (
+            extract_main_text, extract_main_text_reference)
+
+        cases = [
+            "<div>a <b>b</b> c</div><script>var x='</div>';</script><p>t</p>",
+            "<!-- comment with <div> inside --><p>hello &amp; bye</p>",
+            "<p>unclosed <div>nested <a href='x>y'>link text longer</a></p>",
+            "<br><br>l1<br>l2<ul><li>item &#65; one</li></ul>",
+            "a < b but > c <p>real</p>",
+            "<style>p{}</style><P>UPPER</P><img src='x'/><p>after</p>",
+            "<td>c</td><noscript><p>hidden</p></noscript><td>c2</td>",
+            "<div/>self closing<div>x</div>",
+            "<p>entity &notareal; test &#x41; end</p>",
+            "<script>never closed...",
+            "<![CDATA[ raw <p>stuff</p> ]]><p>visible</p>",
+            "",
+            "plain text only",
+        ]
+        for c in cases:
+            assert extract_main_text(c) == extract_main_text_reference(c), c
+
+    def test_hypothesis_parity(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from adaptive_pdf_extractor_ray.sources.htmlio import (
+            extract_main_text, extract_main_text_reference)
+
+        frag = st.sampled_from([
+            "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
+            "<br>", "<nav>", "</nav>", "<script>", "</script>",
+            "<!--c-->", "word", "two words", "&amp;", "&#65;", " ",
+            "<td>", "</td>", "<article>", "</article>", "longer run of text",
+        ])
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(frag, min_size=0, max_size=40))
+        def check(parts):
+            doc = "".join(parts)
+            assert extract_main_text(doc) == extract_main_text_reference(doc)
+
+        check()
