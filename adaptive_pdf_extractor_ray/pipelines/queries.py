@@ -2278,6 +2278,78 @@ def q_domain_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _bench_grams(sf_dir: str) -> list[str]:
+    """Distinct word n-grams of the benchmark docs (same bounded
+    doc_id % DECON_MOD derivation as `_decon_phrases`), sorted for
+    determinism. Bounded by the benchmark size, never the corpus."""
+    src = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(t: pa.Table) -> pa.Table:
+        m = pa.scalar(DECON_MOD, pa.int64())
+        mod = pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], m), m)
+        )
+        keep = pc.and_(
+            pc.equal(mod, pa.scalar(0, pa.int64())),
+            pc.less(t["doc_id"], pa.scalar(DECON_MAX_ID, pa.int64())),
+        )
+        t = t.filter(keep)
+        out: set[str] = set()
+        for txt in t["text"].to_pylist():
+            out |= tx.doc_ngrams(txt)
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    rows = src.map_batches(grams, batch_format="pyarrow").take_all()
+    return sorted({r["g"] for r in rows})
+
+
+def q_decontaminate_ngram(sf_dir: str):
+    """n-gram-overlap decontamination (the GPT-3 / Pile method): flag
+    every doc sharing any word 8-gram with the benchmark docs. The
+    bounded benchmark gram set broadcasts to an autoscaling actor pool;
+    membership is a per-doc set intersection — no shuffle at all."""
+    grams = _bench_grams(sf_dir)
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.NgramDecontaminate, fn_constructor_args=(grams,),
+        batch_format="pyarrow", concurrency=_apool(), zero_copy_batch=True,
+    )
+
+
+MIX_SCALE = 1_000_000  # keep-rate resolution (parts per million)
+
+
+def q_mix_rebalance(sf_dir: str):
+    """Data-dependent corpus mixing (the rebalancing step of a
+    pretraining data recipe): one tiny groupby counts docs per lang, the
+    driver derives keep_rate(lang) = floor(1e6 * min_count / count) —
+    downsample every language to the minority's share — and a broadcast
+    rate table drives the same deterministic md5(doc_id)-keyed keep rule
+    as `sample_stratified`. Aggregate -> broadcast -> stateless filter;
+    the only shuffle is over (lang, count) rows."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = ds.groupby("lang").aggregate(
+        ray.data.aggregate.Count(alias_name="n")
+    ).take_all()
+    cmin = min(r["n"] for r in counts)
+    rates = {r["lang"]: (MIX_SCALE * cmin) // r["n"] for r in counts}
+    rref = ray.put(rates)
+
+    def keep(t: pa.Table) -> pa.Table:
+        rt = ray.get(rref)
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        mask = [
+            int.from_bytes(_hl.md5(str(i).encode()).digest()[:4], "big")
+            % MIX_SCALE < rt[lang]
+            for i, lang in zip(ids, langs)
+        ]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -2338,6 +2410,8 @@ QUERIES = {
     "bigram_topk": q_bigram_topk,
     "quality_tiers": q_quality_tiers,
     "domain_stats": q_domain_stats,
+    "decontaminate_ngram": q_decontaminate_ngram,
+    "mix_rebalance": q_mix_rebalance,
 }
 
 
@@ -3092,6 +3166,40 @@ select source, lang, count(*)::bigint as n_docs,
        sum(n_chars)::bigint as total_chars,
        round(sum(n_chars)::double / count(*), 6) as avg_chars
 from documents group by source, lang
+"""
+
+ORACLES["decontaminate_ngram"] = f"""
+with base as (
+  select doc_id, list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from documents),
+grams as (
+  select doc_id,
+         array_to_string(list_slice(ws, i, i + {tx.DECON_NGRAM} - 1), ' ')
+           as g
+  from (select doc_id, ws,
+               unnest(range(1, len(ws) - {tx.DECON_NGRAM} + 2)) as i
+        from base where len(ws) >= {tx.DECON_NGRAM})),
+bench as (
+  select distinct g from grams
+  where doc_id % {DECON_MOD} = 0 and doc_id < {DECON_MAX_ID}),
+hits as (
+  select d.doc_id, count(distinct d.g)::bigint as n_gram_hits
+  from grams d join bench b using (g) group by d.doc_id)
+select doc.doc_id,
+       coalesce(h.n_gram_hits, 0)::bigint as n_gram_hits,
+       (case when coalesce(h.n_gram_hits, 0) > 0 then 1 else 0 end)::int
+         as contaminated
+from documents doc left join hits h using (doc_id)
+"""
+
+ORACLES["mix_rebalance"] = f"""
+with c as (select lang, count(*)::bigint as n from documents group by lang),
+m as (select min(n) as cmin from c),
+r as (select lang, ({MIX_SCALE} * (select cmin from m)) // n as rate from c)
+select d.doc_id, d.lang
+from documents d join r using (lang)
+where ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::uinteger
+      % {MIX_SCALE} < r.rate
 """
 
 

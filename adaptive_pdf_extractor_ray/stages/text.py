@@ -334,6 +334,50 @@ def bigram_partials(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
+# -- n-gram decontamination (GPT-3 / Pile style overlap check) ---------------
+
+DECON_NGRAM = 8  # words per contamination gram (GPT-3 used 13)
+
+
+def doc_ngrams(text: str | None, n: int = DECON_NGRAM) -> set[str]:
+    """Distinct word n-grams of a document (split on single spaces,
+    empty tokens dropped — the corpus-wide tokenization contract)."""
+    words = [w for w in (text or "").split(" ") if w]
+    return {
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    }
+
+
+class NgramDecontaminate:
+    """Benchmark decontamination by n-gram overlap (the GPT-3 /
+    Pile method — stronger than substring containment, which misses
+    paraphrased surroundings): a doc is contaminated iff it shares any
+    word n-gram with the benchmark set. The benchmark gram set is
+    bounded (a fixed eval suite, never corpus-sized) and ships as plain
+    constructor values; at 100 TB ship the md5 hashes of the grams
+    instead of the strings (same membership test, 16 bytes/gram)."""
+
+    def __init__(self, bench_grams: set[str] | list[str]):
+        self.bench = set(bench_grams)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hits, flag = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            shared = doc_ngrams(t) & self.bench
+            ids.append(did)
+            hits.append(len(shared))
+            flag.append(1 if shared else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_gram_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(flag, pa.int32()),
+            }
+        )
+
+
 # quality-tier cut points (chosen against the synthetic corpus quantiles:
 # n_words median 56, top_frac median 0.11, dup_frac median 0.55 — each tier
 # is non-trivially populated); must stay in sync with the SQL oracle CASE

@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "vocab_top_terms",
     "dedup_keep_best",
+    "pii_redact",
+    "line_dedup",
+    "pack_sequences",
+    "quality_tiers",
+    "bigram_topk",
 ]
 
 

@@ -38,6 +38,7 @@ SUBSET = [
     "pack_sequences",
     "quality_tiers",
     "domain_stats",
+    "mix_rebalance",
 ]
 
 

@@ -498,3 +498,25 @@ class TestWebtextOps:
         )
         out = tx.quality_tier_batch(stats)
         assert out["tier"].to_pylist() == ["high", "low", "mid"]
+
+    def test_doc_ngrams(self):
+        g = tx.doc_ngrams("a b c d e f g h i", n=8)
+        assert g == {"a b c d e f g h", "b c d e f g h i"}
+        assert tx.doc_ngrams("a b c", n=8) == set()
+
+    def test_ngram_decontaminate(self):
+        bench = tx.doc_ngrams("q w e r t y u i o p")
+        stage = tx.NgramDecontaminate(bench)
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [
+                    "x q w e r t y u i o x",  # shares "q w e r t y u i"
+                    "totally different words here avoid any overlap at all",
+                ],
+            }
+        )
+        out = stage(batch)
+        assert out["contaminated"].to_pylist() == [1, 0]
+        # doc 1 shares "q w e r t y u i" AND "w e r t y u i o"
+        assert out["n_gram_hits"].to_pylist() == [2, 0]
