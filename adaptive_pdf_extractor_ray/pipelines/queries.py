@@ -2315,6 +2315,36 @@ def q_decontaminate_ngram(sf_dir: str):
     )
 
 
+def q_dedup_substring(sf_dir: str):
+    """Repeated-substring removal across the corpus — the practical
+    distributed shape of exact-substring training-data dedup (Lee et al.
+    2022, arXiv:2107.06499; the suffix-array global scan becomes
+    stride-aligned 16-token windows): window occurrences hash-shuffle
+    once to find windows shared by >= 2 distinct docs, the survivors'
+    (doc_id, start) marks groupby to one row per affected doc, a hash
+    LEFT join attaches the marks to the docs (unaffected docs pass
+    through whole), and a stateless map rebuilds each text with covered
+    tokens removed. No broadcast, no driver state; every shuffle is
+    O(windows) or O(true duplication volume)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    nparts = dd.adaptive_partitions(_table_rows(sf_dir, "documents"))
+    marks = (
+        docs.map_batches(
+            tx.substr_window_marks, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("h")
+        .map_groups(tx.shared_window_occurrences, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(tx.covered_positions_group, batch_format="pyarrow")
+    )
+    joined = docs.join(
+        marks, join_type="left_outer", num_partitions=nparts,
+        on=("doc_id",),
+    )
+    return joined.map_batches(tx.rebuild_dedup_batch, batch_format="pyarrow")
+
+
 MIX_SCALE = 1_000_000  # keep-rate resolution (parts per million)
 
 
@@ -2412,6 +2442,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "decontaminate_ngram": q_decontaminate_ngram,
     "mix_rebalance": q_mix_rebalance,
+    "dedup_substring": q_dedup_substring,
 }
 
 
@@ -3190,6 +3221,38 @@ select doc.doc_id,
        (case when coalesce(h.n_gram_hits, 0) > 0 then 1 else 0 end)::int
          as contaminated
 from documents doc left join hits h using (doc_id)
+"""
+
+ORACLES["dedup_substring"] = f"""
+with base as (
+  select doc_id, list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from documents),
+wins as (
+  select doc_id, i,
+         array_to_string(list_slice(ws, i, i + {tx.SUBSTR_W} - 1), ' ') as w
+  from (select doc_id, ws,
+               unnest(range(1, len(ws) - {tx.SUBSTR_W} + 2,
+                            {tx.SUBSTR_STRIDE})) as i
+        from base where len(ws) >= {tx.SUBSTR_W})),
+freq as (select w from wins group by w
+         having count(distinct doc_id) >= 2),
+cov as (
+  select distinct doc_id, unnest(range(i, i + {tx.SUBSTR_W})) as pos
+  from wins where w in (select w from freq)),
+tok as (select doc_id, unnest(ws) as tokw, generate_subscripts(ws, 1) as p
+        from base),
+kept as (
+  select t.doc_id, t.p, t.tokw
+  from tok t left join cov c on c.doc_id = t.doc_id and c.pos = t.p
+  where c.pos is null),
+agg as (
+  select doc_id, count(*)::bigint as n_kept,
+         string_agg(tokw, ' ' order by p) as text_dedup
+  from kept group by doc_id)
+select b.doc_id, len(b.ws)::bigint as n_tokens,
+       (len(b.ws) - coalesce(a.n_kept, 0))::bigint as n_removed,
+       coalesce(a.text_dedup, '') as text_dedup
+from base b left join agg a using (doc_id)
 """
 
 ORACLES["mix_rebalance"] = f"""

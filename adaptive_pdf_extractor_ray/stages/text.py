@@ -334,6 +334,91 @@ def bigram_partials(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
+# -- repeated-substring dedup (Lee et al. 2022, stride-window shape) ---------
+
+SUBSTR_W = 16  # tokens per window
+SUBSTR_STRIDE = 8  # window start alignment
+
+
+def substr_window_marks(batch: pa.Table, col: str = "text") -> pa.Table:
+    """One row per stride-aligned SUBSTR_W-token window occurrence:
+    (h = md5 of the window text, doc_id, pos = 0-based token start).
+    Only hashes ever reach the shuffle, never window text."""
+    hs, ds_, ps = [], [], []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch[col].to_pylist()):
+        words = [w for w in (t or "").split(" ") if w]
+        for start in range(0, len(words) - SUBSTR_W + 1, SUBSTR_STRIDE):
+            w = " ".join(words[start : start + SUBSTR_W])
+            hs.append(hashlib.md5(w.encode("utf-8")).hexdigest())
+            ds_.append(did)
+            ps.append(start)
+    return pa.table(
+        {
+            "h": pa.array(hs, pa.string()),
+            "doc_id": pa.array(ds_, pa.int64()),
+            "pos": pa.array(ps, pa.int64()),
+        }
+    )
+
+
+def shared_window_occurrences(g: pa.Table) -> pa.Table:
+    """Per-hash group: emit the group's (doc_id, pos) occurrences iff the
+    window appears in >= 2 distinct docs (a shared substring), else
+    nothing. Output is proportional to the true duplication volume."""
+    if len(set(g["doc_id"].to_pylist())) < 2:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+    return g.select(["doc_id", "pos"])
+
+
+def covered_positions_group(g: pa.Table) -> pa.Table:
+    """Per-doc group of shared-window starts -> one row with the sorted
+    start list, comma-encoded as a string (Arrow's acero hash join
+    rejects list-typed non-key columns); expansion to full
+    [start, start+W) ranges happens at rebuild, keeping the shuffled
+    payload at one int per window."""
+    starts = sorted(set(g["pos"].to_pylist()))
+    return pa.table(
+        {
+            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
+            "starts": pa.array(
+                [",".join(str(s) for s in starts)], pa.string()
+            ),
+        }
+    )
+
+
+def rebuild_dedup_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Remove covered tokens ([s, s+SUBSTR_W) per shared-window start s)
+    and reassemble the doc text; docs with no marks pass through whole."""
+    ids, n_tok, n_rm, texts = [], [], [], []
+    starts_col = batch["starts"].to_pylist()
+    for did, t, starts in zip(
+        batch["doc_id"].to_pylist(), batch[col].to_pylist(), starts_col
+    ):
+        words = [w for w in (t or "").split(" ") if w]
+        covered: set[int] = set()
+        for s in starts.split(",") if starts else []:
+            covered.update(range(int(s), int(s) + SUBSTR_W))
+        kept = [w for i, w in enumerate(words) if i not in covered]
+        ids.append(did)
+        n_tok.append(len(words))
+        n_rm.append(len(words) - len(kept))
+        texts.append(" ".join(kept))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+            "text_dedup": pa.array(texts, pa.string()),
+        }
+    )
+
+
 # -- n-gram decontamination (GPT-3 / Pile style overlap check) ---------------
 
 DECON_NGRAM = 8  # words per contamination gram (GPT-3 used 13)

@@ -520,3 +520,62 @@ class TestWebtextOps:
         assert out["contaminated"].to_pylist() == [1, 0]
         # doc 1 shares "q w e r t y u i" AND "w e r t y u i o"
         assert out["n_gram_hits"].to_pylist() == [2, 0]
+
+    def test_substr_window_marks_and_rebuild(self):
+        # two docs sharing one aligned 16-token run
+        shared = " ".join(f"s{i}" for i in range(16))
+        a = shared + " " + " ".join(f"a{i}" for i in range(8))
+        b = shared + " " + " ".join(f"b{i}" for i in range(8))
+        batch = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()), "text": [a, b]}
+        )
+        marks = tx.substr_window_marks(batch)
+        # doc a: 24 tokens -> starts 0, 8 -> 2 windows; same for b
+        assert len(marks) == 4
+        import collections
+
+        byh = collections.Counter(marks["h"].to_pylist())
+        # the [0,16) window is identical across docs -> one hash seen twice
+        assert sorted(byh.values()) == [1, 1, 2]
+        shared_h = [h for h, c in byh.items() if c == 2][0]
+        g = marks.filter(pa.compute.equal(marks["h"], shared_h))
+        occ = tx.shared_window_occurrences(g)
+        assert occ["pos"].to_pylist() == [0, 0]
+        # rebuild doc a with start-0 covered: drops the 16 shared tokens
+        rb = tx.rebuild_dedup_batch(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "text": [a],
+                    "starts": pa.array(["0"], pa.string()),
+                }
+            )
+        )
+        assert rb["n_tokens"][0].as_py() == 24
+        assert rb["n_removed"][0].as_py() == 16
+        assert rb["text_dedup"][0].as_py() == " ".join(
+            f"a{i}" for i in range(8)
+        )
+
+    def test_shared_window_requires_two_docs(self):
+        g = pa.table(
+            {
+                "h": ["x", "x"],
+                "doc_id": pa.array([1, 1], pa.int64()),
+                "pos": pa.array([0, 8], pa.int64()),
+            }
+        )
+        assert len(tx.shared_window_occurrences(g)) == 0
+
+    def test_rebuild_no_marks_passthrough(self):
+        rb = tx.rebuild_dedup_batch(
+            pa.table(
+                {
+                    "doc_id": pa.array([5], pa.int64()),
+                    "text": ["a b c"],
+                    "starts": pa.array([None], pa.string()),
+                }
+            )
+        )
+        assert rb["text_dedup"][0].as_py() == "a b c"
+        assert rb["n_removed"][0].as_py() == 0
