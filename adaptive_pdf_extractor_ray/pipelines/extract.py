@@ -41,6 +41,64 @@ from ..stages.fit import FitGroup
 from ..stages.parse import make_fingerprint_fn, normalize_batch, parse_batch
 from ..state.rulestore import RuleStore
 
+try:  # Ray-internal sink class (pinned ray 2.49); fall back gracefully
+    from ray.data._internal.datasource.parquet_datasink import (
+        ParquetDatasink as _ParquetDatasink,
+    )
+except ImportError:  # pragma: no cover - older/newer ray layout
+    _ParquetDatasink = None
+
+
+if _ParquetDatasink is not None:
+
+    class _MetricsParquetDatasink(_ParquetDatasink):
+        """Parquet sink whose write tasks ALSO return their block's
+        answer partials (hit/metric counts) as the write result, merged
+        on the driver in ``on_write_complete`` — the single-pass
+        replacement for the post-write metrics re-read when a wave runs
+        in-session (the re-read was ~30% of a warm run). Retry-safe by
+        construction: only write tasks that COMMIT contribute a result,
+        so a retried task never double-counts (unlike a side-channel
+        counter actor). ``refit_only`` restricts the counted rows (wave
+        1 also writes refit=1 miss rows, whose final metrics come from
+        wave 2)."""
+
+        def __init__(self, *args, refit_only: int | None = None, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._refit_only = refit_only
+            self.merged: dict[str, int] | None = None
+
+        def write(self, blocks, ctx):
+            from ray.data.block import BlockAccessor
+
+            blocks = list(blocks)
+            counts: dict[str, int] = {}
+            for b in blocks:
+                t = BlockAccessor.for_block(b).to_arrow()
+                if self._refit_only is not None and "refit" in t.column_names:
+                    t = t.filter(
+                        pc.equal(t["refit"], self._refit_only)
+                    )
+                if t.num_rows:
+                    p = answer_partials(t)
+                    for k, n in zip(
+                        p["key"].to_pylist(), p["n"].to_pylist()
+                    ):
+                        counts[k] = counts.get(k, 0) + n
+            super().write(blocks, ctx)
+            return counts
+
+        def on_write_complete(self, write_result):
+            merged: dict[str, int] = {}
+            for counts in write_result.write_returns:
+                for k, n in (counts or {}).items():
+                    merged[k] = merged.get(k, 0) + n
+            self.merged = merged
+            super().on_write_complete(write_result)
+
+else:  # pragma: no cover
+    _MetricsParquetDatasink = None
+
 def _named(callable_obj):
     """map_groups requires a __name__-bearing fn; wrap callable instances."""
 
@@ -147,6 +205,10 @@ def extract_pages(
     miss_dir = os.path.join(wave1_dir, "refit=1")
     wave2_dir = os.path.join(work_dir, "wave2")
     wave1_done = os.path.join(work_dir, "wave1._done")
+    # per-wave metric partials accumulated by the write sinks (None when
+    # a wave was skipped on resume -> fall back to the parquet re-read)
+    wave1_partials: dict[str, int] | None = None
+    wave2_partials: dict[str, int] | None = None
     # in-session block reuse (healthy-run fast path): wave 2 and the
     # metrics pass consume wave 1's materialized blocks from the object
     # store instead of re-reading the checkpoint parquet
@@ -211,8 +273,19 @@ def extract_pages(
         if hold and _wave1_fits_in_object_store(pages):
             applied = applied.materialize()
             inmem_wave1 = applied
-        applied.write_parquet(wave1_dir, partition_cols=["refit"],
-                              compression="zstd")
+        if _MetricsParquetDatasink is not None and write_answers:
+            # single-pass metrics: the write tasks count the refit=0
+            # (final) rows they commit, so the post-write metrics
+            # re-read is skipped entirely on healthy runs
+            sink1 = _MetricsParquetDatasink(
+                wave1_dir, partition_cols=["refit"], refit_only=0,
+                arrow_parquet_args={"compression": "zstd"},
+            )
+            applied.write_datasink(sink1)
+            wave1_partials = sink1.merged
+        else:
+            applied.write_parquet(wave1_dir, partition_cols=["refit"],
+                                  compression="zstd")
         with open(wave1_done, "w") as f:
             f.write(json.dumps({"ts": time.time()}))
     phases["wave1"] = time.time() - t0
@@ -336,7 +409,14 @@ def extract_pages(
             import shutil
 
             shutil.rmtree(tmp_dir)
-        wave2.write_parquet(tmp_dir, compression="zstd")
+        if _MetricsParquetDatasink is not None and write_answers:
+            sink2 = _MetricsParquetDatasink(
+                tmp_dir, arrow_parquet_args={"compression": "zstd"},
+            )
+            wave2.write_datasink(sink2)
+            wave2_partials = sink2.merged
+        else:
+            wave2.write_parquet(tmp_dir, compression="zstd")
         os.replace(tmp_dir, wave2_dir)
     phases["wave2"] = time.time() - t0 - sum(phases.values())
 
@@ -365,24 +445,37 @@ def extract_pages(
         # still in the object store (in-session fast path) the pass reads
         # them instead of the checkpoint parquet.
         metric_cols = ["hit_rule_ids", "error", "n_missing", "kind"]
-        if inmem_wave1 is not None and (
-            not have_miss_rows or inmem_wave2 is not None
-        ):
-            partial_src = inmem_wave1.filter(expr="refit == 0").select_columns(
-                metric_cols
-            )
-            if inmem_wave2 is not None:
-                partial_src = partial_src.union(
-                    inmem_wave2.select_columns(metric_cols)
-                )
+        sink_complete = wave1_partials is not None and (
+            not have_miss_rows or wave2_partials is not None
+        )
+        if sink_complete:
+            # every contributing wave ran in-session with a metrics
+            # sink: the partials were counted by the write tasks
+            # themselves — no extra read pass at all
+            merged = dict(wave1_partials)
+            for k, n in (wave2_partials or {}).items():
+                merged[k] = merged.get(k, 0) + n
         else:
-            partial_src = ray.data.read_parquet(answer_dirs, columns=metric_cols)
-        partials = partial_src.map_batches(
-            answer_partials, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
-        merged: dict[str, int] = {}
-        for r in partials:
-            merged[r["key"]] = merged.get(r["key"], 0) + r["n"]
+            if inmem_wave1 is not None and (
+                not have_miss_rows or inmem_wave2 is not None
+            ):
+                partial_src = inmem_wave1.filter(
+                    expr="refit == 0"
+                ).select_columns(metric_cols)
+                if inmem_wave2 is not None:
+                    partial_src = partial_src.union(
+                        inmem_wave2.select_columns(metric_cols)
+                    )
+            else:
+                partial_src = ray.data.read_parquet(
+                    answer_dirs, columns=metric_cols
+                )
+            partials = partial_src.map_batches(
+                answer_partials, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+            merged = {}
+            for r in partials:
+                merged[r["key"]] = merged.get(r["key"], 0) + r["n"]
         store.apply_hits({
             int(k.split(":", 1)[1]): v
             for k, v in merged.items() if k.startswith("hit:")
