@@ -2106,6 +2106,11 @@ def q_pii_redact(sf_dir: str):
 
 
 LINE_MIN_DOCS = 5  # a line repeated across >= this many docs is boilerplate
+# broadcast bound for the frequent-line set: a corpus where boilerplate
+# variety itself scales (many templates × many sites) must not grow the
+# broadcast without limit — over the cap, keep the most-repeated lines
+# (the highest-impact boilerplate) and log the dropped volume
+LINE_DROP_CAP = 200_000
 
 
 def q_line_dedup(sf_dir: str):
@@ -2131,12 +2136,28 @@ def q_line_dedup(sf_dir: str):
             pc.greater_equal(t["sum(nd)"], pa.scalar(LINE_MIN_DOCS, pa.int64()))
         )
 
-    drop = {
-        r["line_md5"]
-        for r in freq.map_batches(
-            keep_frequent, batch_format="pyarrow"
-        ).take_all()
-    }
+    frequent = freq.map_batches(
+        keep_frequent, batch_format="pyarrow"
+    ).materialize()
+    n_frequent = frequent.count()
+    if n_frequent > LINE_DROP_CAP:
+        # no-silent-caps: keep the most-repeated lines, say what was cut
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "line_dedup: %d frequent lines exceed the %d broadcast cap; "
+            "keeping the top %d by doc frequency (%d dropped)",
+            n_frequent, LINE_DROP_CAP, LINE_DROP_CAP,
+            n_frequent - LINE_DROP_CAP,
+        )
+        from ..stages.topk import dataset_topk
+
+        frequent = dataset_topk(
+            frequent,
+            [("sum(nd)", "descending"), ("line_md5", "ascending")],
+            LINE_DROP_CAP,
+        )
+    drop = {r["line_md5"] for r in frequent.take_all()}
     return docs.map_batches(
         tx.LineDedup,
         fn_constructor_args=(drop,),
@@ -2328,13 +2349,27 @@ def q_dedup_substring(sf_dir: str):
     O(windows) or O(true duplication volume)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     nparts = dd.adaptive_partitions(_table_rows(sf_dir, "documents"))
-    marks = (
-        docs.map_batches(
-            tx.substr_window_marks, batch_format="pyarrow",
-            zero_copy_batch=True,
+    occ = docs.map_batches(
+        tx.substr_window_marks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # shared iff the window's occurrences span >= 2 distinct docs —
+    # detected with a streaming Min/Max aggregate (min(doc_id) !=
+    # max(doc_id)), NOT a per-hash map_groups: a boilerplate window
+    # present in every doc would otherwise put O(corpus) rows in one
+    # group/task. The survivors join back to occurrences hash-partitioned.
+    shared = (
+        occ.groupby("h")
+        .aggregate(
+            ray.data.aggregate.Min("doc_id", alias_name="lo"),
+            ray.data.aggregate.Max("doc_id", alias_name="hi"),
         )
-        .groupby("h")
-        .map_groups(tx.shared_window_occurrences, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["lo"], t["hi"])).select(["h"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    marks = (
+        occ.join(shared, join_type="inner", num_partitions=nparts, on=("h",))
         .groupby("doc_id")
         .map_groups(tx.covered_positions_group, batch_format="pyarrow")
     )

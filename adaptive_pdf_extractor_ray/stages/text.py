@@ -361,20 +361,6 @@ def substr_window_marks(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
-def shared_window_occurrences(g: pa.Table) -> pa.Table:
-    """Per-hash group: emit the group's (doc_id, pos) occurrences iff the
-    window appears in >= 2 distinct docs (a shared substring), else
-    nothing. Output is proportional to the true duplication volume."""
-    if len(set(g["doc_id"].to_pylist())) < 2:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "pos": pa.array([], pa.int64()),
-            }
-        )
-    return g.select(["doc_id", "pos"])
-
-
 def covered_positions_group(g: pa.Table) -> pa.Table:
     """Per-doc group of shared-window starts -> one row with the sorted
     start list, comma-encoded as a string (Arrow's acero hash join

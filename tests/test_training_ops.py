@@ -539,8 +539,9 @@ class TestWebtextOps:
         assert sorted(byh.values()) == [1, 1, 2]
         shared_h = [h for h, c in byh.items() if c == 2][0]
         g = marks.filter(pa.compute.equal(marks["h"], shared_h))
-        occ = tx.shared_window_occurrences(g)
-        assert occ["pos"].to_pylist() == [0, 0]
+        # the shared window occurs at stride-aligned start 0 in both docs
+        assert g["pos"].to_pylist() == [0, 0]
+        assert len(set(g["doc_id"].to_pylist())) == 2
         # rebuild doc a with start-0 covered: drops the 16 shared tokens
         rb = tx.rebuild_dedup_batch(
             pa.table(
@@ -556,16 +557,6 @@ class TestWebtextOps:
         assert rb["text_dedup"][0].as_py() == " ".join(
             f"a{i}" for i in range(8)
         )
-
-    def test_shared_window_requires_two_docs(self):
-        g = pa.table(
-            {
-                "h": ["x", "x"],
-                "doc_id": pa.array([1, 1], pa.int64()),
-                "pos": pa.array([0, 8], pa.int64()),
-            }
-        )
-        assert len(tx.shared_window_occurrences(g)) == 0
 
     def test_rebuild_no_marks_passthrough(self):
         rb = tx.rebuild_dedup_batch(
