@@ -2380,6 +2380,70 @@ def q_dedup_substring(sf_dir: str):
     return joined.map_batches(tx.rebuild_dedup_batch, batch_format="pyarrow")
 
 
+def q_build_training_set(sf_dir: str):
+    """The end-to-end webtext -> training-sequences composition, as ONE
+    dataflow: quality-tier gate (drop 'low') -> exact dedup keep-first
+    (groupby content hash, min doc_id wins) -> 32-token chunking ->
+    contiguous packing into 512-token sequences via the bucketed
+    distributed prefix sum. Every stage is an operator verified on its
+    own elsewhere; this query value-verifies their composition."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = docs.map_batches(
+        tx.tier_gate_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        i = pc.index(g["doc_id"], pc.min(g["doc_id"]).as_py()).as_py()
+        return g.slice(i, 1).select(["doc_id", "text"])
+
+    uniq = kept.groupby("content_md5").map_groups(
+        keep_first, batch_format="pyarrow"
+    )
+    chunks = uniq.map_batches(
+        tx.chunk_windows_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "chunk_id", "n_tokens"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.divide(t["doc_id"], pa.scalar(RANK_BUCKET, pa.int64())),
+            pa.int64(),
+        )
+        return t.append_column("bucket", b)
+
+    wt = chunks.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sums = wt.groupby("bucket").sum("n_tokens").take_all()
+    base: dict[int, int] = {}
+    cum = 0
+    for r in sorted(sums, key=lambda r: r["bucket"]):
+        base[r["bucket"]] = cum
+        cum += r["sum(n_tokens)"]
+    bref = ray.put(base)
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        offsets = ray.get(bref)
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("doc_id", "ascending"),
+                              ("chunk_id", "ascending")]
+            )
+        )
+        n = np.asarray(g["n_tokens"], dtype=np.int64)
+        start = offsets[g["bucket"][0].as_py()] + np.cumsum(n) - n
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "chunk_id": g["chunk_id"],
+                "n_tokens": g["n_tokens"],
+                "start_tok": pa.array(start, pa.int64()),
+                "seq_id": pa.array(start // PACK_BUDGET, pa.int64()),
+            }
+        )
+
+    return wt.groupby("bucket").map_groups(pack_group, batch_format="pyarrow")
+
+
 MIX_SCALE = 1_000_000  # keep-rate resolution (parts per million)
 
 
@@ -2478,6 +2542,7 @@ QUERIES = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "mix_rebalance": q_mix_rebalance,
     "dedup_substring": q_dedup_substring,
+    "build_training_set": q_build_training_set,
 }
 
 
@@ -3288,6 +3353,55 @@ select b.doc_id, len(b.ws)::bigint as n_tokens,
        (len(b.ws) - coalesce(a.n_kept, 0))::bigint as n_removed,
        coalesce(a.text_dedup, '') as text_dedup
 from base b left join agg a using (doc_id)
+"""
+
+ORACLES["build_training_set"] = f"""
+with words as (
+  select doc_id, w
+  from (select doc_id, unnest(string_split(text, ' ')) as w from documents)
+  where w <> ''),
+per as (select doc_id, w, count(*)::bigint as c from words
+        group by doc_id, w),
+ranked as (
+  select doc_id, c,
+         sum(c) over (partition by doc_id) as n_words,
+         count(*) over (partition by doc_id) as n_distinct,
+         row_number() over (partition by doc_id
+                            order by c desc, w asc) as rn
+  from per),
+s as (
+  select doc_id, n_words,
+         round(c / n_words, 6) as top_frac,
+         round((n_words - n_distinct) / n_words, 6) as dup_frac
+  from ranked where rn = 1),
+tiered as (
+  select doc_id from s
+  where not (n_words < {tx.TIER_LOW_WORDS} or dup_frac >= {tx.TIER_LOW_DUP}
+             or top_frac >= {tx.TIER_LOW_TOP})),
+kept as (select d.doc_id, d.text from documents d join tiered using (doc_id)),
+uniq as (
+  select doc_id, text from (
+    select doc_id, text,
+           row_number() over (partition by md5(text) order by doc_id) as rn
+    from kept)
+  where rn = 1),
+base as (
+  select doc_id, list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from uniq),
+chunks as (
+  select doc_id, (s // {tx.CHUNK_STRIDE})::bigint as chunk_id,
+         least({tx.CHUNK_TOKENS}, len(ws) - s)::bigint as n_tokens
+  from (select doc_id, ws, unnest(range(0, len(ws), {tx.CHUNK_STRIDE})) as s
+        from base where len(ws) > 0)),
+packed as (
+  select doc_id, chunk_id, n_tokens,
+         coalesce(sum(n_tokens) over (order by doc_id, chunk_id
+             rows between unbounded preceding and 1 preceding), 0)::bigint
+           as start_tok
+  from chunks)
+select doc_id, chunk_id, n_tokens, start_tok,
+       (start_tok // {PACK_BUDGET})::bigint as seq_id
+from packed
 """
 
 ORACLES["mix_rebalance"] = f"""

@@ -497,6 +497,30 @@ def quality_tier_batch(stats: pa.Table) -> pa.Table:
     )
 
 
+def tier_gate_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality gate for the training-set build: drop 'low'-tier docs
+    (and no-word docs), carry text + exact-dedup key forward. One
+    stateless kernel = word stats -> tier -> filter -> md5."""
+    stats = word_stats_batch(batch, col)
+    tiers = quality_tier_batch(stats)
+    keep_ids = {
+        did
+        for did, t in zip(
+            tiers["doc_id"].to_pylist(), tiers["tier"].to_pylist()
+        )
+        if t != "low"
+    }
+    mask = [did in keep_ids for did in batch["doc_id"].to_pylist()]
+    t = batch.filter(pa.array(mask, pa.bool_()))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            col: t[col],
+            "content_md5": md5_hex_array(t[col].to_pylist()),
+        }
+    )
+
+
 def word_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Gopher-style repetition features per document: word count,
     distinct-word count, most-frequent word (ties -> lexicographically

@@ -570,3 +570,17 @@ class TestWebtextOps:
         )
         assert rb["text_dedup"][0].as_py() == "a b c"
         assert rb["n_removed"][0].as_py() == 0
+
+    def test_tier_gate_batch(self):
+        rich = " ".join(f"u{i}" for i in range(80))  # high tier
+        poor = "x x x x x"  # low: few words, high dup
+        batch = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()), "text": [rich, poor]}
+        )
+        out = tx.tier_gate_batch(batch)
+        assert out["doc_id"].to_pylist() == [1]
+        import hashlib as _h
+
+        assert out["content_md5"][0].as_py() == _h.md5(
+            rich.encode()
+        ).hexdigest()
