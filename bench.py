@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "quality_tiers",
     "bigram_topk",
+    "dedup_substring",
+    "build_training_set",
 ]
 
 
