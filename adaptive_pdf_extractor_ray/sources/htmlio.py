@@ -54,47 +54,26 @@ class _Block:
 
 
 class _Extractor(HTMLParser):
+    """stdlib-tokenizer front end over the shared block state machine
+    (the fast scanner below is the product path; this is the robustness
+    reference both are property-tested against)."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.blocks: list[_Block] = [_Block()]
-        self._drop_depth = 0
-        self._anchor_depth = 0
+        self.model = _BlockModel()
 
-    def _new_block(self) -> None:
-        if self.blocks[-1].parts:
-            self.blocks.append(_Block())
+    @property
+    def blocks(self) -> list["_Block"]:
+        return self.model.blocks
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in DROP_SUBTREE_TAGS:
-            self._drop_depth += 1
-            return
-        if self._drop_depth:
-            return
-        if tag == "a":
-            self._anchor_depth += 1
-        if tag in BLOCK_TAGS or tag == "br":
-            self._new_block()
+        self.model.on_start(tag)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in DROP_SUBTREE_TAGS:
-            self._drop_depth = max(0, self._drop_depth - 1)
-            return
-        if self._drop_depth:
-            return
-        if tag == "a":
-            self._anchor_depth = max(0, self._anchor_depth - 1)
-        if tag in BLOCK_TAGS:
-            self._new_block()
+        self.model.on_end(tag)
 
     def handle_data(self, data: str) -> None:
-        if self._drop_depth or not data:
-            return
-        b = self.blocks[-1]
-        b.parts.append(data)
-        n = len(data.strip())
-        b.text_len += n
-        if self._anchor_depth:
-            b.link_len += n
+        self.model.on_data(data)
 
 
 # -- fast tag scanner ---------------------------------------------------------
