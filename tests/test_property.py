@@ -154,3 +154,134 @@ class TestUnicodeWhitespaceParity:
             f"select {normalize_sql('?')}", [s]
         ).fetchone()
         assert got == normalize_text(s)
+
+
+class TestWebtextKernelProperties:
+    """Property tests for the round-3 webtext kernels (pure functions,
+    no Ray session needed)."""
+
+    def test_chunk_windows_reconstruct(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages import text as tx
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.integers(min_value=0, max_value=200))
+        def check(n_tokens):
+            words = [f"w{i}" for i in range(n_tokens)]
+            batch = pa.table(
+                {"doc_id": pa.array([1], pa.int64()),
+                 "text": [" ".join(words)]}
+            )
+            out = tx.chunk_windows_batch(batch)
+            if n_tokens == 0:
+                assert len(out) == 0
+                return
+            # every token index is covered by at least one window, the
+            # first window starts at 0, windows overlap by W - stride
+            starts = [
+                cid * tx.CHUNK_STRIDE for cid in out["chunk_id"].to_pylist()
+            ]
+            covered = set()
+            for s, c in zip(starts, out["chunk"].to_pylist()):
+                toks = c.split(" ")
+                assert toks == words[s : s + tx.CHUNK_TOKENS]
+                covered.update(range(s, s + len(toks)))
+            assert covered == set(range(n_tokens))
+
+        check()
+
+    def test_pack_prefix_sum_matches_serial(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from adaptive_pdf_extractor_ray.pipelines.queries import PACK_BUDGET
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=600),
+                        min_size=1, max_size=50))
+        def check(token_counts):
+            # serial reference: cumulative start offsets in id order
+            starts, cum = [], 0
+            for n in token_counts:
+                starts.append(cum)
+                cum += n
+            seqs = [s // PACK_BUDGET for s in starts]
+            # the bucketed decomposition used by q_pack_sequences:
+            # bucket offsets = cumsum of bucket totals, then local cumsum
+            B = 7  # small bucket for the test
+            base, c = {}, 0
+            for b in range(0, len(token_counts), B):
+                base[b // B] = c
+                c += sum(token_counts[b : b + B])
+            got = []
+            for i, n in enumerate(token_counts):
+                bkt = i // B
+                local = sum(token_counts[bkt * B : i])
+                got.append((base[bkt] + local) // PACK_BUDGET)
+            assert got == seqs
+
+        check()
+
+    def test_line_dedup_no_boilerplate_is_identity(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages import text as tx
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=9),
+                        min_size=1, max_size=60))
+        def check(tokens):
+            text = " ".join(f"t{v}" for v in tokens)
+            batch = pa.table(
+                {"doc_id": pa.array([1], pa.int64()), "source": ["s"],
+                 "lang": ["en"], "text": [text]}
+            )
+            out = tx.LineDedup(set())(batch)  # empty drop set
+            # with nothing to drop, the cleaned page is exactly the
+            # derived page and every line is kept
+            assert out["n_kept"][0].as_py() == out["n_lines"][0].as_py()
+            assert out["text_clean"][0].as_py() == "\n".join(
+                tx.doc_lines("s", "en", text)
+            )
+
+        check()
+
+    def test_pii_redact_idempotent(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages import text as tx
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.integers(min_value=0, max_value=10**7))
+        def check(did):
+            page = (f"some text contact user{did}@mail{did % 7}.com visit"
+                    f" http://site{did % 13}.example/p{did} call"
+                    f" 555-{did % 10000:04d} end")
+            batch = pa.table(
+                {"doc_id": pa.array([did], pa.int64()), "text": [page]}
+            )
+            once = tx.pii_redact_batch(batch)
+            again = tx.pii_redact_batch(
+                pa.table({"doc_id": pa.array([did], pa.int64()),
+                          "text": once["clean"]})
+            )
+            # redaction is idempotent and the counts are exact
+            assert again["clean"][0].as_py() == once["clean"][0].as_py()
+            assert once["n_emails"][0].as_py() == 1
+            assert once["n_urls"][0].as_py() == 1
+            assert once["n_phones"][0].as_py() == 1
+            assert again["n_emails"][0].as_py() == 0
+            assert again["n_urls"][0].as_py() == 0
+            assert again["n_phones"][0].as_py() == 0
+
+        check()
