@@ -703,13 +703,97 @@ def q_knn_ivf(sf_dir: str):
     sample = pq.read_table(_pq(sf_dir, "embeddings"), columns=["embedding"])
     X = np.asarray(sample["embedding"].to_pylist()[:512], dtype=np.float64)
     C = sim.kmeans_lite(X, n_clusters=min(8, len(X)))
+    # .tolist(): plain constructor values (tiny centroid matrix), not a
+    # serialized numpy buffer — same restart-safety stance as BruteKnn
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        sim.IvfIndexKnn, fn_constructor_args=(q, C),
+        sim.IvfIndexKnn, fn_constructor_args=(q, C.tolist()),
         batch_format="pyarrow", concurrency=_apool(),
     )
     return partials.groupby("query_id").map_groups(
         lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
     )
+
+
+LSH_TABLES = 2
+LSH_PLANES = 6
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    head = next(
+        pq.ParquetFile(_pq(sf_dir, "embeddings")).iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
+    )
+    return len(head["embedding"][0])
+
+
+def q_knn_lsh(sf_dir: str):
+    """Multi-table sign-LSH ANN — the hyperplane-hash scale path next to
+    IVF (recall < 1 by design vs brute force; the LSH computation itself
+    is deterministic and value-verified against ``lsh_oracle_sql``'s
+    full DuckDB replication with plane literals). Unlike IVF there is NO
+    index-build pass at all: the planes depend only on the embedding
+    dimension, so at 10^12 rows the pipeline is a single map_batches +
+    the tiny per-query top-k reduce."""
+    q = _query_vectors(sf_dir)
+    tables = sim.lsh_tables(_embedding_dim(sf_dir), LSH_TABLES, LSH_PLANES)
+    # .tolist(): plain constructor values (tiny plane matrices), not
+    # serialized numpy buffers — same restart-safety stance as BruteKnn
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        sim.SignLshKnn,
+        fn_constructor_args=(q, [P.tolist() for P in tables], KNN_K),
+        batch_format="pyarrow", concurrency=_apool(),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
+    )
+
+
+def lsh_oracle_sql(sf_dir: str) -> str:
+    """DuckDB replication of the WHOLE multi-table sign-LSH ANN path:
+    every table's plane matrix (data-independent — dimension + fixed
+    seeds) is embedded as float literals; SQL independently recomputes
+    each vector's per-table sign signature (bit = round(v·hᵢ, 6) >= 0),
+    each query's per-table multiprobe set (own bucket ∪ every 1-bit
+    flip), the candidate UNION across tables, cosine ranking (round 6)
+    and top-k with neighbor-id tie-break."""
+    tables = sim.lsh_tables(_embedding_dim(sf_dir), LSH_TABLES, LSH_PLANES)
+    plane_rows = ", ".join(
+        f"({tid}, {pid}, [{', '.join(repr(float(v)) for v in row)}]::double[])"
+        for tid, P in enumerate(tables)
+        for pid, row in enumerate(P)
+    )
+    return f"""
+with planes(tid, pid, pvec) as (values {plane_rows}),
+v as (select vec_id, embedding::double[] as vec from embeddings),
+sig as (
+  select vec_id, vec, p.tid,
+         sum(case when round(list_inner_product(vec, p.pvec), 6) >= 0
+                  then (1::bigint << p.pid) else 0 end)::bigint as bucket
+  from v cross join planes p group by vec_id, vec, p.tid),
+qid as (select vec_id from v order by vec_id limit {N_QUERIES}),
+q as (
+  select vec_id as query_id, vec as qvec, tid, bucket as qb from sig
+  where vec_id in (select vec_id from qid)),
+probes as (
+  select query_id, tid, qb as bucket from q
+  union
+  select q.query_id, q.tid, xor(q.qb, 1::bigint << p.pid) as bucket
+  from q join planes p using (tid)),
+cand as (
+  select distinct q2.query_id, s.vec_id as neighbor_id,
+         round(list_cosine_similarity(s.vec, q2.qvec), 6) as sim
+  from (select distinct query_id, qvec from q) q2
+  join probes pr using (query_id)
+  join sig s on s.tid = pr.tid and s.bucket = pr.bucket),
+ranked as (
+  select *, row_number() over (
+      partition by query_id order by sim desc, neighbor_id asc) as rn
+  from cand)
+select query_id, neighbor_id, sim from ranked where rn <= {KNN_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2167,6 +2251,62 @@ def q_line_dedup(sf_dir: str):
     )
 
 
+LM_VOCAB_CAP = 500_000  # broadcast-model ceiling (words); see q_lm_score
+LM_OOV_COUNT = 0.5  # pseudo-count for words cut by the cap
+
+
+def q_lm_score(sf_dir: str):
+    """Unigram-LM quality score (the CCNet-style perplexity-proxy
+    filter): pass 1 fits the model — per-batch PARTIAL word counts
+    (combiner; the shuffle moves (word, count) rows, never text) →
+    groupby-sum → broadcast {word: count} + total; pass 2 scores each
+    doc's mean per-token code length ``lm_bits = mean(log2(total /
+    count(w)))`` in one stateless actor-pool map. Model size is bounded
+    by LM_VOCAB_CAP per the no-silent-caps rule: an over-cap vocabulary
+    keeps the most-frequent words (block-partial top-K, dropped volume
+    logged) and scores the cut tail at LM_OOV_COUNT (< 1 — rarer than
+    any retained word); the cap never binds at gate scales, so the SQL
+    oracle replicates the uncapped model exactly."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = (
+        docs.map_batches(
+            tx.word_count_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("word")
+        .sum("n")
+        .materialize()
+    )
+    total = counts.sum("sum(n)") or 0
+    n_vocab = counts.count()
+    if n_vocab > LM_VOCAB_CAP:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "lm_score: vocabulary of %d words exceeds the %d broadcast "
+            "cap; keeping the top %d by count (%d words fall back to the "
+            "OOV pseudo-count %.1f)",
+            n_vocab, LM_VOCAB_CAP, LM_VOCAB_CAP, n_vocab - LM_VOCAB_CAP,
+            LM_OOV_COUNT,
+        )
+        from ..stages.topk import dataset_topk
+
+        counts = dataset_topk(
+            counts,
+            [("sum(n)", "descending"), ("word", "ascending")],
+            LM_VOCAB_CAP,
+        )
+    model = {r["word"]: r["sum(n)"] for r in counts.take_all()}
+    return docs.map_batches(
+        tx.LmScore,
+        fn_constructor_args=(
+            {"counts": model, "total": total, "oov": LM_OOV_COUNT},
+        ),
+        batch_format="pyarrow",
+        concurrency=_apool(),
+        zero_copy_batch=True,
+    )
+
+
 def q_chunk_windows(sf_dir: str):
     """Training-sequence chunking: overlapping fixed-size token windows
     (32-token window, 24-token stride) per document — embarrassingly
@@ -2503,6 +2643,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "knn_brute": q_knn_brute,
     "knn_ivf": q_knn_ivf,
+    "knn_lsh": q_knn_lsh,
     "agg_lineitem": q_agg_lineitem,
     "join_revenue": q_join_revenue,
     "join_large": q_join_large,
@@ -2534,6 +2675,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
+    "lm_score": q_lm_score,
     "chunk_windows": q_chunk_windows,
     "pack_sequences": q_pack_sequences,
     "bigram_topk": q_bigram_topk,
@@ -3189,6 +3331,19 @@ select doc_id,
 from page
 """
 
+ORACLES["lm_score"] = """
+with tok as (
+  select doc_id, w
+  from (select doc_id, unnest(string_split(text, ' ')) as w from documents)
+  where w <> ''),
+cnt as (select w, count(*)::bigint as c from tok group by w),
+tot as (select count(*)::double as t from tok)
+select doc_id, count(*)::bigint as n_tokens,
+       round(sum(log2(t / c)) / count(*), 6) as lm_bits
+from tok join cnt using (w) cross join tot
+group by doc_id
+"""
+
 ORACLES["line_dedup"] = f"""
 with base as (
   select doc_id, source, lang,
@@ -3428,4 +3583,7 @@ def all_oracles() -> dict[str, str]:
     ivf_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     if os.path.isfile(_pq(ivf_sf, "embeddings")):
         out["knn_ivf"] = ivf_oracle_sql(ivf_sf)
+        # knn_lsh's plane literals depend only on the embedding DIMENSION
+        # (data-independent), read from the same gate tables
+        out["knn_lsh"] = lsh_oracle_sql(ivf_sf)
     return out

@@ -176,3 +176,99 @@ def embedding_neardup_pairs(batch_ids: np.ndarray, M: np.ndarray,
             "b": pa.array(b_out, pa.int64()),
         }
     )
+
+
+def lsh_planes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
+    """Deterministic random-hyperplane matrix for sign-LSH (data-
+    independent: depends only on the embedding dimension and a fixed
+    seed, so the SQL oracle can embed the same floats as literals)."""
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal((n_planes, dim))
+
+
+def lsh_buckets(X: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-LSH bucket id per row of ``X``: bit i = (round(X·hᵢ, 6) >= 0),
+    bucket = Σ bitᵢ·2ⁱ. The 6-dp round before the sign test makes the
+    bit engine-independent at the 0 boundary (numpy matmul vs the
+    oracle's sequential list_inner_product differ by ~1 ulp)."""
+    dots = np.round(X @ planes.T, 6)  # (n, p)
+    bits = (dots >= 0).astype(np.int64)
+    return (bits << np.arange(planes.shape[0], dtype=np.int64)).sum(axis=1)
+
+
+def lsh_tables(dim: int, n_tables: int = 2, n_planes: int = 6,
+               seed: int = 7) -> list[np.ndarray]:
+    """The classic multi-table sign-LSH index: ``n_tables`` independent
+    plane matrices (seeds ``seed..seed+n_tables-1``). Candidates are the
+    UNION over tables — each table's bucket is a high-precision/low-
+    recall filter; independent tables recover the recall."""
+    return [lsh_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+
+class SignLshKnn:
+    """Multi-table sign-LSH ANN — the hyperplane-hash counterpart of
+    :class:`IvfIndexKnn` (recall < 1 by design vs brute force, but the
+    computation itself is deterministic and value-verified against a
+    full DuckDB replication with plane literals).
+
+    Index build is free (planes are data-independent — no sampling pass,
+    unlike IVF's k-means), so this is the scale path when even one
+    centroid pass over a 10^12-row corpus is unwanted. Each query probes,
+    in every table, its own bucket plus every 1-bit flip (multiprobe);
+    candidates are the union over tables; exact cosine, partial top-k
+    per batch, final per-query reduce — identical dataflow shape to
+    BruteKnn/IvfIndexKnn. At 2 tables x 6 planes this scans ~21% of the
+    corpus for recall@5 ≈ 0.5 on the fixture embeddings (vs IVF's 25%
+    scan at the same recall bar)."""
+
+    def __init__(self, queries, tables, k: int = 5, col: str = "embedding"):
+        self.query_ids = np.asarray(queries["ids"], dtype=np.int64)
+        Qraw = np.asarray(queries["vecs"], dtype=np.float64)
+        self.Q = _normalize(Qraw)
+        self.tables = [np.asarray(P, dtype=np.float64) for P in tables]
+        # per table: query bucket + 1-bit multiprobe set
+        self.probes: list[list[np.ndarray]] = []
+        for P in self.tables:
+            n_planes = P.shape[0]
+            qb = lsh_buckets(Qraw, P)
+            self.probes.append([
+                np.asarray(
+                    sorted({int(b)} | {int(b) ^ (1 << i)
+                                       for i in range(n_planes)}),
+                    dtype=np.int64,
+                )
+                for b in qb
+            ])
+        self.k = k
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        X = embeddings_matrix(batch, self.col)
+        buckets = [lsh_buckets(X, P) for P in self.tables]
+        Xn = _normalize(X)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.query_ids)):
+            mask = np.zeros(len(ids), dtype=bool)
+            for ti in range(len(self.tables)):
+                mask |= np.isin(buckets[ti], self.probes[ti][qi])
+            if not mask.any():
+                continue
+            sims = np.round(Xn[mask] @ self.Q[qi], 6)
+            sub_ids = ids[mask]
+            k = min(self.k, len(sims))
+            # deterministic partial selection on the ROUNDED sim with
+            # neighbor-id tie-break (block-layout independent)
+            top = sorted(range(len(sims)),
+                         key=lambda j: (-sims[j], sub_ids[j]))[:k]
+            for j in top:
+                out_q.append(int(self.query_ids[qi]))
+                out_n.append(int(sub_ids[j]))
+                out_s.append(float(sims[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )

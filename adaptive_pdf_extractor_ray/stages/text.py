@@ -556,3 +556,73 @@ def word_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             "dup_frac": pa.array(df_out, pa.float64()),
         }
     )
+
+
+def word_count_partials(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Pass 1 of the unigram-LM quality score: PARTIAL word counts per
+    batch (same combiner shape as ``line_count_partials`` — the shuffle
+    moves (word, partial count) rows, never document text). Tokenization
+    is the repo convention: split on single spaces, empty tokens dropped
+    (mirrors the SQL oracle's ``unnest(string_split(text, ' '))
+    ... where w <> ''``)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch[col].to_pylist():
+        c.update(w for w in (t or "").split(" ") if w)
+    return pa.table(
+        {
+            "word": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+class LmScore:
+    """Pass 2 of the unigram-LM quality score (the CCNet-style
+    perplexity-proxy filter): a broadcast unigram model {word: corpus
+    count} + total token count, shipped once per actor as plain
+    constructor values (restart-safe, ray#53727). Per doc emits
+
+        lm_bits = round(mean over tokens of log2(total / count(w)), 6)
+
+    — the doc's average per-token code length under the corpus unigram
+    distribution (lower = more typical text; boilerplate/keyboard-mash
+    scores high). Words absent from a count-capped model fall back to
+    ``oov_count`` (< 1, i.e. rarer than any seen word); with an uncapped
+    model every token is in-vocabulary, which is what the SQL oracle
+    replicates. Docs with no tokens are dropped (same as the oracle).
+    The per-row token loop is inherent tokenize work; the log/mean math
+    is vectorized numpy per document."""
+
+    def __init__(self, model: dict, col: str = "text"):
+        self.counts = model["counts"]
+        self.total = float(model["total"])
+        self.oov = float(model.get("oov", 0.5))
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, nt_out, bits_out = [], [], []
+        get = self.counts.get
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch[self.col].to_pylist()
+        ):
+            words = [w for w in (t or "").split(" ") if w]
+            if not words:
+                continue
+            cs = np.fromiter(
+                (get(w, self.oov) for w in words),
+                dtype=np.float64,
+                count=len(words),
+            )
+            bits = float(np.log2(self.total / cs).sum()) / len(words)
+            ids_out.append(did)
+            nt_out.append(len(words))
+            bits_out.append(round(bits, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_tokens": pa.array(nt_out, pa.int64()),
+                "lm_bits": pa.array(bits_out, pa.float64()),
+            }
+        )

@@ -27,6 +27,8 @@ SUBSET = [
     "lang_id",
     "dedup_exact",
     "knn_brute",
+    "knn_lsh",
+    "lm_score",
     "agg_lineitem",
     "topk_orders",
     "window_hourly",

@@ -584,3 +584,79 @@ class TestWebtextOps:
         assert out["content_md5"][0].as_py() == _h.md5(
             rich.encode()
         ).hexdigest()
+
+
+class TestSignLsh:
+    def test_planes_deterministic_and_dim(self):
+        a, b = sim.lsh_planes(64), sim.lsh_planes(64)
+        assert a.shape == (8, 64) and np.array_equal(a, b)
+        assert not np.array_equal(sim.lsh_planes(64, seed=8), a)
+
+    def test_bucket_bits(self):
+        # axis-aligned planes make the signature readable: dots
+        # (1, -1, 0) -> bits (1, 0, 1) -> bucket 1 + 4 = 5
+        P = np.eye(3)
+        X = np.array([[1.0, -1.0, 0.0]])
+        assert sim.lsh_buckets(X, P).tolist() == [5]
+
+    def test_zero_boundary_rounds_before_sign(self):
+        # a dot of -4.9e-7 rounds to 0 at 6 dp -> bit 1 (engine-stable)
+        P = np.array([[1.0]])
+        X = np.array([[-4.9e-7], [-5.1e-7]])
+        assert sim.lsh_buckets(X, P).tolist() == [1, 0]
+
+    def test_lsh_recall_vs_brute(self, ray_session):
+        """Sign-LSH with 8 planes + 1-bit multiprobe must keep
+        recall@5 >= 0.5 vs brute force on the sf0.001 embeddings."""
+        import importlib.util
+        import sys
+
+        spec = importlib.util.spec_from_file_location(
+            "re5t", "/root/repo/__ray_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["re5t"] = mod
+        spec.loader.exec_module(mod)
+        sf = "/root/testdata/sf0.001"
+        brute = mod.queries()["knn_brute"](sf).to_pandas()
+        lsh = mod.queries()["knn_lsh"](sf).to_pandas()
+        b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+        v = {(r.query_id, r.neighbor_id) for r in lsh.itertuples()}
+        recall = len(b & v) / len(b)
+        assert recall >= 0.5, recall
+
+
+class TestLmScore:
+    def test_matches_hand_model(self):
+        import math
+
+        batch = pa.table({"doc_id": [1, 2], "text": ["a a b", "b c"]})
+        parts = tx.word_count_partials(batch)
+        counts = dict(zip(parts["word"].to_pylist(), parts["n"].to_pylist()))
+        assert counts == {"a": 2, "b": 2, "c": 1}
+        out = tx.LmScore({"counts": counts, "total": 5})(batch)
+        exp1 = round(3 * math.log2(5 / 2) / 3, 6)
+        exp2 = round((math.log2(5 / 2) + math.log2(5 / 1)) / 2, 6)
+        assert out["lm_bits"].to_pylist() == [exp1, exp2]
+        assert out["n_tokens"].to_pylist() == [3, 2]
+
+    def test_empty_docs_dropped_and_oov_floor(self):
+        import math
+
+        model = {"counts": {"a": 3}, "total": 4, "oov": 0.5}
+        batch = pa.table({"doc_id": [1, 2, 3], "text": ["", None, "a zz"]})
+        out = tx.LmScore(model)(batch)
+        assert out["doc_id"].to_pylist() == [3]
+        exp = round((math.log2(4 / 3) + math.log2(4 / 0.5)) / 2, 6)
+        assert out["lm_bits"].to_pylist() == [exp]
+
+    def test_vocab_cap_route(self, ray_session, monkeypatch):
+        """With the broadcast cap forced to 1 word, every other token
+        scores at the OOV floor — the query must still run end-to-end
+        and score every non-empty doc."""
+        from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+        monkeypatch.setattr(q, "LM_VOCAB_CAP", 1)
+        out = q.q_lm_score("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 500
+        assert (out.lm_bits > 0).all()
