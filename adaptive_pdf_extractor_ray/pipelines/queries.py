@@ -2251,6 +2251,31 @@ def q_line_dedup(sf_dir: str):
     )
 
 
+def q_url_dedup(sf_dir: str):
+    """URL-level dedup with canonicalization (the Common-Crawl crawl-
+    frontier dedup pass): derive the fixture URL per doc (deterministic
+    variant classes — tracking params, fragments, case, :443 — mirrored
+    by the oracle's CASE), canonicalize with vectorized RE2 kernels, and
+    keep the minimum doc_id per canonical URL. One shuffle, keyed by the
+    canonical URL string; at 10^12 pages the groupby key could be the
+    md5 of the canonical form (16 bytes) with the same plan shape."""
+    urls = (
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+        .map_batches(
+            tx.derive_url_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(
+            tx.canonicalize_url_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return urls.groupby("canon_url").aggregate(
+        ray.data.aggregate.Min("doc_id", alias_name="keep_doc_id"),
+        ray.data.aggregate.Count(alias_name="n_variants"),
+    )
+
+
 LM_VOCAB_CAP = 500_000  # broadcast-model ceiling (words); see q_lm_score
 LM_OOV_COUNT = 0.5  # pseudo-count for words cut by the cap
 
@@ -2676,6 +2701,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
     "lm_score": q_lm_score,
+    "url_dedup": q_url_dedup,
     "chunk_windows": q_chunk_windows,
     "pack_sequences": q_pack_sequences,
     "bigram_topk": q_bigram_topk,
@@ -3329,6 +3355,43 @@ select doc_id,
        length(regexp_extract_all(page, '{tx.PII_EMAIL}'))::bigint as n_emails,
        length(regexp_extract_all(page, '{tx.PII_PHONE}'))::bigint as n_phones
 from page
+"""
+
+ORACLES["url_dedup"] = f"""
+with derived as (
+  select doc_id,
+    case doc_id % 5
+      when 0 then 'https://' || source || '.example.com/' || lang || '/'
+        || (doc_id % 200)::varchar
+        || '?utm_source=feed&utm_campaign=x&id=' || (doc_id % 97)::varchar
+      when 1 then 'https://' || source || '.example.com/' || lang || '/'
+        || (doc_id % 200)::varchar || '#section-2'
+      when 2 then upper('HTTPS://' || source || '.example.com') || '/'
+        || lang || '/' || (doc_id % 200)::varchar
+      when 3 then 'https://' || source || '.example.com:443/' || lang || '/'
+        || (doc_id % 200)::varchar
+      else 'https://' || source || '.example.com/' || lang || '/'
+        || (doc_id % 200)::varchar || '?id=' || (doc_id % 97)::varchar
+    end as url
+  from documents),
+cleaned as (
+  select doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(url, '#.*', '', 'g'),
+      '\\?{tx.URL_TRACKING}', '?', 'g'),
+      '&{tx.URL_TRACKING}', '', 'g'),
+      '\\?&', '?', 'g'),
+      '[?&]$', '', 'g') as u
+  from derived),
+canon as (
+  select doc_id,
+    lower(regexp_extract(u, '^([^:]+)://([^/?#]*)(.*)$', 1)) || '://'
+    || regexp_replace(lower(regexp_extract(u, '^([^:]+)://([^/?#]*)(.*)$', 2)),
+                      ':443$', '')
+    || regexp_extract(u, '^([^:]+)://([^/?#]*)(.*)$', 3) as canon_url
+  from cleaned)
+select canon_url, min(doc_id) as keep_doc_id, count(*)::bigint as n_variants
+from canon group by canon_url
 """
 
 ORACLES["lm_score"] = """

@@ -626,3 +626,77 @@ class LmScore:
                 "lm_bits": pa.array(bits_out, pa.float64()),
             }
         )
+
+
+# URL canonicalization (the Common-Crawl URL-level dedup pass). The
+# tracking-parameter class and the rewrite CHAIN ORDER are shared
+# verbatim with the SQL oracle — both engines run RE2-compatible global
+# replaces, so the chain is engine-independent.
+URL_TRACKING = r"(utm_[a-z_]+|fbclid|gclid)=[^&]*"
+
+
+def derive_url_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic URL synthesis for the url-dedup fixture (documents
+    carry no URL column): five variant classes per doc_id — tracking
+    params, fragment, uppercased scheme+host, explicit :443 port, plain
+    ?id — that all collapse under canonicalization. This is test
+    scaffolding (mirrored 1:1 by the oracle's CASE expression), not the
+    operator; the operator is ``canonicalize_url_batch``."""
+    urls = []
+    for did, lang, src in zip(
+        batch["doc_id"].to_pylist(),
+        batch["lang"].to_pylist(),
+        batch["source"].to_pylist(),
+    ):
+        host = f"{src}.example.com"
+        path = f"/{lang}/{did % 200}"
+        v = did % 5
+        if v == 0:
+            u = f"https://{host}{path}?utm_source=feed&utm_campaign=x&id={did % 97}"
+        elif v == 1:
+            u = f"https://{host}{path}#section-2"
+        elif v == 2:
+            u = f"HTTPS://{host.upper()}{path}"
+        elif v == 3:
+            u = f"https://{host}:443{path}"
+        else:
+            u = f"https://{host}{path}?id={did % 97}"
+        urls.append(u)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+    )
+
+
+def canonicalize_url_batch(batch: pa.Table, col: str = "url") -> pa.Table:
+    """Vectorized URL canonicalization: strip fragment, drop tracking
+    query parameters (utm_*/fbclid/gclid) while keeping the rest, repair
+    separators, lowercase scheme+host, drop an explicit :443 port. Every
+    step is a pyarrow RE2 kernel over the whole batch — no per-row
+    Python."""
+    u = batch[col]
+    u = pc.replace_substring_regex(u, pattern=r"#.*", replacement="")
+    u = pc.replace_substring_regex(
+        u, pattern=r"\?" + URL_TRACKING, replacement="?"
+    )
+    u = pc.replace_substring_regex(
+        u, pattern=r"&" + URL_TRACKING, replacement=""
+    )
+    u = pc.replace_substring_regex(u, pattern=r"\?&", replacement="?")
+    u = pc.replace_substring_regex(u, pattern=r"[?&]$", replacement="")
+    parts = pc.extract_regex(
+        u, pattern=r"^(?P<scheme>[^:]+)://(?P<host>[^/?#]*)(?P<rest>.*)$"
+    )
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    host = pc.replace_substring_regex(
+        pc.utf8_lower(pc.struct_field(parts, "host")),
+        pattern=r":443$", replacement="",
+    )
+    rest = pc.struct_field(parts, "rest")
+    canon = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "url": batch[col],
+            "canon_url": canon,
+        }
+    )

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "pii_redact",
     "line_dedup",
+    "lm_score",
+    "knn_lsh",
     "pack_sequences",
     "quality_tiers",
     "bigram_topk",

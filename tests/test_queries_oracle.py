@@ -36,6 +36,7 @@ SUBSET = [
     "tfidf_top_terms",
     "inverted_index",
     "pii_redact",
+    "url_dedup",
     "chunk_windows",
     "pack_sequences",
     "quality_tiers",

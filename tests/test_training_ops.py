@@ -660,3 +660,36 @@ class TestLmScore:
         out = q.q_lm_score("/root/testdata/sf0.001").to_pandas()
         assert len(out) == 500
         assert (out.lm_bits > 0).all()
+
+
+class TestUrlCanonicalize:
+    def _canon(self, urls):
+        b = pa.table({"doc_id": list(range(len(urls))),
+                      "url": pa.array(urls, pa.string())})
+        return tx.canonicalize_url_batch(b)["canon_url"].to_pylist()
+
+    def test_tracking_params_dropped_others_kept(self):
+        assert self._canon(
+            ["https://a.com/p?utm_source=x&id=5",
+             "https://a.com/p?id=5&utm_campaign=y",
+             "https://a.com/p?utm_a=1&utm_b=2&id=5"]
+        ) == ["https://a.com/p?id=5"] * 3
+
+    def test_all_params_tracking_leaves_bare_url(self):
+        assert self._canon(["https://a.com/p?utm_source=x&fbclid=z"]) == [
+            "https://a.com/p"
+        ]
+
+    def test_fragment_case_and_port(self):
+        assert self._canon(
+            ["https://a.com/P#frag", "HTTPS://A.COM/P", "https://a.com:443/P"]
+        ) == ["https://a.com/P"] * 3  # path case preserved, host lowered
+
+    def test_dedup_keeps_min_doc_id(self, ray_session):
+        from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+        out = q.q_url_dedup("/root/testdata/sf0.001").to_pandas()
+        assert out.n_variants.sum() == 500  # every doc accounted for
+        assert (out.n_variants >= 1).all()
+        assert (out.n_variants > 1).any()  # fixture plants real dupes
+        assert out.canon_url.is_unique
