@@ -630,6 +630,24 @@ def q_knn_brute(sf_dir: str):
     ).select_columns(["query_id", "neighbor_id"])
 
 
+def _gate_centroids(sf_dir: str) -> np.ndarray:
+    """The engine's deterministic centroid build (first 512 rows,
+    k-means-lite) — shared by knn_ivf and dedup_semantic so both oracles
+    replicate one assignment rule."""
+    import pyarrow.parquet as pq_
+
+    sample = pq_.read_table(_pq(sf_dir, "embeddings"), columns=["embedding"])
+    X = np.asarray(sample["embedding"].to_pylist()[:512], dtype=np.float64)
+    return sim.kmeans_lite(X, n_clusters=min(8, len(X)))
+
+
+def _centroid_literals(sf_dir: str) -> str:
+    return ", ".join(
+        f"({ci}, [{', '.join(repr(float(v)) for v in row)}]::double[])"
+        for ci, row in enumerate(_gate_centroids(sf_dir))
+    )
+
+
 def ivf_oracle_sql(sf_dir: str) -> str:
     """DuckDB replication of the WHOLE IVF path for a given sf dir: the
     engine's (deterministic, first-512-row k-means) centroid matrix is
@@ -644,13 +662,7 @@ def ivf_oracle_sql(sf_dir: str) -> str:
     import pyarrow.parquet as pq_
 
     emb = _pq(sf_dir, "embeddings")
-    sample = pq_.read_table(emb, columns=["embedding"])
-    X = np.asarray(sample["embedding"].to_pylist()[:512], dtype=np.float64)
-    C = sim.kmeans_lite(X, n_clusters=min(8, len(X)))
-    cent_rows = ", ".join(
-        f"({ci}, [{', '.join(repr(float(v)) for v in row)}]::double[])"
-        for ci, row in enumerate(C)
-    )
+    cent_rows = _centroid_literals(sf_dir)
     t = pq_.read_table(emb, columns=["vec_id"])
     qids = ", ".join(
         str(i) for i in pc.take(
@@ -698,11 +710,7 @@ def q_knn_ivf(sf_dir: str):
     but the IVF computation itself is deterministic and value-verified
     against ``ivf_oracle_sql``'s full DuckDB replication)."""
     q = _query_vectors(sf_dir)
-    import pyarrow.parquet as pq
-
-    sample = pq.read_table(_pq(sf_dir, "embeddings"), columns=["embedding"])
-    X = np.asarray(sample["embedding"].to_pylist()[:512], dtype=np.float64)
-    C = sim.kmeans_lite(X, n_clusters=min(8, len(X)))
+    C = _gate_centroids(sf_dir)
     # .tolist(): plain constructor values (tiny centroid matrix), not a
     # serialized numpy buffer — same restart-safety stance as BruteKnn
     partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
@@ -712,6 +720,52 @@ def q_knn_ivf(sf_dir: str):
     return partials.groupby("query_id").map_groups(
         lambda g: sim.topk_per_query(g, KNN_K), batch_format="pyarrow"
     )
+
+
+SEM_TAU = 0.35  # semantic-duplicate cosine threshold (6-dp rounded)
+
+
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): embedding-cluster semantic dedup —
+    assign every vector to its nearest k-means centroid (the same
+    deterministic build/assignment as knn_ivf), then within each cluster
+    keep only the min-vec_id representative of every semantic-duplicate
+    set (pairwise cosine >= SEM_TAU). Centroids broadcast as plain
+    values; ONE shuffle keyed by cluster; within-cluster pairing is
+    O(c²) bounded by the scale contract that the centroid count grows
+    with the corpus (see ``similarity.semdedup_group``)."""
+    C = _gate_centroids(sf_dir)
+    assigned = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        sim.CentroidAssign, fn_constructor_args=(C.tolist(),),
+        batch_format="pyarrow", concurrency=_apool(),
+    )
+    return assigned.groupby("cluster").map_groups(
+        lambda g: sim.semdedup_group(g, SEM_TAU), batch_format="pyarrow"
+    )
+
+
+def semdedup_oracle_sql(sf_dir: str) -> str:
+    """DuckDB replication of the WHOLE SemDeDup path: centroid literals
+    (identical to the knn_ivf oracle's), argmin-L2 assignment with
+    first-centroid tie-break, within-cluster pairwise cosine (round 6)
+    and min-id-representative survivorship."""
+    return f"""
+with cent(cid, cvec) as (values {_centroid_literals(sf_dir)}),
+v as (select vec_id, embedding::double[] as vec from embeddings),
+assign as (
+  select vec_id, vec, cid from (
+    select v.vec_id, v.vec, c.cid,
+           row_number() over (
+             partition by v.vec_id
+             order by list_distance(v.vec, c.cvec), c.cid) as rn
+    from v cross join cent c) where rn = 1),
+dropped as (
+  select distinct b.vec_id
+  from assign a join assign b on a.cid = b.cid and a.vec_id < b.vec_id
+  where round(list_cosine_similarity(a.vec, b.vec), 6) >= {SEM_TAU})
+select vec_id, cid as cluster from assign
+where vec_id not in (select vec_id from dropped)
+"""
 
 
 LSH_TABLES = 2
@@ -2669,6 +2723,7 @@ QUERIES = {
     "knn_brute": q_knn_brute,
     "knn_ivf": q_knn_ivf,
     "knn_lsh": q_knn_lsh,
+    "dedup_semantic": q_dedup_semantic,
     "agg_lineitem": q_agg_lineitem,
     "join_revenue": q_join_revenue,
     "join_large": q_join_large,
@@ -3649,4 +3704,6 @@ def all_oracles() -> dict[str, str]:
         # knn_lsh's plane literals depend only on the embedding DIMENSION
         # (data-independent), read from the same gate tables
         out["knn_lsh"] = lsh_oracle_sql(ivf_sf)
+        # dedup_semantic shares knn_ivf's data-dependent centroid literals
+        out["dedup_semantic"] = semdedup_oracle_sql(ivf_sf)
     return out

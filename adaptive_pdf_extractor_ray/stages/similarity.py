@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -272,3 +273,50 @@ class SignLshKnn:
                 "sim": pa.array(out_s, pa.float64()),
             }
         )
+
+
+class CentroidAssign:
+    """Assign each embedding to its nearest centroid (argmin squared L2,
+    first-centroid tie-break — the same rule as IvfIndexKnn, so the
+    SemDeDup oracle can reuse the IVF centroid-literal replication).
+    Centroids ship as plain constructor values."""
+
+    def __init__(self, centroids, col: str = "embedding"):
+        self.C = np.asarray(centroids, dtype=np.float64)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = embeddings_matrix(batch, self.col)
+        d = ((X[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "cluster": pa.array(d.argmin(axis=1), pa.int64()),
+                "embedding": batch[self.col],
+            }
+        )
+
+
+def semdedup_group(group: pa.Table, tau: float) -> pa.Table:
+    """Within-cluster SemDeDup rule (Abbas et al. 2023, simplified to a
+    deterministic order): drop v when some u in the SAME cluster has
+    round(cos(u, v), 6) >= tau and u.vec_id < v.vec_id — i.e. each
+    semantic-duplicate set keeps its min-id representative. O(c²) in the
+    cluster size: the scale contract is that the centroid count grows
+    with the corpus (k ≈ N / target_cluster_size), which is what bounds
+    c — an over-target cluster should be sub-bucketed (e.g. by sign-LSH)
+    before pairing, the same escape hatch as dedup.bucket_pairs."""
+    ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+    Xn = _normalize(embeddings_matrix(group))
+    sims = np.round(Xn @ Xn.T, 6)
+    smaller = ids[None, :] < ids[:, None]  # [i, j] = id_j < id_i
+    drop = ((sims >= tau) & smaller).any(axis=1)
+    keep = ~drop
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[keep], pa.int64()),
+            "cluster": group["cluster"].take(
+                pa.array(np.flatnonzero(keep), pa.int64())
+            ),
+        }
+    )

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "lm_score",
     "knn_lsh",
+    "url_dedup",
+    "dedup_semantic",
     "pack_sequences",
     "quality_tiers",
     "bigram_topk",

@@ -693,3 +693,28 @@ class TestUrlCanonicalize:
         assert (out.n_variants >= 1).all()
         assert (out.n_variants > 1).any()  # fixture plants real dupes
         assert out.canon_url.is_unique
+
+
+class TestSemDedup:
+    def test_group_keeps_min_id_per_dup_set(self):
+        # two identical vectors + one orthogonal: the higher id of the
+        # identical pair is dropped, everything else kept
+        g = pa.table(
+            {
+                "vec_id": [7, 3, 9],
+                "cluster": [0, 0, 0],
+                "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+            }
+        )
+        out = sim.semdedup_group(g, tau=0.9)
+        assert sorted(out["vec_id"].to_pylist()) == [3, 9]
+        assert out["cluster"].to_pylist() == [0, 0]
+
+    def test_fixture_drop_count(self, ray_session):
+        from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+        out = q.q_dedup_semantic("/root/testdata/sf0.001").to_pandas()
+        # 78 semantic dups at tau=0.35 on the sf0.001 embeddings
+        # (independently computed; also pinned by the DuckDB oracle)
+        assert len(out) == 422
+        assert out.vec_id.is_unique
