@@ -163,7 +163,25 @@ def run_dedup_scale(n_docs: int) -> dict:
         "cc_rounds": cc_stats.get("cc_rounds"),
         "cc_nodes": cc_stats.get("cc_nodes"),
         "clusters": n_clusters,
+        "lm_score": _webtext_scale(sf_dir, n_docs),
     }
+
+
+def _webtext_scale(sf_dir: str, n_docs: int) -> dict:
+    """Unigram-LM scoring over the same ≥100k-doc corpus — times the
+    two-pass (fit model, score docs) design at a scale where the model
+    groupby is real work, not machinery."""
+    from adaptive_pdf_extractor_ray.pipelines.queries import q_lm_score
+
+    t0 = time.time()
+    n = 0
+    for b in q_lm_score(sf_dir).iter_batches(
+        batch_format="pyarrow", batch_size=8192
+    ):
+        n += len(b)
+    wall = time.time() - t0
+    return {"docs": n, "wall_s": round(wall, 3),
+            "docs_per_sec": round(n / wall, 1)}
 
 
 def _consume(res) -> int:

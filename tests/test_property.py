@@ -285,3 +285,88 @@ class TestWebtextKernelProperties:
             assert again["n_phones"][0].as_py() == 0
 
         check()
+
+
+class TestUrlCanonProperties:
+    """Canonicalization must be a projection: applying it twice changes
+    nothing (otherwise two crawls of the same page could disagree on the
+    dedup key)."""
+
+    url_strategy = st.builds(
+        lambda scheme, host, path, q, frag: scheme
+        + "://"
+        + host
+        + "/"
+        + path
+        + q
+        + frag,
+        st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+        st.from_regex(r"[A-Za-z0-9.\-]{1,20}(:443)?", fullmatch=True),
+        st.from_regex(r"[A-Za-z0-9/_\-.]{0,20}", fullmatch=True),
+        st.sampled_from(
+            ["", "?id=5", "?utm_source=x", "?utm_a=1&id=2&utm_b=3",
+             "?a=1&fbclid=zz", "?gclid=1&utm_x=2"]
+        ),
+        st.sampled_from(["", "#frag", "#a?b&c"]),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(url_strategy)
+    def test_idempotent(self, url):
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages.text import (
+            canonicalize_url_batch,
+        )
+
+        def canon(values):
+            t = pa.table(
+                {"doc_id": list(range(len(values))),
+                 "url": pa.array(values, pa.string())}
+            )
+            return canonicalize_url_batch(t)["canon_url"].to_pylist()
+
+        once = canon([url])
+        assert canon(once) == once
+
+    @settings(max_examples=200, deadline=None)
+    @given(url_strategy)
+    def test_no_tracking_or_fragment_survives(self, url):
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages.text import (
+            canonicalize_url_batch,
+        )
+
+        t = pa.table({"doc_id": [0], "url": pa.array([url], pa.string())})
+        out = canonicalize_url_batch(t)["canon_url"].to_pylist()[0]
+        assert "#" not in out
+        assert "utm_" not in out and "fbclid" not in out and "gclid" not in out
+        assert not out.endswith("?") and not out.endswith("&")
+
+
+class TestLmScoreProperties:
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(string.ascii_lowercase, min_size=1, max_size=4),
+                    min_size=1, max_size=30))
+    def test_bits_bounded_by_model_extremes(self, words):
+        """Per-doc mean code length lies between the cheapest and the
+        most expensive token in the corpus model."""
+        import math
+
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages.text import (
+            LmScore, word_count_partials,
+        )
+
+        text = " ".join(words)
+        batch = pa.table({"doc_id": [1], "text": [text]})
+        parts = word_count_partials(batch)
+        counts = dict(zip(parts["word"].to_pylist(), parts["n"].to_pylist()))
+        total = sum(counts.values())
+        out = LmScore({"counts": counts, "total": total})(batch)
+        bits = out["lm_bits"].to_pylist()[0]
+        lo = min(math.log2(total / c) for c in counts.values())
+        hi = max(math.log2(total / c) for c in counts.values())
+        assert lo - 1e-6 <= bits <= hi + 1e-6
