@@ -310,6 +310,23 @@ def cmd_curate(args: argparse.Namespace) -> int:
         ),
         on=("doc_id",),
     )
+    if getattr(args, "lm_max_bits", None) is not None:
+        # CCNet-style perplexity gate: unigram model fit on the input
+        # corpus; docs whose mean per-token code length exceeds the
+        # budget (atypical/mash text scores high) are dropped
+        lm_keep = (
+            QUERIES["lm_score"](args.input)
+            .filter(expr=f"lm_bits <= {float(args.lm_max_bits)!r}")
+            .select_columns(["doc_id"])
+        )
+        out = out.join(
+            lm_keep, join_type="inner",
+            num_partitions=dd.adaptive_partitions(
+                _table_rows(args.input, "documents")
+            ),
+            on=("doc_id",),
+        )
+        chain += "+lm"
     out.write_parquet(args.out, compression="zstd")
     n_in = _table_rows(args.input, "documents")
     n_kept = rd.read_parquet(args.out).count()
@@ -381,6 +398,9 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--out", required=True)
     pc_.add_argument("--near-dup", action="store_true",
                      help="also run MinHash-LSH near-dup keep-best")
+    pc_.add_argument("--lm-max-bits", type=float, default=None,
+                     help="drop docs whose unigram-LM mean code length "
+                          "exceeds this budget (CCNet-style gate)")
     pc_.add_argument("--num-cpus", type=int, default=None)
     pc_.set_defaults(fn=cmd_curate)
 

@@ -568,3 +568,49 @@ class TestCurateCli:
         kept_ids = {r["doc_id"] for r in got}
         assert 0 in kept_ids and 1 not in kept_ids  # exact dup dropped
         assert all("text" in r and r["text"] for r in got)  # text re-attached
+
+    def test_curate_lm_gate_drops_atypical_docs(self, ray_session, tmp_path,
+                                                capsys):
+        """--lm-max-bits drops the doc whose tokens are rare under the
+        corpus unigram model while keeping typical survivors."""
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from adaptive_pdf_extractor_ray.__main__ import main
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "it runs far away to the old barn in the field again ") * 3
+        # doc 3: passes the quality/lang gate (it contains base's English
+        # text) but carries 60 corpus-unique tokens -> highest code length
+        rare = base + " " + " ".join(f"tok{i}xq" for i in range(60))
+        texts = [base + "a", base + "b", base + "c", rare]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+        # wide-open budget keeps everything the base chain keeps
+        out_all = tmp_path / "cur_all"
+        assert main(["curate", "--input", str(tmp_path),
+                     "--out", str(out_all), "--lm-max-bits", "99"]) == 0
+        rep_all = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep_all["chain"] == "curate_documents+lm"
+        kept_all = {r["doc_id"] for r in pq.read_table(str(out_all)).to_pylist()}
+
+        # the all-rare doc is the most expensive under the model: a
+        # budget below its score (but above the typical docs') drops it
+        out_lm = tmp_path / "cur_lm"
+        assert main(["curate", "--input", str(tmp_path),
+                     "--out", str(out_lm), "--lm-max-bits", "5.5"]) == 0
+        _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        kept_lm = {r["doc_id"] for r in pq.read_table(str(out_lm)).to_pylist()}
+        assert 3 in kept_all and 3 not in kept_lm
+        assert kept_lm == kept_all - {3}
