@@ -2338,14 +2338,15 @@ def q_lm_score(sf_dir: str):
     """Unigram-LM quality score (the CCNet-style perplexity-proxy
     filter): pass 1 fits the model — per-batch PARTIAL word counts
     (combiner; the shuffle moves (word, count) rows, never text) →
-    groupby-sum → broadcast {word: count} + total; pass 2 scores each
-    doc's mean per-token code length ``lm_bits = mean(log2(total /
-    count(w)))`` in one stateless actor-pool map. Model size is bounded
-    by LM_VOCAB_CAP per the no-silent-caps rule: an over-cap vocabulary
-    keeps the most-frequent words (block-partial top-K, dropped volume
-    logged) and scores the cut tail at LM_OOV_COUNT (< 1 — rarer than
-    any retained word); the cap never binds at gate scales, so the SQL
-    oracle replicates the uncapped model exactly."""
+    groupby-sum; pass 2 scores each doc's mean per-token code length
+    ``lm_bits = mean(log2(total / count(w)))``. Size-routed like the
+    repo's joins: a vocabulary within LM_VOCAB_CAP broadcasts the model
+    to a stateless actor-pool map (one pass over the docs, no further
+    shuffle); an open-web vocabulary over the cap switches to the EXACT
+    distributed-join route — explode (doc_id, word), hash-join the
+    counts on word, groupby doc_id — value-identical to the broadcast
+    route (equivalence pytest) and to the SQL oracle, at the cost of
+    two corpus×token-sized shuffles. No approximation either way."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     counts = (
         docs.map_batches(
@@ -2360,20 +2361,12 @@ def q_lm_score(sf_dir: str):
     if n_vocab > LM_VOCAB_CAP:
         import logging
 
-        logging.getLogger(__name__).warning(
+        logging.getLogger(__name__).info(
             "lm_score: vocabulary of %d words exceeds the %d broadcast "
-            "cap; keeping the top %d by count (%d words fall back to the "
-            "OOV pseudo-count %.1f)",
-            n_vocab, LM_VOCAB_CAP, LM_VOCAB_CAP, n_vocab - LM_VOCAB_CAP,
-            LM_OOV_COUNT,
-        )
-        from ..stages.topk import dataset_topk
-
-        counts = dataset_topk(
-            counts,
-            [("sum(n)", "descending"), ("word", "ascending")],
+            "cap; routing to the exact distributed-join scorer", n_vocab,
             LM_VOCAB_CAP,
         )
+        return _lm_score_join(docs, counts, total)
     model = {r["word"]: r["sum(n)"] for r in counts.take_all()}
     return docs.map_batches(
         tx.LmScore,
@@ -2384,6 +2377,59 @@ def q_lm_score(sf_dir: str):
         concurrency=_apool(),
         zero_copy_batch=True,
     )
+
+
+def _lm_score_join(docs, counts, total: int):
+    """Exact LM scoring without a broadcast model: one shuffle keyed by
+    word (hash join token rows to their corpus counts), one keyed by
+    doc_id (fold per-token code lengths into the per-doc mean). The
+    cross-block float Sum reorders additions; the 6-dp round absorbs
+    that (~1e-13), same stance as every other float aggregate here."""
+    from ..stages.dedup import adaptive_partitions
+
+    tok = docs.map_batches(
+        tx.explode_words_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cj = counts.map_batches(
+        lambda t: pa.table({"word": t["word"], "c": t["sum(n)"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = tok.join(
+        cj, join_type="inner", on=("word",),
+        num_partitions=adaptive_partitions(int(total)),
+    )
+
+    def bits(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bits": pa.array(np.log2(float(total) / c), pa.float64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(bits, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("bits", alias_name="s"),
+            ray.data.aggregate.Count(alias_name="n_tokens"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_tokens"], pa.int64())
+        s = np.asarray(t["s"].to_pylist(), dtype=np.float64)
+        nv = np.asarray(n.to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n,
+                "lm_bits": pa.array(np.round(s / nv, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_chunk_windows(sf_dir: str):

@@ -700,3 +700,21 @@ def canonicalize_url_batch(batch: pa.Table, col: str = "url") -> pa.Table:
             "canon_url": canon,
         }
     )
+
+
+def explode_words_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """(doc_id, word) row per token — the exploded form the exact
+    (join-route) LM scorer shuffles on the word key. Same tokenization
+    convention as ``word_count_partials``."""
+    ids_out: list[int] = []
+    words_out: list[str] = []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch[col].to_pylist()):
+        ws = [w for w in (t or "").split(" ") if w]
+        ids_out.extend([did] * len(ws))
+        words_out.extend(ws)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "word": pa.array(words_out, pa.string()),
+        }
+    )

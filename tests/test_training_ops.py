@@ -650,16 +650,27 @@ class TestLmScore:
         exp = round((math.log2(4 / 3) + math.log2(4 / 0.5)) / 2, 6)
         assert out["lm_bits"].to_pylist() == [exp]
 
-    def test_vocab_cap_route(self, ray_session, monkeypatch):
-        """With the broadcast cap forced to 1 word, every other token
-        scores at the OOV floor — the query must still run end-to-end
-        and score every non-empty doc."""
+    def test_join_route_matches_broadcast_route(self, ray_session,
+                                                monkeypatch):
+        """Forcing the vocabulary over the broadcast cap must route to
+        the exact distributed-join scorer and produce value-identical
+        results — the same size-routed equivalence contract as
+        join_large / the bucketed event trio."""
+        import pandas as pd
+
         from adaptive_pdf_extractor_ray.pipelines import queries as q
 
+        sf = "/root/testdata/sf0.001"
+        a = q.q_lm_score(sf).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
         monkeypatch.setattr(q, "LM_VOCAB_CAP", 1)
-        out = q.q_lm_score("/root/testdata/sf0.001").to_pandas()
-        assert len(out) == 500
-        assert (out.lm_bits > 0).all()
+        b = q.q_lm_score(sf).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert len(a) == 500
+        pd.testing.assert_frame_equal(
+            a[["doc_id", "n_tokens", "lm_bits"]],
+            b[["doc_id", "n_tokens", "lm_bits"]],
+        )
 
 
 class TestUrlCanonicalize:
