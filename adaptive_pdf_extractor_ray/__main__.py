@@ -303,11 +303,10 @@ def cmd_curate(args: argparse.Namespace) -> int:
     chain = "curate_neardup" if args.near_dup else "curate_documents"
     survivors = QUERIES[chain](args.input)
     docs = rd.read_parquet(os.path.join(args.input, "documents.parquet"))
+    n_in = _table_rows(args.input, "documents")
     out = survivors.join(
         docs, join_type="inner",
-        num_partitions=dd.adaptive_partitions(
-            _table_rows(args.input, "documents")
-        ),
+        num_partitions=dd.adaptive_partitions(n_in),
         on=("doc_id",),
     )
     if getattr(args, "lm_max_bits", None) is not None:
@@ -321,14 +320,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
         )
         out = out.join(
             lm_keep, join_type="inner",
-            num_partitions=dd.adaptive_partitions(
-                _table_rows(args.input, "documents")
-            ),
+            num_partitions=dd.adaptive_partitions(n_in),
             on=("doc_id",),
         )
         chain += "+lm"
     out.write_parquet(args.out, compression="zstd")
-    n_in = _table_rows(args.input, "documents")
     n_kept = rd.read_parquet(args.out).count()
     print(json.dumps({
         "chain": chain, "rows_in": n_in, "rows_kept": n_kept,

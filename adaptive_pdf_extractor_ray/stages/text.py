@@ -631,8 +631,10 @@ class LmScore:
 # URL canonicalization (the Common-Crawl URL-level dedup pass). The
 # tracking-parameter class and the rewrite CHAIN ORDER are shared
 # verbatim with the SQL oracle — both engines run RE2-compatible global
-# replaces, so the chain is engine-independent.
-URL_TRACKING = r"(utm_[a-z_]+|fbclid|gclid)=[^&]*"
+# replaces, so the chain is engine-independent. Keys match
+# case-insensitively and with or without a value ('?UTM_SOURCE=x' and
+# bare '?utm_source' are both tracking noise).
+URL_TRACKING = r"(?i:utm_[a-z_]+|fbclid|gclid)(=[^&]*)?"
 
 
 def derive_url_batch(batch: pa.Table) -> pa.Table:
@@ -687,9 +689,19 @@ def canonicalize_url_batch(batch: pa.Table, col: str = "url") -> pa.Table:
         u, pattern=r"^(?P<scheme>[^:]+)://(?P<host>[^/?#]*)(?P<rest>.*)$"
     )
     scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
-    host = pc.replace_substring_regex(
-        pc.utf8_lower(pc.struct_field(parts, "host")),
-        pattern=r":443$", replacement="",
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    # default ports are scheme-specific: :443 is only redundant under
+    # https and :80 only under http (an http service on 443 is a
+    # DIFFERENT resource and must not merge)
+    host = pc.if_else(
+        pc.equal(scheme, "https"),
+        pc.replace_substring_regex(host, pattern=r":443$", replacement=""),
+        host,
+    )
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, pattern=r":80$", replacement=""),
+        host,
     )
     rest = pc.struct_field(parts, "rest")
     canon = pc.binary_join_element_wise(scheme, "://", host, rest, "")

@@ -163,11 +163,11 @@ def run_dedup_scale(n_docs: int) -> dict:
         "cc_rounds": cc_stats.get("cc_rounds"),
         "cc_nodes": cc_stats.get("cc_nodes"),
         "clusters": n_clusters,
-        "lm_score": _webtext_scale(sf_dir, n_docs),
+        "lm_score": _webtext_scale(sf_dir),
     }
 
 
-def _webtext_scale(sf_dir: str, n_docs: int) -> dict:
+def _webtext_scale(sf_dir: str) -> dict:
     """Unigram-LM scoring over the same ≥100k-doc corpus — times the
     two-pass (fit model, score docs) design at a scale where the model
     groupby is real work, not machinery."""

@@ -341,7 +341,11 @@ class TestUrlCanonProperties:
         t = pa.table({"doc_id": [0], "url": pa.array([url], pa.string())})
         out = canonicalize_url_batch(t)["canon_url"].to_pylist()[0]
         assert "#" not in out
-        assert "utm_" not in out and "fbclid" not in out and "gclid" not in out
+        # tracking keys must not survive in the QUERY STRING (a path
+        # segment that happens to contain 'utm_' is legitimate content)
+        query = out.split("?", 1)[1] if "?" in out else ""
+        assert "utm_" not in query.lower()
+        assert "fbclid" not in query.lower() and "gclid" not in query.lower()
         assert not out.endswith("?") and not out.endswith("&")
 
 

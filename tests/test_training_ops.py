@@ -606,8 +606,9 @@ class TestSignLsh:
         assert sim.lsh_buckets(X, P).tolist() == [1, 0]
 
     def test_lsh_recall_vs_brute(self, ray_session):
-        """Sign-LSH with 8 planes + 1-bit multiprobe must keep
-        recall@5 >= 0.5 vs brute force on the sf0.001 embeddings."""
+        """Sign-LSH at the query's config (LSH_TABLES=2 tables x
+        LSH_PLANES=6 planes, 1-bit multiprobe) must keep recall@5 >= 0.5
+        vs brute force on the sf0.001 embeddings (~21% corpus scan)."""
         import importlib.util
         import sys
 
@@ -695,6 +696,20 @@ class TestUrlCanonicalize:
         assert self._canon(
             ["https://a.com/P#frag", "HTTPS://A.COM/P", "https://a.com:443/P"]
         ) == ["https://a.com/P"] * 3  # path case preserved, host lowered
+
+    def test_default_port_is_scheme_specific(self):
+        # :443 under http is a REAL non-default port (kept); :80 under
+        # http is default (stripped); :80 under https kept
+        assert self._canon(
+            ["http://a.com:443/x", "http://a.com:80/x", "https://a.com:80/x"]
+        ) == ["http://a.com:443/x", "http://a.com/x", "https://a.com:80/x"]
+
+    def test_tracking_keys_case_insensitive_and_valueless(self):
+        assert self._canon(
+            ["https://a.com/p?UTM_SOURCE=feed&id=1",
+             "https://a.com/p?utm_source&id=1",
+             "https://a.com/p?id=1&FBCLID"]
+        ) == ["https://a.com/p?id=1"] * 3
 
     def test_dedup_keeps_min_doc_id(self, ray_session):
         from adaptive_pdf_extractor_ray.pipelines import queries as q
