@@ -748,7 +748,10 @@ def q_dedup_semantic(sf_dir: str):
     set (pairwise cosine >= SEM_TAU). Centroids broadcast as plain
     values; ONE shuffle keyed by cluster; within-cluster pairing is
     O(c²) bounded by the scale contract that the centroid count grows
-    with the corpus (see ``similarity.semdedup_group``)."""
+    with the corpus — and a cluster that overflows
+    ``sim.SEM_MAX_CLUSTER`` anyway (skewed assignment) routes through
+    the identical-collapse + sign-LSH sub-bucket escape hatch in
+    ``similarity.semdedup_group`` instead of pairing all rows."""
     C = _gate_centroids(sf_dir)
     assigned = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         sim.CentroidAssign, fn_constructor_args=(C.tolist(),),

@@ -297,26 +297,109 @@ class CentroidAssign:
         )
 
 
-def semdedup_group(group: pa.Table, tau: float) -> pa.Table:
+SEM_MAX_CLUSTER = 2048  # per-cluster bound on the exact all-pairs rule
+_SEM_LSH_SEED = 0x53444C  # deterministic sub-bucket hyperplanes ("SDL")
+
+
+def _sem_drop_mask(ids: np.ndarray, Xn: np.ndarray, tau: float) -> np.ndarray:
+    """Exact rule over one candidate set: drop v when some u in the set
+    has round(cos(u, v), 6) >= tau and u.vec_id < v.vec_id."""
+    sims = np.round(Xn @ Xn.T, 6)
+    smaller = ids[None, :] < ids[:, None]  # [i, j] = id_j < id_i
+    return ((sims >= tau) & smaller).any(axis=1)
+
+
+def _semdedup_overflow(
+    ids: np.ndarray, Xn: np.ndarray, tau: float, max_cluster: int
+) -> np.ndarray:
+    """Runaway-cluster escape hatch (the ``dedup.bucket_pairs`` analog
+    for embedding space) -> kept row indices, sorted.
+
+    1. Collapse 6-dp-identical normalized vectors to their min-id
+       representative. Lossless w.r.t. the rule: an identical pair has
+       round(cos, 6) = 1.0 >= tau, so every non-representative is a
+       guaranteed drop, and anything that would drop a representative
+       drops its members too.
+    2. If the distinct representatives still exceed ``max_cluster``,
+       sign-LSH them into 2^p deterministic sub-buckets and run the
+       exact rule within each sub-bucket only. Cross-sub-bucket
+       near-duplicates are the accepted approximation (near-identical
+       vectors agree on every sign bit, so true duplicate sets stay
+       co-bucketed); a sub-bucket still over the cap compares against
+       its ``max_cluster`` smallest-id members only. Both reductions
+       are logged — no silent caps.
+    """
+    import logging
+
+    log = logging.getLogger(__name__)
+    n = len(ids)
+    order = np.argsort(ids, kind="stable")  # id-ascending: first = min-id
+    keys = np.ascontiguousarray(np.round(Xn, 6)[order])
+    view = keys.view([("", keys.dtype)] * keys.shape[1]).ravel()
+    _, first = np.unique(view, return_index=True)
+    reps = order[first]  # min-id representative of each distinct vector
+    m = len(reps)
+    if m <= max_cluster:
+        log.info(
+            "semdedup overflow cluster: n=%d collapsed to %d distinct "
+            "vectors (exact rule on representatives)", n, m,
+        )
+        drop = _sem_drop_mask(ids[reps], Xn[reps], tau)
+        return np.sort(reps[~drop])
+    p = min(16, max(1, int(np.ceil(np.log2(m / max_cluster))) + 1))
+    rng = np.random.default_rng(_SEM_LSH_SEED)
+    planes = rng.standard_normal((Xn.shape[1], p))
+    codes = (Xn[reps] @ planes >= 0.0) @ (1 << np.arange(p, dtype=np.int64))
+    kept: list[np.ndarray] = []
+    truncated = 0
+    for code in np.unique(codes):
+        sub = reps[codes == code]
+        if len(sub) > max_cluster:
+            # still skewed: rule each vector against the max_cluster
+            # smallest-id members only (min-id anchor is always present,
+            # so a flood of mutual near-dups still collapses to one)
+            anchors = sub[np.argsort(ids[sub], kind="stable")[:max_cluster]]
+            truncated += len(sub) - max_cluster
+            sims = np.round(Xn[sub] @ Xn[anchors].T, 6)
+            smaller = ids[anchors][None, :] < ids[sub][:, None]
+            drop = ((sims >= tau) & smaller).any(axis=1)
+        else:
+            drop = _sem_drop_mask(ids[sub], Xn[sub], tau)
+        kept.append(sub[~drop])
+    log.warning(
+        "semdedup overflow cluster: n=%d -> %d distinct vectors > cap %d; "
+        "sign-LSH into %d sub-buckets (%d planes) — cross-sub-bucket "
+        "near-duplicates are not compared%s",
+        n, m, max_cluster, len(np.unique(codes)), p,
+        f"; {truncated} rows ruled against anchors only" if truncated else "",
+    )
+    return np.sort(np.concatenate(kept)) if kept else np.empty(0, np.int64)
+
+
+def semdedup_group(
+    group: pa.Table, tau: float, max_cluster: int = SEM_MAX_CLUSTER
+) -> pa.Table:
     """Within-cluster SemDeDup rule (Abbas et al. 2023, simplified to a
     deterministic order): drop v when some u in the SAME cluster has
     round(cos(u, v), 6) >= tau and u.vec_id < v.vec_id — i.e. each
     semantic-duplicate set keeps its min-id representative. O(c²) in the
     cluster size: the scale contract is that the centroid count grows
     with the corpus (k ≈ N / target_cluster_size), which is what bounds
-    c — an over-target cluster should be sub-bucketed (e.g. by sign-LSH)
-    before pairing, the same escape hatch as dedup.bucket_pairs."""
+    c. A cluster over ``max_cluster`` rows (skewed assignment — e.g. a
+    boilerplate embedding flood) routes through ``_semdedup_overflow``:
+    identical-vector collapse, then sign-LSH sub-buckets, exact rule
+    within each — bounded work, logged approximation."""
     ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
     Xn = _normalize(embeddings_matrix(group))
-    sims = np.round(Xn @ Xn.T, 6)
-    smaller = ids[None, :] < ids[:, None]  # [i, j] = id_j < id_i
-    drop = ((sims >= tau) & smaller).any(axis=1)
-    keep = ~drop
+    if tau > 1.0:  # nothing can qualify (round(cos) <= 1.0): keep all
+        keep_idx = np.arange(len(ids))
+    elif len(ids) <= max_cluster:
+        keep_idx = np.flatnonzero(~_sem_drop_mask(ids, Xn, tau))
+    else:
+        keep_idx = _semdedup_overflow(ids, Xn, tau, max_cluster)
     return pa.table(
         {
-            "vec_id": pa.array(ids[keep], pa.int64()),
-            "cluster": group["cluster"].take(
-                pa.array(np.flatnonzero(keep), pa.int64())
-            ),
+            "vec_id": pa.array(ids[keep_idx], pa.int64()),
+            "cluster": group["cluster"].take(pa.array(keep_idx, pa.int64())),
         }
     )

@@ -331,3 +331,106 @@ class TestAsofTieDeterminism:
                 check_dtype=False,
             )
         assert want.loc[want.event_id == 4, "prior_click_id"].iloc[0] == 3
+
+
+class TestSemDedupOverflow:
+    """Runaway-cluster escape hatch in similarity.semdedup_group: a
+    cluster over max_cluster rows must collapse identical vectors and
+    sub-bucket the rest instead of pairing C(n,2) rows."""
+
+    @staticmethod
+    def _group(ids, vecs):
+        import numpy as np
+
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in np.asarray(vecs)],
+                    pa.list_(pa.float64()),
+                ),
+                "cluster": pa.array([0] * len(ids), pa.int64()),
+            }
+        )
+
+    def test_identical_flood_keeps_one(self):
+        """6000 copies of one vector, cap 64: the hatch must collapse to
+        the single min-id representative in O(n log n), not 18M pairs."""
+        import numpy as np
+
+        from adaptive_pdf_extractor_ray.stages import similarity as sim
+
+        n = 6000
+        vecs = np.tile(np.array([1.0, 2.0, 3.0, 4.0]), (n, 1))
+        # varying positive scale: raw vectors differ, normalized identical
+        vecs *= (1.0 + np.arange(n)[:, None] / n)
+        out = sim.semdedup_group(self._group(range(n), vecs), 0.35,
+                                 max_cluster=64)
+        assert out["vec_id"].to_pylist() == [0]
+
+    def test_overflow_matches_exact_on_orthogonal_reps(self):
+        """Duplicate sets + mutually-orthogonal distinct vectors: the
+        hatch's result must equal the exact path's (collapse is lossless
+        and orthogonal reps produce no cross-sub-bucket pairs)."""
+        import numpy as np
+
+        from adaptive_pdf_extractor_ray.stages import similarity as sim
+
+        dim = 64
+        rows, ids = [], []
+        rid = 0
+        # 3 duplicate sets of 40 (scaled copies of one-hot dims 61-63)
+        for d, scale in ((61, 2.0), (62, 3.0), (63, 5.0)):
+            base = np.zeros(dim)
+            base[d] = scale
+            for k in range(40):
+                rows.append(base * (1 + k))
+                ids.append(rid)
+                rid += 1
+        # 60 distinct mutually-orthogonal one-hot vectors
+        for d in range(60):
+            v = np.zeros(dim)
+            v[d] = 1.0
+            rows.append(v)
+            ids.append(rid)
+            rid += 1
+        g = self._group(ids, rows)
+        exact = sim.semdedup_group(g, 0.35, max_cluster=10**9)
+        hatched = sim.semdedup_group(g, 0.35, max_cluster=16)
+        assert hatched["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+        # 3 representatives + 60 distinct
+        assert len(hatched) == 63
+
+    def test_one_orthant_subbucket_truncation_still_collapses(self):
+        """All vectors in one orthant share every sign bit -> a single
+        over-cap sub-bucket; the anchor-truncated rule must still
+        collapse a flood of mutual near-duplicates to the min id."""
+        import numpy as np
+
+        from adaptive_pdf_extractor_ray.stages import similarity as sim
+
+        rng = np.random.default_rng(11)
+        n = 400
+        vecs = 1.0 + 0.01 * rng.random((n, 8))  # all-positive, cos ~ 1
+        out = sim.semdedup_group(self._group(range(n), vecs), 0.35,
+                                 max_cluster=16)
+        assert out["vec_id"].to_pylist() == [0]
+
+    def test_small_cluster_path_unchanged(self):
+        """At or under the cap the exact rule runs; every dropped id
+        must have a smaller-id witness with round(cos,6) >= tau."""
+        import numpy as np
+
+        from adaptive_pdf_extractor_ray.stages import similarity as sim
+
+        rng = np.random.default_rng(3)
+        n, tau = 40, 0.35
+        vecs = rng.standard_normal((n, 8))
+        out = sim.semdedup_group(self._group(range(n), vecs), tau)
+        kept = set(out["vec_id"].to_pylist())
+        Xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = np.round(Xn @ Xn.T, 6)
+        for v in range(n):
+            if v in kept:
+                continue
+            assert any(sims[u, v] >= tau for u in range(v)), v
