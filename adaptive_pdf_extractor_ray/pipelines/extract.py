@@ -316,8 +316,14 @@ def extract_pages(
 
     fitted_rows = 0
     have_miss_rows = os.path.isdir(miss_dir)
+    # resumable like wave 1: a completed fit must NOT re-run on resume —
+    # exemplar sampling depends on block layout, so a re-fit over the
+    # checkpointed miss rows can add a (valid but different) extra rule,
+    # silently mutating a finished store (weights AND membership)
+    fit_done = os.path.join(work_dir, "fit._done")
+    fit_needed = have_miss_rows and not os.path.exists(fit_done)
     fitter = FitGroup(vocab, max_exemplars=max_exemplars)
-    if have_miss_rows:
+    if fit_needed:
         # the per-batch cap bounds rows at max_exemplars × fps per READ
         # TASK, which still multiplies under extreme read parallelism ×
         # template cardinality — so the sampled set is materialized into
@@ -379,6 +385,9 @@ def extract_pages(
         # merge=True: concurrent shards sharing one store fold their
         # fitted rules / weight deltas instead of last-writer-wins
         store.save(store_path, merge=True)
+    if fit_needed:  # marker AFTER the store checkpoint (crash-safe order)
+        with open(fit_done, "w") as f:
+            f.write(json.dumps({"ts": time.time(), "fitted": fitted_rows}))
     phases["fit"] = time.time() - t0 - sum(phases.values())
 
     # --- wave 2: re-apply only the refit=1 partition with updated rules --

@@ -2079,6 +2079,18 @@ def q_word_stats(sf_dir: str):
     )
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style within-doc repetition gate signals (duplicate-line
+    count/char fractions, top/dup word bi- and trigram fractions) —
+    embarrassingly parallel map_batches, no shuffle. Complements
+    ``quality_gopher`` (word-level fracs) with the line- and n-gram-level
+    signals of the Gopher Table-A1 filter set."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.repetition_signals_batch, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -2814,6 +2826,7 @@ QUERIES = {
     "extract_grid_cards": q_extract_grid_cards,
     "decontaminate": q_decontaminate,
     "quality_gopher": q_word_stats,
+    "repetition_signals": q_repetition_signals,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -3427,6 +3440,58 @@ select doc_id, n_words::bigint as n_words, n_distinct::bigint as n_distinct,
        round(c / n_words, 6) as top_frac,
        round((n_words - n_distinct) / n_words, 6) as dup_frac
 from ranked where rn = 1
+"""
+
+ORACLES["repetition_signals"] = """
+with docs as (
+  select doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') as ws,
+         list_filter(string_split(text, chr(10)), l -> l <> '') as ls
+  from documents),
+base as (select * from docs where len(ws) > 0),
+lines as (
+  select doc_id, count(*)::bigint as c, length(l)::bigint as nch
+  from (select doc_id, unnest(ls) as l from base)
+  group by doc_id, l),
+lstats as (
+  select doc_id,
+         sum(c)::bigint as n_lines,
+         round((sum(c) - count(*)) / sum(c), 6) as dup_line_frac,
+         round(sum(nch * (c - 1)) / sum(nch * c), 6) as dup_line_char_frac
+  from lines group by doc_id),
+bgc as (
+  select doc_id, g, count(*)::bigint as c
+  from (select doc_id, ws[i] || ' ' || ws[i+1] as g
+        from (select doc_id, ws, unnest(range(1, len(ws))) as i from base))
+  group by doc_id, g),
+bstats as (
+  select doc_id,
+         round(max(c) / sum(c), 6) as top_bigram_frac,
+         round((sum(c) - count(*)) / sum(c), 6) as dup_bigram_frac
+  from bgc group by doc_id),
+tgc as (
+  select doc_id, g, count(*)::bigint as c
+  from (select doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] as g
+        from (select doc_id, ws, unnest(range(1, len(ws) - 1)) as i
+              from base))
+  group by doc_id, g),
+tstats as (
+  select doc_id,
+         round(max(c) / sum(c), 6) as top_trigram_frac,
+         round((sum(c) - count(*)) / sum(c), 6) as dup_trigram_frac
+  from tgc group by doc_id)
+select b.doc_id,
+       coalesce(l.n_lines, 0)::bigint as n_lines,
+       coalesce(l.dup_line_frac, 0.0) as dup_line_frac,
+       coalesce(l.dup_line_char_frac, 0.0) as dup_line_char_frac,
+       coalesce(bs.top_bigram_frac, 0.0) as top_bigram_frac,
+       coalesce(bs.dup_bigram_frac, 0.0) as dup_bigram_frac,
+       coalesce(ts.top_trigram_frac, 0.0) as top_trigram_frac,
+       coalesce(ts.dup_trigram_frac, 0.0) as dup_trigram_frac
+from base b
+left join lstats l using (doc_id)
+left join bstats bs using (doc_id)
+left join tstats ts using (doc_id)
 """
 
 ORACLES["length_quantiles"] = """

@@ -558,6 +558,83 @@ def word_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
+def repetition_signals_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1) — the standard
+    web-curation gate alongside ``word_stats_batch``'s word-level fracs:
+
+    - ``dup_line_frac``       duplicate lines / total lines (count basis)
+    - ``dup_line_char_frac``  chars inside repeat line occurrences / all
+                              line chars (a 1000-copy boilerplate line
+                              weighs by its length, not just its count)
+    - ``top_bigram_frac`` / ``top_trigram_frac``   occurrences of the most
+                              frequent word {2,3}-gram / total {2,3}-grams
+    - ``dup_bigram_frac`` / ``dup_trigram_frac``   n-gram occurrences
+                              beyond each gram's first / total {2,3}-grams
+
+    Conventions shared with the SQL oracle: words = split on single
+    spaces, empty tokens dropped; lines = split on ``\\n``, empty lines
+    dropped; docs with no words are dropped entirely; signals whose
+    denominator is empty (no lines / <2 words / <3 words) emit 0.0; all
+    fractions rounded to 6 dp so both sides hash identically.
+    Embarrassingly parallel — no shuffle, no state; the per-row Counter
+    loop is inherent tokenize work (same shape as ``word_stats_batch``)."""
+    from collections import Counter
+
+    ids, nl_out, dlf, dlcf, tbf, dbf, ttf, dtf = ([] for _ in range(8))
+
+    def _top_dup(grams: list) -> tuple[float, float]:
+        if not grams:
+            return 0.0, 0.0
+        c = Counter(grams)
+        n = len(grams)
+        return (
+            round(max(c.values()) / n, 6),
+            round((n - len(c)) / n, 6),
+        )
+
+    for did, t in zip(batch["doc_id"].to_pylist(), batch[col].to_pylist()):
+        words = [w for w in (t or "").split(" ") if w]
+        if not words:
+            continue
+        lines = [ln for ln in (t or "").split("\n") if ln]
+        if lines:
+            lc = Counter(lines)
+            n_lines = len(lines)
+            total_ch = sum(len(ln) for ln in lines)
+            rep_ch = sum(len(ln) * (c - 1) for ln, c in lc.items())
+            dup_line = round((n_lines - len(lc)) / n_lines, 6)
+            dup_line_ch = round(rep_ch / total_ch, 6)
+        else:  # text made solely of newlines still tokenizes to a word
+            n_lines, dup_line, dup_line_ch = 0, 0.0, 0.0
+        top_bg, dup_bg = _top_dup(
+            [f"{a} {b}" for a, b in zip(words, words[1:])]
+        )
+        top_tg, dup_tg = _top_dup(
+            [f"{a} {b} {c}" for a, b, c in zip(words, words[1:], words[2:])]
+        )
+        ids.append(did)
+        nl_out.append(n_lines)
+        dlf.append(dup_line)
+        dlcf.append(dup_line_ch)
+        tbf.append(top_bg)
+        dbf.append(dup_bg)
+        ttf.append(top_tg)
+        dtf.append(dup_tg)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_lines": pa.array(nl_out, pa.int64()),
+            "dup_line_frac": pa.array(dlf, pa.float64()),
+            "dup_line_char_frac": pa.array(dlcf, pa.float64()),
+            "top_bigram_frac": pa.array(tbf, pa.float64()),
+            "dup_bigram_frac": pa.array(dbf, pa.float64()),
+            "top_trigram_frac": pa.array(ttf, pa.float64()),
+            "dup_trigram_frac": pa.array(dtf, pa.float64()),
+        }
+    )
+
+
 def word_count_partials(batch: pa.Table, col: str = "text") -> pa.Table:
     """Pass 1 of the unigram-LM quality score: PARTIAL word counts per
     batch (same combiner shape as ``line_count_partials`` — the shuffle

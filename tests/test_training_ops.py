@@ -328,6 +328,91 @@ class TestWordStats:
         assert out["dup_frac"].to_pylist() == [0.0]
 
 
+class TestRepetitionSignals:
+    def _run(self, texts):
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        return tx.repetition_signals_batch(batch)
+
+    def test_duplicate_lines_count_and_char_basis(self):
+        # 4 non-empty lines: "aa" x3 + "bbbb"; 2 repeat occurrences of
+        # "aa" -> dup_line_frac = 2/4; repeat chars = 2*2 of 10 total.
+        out = self._run(["aa\naa\n\naa\nbbbb"])
+        assert out["n_lines"].to_pylist() == [4]
+        assert out["dup_line_frac"].to_pylist() == [0.5]
+        assert out["dup_line_char_frac"].to_pylist() == [0.4]
+
+    def test_ngram_fracs(self):
+        # words: a b a b a -> bigrams [a b, b a, a b, b a] (top 2/4,
+        # dup (4-2)/4), trigrams [a b a, b a b, a b a] (top 2/3, dup 1/3)
+        out = self._run(["a b a b a"])
+        assert out["top_bigram_frac"].to_pylist() == [0.5]
+        assert out["dup_bigram_frac"].to_pylist() == [0.5]
+        assert out["top_trigram_frac"].to_pylist() == [round(2 / 3, 6)]
+        assert out["dup_trigram_frac"].to_pylist() == [round(1 / 3, 6)]
+
+    def test_degenerate_denominators_emit_zero(self):
+        # one word: no bigrams/trigrams; newline-only token: no lines —
+        # all such signals must be 0.0, never NaN/null (oracle coalesce)
+        out = self._run(["solo", "\n\n"])
+        assert out["doc_id"].to_pylist() == [0, 1]
+        assert out["n_lines"].to_pylist() == [1, 0]
+        assert out["top_bigram_frac"].to_pylist() == [0.0, 0.0]
+        assert out["dup_trigram_frac"].to_pylist() == [0.0, 0.0]
+        assert out["dup_line_char_frac"].to_pylist() == [0.0, 0.0]
+
+    def test_no_word_docs_dropped(self):
+        out = self._run(["", "  ", "x y x y"])
+        assert out["doc_id"].to_pylist() == [2]
+
+    def test_matches_duckdb_oracle_on_crafted_rows(self, tmp_path):
+        import duckdb
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from adaptive_pdf_extractor_ray.pipelines.queries import ORACLES
+
+        texts = [
+            "aa\naa\n\naa\nbbbb",
+            "a b a b a",
+            "solo",
+            "\n\n",
+            "",
+            "the quick brown fox\nthe quick brown fox\njumps",
+        ]
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(batch, tmp_path / "documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "create view documents as select * from "
+            f"read_parquet('{tmp_path / 'documents.parquet'}')"
+        )
+        oracle = (
+            con.sql(ORACLES["repetition_signals"])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        mine = (
+            tx.repetition_signals_batch(batch)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            mine[sorted(mine.columns)], oracle[sorted(oracle.columns)]
+        )
+
+
 class TestQuantilesAndRank:
     def test_quantile_formula_matches_sorted_pick(self, tmp_path):
         import math
