@@ -1148,6 +1148,34 @@ def q_distinct_events(sf_dir: str):
     )
 
 
+def q_approx_distinct(sf_dir: str):
+    """Approximate count-distinct of ``event_id`` via a KMV bottom-k
+    sketch (``stages/sketch.py``): per-block partials emit each block's
+    <=k smallest distinct 60-bit hashes (O(k) memory, <=k rows shuffled
+    per block), a groupby("hv") dedupes across blocks, sort+limit keeps
+    the global bottom-k, and a single-row reduce computes the estimator.
+    Unlike ``q_distinct_events`` (exact, shuffles every distinct value),
+    the sketch's shuffle volume is independent of cardinality — the
+    10^12-row cardinality tool. Deterministic md5 hashing makes the whole
+    path value-verifiable: the oracle replays the identical sketch in
+    SQL, so this is an APPROXIMATE operator with an EXACT oracle."""
+    from ..stages import sketch as sk
+
+    partials = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda t: sk.kmv_partial_batch(t, "event_id"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    bottom_k = (
+        partials.groupby("hv").count()
+        .select_columns(["hv"])
+        .sort("hv")
+        .limit(sk.K_KMV)
+    )
+    return bottom_k.repartition(1).map_batches(
+        sk.kmv_estimate_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (event attribution): for every event, the most recent
     STRICTLY earlier 'click' by the same user, plus the gap in seconds.
@@ -2091,6 +2119,51 @@ def q_repetition_signals(sf_dir: str):
     )
 
 
+DOMAIN_QUOTA = 10
+
+
+def q_domain_quota(sf_dir: str):
+    """Per-domain quota sampling — the CC-curation step that caps any one
+    crawl domain's contribution to the training mix: keep at most
+    ``DOMAIN_QUOTA`` docs per ``source``, chosen by a deterministic
+    md5(doc_id) ranking (content- and order-independent, so reruns and
+    shards agree). Scale shape = grouped top-N without a global sort:
+    each batch forwards only its N smallest-ranked rows per source
+    (vectorized run-length mask over a sorted batch), the
+    groupby(source) shuffle then moves <= N x blocks rows per domain —
+    never the corpus — and a tiny map_groups takes the final N."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = tx.md5_hex_array(
+            [str(v) for v in t["doc_id"].to_pylist()]
+        )
+        t = t.append_column("rank_hash", h)
+        idx = pc.sort_indices(
+            t, sort_keys=[("source", "ascending"), ("rank_hash", "ascending")]
+        )
+        t = t.take(idx)
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        if len(src) == 0:
+            return t
+        new_run = np.r_[True, src[1:] != src[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank_in_run = np.arange(len(src)) - starts[run_id]
+        return t.filter(pa.array(rank_in_run < DOMAIN_QUOTA))
+
+    def final(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("rank_hash", "ascending")])
+        g = g.take(idx.slice(0, DOMAIN_QUOTA))
+        return g.select(["doc_id", "source"])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -2807,6 +2880,7 @@ QUERIES = {
     "multihop_join": q_multihop_join,
     "topk_orders": q_topk_orders,
     "distinct_events": q_distinct_events,
+    "approx_distinct_kmv": q_approx_distinct,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "window_hourly": q_window_hourly,
@@ -2827,6 +2901,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "quality_gopher": q_word_stats,
     "repetition_signals": q_repetition_signals,
+    "domain_quota": q_domain_quota,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -3029,6 +3104,20 @@ ORACLES: dict[str, str] = {
         "order by o_totalprice desc, o_orderkey asc limit 10"
     ),
     "distinct_events": "select distinct event_type from events",
+    # replays the KMV bottom-k sketch exactly (stages/sketch.py): same
+    # 60-bit md5-prefix hash, same k, same estimator arithmetic — an
+    # approximate operator with an exact, value-verifying oracle
+    "approx_distinct_kmv": """
+with h as (
+  select distinct
+    ('0x' || substr(md5(cast(event_id as varchar)), 1, 15))::ubigint::bigint
+      as hv
+  from events where event_id is not null),
+k as (select hv from h order by hv limit 256)
+select count(*)::bigint as k, max(hv) as kth_h,
+       round((count(*) - 1) * pow(2.0, 60) / max(hv), 6) as est_distinct
+from k
+""",
     "asof_join": (
         # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF
         # picks an arbitrary row among equal c_ts — this window form pins
@@ -3492,6 +3581,16 @@ from base b
 left join lstats l using (doc_id)
 left join bstats bs using (doc_id)
 left join tstats ts using (doc_id)
+"""
+
+ORACLES["domain_quota"] = f"""
+with r as (
+  select doc_id, source,
+         row_number() over (partition by source
+                            order by md5(cast(doc_id as varchar)), doc_id)
+           as rn
+  from documents)
+select doc_id, source from r where rn <= {DOMAIN_QUOTA}
 """
 
 ORACLES["length_quantiles"] = """

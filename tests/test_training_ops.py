@@ -413,6 +413,87 @@ class TestRepetitionSignals:
         )
 
 
+class TestKmvSketch:
+    def test_partial_caps_output_and_skips_nulls(self):
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        batch = pa.table(
+            {"v": pa.array(list(range(1000)) + [None], pa.int64())}
+        )
+        out = sk.kmv_partial_batch(batch, "v", k=64)
+        assert len(out) == 64
+        hv = out["hv"].to_pylist()
+        assert hv == sorted(hv)
+
+    def test_estimate_error_bound_and_block_invariance(self):
+        """k=256 over 5000 distinct values: estimate within 3/sqrt(k)
+        (~19%) of truth, and bit-identical whatever the block layout
+        (partials merge associatively)."""
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        vals = [f"user-{i}" for i in range(5000)] * 3  # dups collapse
+        whole = sk.kmv_partial_batch(pa.table({"v": pa.array(vals)}), "v")
+        est1 = sk.kmv_estimate_batch(whole)
+
+        pieces = [
+            sk.kmv_partial_batch(
+                pa.table({"v": pa.array(vals[i:i + 777])}), "v"
+            )
+            for i in range(0, len(vals), 777)
+        ]
+        merged = pa.concat_tables(pieces)
+        est2 = sk.kmv_estimate_batch(merged)
+
+        assert est1.to_pylist() == est2.to_pylist()
+        est = est1["est_distinct"][0].as_py()
+        assert abs(est - 5000) / 5000 < 3 / (256 ** 0.5)
+
+    def test_empty_input(self):
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        out = sk.kmv_estimate_batch(pa.table({"hv": pa.array([], pa.int64())}))
+        assert len(out) == 0
+
+
+class TestDomainQuota:
+    def test_quota_binds_and_is_block_invariant(self, ray_session, tmp_path):
+        """30 docs in one source, 3 in another: quota keeps exactly 10/3,
+        and the kept SET is the md5-rank prefix — identical whatever the
+        read parallelism (partial top-N per block is a superset of the
+        global top-N)."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from adaptive_pdf_extractor_ray.pipelines.queries import (
+            DOMAIN_QUOTA,
+            q_domain_quota,
+        )
+
+        ids = list(range(33))
+        srcs = ["big.example"] * 30 + ["small.example"] * 3
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        got = q_domain_quota(str(tmp_path)).to_pandas()
+        assert (got["source"] == "big.example").sum() == DOMAIN_QUOTA
+        assert (got["source"] == "small.example").sum() == 3
+        expect_big = set(
+            sorted(
+                range(30),
+                key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+            )[:DOMAIN_QUOTA]
+        )
+        assert (
+            set(got[got["source"] == "big.example"]["doc_id"]) == expect_big
+        )
+
+
 class TestQuantilesAndRank:
     def test_quantile_formula_matches_sorted_pick(self, tmp_path):
         import math
