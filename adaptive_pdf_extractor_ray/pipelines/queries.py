@@ -24,6 +24,7 @@ import hashlib
 import json
 import functools
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -2164,6 +2165,230 @@ def q_domain_quota(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# link graph (outlinks / in-degree / PageRank over the synthetic mini-web)
+# ---------------------------------------------------------------------------
+
+LINK_N = 200
+LINK_HREF_RE = re.compile(r'href="([^"]*)"')
+PR_ITERS = 5
+# Fixed-point PageRank: ranks live in integer 1e-9 units and damping is
+# the exact rational 85/100, so every route (driver dict loop,
+# distributed join+groupby, SQL oracle) does the SAME integer floor
+# divisions and order-independent integer sums — bit-equality with no
+# float-summation-order or round-half-mode hazards anywhere. The <=1e-9
+# mass floored away per edge per round is deterministic and irrelevant
+# to ranking.
+PR_SCALE = 10 ** 9
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def link_corpus(n: int = LINK_N) -> str:
+    """Lazily write the deterministic hyperlinked corpus (sf-independent
+    fixed path, like flagship_corpus); both the Ray queries and the
+    oracle composer call this, so either side can run first."""
+    import tempfile
+
+    from ..sources.synthetic import write_link_corpus
+
+    root = os.path.join(tempfile.gettempdir(), f"aper_links_{n}")
+    return write_link_corpus(root, n=n, seed=1)
+
+
+def _outlinks_ds(pages_dir: str):
+    """(src, dst) edge list: every href occurrence in every page's HTML
+    (multigraph — duplicates kept, exactly what regexp_extract_all
+    yields on the oracle side). The per-row finditer is inherent parse
+    work over an opaque binary column, same shape as the PDF/HTML
+    parsers; the regex is compiled once at module import."""
+
+    def f(t: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for m in LINK_HREF_RE.finditer(h.decode("utf-8")):
+                srcs.append(u)
+                dsts.append(m.group(1))
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+            }
+        )
+
+    return rd.read_parquet(pages_dir, columns=["url", "html"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_outlinks(sf_dir: str):
+    """Outlink extraction from raw HTML — the URL-frontier feed of a
+    crawl/curation pipeline. Embarrassingly parallel; no shuffle."""
+    return _outlinks_ds(link_corpus())
+
+
+def q_link_indegree(sf_dir: str):
+    """In-degree per target url (link-popularity rollup): one groupby
+    over the edge list; shuffle moves (dst, partial count) only."""
+    return (
+        _outlinks_ds(link_corpus())
+        .groupby("dst")
+        .aggregate(ray.data.aggregate.Count(alias_name="in_degree"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "url": t["dst"],
+                    "in_degree": pc.cast(t["in_degree"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+
+PR_DRIVER_EDGE_LIMIT = 1_000_000
+
+
+def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
+    """PageRank as iterative join + groupby dataflow — the same
+    per-round shape as the label-propagation connected components: each
+    round joins the edge list to the current rank vector on src (hash
+    join), emits per-edge contributions r/outdeg, and groupby(dst)-sums
+    them. Zero-in-link nodes are kept alive by a ghost 0-weight row per
+    node (a union, not a driver fixup), so no left-outer join is needed.
+    Partitioning: edges shuffle on src (join) then dst (sum); ranks are
+    O(nodes) rows per round, materialized to cut lineage growth."""
+    edges_raw = _outlinks_ds(pages_dir)
+    outdeg = edges_raw.groupby("src").aggregate(
+        ray.data.aggregate.Count(alias_name="od")
+    )
+    nparts = dd.adaptive_partitions(n * 4)
+    edges = edges_raw.join(
+        outdeg, join_type="inner", num_partitions=nparts,
+        on=("src",),
+    ).materialize()
+    nodes = rd.read_parquet(pages_dir, columns=["url"])
+    r0 = PR_SCALE // n
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    ranks = nodes.map_batches(
+        lambda t: pa.table(
+            {"url": t["url"],
+             "r": pa.array([r0] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    ghost = nodes.map_batches(
+        lambda t: pa.table(
+            {"dst": t["url"],
+             "w": pa.array([0] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        # int64 // int64: nonnegative, so Arrow's truncation == floor
+        w = pc.divide(t["r"], pc.cast(t["od"], pa.int64()))
+        return pa.table({"dst": t["dst"], "w": w})
+
+    def renorm(t: pa.Table) -> pa.Table:
+        r = pc.add(
+            pa.scalar(base, pa.int64()),
+            pc.divide(
+                pc.multiply(
+                    pa.scalar(PR_DAMP_NUM, pa.int64()),
+                    pc.cast(t["w_sum"], pa.int64()),
+                ),
+                pa.scalar(PR_DAMP_DEN, pa.int64()),
+            ),
+        )
+        return pa.table({"url": t["dst"], "r": r})
+
+    for _ in range(iters):
+        sums = (
+            edges.join(ranks, join_type="inner",
+                       num_partitions=nparts,
+                       on=("src",), right_on=("url",))
+            .map_batches(contrib, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .union(ghost)
+            .groupby("dst")
+            .aggregate(ray.data.aggregate.Sum("w", alias_name="w_sum"))
+        )
+        ranks = sums.map_batches(
+            renorm, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                # exact int -> one IEEE division: bit-identical everywhere
+                "pagerank": pc.divide(
+                    pc.cast(t["r"], pa.float64()),
+                    pa.scalar(float(PR_SCALE)),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _pagerank_driver(pages_dir: str, n: int, iters: int = PR_ITERS):
+    """Small-graph route: edge list fits the driver (<= 1M edges), so
+    the 5 rounds run as in-process dict arithmetic instead of paying 2
+    shuffles of actor spinup per round. Bit-identical to the distributed
+    route BY CONSTRUCTION: the same integer fixed-point recurrence
+    (floor divisions + exact integer sums) — no float path at all until
+    the single final division (equivalence pytest-pinned)."""
+    edges = _outlinks_ds(pages_dir)
+    od: dict[str, int] = {}
+    pairs: list[tuple[str, str]] = []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        for a, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            od[a] = od.get(a, 0) + 1
+            pairs.append((a, d))
+    nodes = [
+        u
+        for b in rd.read_parquet(pages_dir, columns=["url"]).iter_batches(
+            batch_format="pyarrow"
+        )
+        for u in b["url"].to_pylist()
+    ]
+    r = {u: PR_SCALE // n for u in nodes}
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    for _ in range(iters):
+        s = {u: 0 for u in nodes}
+        for a, d in pairs:
+            s[d] += r[a] // od[a]
+        r = {u: base + (PR_DAMP_NUM * s[u]) // PR_DAMP_DEN for u in nodes}
+    return pa.table(
+        {
+            "url": pa.array(nodes, pa.string()),
+            "pagerank": pa.array(
+                [r[u] / float(PR_SCALE) for u in nodes], pa.float64()
+            ),
+        }
+    )
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank (damping 85/100, 5 synchronous iterations), size-routed
+    like the fit wave / lm_score: graphs whose edge list exceeds
+    PR_DRIVER_EDGE_LIMIT run the distributed join+groupby rounds
+    (``_pagerank_distributed`` — the 10^12-edge shape); smaller graphs
+    iterate on the driver with the SAME integer fixed-point arithmetic
+    (see PR_SCALE above), so driver / distributed / SQL oracle are
+    bit-identical. Assumes no dangling nodes (every fixture page has
+    outlinks — write_link_corpus guarantees it)."""
+    pages_dir = link_corpus()
+    # page count from parquet metadata; edges/page is bounded (<=6) in
+    # the fixture, so route on pages — a real corpus would route on a
+    # metadata edge estimate the same way
+    if LINK_N * 6 <= PR_DRIVER_EDGE_LIMIT:
+        return _pagerank_driver(pages_dir, LINK_N)
+    return _pagerank_distributed(pages_dir, LINK_N)
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -2902,6 +3127,9 @@ QUERIES = {
     "quality_gopher": q_word_stats,
     "repetition_signals": q_repetition_signals,
     "domain_quota": q_domain_quota,
+    "outlinks": q_outlinks,
+    "link_indegree": q_link_indegree,
+    "pagerank": q_pagerank,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -3923,6 +4151,62 @@ where ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))::uinteger
 """
 
 
+def _link_pages_sql(pages_dir: str) -> str:
+    return (
+        "select url, html from read_parquet("
+        f"'{pages_dir}/*.parquet')"
+    )
+
+
+def outlinks_oracle_sql(pages_dir: str) -> str:
+    """regexp_extract_all over the decoded html replays the engine's
+    compiled-regex finditer occurrence-for-occurrence (multigraph)."""
+    return f"""
+select url as src,
+       unnest(regexp_extract_all(decode(html), 'href="([^"]*)"', 1)) as dst
+from ({_link_pages_sql(pages_dir)})
+"""
+
+
+def indegree_oracle_sql(pages_dir: str) -> str:
+    return f"""
+select dst as url, count(*)::bigint as in_degree
+from ({outlinks_oracle_sql(pages_dir)})
+group by dst
+"""
+
+
+def pagerank_oracle_sql(pages_dir: str, n: int = LINK_N) -> str:
+    """Explicit 5-iteration unrolled replay of q_pagerank's integer
+    fixed-point recurrence: same floor divisions (DuckDB ``//`` on
+    bigints), same exact integer sums (order-independent), ghost-zero
+    semantics via coalesce(s, 0) — bit-equality with both engine routes,
+    ending in the identical single int->double division."""
+    r0 = PR_SCALE // n
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{k} as (
+  select p.url,
+         {base} + ({PR_DAMP_NUM} * coalesce(s.s, 0)) // {PR_DAMP_DEN} as r
+  from pages p left join (
+    select e.dst as url, sum(rp.r // e.od)::bigint as s
+    from edges e join {prev} rp on e.src = rp.url
+    group by e.dst) s using (url))""")
+        prev = f"r{k}"
+    return f"""
+with pages_raw as ({_link_pages_sql(pages_dir)}),
+links as ({outlinks_oracle_sql(pages_dir)}),
+outdeg as (select src, count(*)::bigint as od from links group by src),
+edges as (select l.src, l.dst, o.od from links l join outdeg o using (src)),
+pages as (select url from pages_raw),
+r0 as (select url, {r0}::bigint as r from pages),{",".join(iters)}
+select url, r / {PR_SCALE}.0 as pagerank from {prev}
+"""
+
+
 def all_oracles() -> dict[str, str]:
     """ORACLES plus the lazily-composed entries (the flagship oracle
     writes its fixture corpus on first call, so it is not built at module
@@ -3930,6 +4214,10 @@ def all_oracles() -> dict[str, str]:
     out = dict(ORACLES)
     out["extract_synthetic"] = _flagship_oracle_sql()
     out["extract_grid_cards"] = _card_oracle_sql()
+    link_dir = link_corpus()  # idempotent fixture write
+    out["outlinks"] = outlinks_oracle_sql(link_dir)
+    out["link_indegree"] = indegree_oracle_sql(link_dir)
+    out["pagerank"] = pagerank_oracle_sql(link_dir)
     # knn_ivf's oracle embeds data-dependent centroid literals, so it is
     # composed against the driver's gate tables (sf0.01); the per-sf form
     # is pytest-verified at every sf in tests/test_knn_ivf_oracle.py

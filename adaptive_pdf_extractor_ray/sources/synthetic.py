@@ -411,3 +411,69 @@ def write_card_corpus(out_dir: str, n: int, seed: int = 1) -> tuple[str, str]:
     with open(manifest, "w") as f:
         json.dump(want, f)
     return pages_dir, exp_dir
+
+
+def write_link_corpus(out_dir: str, n: int = 200, seed: int = 1) -> str:
+    """Deterministic hyperlinked mini-web for the link-graph operators
+    (outlink extraction / in-degree / PageRank): ``n`` pages across 20
+    domains, each page's <a href> targets fixed by pure arithmetic on
+    (i, j, seed) — no RNG state, so any process regenerates the byte-
+    identical corpus. Every page has >= 2 outlinks (no dangling nodes —
+    the PageRank operator's documented assumption) and every third page
+    links to page 0, giving the hub skew a web graph has. Idempotent
+    like write_corpus (manifest-keyed). Returns the pages dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages_dir = os.path.join(out_dir, "pages")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"kind": "links", "n": n, "seed": seed}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return pages_dir
+    import shutil
+
+    if os.path.isdir(pages_dir):
+        shutil.rmtree(pages_dir)
+    os.makedirs(pages_dir, exist_ok=True)
+
+    def page_url(i: int) -> str:
+        return f"https://site{i % 20}.example/p{i}"
+
+    urls, htmls = [], []
+    for i in range(n):
+        targets = [
+            page_url((i * 31 + j * 97 + 7 * seed) % n)
+            for j in range(2 + i % 4)
+        ]
+        if i % 3 == 0:
+            targets.append(page_url(0))
+        anchors = "".join(
+            f'<a href="{u}">link-{k}</a>' for k, u in enumerate(targets)
+        )
+        doc = (
+            f"<html><head><title>p{i}</title></head><body>"
+            f"<p>page {i} of the synthetic web</p>{anchors}</body></html>"
+        )
+        urls.append(page_url(i))
+        htmls.append(doc.encode("utf-8"))
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [EPOCH + _dt.timedelta(seconds=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([None] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(pages, os.path.join(pages_dir, "part-00000.parquet"))
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return pages_dir

@@ -494,6 +494,49 @@ class TestDomainQuota:
         )
 
 
+class TestLinkGraph:
+    def test_outlinks_extracts_every_href_occurrence(self, tmp_path):
+        from adaptive_pdf_extractor_ray.pipelines.queries import LINK_HREF_RE
+
+        html = '<a href="u1">x</a><a href="u2">y</a><a href="u1">z</a>'
+        assert [m.group(1) for m in LINK_HREF_RE.finditer(html)] == [
+            "u1", "u2", "u1",
+        ]
+
+    def test_pagerank_routes_are_value_identical(self, ray_session):
+        """Driver and distributed PageRank must agree to the bit on the
+        same graph (the shared 9-dp per-round rounding is what makes
+        summation order irrelevant) — 2 rounds exercise the chained
+        join/union/groupby machinery without the full 5-round cost."""
+        from adaptive_pdf_extractor_ray.pipelines import queries as q
+        from adaptive_pdf_extractor_ray.sources.synthetic import (
+            write_link_corpus,
+        )
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="aper_links_eq_")
+        pages_dir = write_link_corpus(root, n=50, seed=3)
+        a = (
+            q._pagerank_driver(pages_dir, 50, iters=2)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = (
+            q._pagerank_distributed(pages_dir, 50, iters=2)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert a["url"].tolist() == b["url"].tolist()
+        assert a["pagerank"].tolist() == b["pagerank"].tolist()
+        # ranks form a probability-ish vector: sums near 1 (rounding drift only)
+        assert abs(a["pagerank"].sum() - 1.0) < 1e-3
+        # the hub (page 0, linked by every third page) outranks the median
+        hub = a[a["url"] == "https://site0.example/p0"]["pagerank"].iloc[0]
+        assert hub > a["pagerank"].median()
+
+
 class TestQuantilesAndRank:
     def test_quantile_formula_matches_sorted_pick(self, tmp_path):
         import math
