@@ -2249,6 +2249,45 @@ def q_link_indegree(sf_dir: str):
 PR_DRIVER_EDGE_LIMIT = 1_000_000
 
 
+def _grouped_sum_str(ds, key: str, val: str, out: str, n_parts: int):
+    """groupby(key).sum(val) for a STRING key via salt-partition + Arrow
+    C++ ``group_by`` — the string twin of ``dedup._grouped_min`` (the
+    label-propagation fast path): ``Dataset.groupby().aggregate(Sum)``
+    combines rows at Python speed and dominates iterative rounds. The
+    salt is a deterministic crc32 of the key, so all rows of a key land
+    in one partition: exact."""
+    import zlib
+
+    def salt(t: pa.Table) -> pa.Table:
+        p = pa.array(
+            [zlib.crc32(s.encode("utf-8")) % n_parts
+             for s in t[key].to_pylist()],
+            pa.int64(),
+        )
+        return t.append_column("p", p)
+
+    def sm(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # empty salt partition: keep the schema typed
+            return pa.table(
+                {key: pa.array([], pa.string()),
+                 out: pa.array([], pa.int64())}
+            )
+        r = g.select([key, val]).group_by(key).aggregate([(val, "sum")])
+        return r.rename_columns([key, out])
+
+    return (
+        ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(sm, batch_format="pyarrow")
+        # the sort-shuffle emits one output partition per INPUT block,
+        # so partitions beyond the n_parts salt values are EMPTY 0-column
+        # blocks that poison downstream schema unification ("new schema:
+        # ." warnings). repartition() concat-merges them away — the
+        # output is O(distinct keys) rows, so this pass is cheap.
+        .repartition(n_parts)
+    )
+
+
 def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
     """PageRank as iterative join + groupby dataflow — the same
     per-round shape as the label-propagation connected components: each
@@ -2288,7 +2327,15 @@ def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
     def contrib(t: pa.Table) -> pa.Table:
         # int64 // int64: nonnegative, so Arrow's truncation == floor
         w = pc.divide(t["r"], pc.cast(t["od"], pa.int64()))
-        return pa.table({"dst": t["dst"], "w": w})
+        # per-batch combiner: integer sums are exactly associative, so
+        # pre-summing by dst inside the batch cuts the groupby shuffle
+        # from O(edges) to O(distinct dsts per batch) rows
+        part = pa.table({"dst": t["dst"], "w": w}).group_by("dst").aggregate(
+            [("w", "sum")]
+        )
+        return pa.table(
+            {"dst": part["dst"], "w": pc.cast(part["w_sum"], pa.int64())}
+        )
 
     def renorm(t: pa.Table) -> pa.Table:
         r = pc.add(
@@ -2304,16 +2351,19 @@ def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
         return pa.table({"url": t["dst"], "r": r})
 
     for _ in range(iters):
-        sums = (
+        contribs = (
             edges.join(ranks, join_type="inner",
                        num_partitions=nparts,
                        on=("src",), right_on=("url",))
             .map_batches(contrib, batch_format="pyarrow",
                          zero_copy_batch=True)
             .union(ghost)
-            .groupby("dst")
-            .aggregate(ray.data.aggregate.Sum("w", alias_name="w_sum"))
         )
+        # salted Arrow C++ group_by: Dataset.groupby().aggregate(Sum)
+        # combines at Python speed and dominated each round (~8s of a
+        # ~17s round at 190k edges); integer sums are exactly
+        # associative, so the fast path is value-identical
+        sums = _grouped_sum_str(contribs, "dst", "w", "w_sum", nparts)
         ranks = sums.map_batches(
             renorm, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
@@ -2387,6 +2437,85 @@ def q_pagerank(sf_dir: str):
     if LINK_N * 6 <= PR_DRIVER_EDGE_LIMIT:
         return _pagerank_driver(pages_dir, LINK_N)
     return _pagerank_distributed(pages_dir, LINK_N)
+
+
+def q_char_entropy(sf_dir: str):
+    """Shannon entropy of the character distribution per document — the
+    keyboard-mash / wrong-encoding / binary-spill quality signal
+    (near-zero entropy = one repeated char; English text ~4.1 bits).
+    Embarrassingly parallel; numpy-vectorized per row over the byte
+    counts. Empty docs are dropped (the oracle's length>0 gate). Rounded
+    to 6 dp: libm log2 last-ulp differences between numpy and DuckDB are
+    ~1e-16 per term, far below the rounding grain."""
+    import collections
+
+    def f(t: pa.Table) -> pa.Table:
+        ids_out, n_out, e_out = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if not s:
+                continue
+            counts = np.fromiter(
+                collections.Counter(s).values(), dtype=np.float64
+            )
+            p = counts / counts.sum()
+            ent = float(-(p * np.log2(p)).sum())
+            ids_out.append(did)
+            n_out.append(len(counts))
+            e_out.append(round(ent, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_distinct_chars": pa.array(n_out, pa.int64()),
+                "char_entropy": pa.array(e_out, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_reciprocal_links(sf_dir: str):
+    """Reciprocal-link detection over the link graph — the classic
+    link-farm / spam signal (A->B and B->A). Distinct directed edges,
+    then a self-join of the canonically-ordered halves: edges with
+    src<dst join edges with src>dst reversed, so each reciprocal pair
+    surfaces exactly once as (a, b), a < b. Self-loops are excluded.
+    Shuffle keys: the pair itself — never the corpus."""
+    edges = _outlinks_ds(link_corpus())
+
+    def canon(t: pa.Table) -> pa.Table:
+        lt = pc.less(t["src"], t["dst"])
+        fwd = t.filter(lt)
+        rev = t.filter(pc.greater(t["src"], t["dst"]))
+        return pa.table(
+            {
+                "a": pa.concat_arrays(
+                    [fwd["src"].combine_chunks(),
+                     rev["dst"].combine_chunks()]
+                ),
+                "b": pa.concat_arrays(
+                    [fwd["dst"].combine_chunks(),
+                     rev["src"].combine_chunks()]
+                ),
+                "dir": pa.concat_arrays(
+                    [pa.array(["f"] * len(fwd), pa.string()),
+                     pa.array(["r"] * len(rev), pa.string())]
+                ),
+            }
+        )
+
+    halves = edges.map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # a pair is reciprocal iff BOTH directions appear; duplicate hrefs
+    # make raw counts unreliable, so test distinct directions instead:
+    # min(dir) != max(dir) <=> {'f','r'} both present
+    dirs = halves.groupby(["a", "b"]).aggregate(
+        ray.data.aggregate.Min("dir", alias_name="dmin"),
+        ray.data.aggregate.Max("dir", alias_name="dmax"),
+    )
+    return dirs.filter(expr="dmin != dmax").select_columns(["a", "b"])
 
 
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
@@ -3130,6 +3259,8 @@ QUERIES = {
     "outlinks": q_outlinks,
     "link_indegree": q_link_indegree,
     "pagerank": q_pagerank,
+    "reciprocal_links": q_reciprocal_links,
+    "char_entropy": q_char_entropy,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -3811,6 +3942,21 @@ left join bstats bs using (doc_id)
 left join tstats ts using (doc_id)
 """
 
+ORACLES["char_entropy"] = """
+with chars as (
+  select doc_id, substr(text, i + 1, 1) as ch
+  from (select doc_id, text, unnest(range(0, length(text))) as i
+        from documents where length(text) > 0)),
+cc as (select doc_id, ch, count(*)::double as c
+       from chars group by doc_id, ch),
+tot as (select doc_id, sum(c) as n from cc group by doc_id)
+select cc.doc_id,
+       count(*)::bigint as n_distinct_chars,
+       round(-sum((c / n) * log2(c / n)), 6) as char_entropy
+from cc join tot using (doc_id)
+group by cc.doc_id
+"""
+
 ORACLES["domain_quota"] = f"""
 with r as (
   select doc_id, source,
@@ -4176,6 +4322,16 @@ group by dst
 """
 
 
+def reciprocal_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with links as ({outlinks_oracle_sql(pages_dir)}),
+e as (select distinct src, dst from links where src <> dst)
+select a.src as a, a.dst as b
+from e a join e b on a.src = b.dst and a.dst = b.src
+where a.src < a.dst
+"""
+
+
 def pagerank_oracle_sql(pages_dir: str, n: int = LINK_N) -> str:
     """Explicit 5-iteration unrolled replay of q_pagerank's integer
     fixed-point recurrence: same floor divisions (DuckDB ``//`` on
@@ -4218,6 +4374,7 @@ def all_oracles() -> dict[str, str]:
     out["outlinks"] = outlinks_oracle_sql(link_dir)
     out["link_indegree"] = indegree_oracle_sql(link_dir)
     out["pagerank"] = pagerank_oracle_sql(link_dir)
+    out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
     # knn_ivf's oracle embeds data-dependent centroid literals, so it is
     # composed against the driver's gate tables (sf0.01); the per-sf form
     # is pytest-verified at every sf in tests/test_knn_ivf_oracle.py

@@ -428,7 +428,9 @@ def write_link_corpus(out_dir: str, n: int = 200, seed: int = 1) -> str:
 
     pages_dir = os.path.join(out_dir, "pages")
     manifest = os.path.join(out_dir, "_manifest.json")
-    want = {"kind": "links", "n": n, "seed": seed}
+    # v2: every 25th page pair (i, i+1) links BOTH ways — the reciprocal
+    # pairs the link-farm detector (q_reciprocal_links) must surface
+    want = {"kind": "links", "n": n, "seed": seed, "v": 2}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == want:
@@ -450,6 +452,11 @@ def write_link_corpus(out_dir: str, n: int = 200, seed: int = 1) -> str:
         ]
         if i % 3 == 0:
             targets.append(page_url(0))
+        # deterministic reciprocal pairs (i, i+1) every 25 pages
+        if i % 25 == 0 and i + 1 < n:
+            targets.append(page_url(i + 1))
+        if i % 25 == 1:
+            targets.append(page_url(i - 1))
         anchors = "".join(
             f'<a href="{u}">link-{k}</a>' for k, u in enumerate(targets)
         )

@@ -65,7 +65,15 @@ BENCH_QUERIES = [
     "bigram_topk",
     "dedup_substring",
     "build_training_set",
+    "repetition_signals",
+    "domain_quota",
+    "approx_distinct_kmv",
+    "pagerank",
 ]
+# link-graph-at-scale section: distributed PageRank over this many pages
+# (the query itself routes <=1M edges to the driver; this section forces
+# the distributed rounds to time the 10^12-edge shape)
+LINK_DOCS = int(os.environ.get("BENCH_LINK_DOCS", "50000"))
 
 
 def _write_dedup_corpus(out_dir: str, n: int, seed: int = 1) -> str:
@@ -184,6 +192,38 @@ def _webtext_scale(sf_dir: str) -> dict:
             "docs_per_sec": round(n / wall, 1)}
 
 
+def _link_scale(n_pages: int) -> dict:
+    """Distributed 5-iteration PageRank over an ``n_pages``-node link
+    corpus (~3.8 edges/page) — times the iterative join+groupby rounds
+    where the edge shuffle is real work, not machinery (the fixture-size
+    query routes to the driver; this section forces the distributed
+    path, the 10^12-edge shape)."""
+    import tempfile as _tf
+
+    from adaptive_pdf_extractor_ray.pipelines.queries import (
+        _pagerank_distributed,
+    )
+    from adaptive_pdf_extractor_ray.sources.synthetic import (
+        write_link_corpus,
+    )
+
+    root = os.path.join(_tf.gettempdir(), f"aper_bench_links_{n_pages}")
+    pages_dir = write_link_corpus(root, n=n_pages, seed=1)
+    t0 = time.time()
+    out = _pagerank_distributed(pages_dir, n_pages)
+    n = 0
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=8192):
+        n += len(b)
+    wall = time.time() - t0
+    # avg (2+3+4+5)/4 + hub link per 3rd page + reciprocal pair per 25
+    n_edges = int(n_pages * 23 / 6) + 2 * (n_pages // 25)
+    return {
+        "pages": n, "approx_edges": n_edges, "iters": 5,
+        "wall_s": round(wall, 3),
+        "edge_visits_per_sec": round(5 * n_edges / wall, 1),
+    }
+
+
 def _consume(res) -> int:
     """Materialize a query result enough to have actually executed it."""
     import pyarrow as pa
@@ -288,6 +328,7 @@ def run_bench() -> dict:
             _consume(fn(SF_DIR))
             qtimes[name] = round(time.time() - tq, 3)
         dedup_scale = run_dedup_scale(DEDUP_DOCS)
+        dedup_scale["link_graph"] = _link_scale(LINK_DOCS)
 
     ray.shutdown()
     return {

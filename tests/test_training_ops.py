@@ -537,6 +537,50 @@ class TestLinkGraph:
         assert hub > a["pagerank"].median()
 
 
+class TestCharEntropyAndReciprocal:
+    def test_entropy_known_values(self, ray_session, tmp_path):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from adaptive_pdf_extractor_ray.pipelines.queries import (
+            q_char_entropy,
+        )
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["aaaa", "ab", "abcd", ""], pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        got = (
+            q_char_entropy(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert got.index.tolist() == [0, 1, 2]  # empty doc dropped
+        assert got.loc[0, "char_entropy"] == 0.0  # single repeated char
+        assert got.loc[1, "char_entropy"] == 1.0  # two equiprobable
+        assert got.loc[2, "char_entropy"] == round(math.log2(4), 6)
+        assert got.loc[2, "n_distinct_chars"] == 4
+
+    def test_reciprocal_pairs_found(self, ray_session):
+        from adaptive_pdf_extractor_ray.pipelines.queries import (
+            LINK_N,
+            q_reciprocal_links,
+        )
+
+        got = q_reciprocal_links("unused").to_pandas()
+        # fixture plants a reciprocal (i, i+1) pair every 25 pages
+        assert len(got) == LINK_N // 25
+        assert (got["a"] < got["b"]).all()
+        pair = got.sort_values("a").iloc[0]
+        assert pair["a"] == "https://site0.example/p0"
+        assert pair["b"] == "https://site1.example/p1"
+
+
 class TestQuantilesAndRank:
     def test_quantile_formula_matches_sorted_pick(self, tmp_path):
         import math
