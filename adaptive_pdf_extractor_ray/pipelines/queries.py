@@ -2518,6 +2518,145 @@ def q_reciprocal_links(sf_dir: str):
     return dirs.filter(expr="dmin != dmax").select_columns(["a", "b"])
 
 
+LINK_ANCHOR_RE = re.compile(r'<a href="([^"]*)">([^<]*)</a>')
+
+
+def q_anchor_text(sf_dir: str):
+    """Anchor-text aggregation per target url — the classic web-corpus
+    signal (anchor words pointing AT a page describe it better than the
+    page itself; used for retrieval labels and spam detection). Shape:
+    parse (dst, anchor) pairs from raw HTML, per-batch Arrow combiner
+    collapses duplicate pairs BEFORE the shuffle, one groupby on the
+    (dst, anchor) pair, then a per-dst rollup whose group size is the
+    number of DISTINCT anchors of a page — bounded even for a hub with
+    10^9 in-links, because the duplicate mass was pre-summed."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        dsts: list[str] = []
+        anchors: list[str] = []
+        for h in t["html"].to_pylist():
+            for m in LINK_ANCHOR_RE.finditer(h.decode("utf-8")):
+                dsts.append(m.group(1))
+                anchors.append(m.group(2))
+        part = (
+            pa.table(
+                {
+                    "dst": pa.array(dsts, pa.string()),
+                    "anchor": pa.array(anchors, pa.string()),
+                }
+            )
+            .group_by(["dst", "anchor"])
+            .aggregate([([], "count_all")])
+        )
+        return part.rename_columns(["dst", "anchor", "n"])
+
+    def rollup(g: pa.Table) -> pa.Table:
+        n = pc.sum(g["n"]).as_py() or 0
+        return pa.table(
+            {
+                "url": pa.array([g["dst"][0].as_py()], pa.string()),
+                "n_anchors": pa.array([int(n)], pa.int64()),
+                "n_distinct_anchors": pa.array(
+                    [g.num_rows], pa.int64()
+                ),
+                "top_anchor": pa.array(
+                    [pc.min(g["anchor"]).as_py()], pa.string()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(link_corpus(), columns=["html"])
+        .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dst", "anchor"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .groupby("dst")
+        .map_groups(rollup, batch_format="pyarrow")
+    )
+
+
+HTML_TITLE_RE = re.compile(r"<title>([^<]*)</title>")
+HTML_FIRST_P_RE = re.compile(r"<p>([^<]*)</p>")
+
+
+def q_html_meta(sf_dir: str):
+    """Page-metadata extraction from raw HTML (title, first-paragraph
+    snippet, outlink count) — the head-of-pipeline enrichment every
+    Common-Crawl curation run does before quality gating. One
+    embarrassingly-parallel pass over the binary column; compiled
+    regexes at module scope; no shuffle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        titles: list[str | None] = []
+        paras: list[str | None] = []
+        nlinks: list[int] = []
+        for h in t["html"].to_pylist():
+            s = h.decode("utf-8")
+            # "" -> null on both sides: DuckDB regexp_extract returns
+            # '' for no-match, so the oracle wraps in nullif(.., '')
+            m = HTML_TITLE_RE.search(s)
+            titles.append((m.group(1) or None) if m else None)
+            m = HTML_FIRST_P_RE.search(s)
+            paras.append((m.group(1) or None) if m else None)
+            nlinks.append(len(LINK_HREF_RE.findall(s)))
+        return pa.table(
+            {
+                "url": t["url"],
+                "title": pa.array(titles, pa.string()),
+                "first_para": pa.array(paras, pa.string()),
+                "n_links": pa.array(nlinks, pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        link_corpus(), columns=["url", "html"]
+    ).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def recrawl_corpus() -> str:
+    """Lazily write the deterministic re-crawl corpus (sf-independent
+    fixed path); both the Ray query and the oracle composer call this,
+    so either side can run first."""
+    import tempfile
+
+    from ..sources.synthetic import write_recrawl_corpus
+
+    root = os.path.join(tempfile.gettempdir(), "aper_recrawl_150")
+    return write_recrawl_corpus(root, n_urls=150, seed=1)
+
+
+def q_snapshot_latest(sf_dir: str):
+    """Re-crawl snapshot dedup: the same url appears in many WARC
+    segments; keep only the FRESHEST capture (max warc_ts) plus the
+    snapshot count. One groupby(url) whose group is a url's revision
+    history — bounded by crawl frequency (tens), never corpus-sized,
+    so map_groups is safe at 10^12 pages. The fixture guarantees
+    per-url-unique timestamps, so "latest" is unambiguous; real WARC
+    data should tie-break on a digest column (documented here)."""
+
+    def latest(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("warc_ts", "descending")]
+        )
+        top = g.take(idx.slice(0, 1))
+        return pa.table(
+            {
+                "url": top["url"],
+                "warc_ts": top["warc_ts"],
+                "n_snapshots": pa.array([g.num_rows], pa.int64()),
+                "text": top["text"],
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            recrawl_corpus(), columns=["url", "warc_ts", "text"]
+        )
+        .groupby("url")
+        .map_groups(latest, batch_format="pyarrow")
+    )
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3261,6 +3400,9 @@ QUERIES = {
     "pagerank": q_pagerank,
     "reciprocal_links": q_reciprocal_links,
     "char_entropy": q_char_entropy,
+    "anchor_text": q_anchor_text,
+    "html_meta": q_html_meta,
+    "snapshot_latest": q_snapshot_latest,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -4322,6 +4464,53 @@ group by dst
 """
 
 
+def anchor_text_oracle_sql(pages_dir: str) -> str:
+    """Two-step regexp replay of q_anchor_text's single two-group
+    finditer (DuckDB's regexp_extract_all yields one group, so the
+    oracle extracts whole <a> tags first, then each group)."""
+    return f"""
+with tags as (
+  select unnest(regexp_extract_all(
+           decode(html), '<a href="[^"]*">[^<]*</a>')) as tag
+  from ({_link_pages_sql(pages_dir)})),
+pairs as (
+  select regexp_extract(tag, 'href="([^"]*)"', 1) as dst,
+         regexp_extract(tag, '>([^<]*)<', 1) as anchor
+  from tags)
+select dst as url,
+       count(*)::bigint as n_anchors,
+       count(distinct anchor)::bigint as n_distinct_anchors,
+       min(anchor) as top_anchor
+from pairs
+group by dst
+"""
+
+
+def html_meta_oracle_sql(pages_dir: str) -> str:
+    return f"""
+select url,
+       nullif(regexp_extract(decode(html), '<title>([^<]*)</title>', 1),
+              '') as title,
+       nullif(regexp_extract(decode(html), '<p>([^<]*)</p>', 1), '')
+         as first_para,
+       len(regexp_extract_all(decode(html), 'href="[^"]*"'))::bigint
+         as n_links
+from ({_link_pages_sql(pages_dir)})
+"""
+
+
+def snapshot_latest_oracle_sql(pages_dir: str) -> str:
+    return f"""
+select url, warc_ts, n_snapshots, text from (
+  select url, warc_ts, text,
+         count(*) over (partition by url)::bigint as n_snapshots,
+         row_number() over (partition by url
+                            order by warc_ts desc) as rn
+  from read_parquet('{pages_dir}/*.parquet'))
+where rn = 1
+"""
+
+
 def reciprocal_oracle_sql(pages_dir: str) -> str:
     return f"""
 with links as ({outlinks_oracle_sql(pages_dir)}),
@@ -4375,6 +4564,9 @@ def all_oracles() -> dict[str, str]:
     out["link_indegree"] = indegree_oracle_sql(link_dir)
     out["pagerank"] = pagerank_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
+    out["anchor_text"] = anchor_text_oracle_sql(link_dir)
+    out["html_meta"] = html_meta_oracle_sql(link_dir)
+    out["snapshot_latest"] = snapshot_latest_oracle_sql(recrawl_corpus())
     # knn_ivf's oracle embeds data-dependent centroid literals, so it is
     # composed against the driver's gate tables (sf0.01); the per-sf form
     # is pytest-verified at every sf in tests/test_knn_ivf_oracle.py

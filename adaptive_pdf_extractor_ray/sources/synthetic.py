@@ -413,6 +413,69 @@ def write_card_corpus(out_dir: str, n: int, seed: int = 1) -> tuple[str, str]:
     return pages_dir, exp_dir
 
 
+def write_recrawl_corpus(out_dir: str, n_urls: int = 150, seed: int = 1) -> str:
+    """Deterministic re-crawl corpus for the snapshot-dedup operator:
+    each of ``n_urls`` pages is crawled 1 + (i % 3) times with strictly
+    increasing, per-url-unique ``warc_ts`` and revision-stamped text —
+    the Common-Crawl shape where the same url appears in many WARC
+    segments and curation must keep only the freshest capture. Pure
+    arithmetic on (i, r, seed): no RNG state, byte-identical across
+    processes. Idempotent (manifest-keyed). Returns the pages dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages_dir = os.path.join(out_dir, "pages")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"kind": "recrawl", "n_urls": n_urls, "seed": seed, "v": 1}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return pages_dir
+    import shutil
+
+    if os.path.isdir(pages_dir):
+        shutil.rmtree(pages_dir)
+    os.makedirs(pages_dir, exist_ok=True)
+
+    urls, tss, htmls, texts = [], [], [], []
+    for i in range(n_urls):
+        url = f"https://crawl{i % 11}.example/doc{i}"
+        for r in range(1 + i % 3):
+            body = (
+                f"revision {r} of document {i}: "
+                + " ".join(
+                    f"w{(i * 13 + r * 7 + k * seed) % 97}"
+                    for k in range(12)
+                )
+            )
+            urls.append(url)
+            # hours-apart revisions, seconds-apart urls: unique per
+            # (url, r) so "latest" is unambiguous for every route
+            tss.append(
+                EPOCH + _dt.timedelta(hours=r * 24, seconds=i)
+            )
+            htmls.append(
+                f"<html><body><p>{body}</p></body></html>".encode()
+            )
+            texts.append(body)
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(urls), pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(pages, os.path.join(pages_dir, "part-00000.parquet"))
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return pages_dir
+
+
 def write_link_corpus(out_dir: str, n: int = 200, seed: int = 1) -> str:
     """Deterministic hyperlinked mini-web for the link-graph operators
     (outlink extraction / in-degree / PageRank): ``n`` pages across 20

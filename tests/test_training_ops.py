@@ -581,6 +581,57 @@ class TestCharEntropyAndReciprocal:
         assert pair["b"] == "https://site1.example/p1"
 
 
+class TestWebPageOps:
+    def test_anchor_text_hub_rollup(self, ray_session):
+        from adaptive_pdf_extractor_ray.pipelines.queries import (
+            q_anchor_text,
+        )
+
+        got = q_anchor_text("unused").to_pandas().set_index("url")
+        hub = got.loc["https://site0.example/p0"]
+        # hub receives a link from every 3rd page plus arithmetic hits;
+        # duplicate (dst, anchor) pairs are pre-summed, so totals >=
+        # distinct counts and the hub dominates
+        assert hub["n_anchors"] >= 67
+        assert hub["n_anchors"] >= hub["n_distinct_anchors"]
+        assert (got["n_anchors"] >= got["n_distinct_anchors"]).all()
+        # anchors are "link-{k}"; min() picks the lexicographic floor
+        assert got["top_anchor"].str.startswith("link-").all()
+
+    def test_html_meta_titles_and_counts(self, ray_session):
+        from adaptive_pdf_extractor_ray.pipelines.queries import (
+            LINK_N,
+            q_html_meta,
+        )
+
+        got = q_html_meta("unused").to_pandas().set_index("url")
+        assert len(got) == LINK_N
+        assert got.loc["https://site7.example/p7", "title"] == "p7"
+        assert (
+            got.loc["https://site7.example/p7", "first_para"]
+            == "page 7 of the synthetic web"
+        )
+        # every page has >= 2 outlinks by construction
+        assert (got["n_links"] >= 2).all()
+
+    def test_snapshot_latest_keeps_freshest(self, ray_session):
+        from adaptive_pdf_extractor_ray.pipelines.queries import (
+            q_snapshot_latest,
+        )
+
+        got = q_snapshot_latest("unused").to_pandas().set_index("url")
+        assert len(got) == 150  # one row per url regardless of recrawls
+        # url i has 1 + (i % 3) snapshots; the kept text is the LAST rev
+        d2 = got.loc["https://crawl2.example/doc2"]
+        assert d2["n_snapshots"] == 3
+        assert d2["text"].startswith("revision 2 of document 2")
+        d0 = got.loc["https://crawl0.example/doc0"]
+        assert d0["n_snapshots"] == 1
+        assert d0["text"].startswith("revision 0 of document 0")
+        assert (got["n_snapshots"] == (got.index.str.extract(
+            r"doc(\d+)$", expand=False).astype(int) % 3) + 1).all()
+
+
 class TestQuantilesAndRank:
     def test_quantile_formula_matches_sorted_pick(self, tmp_path):
         import math
