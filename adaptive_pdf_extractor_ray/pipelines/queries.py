@@ -2901,6 +2901,111 @@ def q_line_dedup(sf_dir: str):
     )
 
 
+DOMAIN_LINE_MIN = 3  # per-domain boilerplate needs >= this many docs...
+DOMAIN_LINE_PCT = 30  # ...and >= this % of the domain's pages
+
+
+def q_line_dedup_domain(sf_dir: str):
+    """PER-DOMAIN boilerplate line removal (the RefinedWeb variant of
+    `line_dedup`: a nav bar repeated across one site is boilerplate even
+    if globally rare, while a sentence that recurs across unrelated
+    sites is left alone). Pass 0 counts docs per domain (one tiny
+    groupby); pass 1 computes per-(domain, line-hash) doc frequency from
+    per-batch partials — the shuffle moves (source, hash, count) rows,
+    never line text; the two are hash-joined on source and a line is
+    boilerplate iff it appears in >= DOMAIN_LINE_MIN docs AND >=
+    DOMAIN_LINE_PCT% of its domain's pages (integer cross-multiply, no
+    float threshold). The frequent set is broadcast — bounded by
+    per-domain boilerplate variety and capped like `line_dedup`; at
+    10^12 pages × 10^8 domains the same plan swaps the broadcast for an
+    exploded-lines ⋈ frequent-set hash join reassembled by
+    groupby(doc_id) ordered on line_no (documented, not needed at any
+    tested scale)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    ndocs = docs.groupby("source").aggregate(
+        ray.data.aggregate.Count(alias_name="n_docs")
+    )
+    freq = (
+        docs.map_batches(
+            tx.domain_line_count_partials,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["source", "line_md5"])
+        .sum("nd")
+    )
+    j = freq.join(
+        ndocs,
+        join_type="inner",
+        num_partitions=dd.adaptive_partitions(
+            _table_rows(sf_dir, "documents")
+        ),
+        on=("source",),
+    )
+
+    def keep_frequent(t: pa.Table) -> pa.Table:
+        nd = t["sum(nd)"]
+        ok = pc.and_(
+            pc.greater_equal(nd, pa.scalar(DOMAIN_LINE_MIN, pa.int64())),
+            pc.greater_equal(
+                pc.multiply(nd, pa.scalar(100, pa.int64())),
+                pc.multiply(
+                    t["n_docs"], pa.scalar(DOMAIN_LINE_PCT, pa.int64())
+                ),
+            ),
+        )
+        return t.filter(ok)
+
+    frequent = j.map_batches(
+        keep_frequent, batch_format="pyarrow"
+    ).materialize()
+    n_frequent = frequent.count()
+    if n_frequent > LINE_DROP_CAP:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "line_dedup_domain: %d frequent (domain, line) pairs exceed "
+            "the %d broadcast cap; keeping the top %d by doc frequency "
+            "(%d dropped)",
+            n_frequent, LINE_DROP_CAP, LINE_DROP_CAP,
+            n_frequent - LINE_DROP_CAP,
+        )
+        from ..stages.topk import dataset_topk
+
+        frequent = dataset_topk(
+            frequent,
+            [
+                ("sum(nd)", "descending"),
+                ("source", "ascending"),
+                ("line_md5", "ascending"),
+            ],
+            LINE_DROP_CAP,
+        )
+    drop = {
+        (r["source"], r["line_md5"]) for r in frequent.take_all()
+    }
+    return docs.map_batches(
+        tx.LineDedupDomain,
+        fn_constructor_args=(drop,),
+        batch_format="pyarrow",
+        concurrency=_apool(),
+        zero_copy_batch=True,
+    )
+
+
+def q_clean_c4(sf_dir: str):
+    """C4-style page cleaning (Raffel et al. 2020 §2.2): line rules
+    (terminal punctuation, >= 5 words, no 'javascript') and page rules
+    (>= 3 surviving lines, no 'lorem ipsum', no '{') over deterministic
+    noisy pages derived from documents. Embarrassingly parallel — one
+    stateless vectorized-derivation map_batches, no shuffle at any
+    scale; the filter drops rows inside the batch so dropped pages
+    never reach the object store."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.c4_clean_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_url_dedup(sf_dir: str):
     """URL-level dedup with canonicalization (the Common-Crawl crawl-
     frontier dedup pass): derive the fixture URL per doc (deterministic
@@ -3408,6 +3513,8 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
+    "line_dedup_domain": q_line_dedup_domain,
+    "clean_c4": q_clean_c4,
     "lm_score": q_lm_score,
     "url_dedup": q_url_dedup,
     "chunk_windows": q_chunk_windows,
@@ -4241,6 +4348,86 @@ select l.doc_id,
                            chr(10) order by l.line_no), '') as text_clean
 from lines l join freq f using (line)
 group by l.doc_id
+"""
+
+ORACLES["line_dedup_domain"] = f"""
+with base as (
+  select doc_id, source, lang,
+         list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from documents),
+lines as (
+  select doc_id, source, 0::bigint as line_no,
+         'home about contact ' || source || ' navigation menu' as line
+  from base
+  union all
+  select doc_id, source, (s // {tx.LINE_TOKENS})::bigint + 1 as line_no,
+         array_to_string(list_slice(ws, s + 1, s + {tx.LINE_TOKENS}), ' ')
+           as line
+  from (select doc_id, source, ws,
+               unnest(range(0, len(ws), {tx.LINE_TOKENS})) as s
+        from base)
+  union all
+  select doc_id, source, 1000000::bigint as line_no,
+         'copyright footer ' || lang || ' all rights reserved' as line
+  from base),
+nd as (select source, count(*)::bigint as n_docs from base group by source),
+freq as (select source, line, count(distinct doc_id) as df
+         from lines group by source, line),
+flagged as (
+  select f.source, f.line,
+         (f.df >= {DOMAIN_LINE_MIN}
+          and f.df * 100 >= {DOMAIN_LINE_PCT} * n.n_docs) as dropit
+  from freq f join nd n using (source))
+select l.doc_id,
+       count(*)::bigint as n_lines,
+       sum(case when not d.dropit then 1 else 0 end)::bigint as n_kept,
+       coalesce(string_agg(case when not d.dropit then l.line end,
+                           chr(10) order by l.line_no), '') as text_clean
+from lines l join flagged d on l.source = d.source and l.line = d.line
+group by l.doc_id
+"""
+
+ORACLES["clean_c4"] = f"""
+with base as (
+  select doc_id, list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from documents),
+lines as (
+  select doc_id, -1::bigint as line_no,
+         'please enable javascript and cookies to continue.' as line
+  from base where doc_id % 7 = 0
+  union all
+  select doc_id, (s // {tx.LINE_TOKENS})::bigint as line_no,
+         array_to_string(list_slice(ws, s + 1, s + {tx.LINE_TOKENS}), ' ')
+           || case (doc_id + (s // {tx.LINE_TOKENS})) % 4
+                when 0 then '.' when 1 then '' when 2 then '!'
+                else '?' end as line
+  from (select doc_id, ws, unnest(range(0, len(ws), {tx.LINE_TOKENS})) as s
+        from base)
+  union all
+  select doc_id, 1000000::bigint as line_no,
+         'lorem ipsum dolor sit amet consectetur adipiscing elit.' as line
+  from base where doc_id % 31 = 0
+  union all
+  select doc_id, 1000001::bigint as line_no,
+         'function badge() {{ return 1; }}' as line
+  from base where doc_id % 29 = 0),
+page as (
+  select doc_id, count(*)::bigint as n_lines,
+         string_agg(line, chr(10) order by line_no) as page
+  from lines group by doc_id),
+k as (
+  select doc_id, count(*)::bigint as n_kept,
+         string_agg(line, chr(10) order by line_no) as text_clean
+  from lines
+  where regexp_matches(line, '[.!?"]$')
+    and len(string_split(line, ' ')) >= {tx.C4_MIN_LINE_WORDS}
+    and not contains(lower(line), 'javascript')
+  group by doc_id)
+select p.doc_id, p.n_lines, k.n_kept, k.text_clean
+from page p join k using (doc_id)
+where not contains(lower(p.page), 'lorem ipsum')
+  and not contains(p.page, '{{')
+  and k.n_kept >= {tx.C4_MIN_KEPT_LINES}
 """
 
 ORACLES["chunk_windows"] = f"""

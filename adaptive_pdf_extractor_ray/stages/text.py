@@ -285,6 +285,139 @@ class LineDedup:
         )
 
 
+def domain_line_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial doc-frequency per (domain, line hash) — the
+    per-domain variant of `line_count_partials` (CCNet shards by
+    snapshot/language; RefinedWeb removes lines repeated WITHIN a site,
+    so a nav bar common to one domain goes while a sentence that happens
+    to recur across unrelated sites stays). Lines are deduped within
+    each doc first, so partials are summable; only
+    (source, 16-byte-hash, count) rows reach the shuffle — never text."""
+    counts: dict[tuple[str, str], int] = {}
+    for src, lang, t in zip(
+        batch["source"].to_pylist(),
+        batch["lang"].to_pylist(),
+        batch["text"].to_pylist(),
+    ):
+        for ln in set(doc_lines(src, lang, t)):
+            h = hashlib.md5(ln.encode("utf-8")).hexdigest()
+            counts[(src, h)] = counts.get((src, h), 0) + 1
+    srcs = [k[0] for k in counts]
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "line_md5": pa.array([k[1] for k in counts], pa.string()),
+            "nd": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+class LineDedupDomain:
+    """Second pass of per-domain line dedup: re-derive each doc's lines
+    and drop the ones whose (domain, hash) is in the broadcast frequent
+    set. Same restart-safe plain-constructor-value shape as LineDedup."""
+
+    def __init__(self, drop_keys: set[tuple[str, str]]):
+        self.drop = drop_keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_lines, n_kept, texts = [], [], [], []
+        for did, src, lang, t in zip(
+            batch["doc_id"].to_pylist(),
+            batch["source"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            lines = doc_lines(src, lang, t)
+            kept = [
+                ln
+                for ln in lines
+                if (src, hashlib.md5(ln.encode("utf-8")).hexdigest())
+                not in self.drop
+            ]
+            ids.append(did)
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            texts.append("\n".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "text_clean": pa.array(texts, pa.string()),
+            }
+        )
+
+
+# -- C4-style page cleaning (Raffel et al. 2020 §2.2 line/doc rules) ---------
+
+C4_MIN_LINE_WORDS = 5  # C4 keeps lines with >= 5 words
+C4_MIN_KEPT_LINES = 3  # ... and pages that retain >= 3 lines
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_page_lines(doc_id: int, text: str) -> list[str]:
+    """Deterministic noisy page derived from a documents row, built so
+    every C4 rule has rows it fires on: LINE_TOKENS-word content lines
+    whose terminal punctuation cycles ('.', none, '!', '?') with
+    (doc_id + line_no) % 4, a cookie/JS interstitial on doc_id % 7, a
+    lorem-ipsum stub on doc_id % 31 and a code fragment (curly brace) on
+    doc_id % 29. The SQL oracle rebuilds the identical page."""
+    words = [w for w in (text or "").split(" ") if w]
+    lines: list[str] = []
+    if doc_id % 7 == 0:
+        lines.append("please enable javascript and cookies to continue.")
+    for i in range(0, len(words), LINE_TOKENS):
+        n = i // LINE_TOKENS
+        term = [".", "", "!", "?"][(doc_id + n) % 4]
+        lines.append(" ".join(words[i : i + LINE_TOKENS]) + term)
+    if doc_id % 31 == 0:
+        lines.append("lorem ipsum dolor sit amet consectetur adipiscing elit.")
+    if doc_id % 29 == 0:
+        lines.append("function badge() { return 1; }")
+    return lines
+
+
+def c4_clean_batch(batch: pa.Table) -> pa.Table:
+    """C4 cleaning pass over the derived pages — line rules: keep a line
+    iff it ends in terminal punctuation, has >= C4_MIN_LINE_WORDS words
+    and does not mention 'javascript'; page rules: drop the whole page
+    if fewer than C4_MIN_KEPT_LINES lines survive, or the RAW page
+    contains 'lorem ipsum' or a '{'. Rules are evaluated on the text
+    itself (the doc_id injections above only guarantee coverage).
+    Emits surviving docs only."""
+    ids, n_lines_col, n_kept_col, texts = [], [], [], []
+    for did, t in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+    ):
+        lines = c4_page_lines(did, t)
+        page = "\n".join(lines)
+        low = page.lower()
+        if "lorem ipsum" in low or "{" in page:
+            continue
+        kept = [
+            ln
+            for ln in lines
+            if ln.endswith(C4_TERMINALS)
+            and len(ln.split(" ")) >= C4_MIN_LINE_WORDS
+            and "javascript" not in ln.lower()
+        ]
+        if len(kept) < C4_MIN_KEPT_LINES:
+            continue
+        ids.append(did)
+        n_lines_col.append(len(lines))
+        n_kept_col.append(len(kept))
+        texts.append("\n".join(kept))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_lines": pa.array(n_lines_col, pa.int64()),
+            "n_kept": pa.array(n_kept_col, pa.int64()),
+            "text_clean": pa.array(texts, pa.string()),
+        }
+    )
+
+
 # -- training-sequence chunking ----------------------------------------------
 
 CHUNK_TOKENS = 32

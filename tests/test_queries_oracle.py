@@ -36,6 +36,7 @@ SUBSET = [
     "tfidf_top_terms",
     "inverted_index",
     "pii_redact",
+    "clean_c4",
     "url_dedup",
     "chunk_windows",
     "pack_sequences",
