@@ -2657,6 +2657,196 @@ def q_snapshot_latest(sf_dir: str):
     )
 
 
+def crawl_diff_corpus() -> tuple[str, str]:
+    """Lazily write the deterministic two-crawl fixture (sf-independent
+    fixed path); both the Ray query and the oracle composer call this,
+    so either side can run first."""
+    import tempfile
+
+    from ..sources.synthetic import write_crawl_diff_corpus
+
+    root = os.path.join(tempfile.gettempdir(), "aper_crawldiff_200")
+    return write_crawl_diff_corpus(root, n_urls=200, seed=1)
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Crawl-over-crawl diff (the Common-Crawl monthly-snapshot
+    comparison): classify every url across two full crawls as
+    new / gone / changed / unchanged. Union the two snapshots tagged by
+    side, then ONE groupby(url) whose group is at most one row per crawl
+    — bounded at 2 rows regardless of corpus size, so map_groups is safe
+    at 10^12 urls; the only shuffle is keyed by url (at real scale, by
+    its 16-byte md5 with the identical plan shape). Text equality is
+    decided inside the group — no full-corpus join materializes."""
+    a_dir, b_dir = crawl_diff_corpus()
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array([side] * t.num_rows, pa.int32())
+            )
+
+        return f
+
+    a = rd.read_parquet(a_dir, columns=["url", "text"]).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    b = rd.read_parquet(b_dir, columns=["url", "text"]).map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def classify(g: pa.Table) -> pa.Table:
+        sides = dict(
+            zip(g["side"].to_pylist(), g["text"].to_pylist())
+        )
+        if 0 in sides and 1 in sides:
+            status = "unchanged" if sides[0] == sides[1] else "changed"
+        elif 0 in sides:
+            status = "gone"
+        else:
+            status = "new"
+        return pa.table(
+            {
+                "url": g["url"].slice(0, 1),
+                "status": pa.array([status], pa.string()),
+            }
+        )
+
+    return (
+        a.union(b).groupby("url").map_groups(classify, batch_format="pyarrow")
+    )
+
+
+def snapshot_diff_oracle_sql(a_dir: str, b_dir: str) -> str:
+    return f"""
+select coalesce(a.url, b.url) as url,
+       case when a.url is null then 'new'
+            when b.url is null then 'gone'
+            when a.text = b.text then 'unchanged'
+            else 'changed' end as status
+from read_parquet('{a_dir}/*.parquet') a
+full outer join read_parquet('{b_dir}/*.parquet') b on a.url = b.url
+"""
+
+
+DOMAIN_REP_MIN_STOP = 0.08  # pooled stopword density below this = low-rep
+
+
+def q_domain_reputation(sf_dir: str):
+    """Domain-reputation filter (the UT1/RefinedWeb idea that quality is
+    a property of the SITE, not just the page): pool per-doc stopword /
+    token counts into one per-domain density — sums, not mean-of-means,
+    so the score is exact and order-free — then hash-join the verdict
+    back onto every page of the domain. Two shuffles total: a tiny
+    groupby(source) of integer partials and the docs ⋈ domains join
+    (broadcastable when the domain table fits; the join route shown here
+    is the 10^8-domain shape)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_tok = pc.cast(
+            pc.count_substring_regex(text, pattern=tx.TOKEN_PATTERN),
+            pa.int64(),
+        )
+        n_stop = None
+        for w in tx.STOPWORDS:
+            c = pc.count_substring_regex(text, pattern=rf"\b{w}\b")
+            n_stop = c if n_stop is None else pc.add(n_stop, c)
+        return pa.table(
+            {
+                "source": t["source"],
+                "stop": pc.cast(n_stop, pa.int64()),
+                "tok": n_tok,
+            }
+        )
+
+    domains = (
+        docs.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("stop", alias_name="stop_sum"),
+            ray.data.aggregate.Sum("tok", alias_name="tok_sum"),
+        )
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        dens = pc.round(
+            pc.divide(
+                pc.cast(t["stop_sum"], pa.float64()),
+                pc.cast(
+                    pc.max_element_wise(
+                        t["tok_sum"], pa.scalar(1, pa.int64())
+                    ),
+                    pa.float64(),
+                ),
+            ),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "domain_score": dens,
+                "keep": pc.greater_equal(
+                    dens, pa.scalar(DOMAIN_REP_MIN_STOP)
+                ),
+            }
+        )
+
+    verdict = domains.map_batches(score, batch_format="pyarrow")
+    return docs.select_columns(["doc_id", "source"]).join(
+        verdict,
+        join_type="inner",
+        num_partitions=dd.adaptive_partitions(
+            _table_rows(sf_dir, "documents")
+        ),
+        on=("source",),
+    )
+
+
+BAD_URL_WORDS = ["casino", "xxx", "pills", "torrent"]
+
+
+def _filter_url(doc_id: int) -> str:
+    """Deterministic fixture URL with blocklist words injected on fixed
+    residues (host on %23, path on %19, query on %29) so every rule has
+    positive and negative rows; the oracle rebuilds it with CASE."""
+    host = ("adult-xxx-" if doc_id % 23 == 0 else "") + f"site{doc_id % 13}"
+    path = ("casino/" if doc_id % 19 == 0 else "") + f"page{doc_id}"
+    q = "?promo=cheap-pills-online" if doc_id % 29 == 0 else ""
+    return f"https://{host}.example/{path}{q}"
+
+
+def q_url_filter(sf_dir: str):
+    """URL keyword blocklist (the RefinedWeb/UT1 URL-filtering stage):
+    score each page's url by how many blocklist words it contains
+    (vectorized ``match_substring`` per word — RE2-free substring scan)
+    and flag pages for removal. Embarrassingly parallel, no shuffle;
+    the word list ships once per task as a closure constant."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        urls = pa.array(
+            [_filter_url(i) for i in t["doc_id"].to_pylist()], pa.string()
+        )
+        n_bad = None
+        for w in BAD_URL_WORDS:
+            c = pc.cast(pc.match_substring(urls, w), pa.int64())
+            n_bad = c if n_bad is None else pc.add(n_bad, c)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": urls,
+                "n_bad": n_bad,
+                "keep": pc.equal(n_bad, pa.scalar(0, pa.int64())),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3508,6 +3698,9 @@ QUERIES = {
     "anchor_text": q_anchor_text,
     "html_meta": q_html_meta,
     "snapshot_latest": q_snapshot_latest,
+    "snapshot_diff": q_snapshot_diff,
+    "domain_reputation": q_domain_reputation,
+    "url_filter": q_url_filter,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -4350,6 +4543,40 @@ from lines l join freq f using (line)
 group by l.doc_id
 """
 
+ORACLES["domain_reputation"] = f"""
+with f as (
+  select doc_id, source,
+         length(regexp_extract_all(text, '\\S+'))::bigint as tok,
+         ({_stop_count_sql()})::bigint as stop
+  from documents),
+d as (
+  select source,
+         round(sum(stop) * 1.0 / greatest(sum(tok), 1), 6) as domain_score
+  from f group by source)
+select f.doc_id, f.source, d.domain_score,
+       d.domain_score >= {DOMAIN_REP_MIN_STOP} as keep
+from f join d using (source)
+"""
+
+ORACLES["url_filter"] = f"""
+with u as (
+  select doc_id,
+         'https://'
+           || case when doc_id % 23 = 0 then 'adult-xxx-' else '' end
+           || 'site' || (doc_id % 13) || '.example/'
+           || case when doc_id % 19 = 0 then 'casino/' else '' end
+           || 'page' || doc_id
+           || case when doc_id % 29 = 0
+                   then '?promo=cheap-pills-online' else '' end as url
+  from documents)
+select doc_id, url,
+       ({" + ".join(f"contains(url, '{w}')::bigint" for w in BAD_URL_WORDS)})
+         as n_bad,
+       ({" + ".join(f"contains(url, '{w}')::bigint" for w in BAD_URL_WORDS)})
+         = 0 as keep
+from u
+"""
+
 ORACLES["line_dedup_domain"] = f"""
 with base as (
   select doc_id, source, lang,
@@ -4754,6 +4981,7 @@ def all_oracles() -> dict[str, str]:
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)
     out["html_meta"] = html_meta_oracle_sql(link_dir)
     out["snapshot_latest"] = snapshot_latest_oracle_sql(recrawl_corpus())
+    out["snapshot_diff"] = snapshot_diff_oracle_sql(*crawl_diff_corpus())
     # knn_ivf's oracle embeds data-dependent centroid literals, so it is
     # composed against the driver's gate tables (sf0.01); the per-sf form
     # is pytest-verified at every sf in tests/test_knn_ivf_oracle.py

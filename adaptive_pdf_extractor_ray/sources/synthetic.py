@@ -476,6 +476,67 @@ def write_recrawl_corpus(out_dir: str, n_urls: int = 150, seed: int = 1) -> str:
     return pages_dir
 
 
+def write_crawl_diff_corpus(
+    out_dir: str, n_urls: int = 200, seed: int = 1
+) -> tuple[str, str]:
+    """Deterministic crawl-over-crawl fixture for the snapshot-diff
+    operator: two full crawl snapshots A and B of the same url universe,
+    30 days apart, where ``i % 4`` fixes each url's fate — 0: present in
+    both with IDENTICAL text, 1: present in both with CHANGED text,
+    2: A only (page gone by crawl B), 3: B only (page new in crawl B).
+    Pure arithmetic on (i, seed) — byte-identical across processes;
+    idempotent (manifest-keyed). Returns (crawl_a_dir, crawl_b_dir)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    a_dir = os.path.join(out_dir, "crawl_a")
+    b_dir = os.path.join(out_dir, "crawl_b")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"kind": "crawldiff", "n_urls": n_urls, "seed": seed, "v": 1}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return a_dir, b_dir
+    import shutil
+
+    for d in (a_dir, b_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d, exist_ok=True)
+
+    def body(i: int, rev: int) -> str:
+        return f"page {i} revision {rev}: " + " ".join(
+            f"w{(i * 13 + rev * 7 + k * seed) % 97}" for k in range(10)
+        )
+
+    def side(which: int):
+        urls, tss, texts = [], [], []
+        for i in range(n_urls):
+            cls = i % 4
+            if (which == 0 and cls == 3) or (which == 1 and cls == 2):
+                continue  # new-in-B urls absent from A and vice versa
+            rev = which if cls == 1 else 0  # changed pages bump the rev
+            urls.append(f"https://site{i % 17}.example/page{i}")
+            tss.append(
+                EPOCH + _dt.timedelta(days=30 * which, seconds=i)
+            )
+            texts.append(body(i, rev))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    pq.write_table(side(0), os.path.join(a_dir, "part-00000.parquet"))
+    pq.write_table(side(1), os.path.join(b_dir, "part-00000.parquet"))
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return a_dir, b_dir
+
+
 def write_link_corpus(out_dir: str, n: int = 200, seed: int = 1) -> str:
     """Deterministic hyperlinked mini-web for the link-graph operators
     (outlink extraction / in-degree / PageRank): ``n`` pages across 20

@@ -37,6 +37,8 @@ SUBSET = [
     "inverted_index",
     "pii_redact",
     "clean_c4",
+    "url_filter",
+    "domain_reputation",
     "url_dedup",
     "chunk_windows",
     "pack_sequences",
