@@ -599,6 +599,71 @@ def q_embedding_neardup(sf_dir: str):
     return out.select_columns(["a", "b"]).union(empty)
 
 
+DECON_SEM_TAU = 0.3  # max benchmark cosine at/above this = contaminated
+DECON_SEM_MOD = 25  # vec_id % this == 0 picks the benchmark rows
+
+
+def q_decontaminate_semantic(sf_dir: str):
+    """SEMANTIC benchmark decontamination (the embedding-space
+    counterpart of `decontaminate`/`decontaminate_ngram`): flag corpus
+    docs whose embedding is too close to ANY benchmark item, catching
+    paraphrased eval leakage that n-gram overlap misses. The benchmark
+    matrix is tiny by definition (it's the eval set) — loaded once on
+    the driver, L2-normalized, and shipped as plain constructor values
+    to an actor-pool map (restart-safe, ray#53727); each batch is one
+    numpy matmul + row-max. One streaming pass, NO shuffle — at 10^12
+    docs this is read-bound. The threshold applies to the 4-dp-rounded
+    similarity so float noise can't flip boundary docs vs the oracle."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    mask = np.asarray(t["vec_id"].to_pylist()) % DECON_SEM_MOD == 0
+    bench_rows = pc.take(
+        t["embedding"], pa.array(np.nonzero(mask)[0])
+    ).to_pylist()
+
+    class Score:
+        def __init__(self, bench_rows: list[list[float]]):
+            b = np.asarray(bench_rows, dtype=np.float64)
+            self.Bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            keep = ids % DECON_SEM_MOD != 0
+            ids = ids[keep]
+            M = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)[
+                keep
+            ]
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "max_sim": pa.array([], pa.float64()),
+                        "contaminated": pa.array([], pa.bool_()),
+                    }
+                )
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            mx = np.round(Mn @ self.Bn.T, 4).max(axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "max_sim": pa.array(mx, pa.float64()),
+                    "contaminated": pa.array(
+                        mx >= DECON_SEM_TAU, pa.bool_()
+                    ),
+                }
+            )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        Score,
+        fn_constructor_args=(bench_rows,),
+        batch_format="pyarrow",
+        concurrency=_apool(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -2847,6 +2912,94 @@ def q_url_filter(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+LANG_WORDS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+LANG_MIN_DENSITY_PCT = 5  # greatest hit count must be >= 5% of tokens
+
+
+def q_lang_id_multi(sf_dir: str):
+    """Multi-language n-gram/stopword language ID (the CCNet fastText
+    analog at heuristic scale): derive pages with language-marker words
+    injected by ``doc_id % 4`` and ``1 + doc_id % 3`` repetitions, count
+    each language's marker words with vectorized RE2 kernels, and pick
+    the argmax with a fixed preference order (en>de>fr>es) — integer
+    cross-multiplied density gate (count*100 >= PCT*tokens), no float
+    threshold. Stateless single pass, no shuffle."""
+    langs = list(LANG_WORDS)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        pages = [
+            (txt or "")
+            + (" " + " ".join(LANG_WORDS[langs[i % 4]])) * (1 + i % 3)
+            for i, txt in zip(ids, t["text"].to_pylist())
+        ]
+        arr = pa.array(pages, pa.string())
+        n_tok = pc.cast(
+            pc.count_substring_regex(arr, pattern=tx.TOKEN_PATTERN),
+            pa.int64(),
+        )
+        counts = {}
+        for lang, words in LANG_WORDS.items():
+            c = None
+            for w in words:
+                k = pc.count_substring_regex(arr, pattern=rf"\b{w}\b")
+                c = k if c is None else pc.add(c, k)
+            counts[lang] = pc.cast(c, pa.int64()).to_numpy()
+        C = np.stack([counts[lg] for lg in langs])  # (4, n)
+        best = np.argmax(C, axis=0)  # first max wins = preference order
+        best_count = C[best, np.arange(C.shape[1])]
+        toks = n_tok.to_numpy()
+        pred = np.where(
+            best_count * 100 >= LANG_MIN_DENSITY_PCT * np.maximum(toks, 1),
+            np.array(langs)[best],
+            "und",
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tok,
+                "pred_lang": pa.array(pred.tolist(), pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_snapshot_incremental(sf_dir: str):
+    """Incremental re-processing set (the crawl-over-crawl follow-on to
+    `snapshot_diff`): only urls that are NEW or CHANGED in crawl B need
+    to re-enter the extraction/curation pipeline — unchanged and gone
+    pages are skipped entirely. The diff's (url, status) rows hash-join
+    back to crawl B's pages; both shuffles are keyed by url, so at scale
+    the diff groupby and this join share one partitioning."""
+    _, b_dir = crawl_diff_corpus()
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(
+                t["status"], value_set=pa.array(["new", "changed"])
+            )
+        )
+
+    todo = q_snapshot_diff(sf_dir).map_batches(
+        keep, batch_format="pyarrow"
+    )
+    b = rd.read_parquet(b_dir, columns=["url", "text"])
+    return todo.join(
+        b,
+        join_type="inner",
+        num_partitions=dd.adaptive_partitions(200),
+        on=("url",),
+    )
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3699,8 +3852,11 @@ QUERIES = {
     "html_meta": q_html_meta,
     "snapshot_latest": q_snapshot_latest,
     "snapshot_diff": q_snapshot_diff,
+    "snapshot_incremental": q_snapshot_incremental,
     "domain_reputation": q_domain_reputation,
     "url_filter": q_url_filter,
+    "lang_id_multi": q_lang_id_multi,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -4543,6 +4699,56 @@ from lines l join freq f using (line)
 group by l.doc_id
 """
 
+ORACLES["decontaminate_semantic"] = f"""
+with b as (select embedding from embeddings
+           where vec_id % {DECON_SEM_MOD} = 0),
+c as (select vec_id, embedding from embeddings
+      where vec_id % {DECON_SEM_MOD} <> 0)
+select c.vec_id,
+       max(round(list_cosine_similarity(c.embedding, b.embedding), 4))
+         as max_sim,
+       max(round(list_cosine_similarity(c.embedding, b.embedding), 4))
+         >= {DECON_SEM_TAU} as contaminated
+from c cross join b
+group by c.vec_id
+"""
+
+
+def _lang_count_sql(words: list[str]) -> str:
+    return " + ".join(
+        f"length(regexp_extract_all(page, '\\b{w}\\b'))" for w in words
+    )
+
+
+ORACLES["lang_id_multi"] = f"""
+with p as (
+  select doc_id,
+         text || repeat(case doc_id % 4
+                        when 0 then ' {" ".join(LANG_WORDS["en"])}'
+                        when 1 then ' {" ".join(LANG_WORDS["de"])}'
+                        when 2 then ' {" ".join(LANG_WORDS["fr"])}'
+                        else ' {" ".join(LANG_WORDS["es"])}' end,
+                        1 + doc_id % 3) as page
+  from documents),
+c as (
+  select doc_id,
+         length(regexp_extract_all(page, '\\S+'))::bigint as n_tokens,
+         ({_lang_count_sql(LANG_WORDS["en"])})::bigint as s_en,
+         ({_lang_count_sql(LANG_WORDS["de"])})::bigint as s_de,
+         ({_lang_count_sql(LANG_WORDS["fr"])})::bigint as s_fr,
+         ({_lang_count_sql(LANG_WORDS["es"])})::bigint as s_es
+  from p)
+select doc_id, n_tokens,
+       case when greatest(s_en, s_de, s_fr, s_es) * 100
+                 < {LANG_MIN_DENSITY_PCT} * greatest(n_tokens, 1)
+              then 'und'
+            when s_en >= s_de and s_en >= s_fr and s_en >= s_es then 'en'
+            when s_de >= s_fr and s_de >= s_es then 'de'
+            when s_fr >= s_es then 'fr'
+            else 'es' end as pred_lang
+from c
+"""
+
 ORACLES["domain_reputation"] = f"""
 with f as (
   select doc_id, source,
@@ -4981,7 +5187,14 @@ def all_oracles() -> dict[str, str]:
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)
     out["html_meta"] = html_meta_oracle_sql(link_dir)
     out["snapshot_latest"] = snapshot_latest_oracle_sql(recrawl_corpus())
-    out["snapshot_diff"] = snapshot_diff_oracle_sql(*crawl_diff_corpus())
+    a_dir, b_dir = crawl_diff_corpus()
+    out["snapshot_diff"] = snapshot_diff_oracle_sql(a_dir, b_dir)
+    out["snapshot_incremental"] = f"""
+with d as ({snapshot_diff_oracle_sql(a_dir, b_dir)})
+select d.url, d.status, b.text
+from d join read_parquet('{b_dir}/*.parquet') b using (url)
+where d.status in ('new', 'changed')
+"""
     # knn_ivf's oracle embeds data-dependent centroid literals, so it is
     # composed against the driver's gate tables (sf0.01); the per-sf form
     # is pytest-verified at every sf in tests/test_knn_ivf_oracle.py

@@ -38,6 +38,8 @@ SUBSET = [
     "pii_redact",
     "clean_c4",
     "url_filter",
+    "lang_id_multi",
+    "decontaminate_semantic",
     "domain_reputation",
     "url_dedup",
     "chunk_windows",
