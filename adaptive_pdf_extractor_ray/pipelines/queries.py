@@ -3000,6 +3000,224 @@ def q_snapshot_incremental(sf_dir: str):
     )
 
 
+PHASH_BITS = 60  # 4 bands x 15 bits (fits a signed bigint on both sides)
+PHASH_BANDS = 4
+PHASH_HAM_T = 6  # pairs at/below this Hamming distance are near-dups
+PHASH_BUCKET_CAP = 10_000  # skew guard: cap candidates from one bucket
+
+
+def _phash(doc_id: int) -> int:
+    """Deterministic 60-bit perceptual-hash stand-in: docs in the same
+    group of 5 share an md5-derived base pattern and differ only by 1-2
+    noise bits — the similar-image-small-Hamming-distance structure a
+    real pHash produces. In a real pipeline this value comes from the
+    media-decode actor stage (stages/media.py); the arithmetic here IS
+    the honest stub boundary, replayed bit-exactly by the SQL oracle."""
+    base = int(hashlib.md5(f"g{doc_id // 5}".encode()).hexdigest()[:15], 16)
+    noise = 0
+    if doc_id % 5 != 0:
+        noise |= 1 << ((doc_id * 7) % PHASH_BITS)
+    if doc_id % 5 >= 3:
+        noise |= 1 << ((doc_id * 13) % PHASH_BITS)
+    return base ^ noise
+
+
+def q_media_phash_pairs(sf_dir: str):
+    """Perceptual-hash near-dup pairs (image dedup via pHash + banded
+    LSH): 60-bit hashes band into 4 x 15-bit buckets, candidates share
+    at least one exact band, survivors pass a Hamming <= PHASH_HAM_T
+    verify. Same plan shape as MinHash-LSH: band groupby -> within-
+    bucket pairing (cap-guarded against skew) -> pair-dedup groupby with
+    the verify computed from carried hashes — no join back to the
+    corpus, and the shuffles move only (band, 8-byte hash) rows. At
+    10^12 images the band key is the partitioner; the decode->phash
+    stage is the actor pool in stages/media.py."""
+    import logging
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids, ks, bvs, phs = [], [], [], []
+        for did in t["doc_id"].to_pylist():
+            ph = _phash(did)
+            for k in range(PHASH_BANDS):
+                ids.append(did)
+                ks.append(k)
+                bvs.append((ph >> (15 * k)) & 0x7FFF)
+                phs.append(ph)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "k": pa.array(ks, pa.int32()),
+                "bv": pa.array(bvs, pa.int64()),
+                "phash": pa.array(phs, pa.int64()),
+            }
+        )
+
+    def pair_bucket(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_pylist()
+        phs = g["phash"].to_pylist()
+        a_out, b_out, pa_out, pb_out = [], [], [], []
+        n = len(ids)
+        emitted = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if emitted >= PHASH_BUCKET_CAP:
+                    logging.getLogger(__name__).warning(
+                        "media_phash_pairs: bucket capped at %d pairs "
+                        "(%d members)", PHASH_BUCKET_CAP, n
+                    )
+                    break
+                x, y = ids[i], ids[j]
+                if x > y:
+                    x, y = y, x
+                    px, py = phs[j], phs[i]
+                else:
+                    px, py = phs[i], phs[j]
+                a_out.append(x)
+                b_out.append(y)
+                pa_out.append(px)
+                pb_out.append(py)
+                emitted += 1
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "ph_a": pa.array(pa_out, pa.int64()),
+                "ph_b": pa.array(pb_out, pa.int64()),
+            }
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        ham = int(g["ph_a"][0].as_py() ^ g["ph_b"][0].as_py()).bit_count()
+        if ham > PHASH_HAM_T:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": g["a"].slice(0, 1),
+                "b": g["b"].slice(0, 1),
+                "hamming": pa.array([ham], pa.int64()),
+            }
+        )
+
+    cand = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["k", "bv"])
+        .map_groups(pair_bucket, batch_format="pyarrow")
+    )
+    return cand.groupby(["a", "b"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+
+
+def jsonl_corpus() -> str:
+    """Lazily write the deterministic JSONL fixture (the WET/WAT-style
+    newline-delimited-JSON source a crawl pipeline ingests alongside
+    parquet); idempotent, arithmetic-only."""
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "aper_jsonl_300")
+    path = os.path.join(root, "docs.jsonl")
+    marker = os.path.join(root, "_manifest.json")
+    want = {"kind": "jsonl", "n": 300, "v": 1}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == want:
+                return path
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as f:
+        for i in range(300):
+            f.write(
+                json.dumps(
+                    {
+                        "url": f"https://j{i % 7}.example/{i}",
+                        "lang": ["en", "de", "fr"][i % 3],
+                        "score": (i * 3) % 11,
+                        "text": f"json doc {i} body words here",
+                    }
+                )
+                + "\n"
+            )
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return path
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Newline-delimited JSON source (WET/WAT-shaped sidecar ingest):
+    ``ray.data.read_json`` streams the file in blocks like any other
+    source; one vectorized map derives token counts. Shows the non-
+    parquet ingestion path end-to-end against a DuckDB read_json_auto
+    oracle."""
+    ds = rd.read_json(jsonl_corpus())
+
+    def f(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(t["text"], pattern=tx.TOKEN_PATTERN),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "lang": t["lang"],
+                "score": pc.cast(t["score"], pa.int64()),
+                "n_tokens": n_tok,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# robots.txt-style per-domain disallow rules: (host-class, path-prefix).
+# Deterministic rule synthesis — every host disallows /casino/; every
+# third host additionally blocks the /page1 prefix class.
+def _robots_rules(host_idx: int) -> list[str]:
+    rules = ["/casino/"]
+    if host_idx % 3 == 0:
+        rules.append("/page1")
+    return rules
+
+
+def q_robots_filter(sf_dir: str):
+    """Robots/disallow-rule compliance filter (the crawl-politeness gate
+    every fetch pipeline runs BEFORE processing a url): a per-domain
+    prefix-rule table — tiny by construction, one entry per (host, rule)
+    — is broadcast to a stateless vectorized pass that marks urls whose
+    path starts with any disallowed prefix. No shuffle; at 10^8 domains
+    the rule table hash-joins on host instead (same output, one extra
+    shuffle), which is the documented scale route."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    rules = {
+        f"site{k}": _robots_rules(k) for k in range(13)
+    }  # hosts come from _filter_url's doc_id % 13 derivation
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        urls, blocked = [], []
+        for i in ids:
+            u = _filter_url(i)
+            host = f"site{i % 13}"
+            path = "/" + u.split(".example/", 1)[1]
+            urls.append(u)
+            blocked.append(
+                any(path.startswith(r) for r in rules.get(host, []))
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": pa.array(urls, pa.string()),
+                "blocked": pa.array(blocked, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -3857,6 +4075,9 @@ QUERIES = {
     "url_filter": q_url_filter,
     "lang_id_multi": q_lang_id_multi,
     "decontaminate_semantic": q_decontaminate_semantic,
+    "media_phash_pairs": q_media_phash_pairs,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
+    "robots_filter": q_robots_filter,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -4699,6 +4920,53 @@ from lines l join freq f using (line)
 group by l.doc_id
 """
 
+ORACLES["media_phash_pairs"] = f"""
+with h as (
+  select doc_id,
+         xor(('0x' || substr(md5('g' || (doc_id // 5)), 1, 15))
+               ::ubigint::bigint,
+             (case when doc_id % 5 <> 0
+                   then (1::bigint << ((doc_id * 7) % {PHASH_BITS}))
+                   else 0 end)
+             | (case when doc_id % 5 >= 3
+                     then (1::bigint << ((doc_id * 13) % {PHASH_BITS}))
+                     else 0 end)) as phash
+  from documents),
+b as (
+  select doc_id, phash, k, (phash >> (15 * k)) & 32767 as bv
+  from h cross join (select unnest(range({PHASH_BANDS})) as k)),
+cand as (
+  select distinct x.doc_id as a, y.doc_id as b
+  from b x join b y on x.k = y.k and x.bv = y.bv
+                    and x.doc_id < y.doc_id)
+select c.a, c.b,
+       bit_count(xor(ha.phash, hb.phash))::bigint as hamming
+from cand c
+join h ha on ha.doc_id = c.a
+join h hb on hb.doc_id = c.b
+where bit_count(xor(ha.phash, hb.phash)) <= {PHASH_HAM_T}
+"""
+
+ORACLES["robots_filter"] = f"""
+with u as (
+  select doc_id, doc_id % 13 as k,
+         'https://'
+           || case when doc_id % 23 = 0 then 'adult-xxx-' else '' end
+           || 'site' || (doc_id % 13) || '.example/'
+           || case when doc_id % 19 = 0 then 'casino/' else '' end
+           || 'page' || doc_id
+           || case when doc_id % 29 = 0
+                   then '?promo=cheap-pills-online' else '' end as url
+  from documents),
+p as (select doc_id, url, k,
+             '/' || split_part(url, '.example/', 2) as path
+      from u)
+select doc_id, url,
+       (starts_with(path, '/casino/')
+        or (k % 3 = 0 and starts_with(path, '/page1'))) as blocked
+from p
+"""
+
 ORACLES["decontaminate_semantic"] = f"""
 with b as (select embedding from embeddings
            where vec_id % {DECON_SEM_MOD} = 0),
@@ -5194,6 +5462,11 @@ with d as ({snapshot_diff_oracle_sql(a_dir, b_dir)})
 select d.url, d.status, b.text
 from d join read_parquet('{b_dir}/*.parquet') b using (url)
 where d.status in ('new', 'changed')
+"""
+    out["jsonl_roundtrip"] = f"""
+select url, lang, score::bigint as score,
+       length(regexp_extract_all(text, '\\S+'))::bigint as n_tokens
+from read_json_auto('{jsonl_corpus()}', format='newline_delimited')
 """
     # knn_ivf's oracle embeds data-dependent centroid literals, so it is
     # composed against the driver's gate tables (sf0.01); the per-sf form

@@ -40,6 +40,8 @@ SUBSET = [
     "url_filter",
     "lang_id_multi",
     "decontaminate_semantic",
+    "jsonl_roundtrip",
+    "robots_filter",
     "domain_reputation",
     "url_dedup",
     "chunk_windows",
