@@ -3218,6 +3218,139 @@ def q_robots_filter(sf_dir: str):
     return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+TFIDF_COS_DF_CAP = 50  # terms above this df are too common to pair on
+TFIDF_COS_TAU = 0.2  # rounded-cosine threshold for a similar-doc pair
+
+
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine similar-doc pairs (the inverted-index
+    similarity search that complements the dense-embedding family): the
+    vector space is the df <= TFIDF_COS_DF_CAP vocabulary (ubiquitous
+    terms carry ~no idf and would explode the per-term pairing — the cap
+    is the skew guard and is part of the metric's definition, mirrored
+    by the oracle); each doc's norm is computed once and CARRIED ON THE
+    POSTINGS, so the pipeline is explode -> df groupby -> fused
+    score+norm pass -> per-term pairing (group size <= cap) -> pair-sum
+    groupby, with no corpus-sized join anywhere. Cosine is rounded to 4
+    dp before the threshold so float noise can't flip boundary pairs."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    n_docs = float(
+        pq_.ParquetFile(_pq(sf_dir, "documents")).metadata.num_rows
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        d_out, t_out, c_out = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in (s or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+            for w, c in counts.items():
+                d_out.append(did)
+                t_out.append(w)
+                c_out.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "term": pa.array(t_out, pa.string()),
+                "tf": pa.array(c_out, pa.int64()),
+            }
+        )
+
+    tfs = docs.map_batches(explode, batch_format="pyarrow")
+    df = _grouped_count(tfs, "term", "df").materialize()
+    lookup: dict[str, int] = {}
+    for b in df.iter_batches(batch_format="pyarrow"):
+        lookup.update(zip(b["term"].to_pylist(), b["df"].to_pylist()))
+    dref = ray.put(lookup)
+
+    def postings(t: pa.Table) -> pa.Table:
+        m = ray.get(dref)
+        d_out, t_out, w_out, n_out = [], [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in (s or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+            ws = {
+                w: c * math.log(n_docs / m[w])
+                for w, c in counts.items()
+                if m[w] <= TFIDF_COS_DF_CAP
+            }
+            if not ws:
+                continue
+            nrm = math.sqrt(sum(v * v for v in ws.values()))
+            for w, v in ws.items():
+                if m[w] >= 2:  # df-1 terms can't co-occur
+                    d_out.append(did)
+                    t_out.append(w)
+                    w_out.append(v)
+                    n_out.append(nrm)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "term": pa.array(t_out, pa.string()),
+                "w": pa.array(w_out, pa.float64()),
+                "nrm": pa.array(n_out, pa.float64()),
+            }
+        )
+
+    def pair_term(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_pylist()
+        ws = g["w"].to_pylist()
+        ns = g["nrm"].to_pylist()
+        a_o, b_o, p_o, na_o, nb_o = [], [], [], [], []
+        order = sorted(range(len(ids)), key=lambda i: ids[i])
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                a_o.append(ids[i])
+                b_o.append(ids[j])
+                p_o.append(ws[i] * ws[j])
+                na_o.append(ns[i])
+                nb_o.append(ns[j])
+        return pa.table(
+            {
+                "a": pa.array(a_o, pa.int64()),
+                "b": pa.array(b_o, pa.int64()),
+                "p": pa.array(p_o, pa.float64()),
+                "na": pa.array(na_o, pa.float64()),
+                "nb": pa.array(nb_o, pa.float64()),
+            }
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        dot = sum(g["p"].to_pylist())
+        cos = round(dot / (g["na"][0].as_py() * g["nb"][0].as_py()), 4)
+        if cos < TFIDF_COS_TAU:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": g["a"].slice(0, 1),
+                "b": g["b"].slice(0, 1),
+                "cos": pa.array([cos], pa.float64()),
+            }
+        )
+
+    post = docs.map_batches(postings, batch_format="pyarrow")
+    pairs = post.groupby("term").map_groups(
+        pair_term, batch_format="pyarrow"
+    )
+    return pairs.groupby(["a", "b"]).map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -4078,6 +4211,7 @@ QUERIES = {
     "media_phash_pairs": q_media_phash_pairs,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "robots_filter": q_robots_filter,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -4156,7 +4290,8 @@ ORACLES: dict[str, str] = {
         "select e1.vec_id as a, e2.vec_id as b "
         "from embeddings e1 join embeddings e2 "
         "on e1.label = e2.label and e1.vec_id < e2.vec_id "
-        "where round(list_cosine_similarity(e1.embedding, e2.embedding), 4) >= 0.35"
+        "where round(list_cosine_similarity(e1.embedding::double[], "
+        "e2.embedding::double[]), 4) >= 0.35"
     ),
 
     "curate_documents": (
@@ -4237,7 +4372,8 @@ ORACLES: dict[str, str] = {
         with q as (select vec_id as qid, embedding as qe from embeddings
                    order by vec_id limit {N_QUERIES}),
         scored as (select q.qid, e.vec_id as nid,
-                          round(list_cosine_similarity(q.qe, e.embedding), 4) as sim
+                          round(list_cosine_similarity(q.qe::double[],
+                                e.embedding::double[]), 4) as sim
                    from q cross join embeddings e),
         ranked as (select *, row_number() over
                      (partition by qid order by sim desc, nid asc) as rn
@@ -4920,6 +5056,32 @@ from lines l join freq f using (line)
 group by l.doc_id
 """
 
+ORACLES["tfidf_cosine_pairs"] = f"""
+with tf as (
+  select doc_id, term, count(*)::bigint as tf
+  from (select doc_id, unnest(string_split(text, ' ')) as term
+        from documents)
+  where term <> '' group by doc_id, term),
+df as (select term, count(*)::bigint as df from tf group by term),
+n as (select count(*)::double as n_docs from documents),
+w as (
+  select tf.doc_id, tf.term, df.df,
+         tf.tf * ln((select n_docs from n) / df.df) as w
+  from tf join df using (term)
+  where df.df <= {TFIDF_COS_DF_CAP}),
+nrm as (select doc_id, sqrt(sum(w * w)) as nrm from w group by doc_id),
+dot as (
+  select x.doc_id as a, y.doc_id as b, sum(x.w * y.w) as dot
+  from w x join w y on x.term = y.term and x.doc_id < y.doc_id
+  where x.df >= 2
+  group by x.doc_id, y.doc_id)
+select d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 4) as cos
+from dot d
+join nrm na on na.doc_id = d.a
+join nrm nb on nb.doc_id = d.b
+where round(d.dot / (na.nrm * nb.nrm), 4) >= {TFIDF_COS_TAU}
+"""
+
 ORACLES["media_phash_pairs"] = f"""
 with h as (
   select doc_id,
@@ -4973,9 +5135,11 @@ with b as (select embedding from embeddings
 c as (select vec_id, embedding from embeddings
       where vec_id % {DECON_SEM_MOD} <> 0)
 select c.vec_id,
-       max(round(list_cosine_similarity(c.embedding, b.embedding), 4))
+       max(round(list_cosine_similarity(c.embedding::double[],
+                                        b.embedding::double[]), 4))
          as max_sim,
-       max(round(list_cosine_similarity(c.embedding, b.embedding), 4))
+       max(round(list_cosine_similarity(c.embedding::double[],
+                                        b.embedding::double[]), 4))
          >= {DECON_SEM_TAU} as contaminated
 from c cross join b
 group by c.vec_id
