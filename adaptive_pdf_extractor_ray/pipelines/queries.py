@@ -2311,6 +2311,74 @@ def q_link_indegree(sf_dir: str):
     )
 
 
+def q_external_link_ratio(sf_dir: str):
+    """External-link ratio per page (the link-spam / SEO-farm signal:
+    pages whose outlinks mostly leave the site). Host extraction uses
+    split_part semantics shared verbatim with the oracle; the ratio is
+    emitted in integer PARTS-PER-MILLION via floor division — no float
+    rounding anywhere, so both engines agree bit-for-bit. Per-batch
+    (src, n, n_ext) partials make the one groupby(src) shuffle move
+    counters, never urls."""
+
+    def _host(u: str) -> str:
+        parts = u.split("://", 1)
+        rest = parts[1] if len(parts) == 2 else ""
+        return rest.split("/", 1)[0]
+
+    def partials(t: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+            c = agg.setdefault(s, [0, 0])
+            c[0] += 1
+            if _host(d) != _host(s):
+                c[1] += 1
+        return pa.table(
+            {
+                "src": pa.array(list(agg.keys()), pa.string()),
+                "n": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "n_ext": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"]
+        n_ext = t["sum(n_ext)"]
+        ppm = pc.divide(
+            pc.multiply(n_ext, pa.scalar(1_000_000, pa.int64())), n
+        )
+        return pa.table(
+            {
+                "url": t["src"],
+                "n_links": n,
+                "n_external": n_ext,
+                "ext_ppm": ppm,
+            }
+        )
+
+    return (
+        _outlinks_ds(link_corpus())
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("src")
+        .sum(["n", "n_ext"])
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def external_link_ratio_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with l as ({outlinks_oracle_sql(pages_dir)}),
+e as (select src, dst,
+             split_part(split_part(src, '://', 2), '/', 1) as sh,
+             split_part(split_part(dst, '://', 2), '/', 1) as dh
+      from l)
+select src as url, count(*)::bigint as n_links,
+       sum(case when dh <> sh then 1 else 0 end)::bigint as n_external,
+       ((sum(case when dh <> sh then 1 else 0 end) * 1000000)
+         // count(*))::bigint as ext_ppm
+from e group by src
+"""
+
+
 PR_DRIVER_EDGE_LIMIT = 1_000_000
 
 
@@ -4212,6 +4280,7 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "robots_filter": q_robots_filter,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "external_link_ratio": q_external_link_ratio,
     "length_quantiles": q_length_quantiles,
     "global_rank": q_global_rank,
     "label_centroids": q_label_centroids,
@@ -5617,6 +5686,7 @@ def all_oracles() -> dict[str, str]:
     out["pagerank"] = pagerank_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)
+    out["external_link_ratio"] = external_link_ratio_oracle_sql(link_dir)
     out["html_meta"] = html_meta_oracle_sql(link_dir)
     out["snapshot_latest"] = snapshot_latest_oracle_sql(recrawl_corpus())
     a_dir, b_dir = crawl_diff_corpus()

@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "domain_quota",
     "approx_distinct_kmv",
     "pagerank",
+    "clean_c4",
+    "line_dedup_domain",
+    "decontaminate_semantic",
+    "tfidf_cosine_pairs",
+    "media_phash_pairs",
+    "snapshot_diff",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
