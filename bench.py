@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "tfidf_cosine_pairs",
     "media_phash_pairs",
     "snapshot_diff",
+    "bm25_search",
+    "dsir_weights",
+    "embedding_outliers",
+    "top_terms_by_lang",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
