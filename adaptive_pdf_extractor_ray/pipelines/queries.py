@@ -4836,6 +4836,365 @@ where rank <= {LANG_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# webtext session 6: WARC ingest, Bloom incremental dedup, CCNet perplexity
+# buckets, BPE pair statistics
+# ---------------------------------------------------------------------------
+
+
+def warc_corpus() -> tuple[str, str]:
+    """Lazily write the deterministic WARC fixture (real ISO-28500 bytes
+    + an independent ground-truth parquet); idempotent, shared by the
+    Ray query and the oracle composer."""
+    import tempfile
+
+    from ..sources.warc import write_warc_corpus
+
+    root = os.path.join(tempfile.gettempdir(), "aper_warc_240")
+    return write_warc_corpus(root, n=240, shards=4)
+
+
+def q_warc_roundtrip(sf_dir: str):
+    """WARC ingest roundtrip — parse Common Crawl's native container
+    format from raw bytes into page rows. The WARC FILE is the unit of
+    parallelism (``read_binary_files`` -> one row per shard ->
+    ``parse_warc_records`` inside ``map_batches``), exactly how CC
+    distributes work (one ~1 GiB warc per task); record framing honors
+    Content-Length (the fixture plants CRLFCRLF inside bodies to punish
+    separator-scanning parsers) and skips warcinfo/request noise
+    records. No shuffle anywhere; the oracle reads only the
+    independently-written truth parquet, the Ray side only the bytes."""
+    from ..sources.warc import parse_warc_records
+
+    warc_dir, _ = warc_corpus()
+    ds = rd.read_binary_files(warc_dir, file_extensions=["warc"])
+
+    def parse(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "url": [], "warc_date": [], "status": [], "n_bytes": [],
+            "title": [],
+        }
+        for data in t["bytes"].to_pylist():
+            for rec in parse_warc_records(data):
+                cols["url"].append(rec["url"])
+                cols["warc_date"].append(rec["warc_date"])
+                cols["status"].append(rec["status"])
+                cols["n_bytes"].append(rec["n_bytes"])
+                m = re.search(r"<title>(.*?)</title>", rec["text"], re.S)
+                cols["title"].append(m.group(1) if m else "")
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "warc_date": pa.array(cols["warc_date"], pa.string()),
+                "status": pa.array(cols["status"], pa.int64()),
+                "n_bytes": pa.array(cols["n_bytes"], pa.int64()),
+                "title": pa.array(cols["title"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def warc_oracle_sql(truth_dir: str) -> str:
+    return f"""
+select url, warc_date, status, n_bytes,
+       coalesce(regexp_extract(text, '<title>(.*?)</title>', 1), '')
+         as title
+from read_parquet('{truth_dir}/*.parquet')
+"""
+
+
+BLOOM_BITS = 1 << 17  # filter width (16 KiB as a bit array)
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos(h: str, j: int) -> int:
+    return int(
+        hashlib.md5(f"{h}:{j}".encode()).hexdigest()[:15], 16
+    ) % BLOOM_BITS
+
+
+def q_bloom_dedup(sf_dir: str):
+    """Bloom-filter incremental dedup — the membership gate a crawl
+    pipeline runs against the ALREADY-INGESTED corpus before paying for
+    full processing of a new snapshot (here the 'prior corpus' is the
+    deterministic doc_id%3!=0 two-thirds). Build: per-batch partial
+    bit-position sets -> one bounded groupby (<= BLOOM_BITS rows — the
+    filter, not the corpus, bounds the shuffle) -> a 128 KiB numpy bit
+    array broadcast in the probe map's closure (restart-safe plain
+    value; size independent of corpus size, same contract as the DSIR
+    model). Probe: stateless vectorized-ish pass marking maybe_dup iff
+    all BLOOM_K positions are set. False positives are REPORTED, not
+    hidden (``false_pos`` column) — the honest-approximation stance; at
+    these parameters (m=2^17, k=4, n~2/3 corpus) FP rate is negligible
+    for the fixtures and tunable by the module constants. The oracle
+    replays the exact md5 position arithmetic in SQL, so the hash check
+    covers the filter's approximate semantics bit-for-bit."""
+    import numpy as _np
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prior_positions(t: pa.Table) -> pa.Table:
+        pos: set[int] = set()
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did % 3 == 0:
+                continue  # not in the prior corpus
+            h = hashlib.md5((txt or "").encode()).hexdigest()
+            for j in range(BLOOM_K):
+                pos.add(_bloom_pos(h, j))
+        return pa.table({"pos": pa.array(sorted(pos), pa.int64())})
+
+    pos_rows = (
+        docs.map_batches(
+            prior_positions, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pos")
+        .count()
+        .take_all()  # <= BLOOM_BITS rows by construction
+    )
+    bits = _np.zeros(BLOOM_BITS, dtype=bool)
+    bits[[r["pos"] for r in pos_rows]] = True
+
+    def probe(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        maybe, prior = [], []
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            h = hashlib.md5((txt or "").encode()).hexdigest()
+            maybe.append(
+                all(bits[_bloom_pos(h, j)] for j in range(BLOOM_K))
+            )
+            prior.append(did % 3 != 0)
+        m = _np.asarray(maybe)
+        p = _np.asarray(prior)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_prior": pa.array(p, pa.bool_()),
+                "maybe_dup": pa.array(m, pa.bool_()),
+                "false_pos": pa.array(m & ~p, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+BLOOM_DEDUP_SQL = f"""
+with k as (
+  select doc_id, md5(text) as h, (doc_id % 3 <> 0) as is_prior
+  from documents),
+ppos as (
+  select distinct
+    (('0x' || substr(md5(h || ':' || j::varchar), 1, 15))::ubigint
+     % {BLOOM_BITS})::bigint as pos
+  from k, generate_series(0, {BLOOM_K - 1}) t(j)
+  where is_prior),
+q as (
+  select doc_id, is_prior,
+    (('0x' || substr(md5(h || ':' || j::varchar), 1, 15))::ubigint
+     % {BLOOM_BITS})::bigint as pos
+  from k, generate_series(0, {BLOOM_K - 1}) t(j)),
+m as (
+  select doc_id, is_prior, bool_and(p.pos is not null) as maybe_dup
+  from q left join ppos p using (pos)
+  group by doc_id, is_prior)
+select doc_id, is_prior, maybe_dup,
+       (maybe_dup and not is_prior) as false_pos
+from m
+"""
+
+
+CCNET_HIST_DP = 2  # histogram quantization (decimal places) for cutoffs
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity tertiles (head / middle /
+    tail — the bucketing Common Crawl curation uses to grade pages by
+    LM quality before sampling). Reuses the ``lm_score`` dataflow for
+    per-doc bits, joins lang on doc_id (one hash join), then finds the
+    per-lang tertile cutoffs from a QUANTIZED histogram: per-batch
+    (lang, floor(bits*100)/100, n) partials -> a bounded groupby
+    (#langs x #distinct-centibit values — thousands of rows at any
+    corpus size, never O(docs)) -> driver cumsum -> two cutoff scalars
+    per lang broadcast to a stateless assign pass. No global sort, no
+    per-lang giant group. Determinism: lm_bits is 6-dp-rounded
+    identically in both engines (the green lm_score oracle is exactly
+    that statement), and floor(x*100) on bit-identical doubles is
+    bit-identical, so bucket assignment cannot straddle engines."""
+    bits = q_lm_score(sf_dir)
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    joined = bits.join(
+        langs, join_type="inner", on=("doc_id",),
+        num_partitions=dd.adaptive_partitions(
+            _table_rows(sf_dir, "documents")
+        ),
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, float], int] = {}
+        bq = np.floor(
+            np.asarray(t["lm_bits"].to_pylist(), dtype=np.float64) * 100.0
+        ) / 100.0
+        for lang, b in zip(t["lang"].to_pylist(), bq):
+            k = (lang, float(b))
+            agg[k] = agg.get(k, 0) + 1
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in agg], pa.string()),
+                "bq": pa.array([k[1] for k in agg], pa.float64()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        joined.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "bq"])
+        .sum("n")
+        .take_all()  # bounded: #langs x #centibit values
+    )
+    by_lang: dict[str, list[tuple[float, int]]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["bq"], r["sum(n)"]))
+    cuts: dict[str, tuple[float, float]] = {}
+    for lang, hs in by_lang.items():
+        hs.sort()
+        tot = sum(n for _, n in hs)
+        t1 = -(-tot // 3)  # ceil(tot/3)
+        t2 = -(-2 * tot // 3)
+        cum, c1, c2 = 0, None, None
+        for b, n in hs:
+            cum += n
+            if c1 is None and cum >= t1:
+                c1 = b
+            if c2 is None and cum >= t2:
+                c2 = b
+        cuts[lang] = (c1, c2)
+
+    def assign(t: pa.Table) -> pa.Table:
+        bq = np.floor(
+            np.asarray(t["lm_bits"].to_pylist(), dtype=np.float64) * 100.0
+        ) / 100.0
+        buckets = []
+        for lang, b in zip(t["lang"].to_pylist(), bq):
+            c1, c2 = cuts[lang]
+            buckets.append(
+                "head" if b <= c1 else "middle" if b <= c2 else "tail"
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "lm_bits": t["lm_bits"],
+                "bucket": pa.array(buckets, pa.string()),
+            }
+        )
+
+    return joined.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ccnet_oracle_sql() -> str:
+    """Composed lazily: embeds the lm_score oracle (defined with the
+    registry below) as the bits subquery."""
+    return """
+with s as (
+  select l.doc_id, d.lang, l.lm_bits,
+         floor(l.lm_bits * 100) / 100 as bq
+  from (""" + ORACLES["lm_score"] + """) l
+  join documents d using (doc_id)),
+h as (select lang, bq, count(*)::bigint as n from s group by lang, bq),
+c as (
+  select lang, bq,
+         sum(n) over (partition by lang order by bq) as cum,
+         sum(n) over (partition by lang) as tot
+  from h),
+cuts as (
+  select lang,
+         min(case when cum >= ceil(tot / 3.0) then bq end) as c1,
+         min(case when cum >= ceil(2 * tot / 3.0) then bq end) as c2
+  from c group by lang)
+select s.doc_id, s.lang, s.lm_bits,
+       case when s.bq <= cuts.c1 then 'head'
+            when s.bq <= cuts.c2 then 'middle'
+            else 'tail' end as bucket
+from s join cuts using (lang)
+"""
+
+
+# q_lm_score emits (doc_id, n_tokens, lm_bits); the ccnet join keeps
+# n_tokens out of the output, so the oracle's bits subquery matches.
+
+
+BPE_TOPK = 50  # merge candidates reported
+
+
+def q_bpe_pairs(sf_dir: str):
+    """BPE merge statistics — the adjacent-symbol pair frequencies that
+    drive the first merge step of byte-pair-encoding tokenizer training
+    (Sennrich et al. 2016): each word contributes its within-word
+    character pairs plus a (last-char, '</w>') end-of-word pair, counted
+    across the corpus. Per-batch dict combiners bound the shuffle to
+    (pair, partial n) rows — the alphabet², never the corpus; integer
+    counts are order-free; ranking is the repo's partial+final top-K
+    (O(K x blocks) network rows, no global sort). Ties at the K
+    boundary break by pair ascending in both engines."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for txt in t["text"].to_pylist():
+            for w in (txt or "").split(" "):
+                if not w:
+                    continue
+                syms = list(w)
+                syms.append("</w>")
+                for a, b in zip(syms, syms[1:]):
+                    k = a + b
+                    agg[k] = agg.get(k, 0) + 1
+        return pa.table(
+            {
+                "pair": pa.array(list(agg.keys()), pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("pair")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table({"pair": t["pair"], "n": t["sum(n)"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    from ..stages.topk import dataset_topk
+
+    return dataset_topk(
+        counts, [("n", "descending"), ("pair", "ascending")], BPE_TOPK
+    )
+
+
+BPE_PAIRS_SQL = f"""
+with tok as (
+  select w
+  from (select unnest(string_split(text, ' ')) as w from documents)
+  where w <> ''),
+sym as (select w, unnest(generate_series(1, length(w))) as i from tok),
+p as (
+  select case when i < length(w) then substr(w, i, 2)
+              else substr(w, i, 1) || '</w>' end as pair
+  from sym)
+select pair, count(*)::bigint as n
+from p group by pair
+order by n desc, pair
+limit {BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -4933,6 +5292,10 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "crawl_frontier": q_crawl_frontier,
     "top_terms_by_lang": q_top_terms_by_lang,
+    "warc_roundtrip": q_warc_roundtrip,
+    "bloom_dedup": q_bloom_dedup,
+    "ccnet_buckets": q_ccnet_buckets,
+    "bpe_pairs": q_bpe_pairs,
 }
 
 
@@ -6317,6 +6680,10 @@ def all_oracles() -> dict[str, str]:
     out["embedding_outliers"] = EMBEDDING_OUTLIERS_SQL
     out["dsir_weights"] = DSIR_WEIGHTS_SQL
     out["top_terms_by_lang"] = TOP_TERMS_BY_LANG_SQL
+    out["warc_roundtrip"] = warc_oracle_sql(warc_corpus()[1])
+    out["bloom_dedup"] = BLOOM_DEDUP_SQL
+    out["ccnet_buckets"] = ccnet_oracle_sql()
+    out["bpe_pairs"] = BPE_PAIRS_SQL
     out["extract_synthetic"] = _flagship_oracle_sql()
     out["extract_grid_cards"] = _card_oracle_sql()
     link_dir = link_corpus()  # idempotent fixture write

@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "dsir_weights",
     "embedding_outliers",
     "top_terms_by_lang",
+    "warc_roundtrip",
+    "bloom_dedup",
+    "ccnet_buckets",
+    "bpe_pairs",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
