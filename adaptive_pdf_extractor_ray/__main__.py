@@ -79,6 +79,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
         concurrency=max(1, min(args.concurrency, n_cpus - 2)),
         batch_size=args.batch_size,
         pdf_layout=args.pdf_layout,
+        oversize_bytes=args.oversize_bytes,
     )
     summary = {
         "rows": res["answers"].count(),
@@ -350,6 +351,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="this worker's shard index (input-file striping)")
     pe.add_argument("--num-shards", type=int, default=1,
                     help="total shards; >1 makes work-dir per shard")
+    pe.add_argument("--oversize-bytes", type=int, default=None,
+                    help="route rows with payload over this many bytes "
+                    "through a batch_size=1 branch (skew guard for "
+                    "giant PDFs mixed into a ~2KB-page corpus)")
     pe.add_argument("--pdf-layout", choices=["linear", "grid"],
                     default="linear",
                     help="'grid' extracts detached-header card PDFs from "

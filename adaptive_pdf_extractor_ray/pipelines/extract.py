@@ -150,6 +150,40 @@ def prepare(pages: ray.data.Dataset, vocab: list[str], *,
     )
 
 
+def _answer_files(dirs: list[str]) -> list[str]:
+    """Expand answer dirs to their parquet files (a multi-element list
+    of DIRECTORY paths is read as file paths by read_parquet and fails;
+    single dirs pass through so empty-dir edge cases keep their old
+    behavior)."""
+    if len(dirs) <= 1:
+        return dirs
+    import glob as _glob
+
+    out: list[str] = []
+    for d in dirs:
+        out.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))) or [d])
+    return out
+
+
+def _make_size_filter(threshold: int, *, keep_over: bool):
+    """Vectorized payload-size split for the oversize route: size =
+    html binary bytes + text utf-8 chars (0 for nulls)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        size = pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+        if "html" in t.column_names:
+            size = pc.add(size, pc.coalesce(
+                pc.cast(pc.binary_length(t["html"]), pa.int64()), z))
+        if "text" in t.column_names:
+            size = pc.add(size, pc.coalesce(
+                pc.cast(pc.utf8_length(t["text"]), pa.int64()), z))
+        over = pc.greater(size, pa.scalar(threshold, pa.int64()))
+        return t.filter(over if keep_over else pc.invert(over))
+
+    return f
+
+
 def extract_pages(
     pages: ray.data.Dataset,
     work_dir: str,
@@ -164,6 +198,7 @@ def extract_pages(
     pdf_layout: str = "linear",
     hold_wave1_blocks: bool | None = None,
     report=None,
+    oversize_bytes: int | None = None,
 ) -> dict[str, Any]:
     """Run the full two-wave pipeline; returns {'answers': Dataset, ...stats}.
 
@@ -173,7 +208,18 @@ def extract_pages(
     ``/root/reference/src/metrics.py:386-416``; here the default sinks are
     the local ``metrics.json`` + the per-store ``.history.jsonl`` drift
     ledger, and a callback can forward to any external tracker). Sink
-    failures are swallowed — reporting must never fail the run."""
+    failures are swallowed — reporting must never fail the run.
+
+    ``oversize_bytes``: when set, wave 1 routes rows whose raw payload
+    (html binary + text) exceeds this threshold through a
+    ``batch_size=1`` branch of the same actor pool — the skew guard for
+    a mixed corpus where most pages are ~2 KB but a few PDFs are
+    hundreds of MB. With row-count batching a 1024-row batch can
+    otherwise accumulate many giant rows in one worker heap; routing
+    pins oversized rows to one-per-batch (memory ceiling = one payload)
+    while normal rows keep the vectorized batch size. Costs a second
+    scan of the input, so it is opt-in. Output is row-identical to the
+    unrouted plan (equivalence-tested)."""
     t0 = time.time()
     os.makedirs(work_dir, exist_ok=True)
     store_path = store_path or os.path.join(work_dir, "rules.parquet")
@@ -246,15 +292,31 @@ def extract_pages(
             # store refs: a restarted actor reloads the rule checkpoint
             # from disk instead of failing on a lost ObjectRef (ray#53727)
             mtime = os.path.getmtime(store_path) if os.path.exists(store_path) else 0.0
-            applied = pages.map_batches(
-                ExtractBatch,
+            pool_kwargs: dict[str, Any] = dict(
                 fn_constructor_args=((store_path, mtime), vocab),
                 fn_constructor_kwargs={"pdf_layout": pdf_layout},
                 batch_format="pyarrow",
-                batch_size=batch_size,
                 concurrency=concurrency,
                 zero_copy_batch=True,
             )
+            if oversize_bytes:
+                small = pages.map_batches(
+                    _make_size_filter(oversize_bytes, keep_over=False),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+                big = pages.map_batches(
+                    _make_size_filter(oversize_bytes, keep_over=True),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                )
+                applied = small.map_batches(
+                    ExtractBatch, batch_size=batch_size, **pool_kwargs
+                ).union(
+                    big.map_batches(ExtractBatch, batch_size=1, **pool_kwargs)
+                )
+            else:
+                applied = pages.map_batches(
+                    ExtractBatch, batch_size=batch_size, **pool_kwargs
+                )
         applied = applied.select_columns(final_cols).map_batches(
             lambda t: t.append_column(
                 "refit",
@@ -430,7 +492,13 @@ def extract_pages(
     phases["wave2"] = time.time() - t0 - sum(phases.values())
 
     answer_dirs = [d for d in (done0_dir, wave2_dir) if os.path.isdir(d)]
-    answers = ray.data.read_parquet(answer_dirs, columns=FINAL_COLUMNS)
+    # expand dirs to files: read_parquet resolves a SINGLE directory fine
+    # but a multi-element list of directories is treated as file paths
+    # (partial-hit warm runs — some rows final in refit=0, some refit —
+    # produce exactly that two-dir case)
+    answers = ray.data.read_parquet(
+        _answer_files(answer_dirs), columns=FINAL_COLUMNS
+    )
     stats: dict[str, Any] = {
         "rules_fitted": fitted_rows,
         "phases": phases,
@@ -477,7 +545,7 @@ def extract_pages(
                     )
             else:
                 partial_src = ray.data.read_parquet(
-                    answer_dirs, columns=metric_cols
+                    _answer_files(answer_dirs), columns=metric_cols
                 )
             partials = partial_src.map_batches(
                 answer_partials, batch_format="pyarrow", zero_copy_batch=True

@@ -614,3 +614,89 @@ class TestCurateCli:
         kept_lm = {r["doc_id"] for r in pq.read_table(str(out_lm)).to_pylist()}
         assert 3 in kept_all and 3 not in kept_lm
         assert kept_lm == kept_all - {3}
+
+
+class TestOversizeRoute:
+    def test_oversize_routing_matches_unrouted(self, corpus, tmp_path_factory):
+        """oversize_bytes routes giant payloads through a batch_size=1
+        branch of the same pool; output must be row-identical to the
+        unrouted plan (the north-star 'skew-aware repartitioning of
+        oversized PDFs' guard)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        pages_dir, _ = corpus
+        # graft two oversized rows (padded text beyond the threshold)
+        # onto the corpus as an extra shard
+        base = pq.read_table(pages_dir + "/part-00000.parquet")
+        row = base.slice(0, 1).to_pylist()[0]
+        big_rows = []
+        for j in range(2):
+            r = dict(row)
+            r["url"] = f"https://big.example/giant{j}"
+            r["text"] = (r["text"] or "pad") + " " + ("x" * 40_000)
+            r["html"] = None
+            big_rows.append(r)
+        extra = pa.Table.from_pylist(big_rows, schema=base.schema)
+        pq.write_table(extra, pages_dir + "/part-zzbig.parquet")
+        try:
+            w1 = str(tmp_path_factory.mktemp("plain"))
+            r1 = extract_pages(
+                rd.read_parquet(pages_dir), w1, write_answers=False
+            )
+            w2 = str(tmp_path_factory.mktemp("routed"))
+            r2 = extract_pages(
+                rd.read_parquet(pages_dir), w2, store_path=r1["store_path"],
+                write_answers=False, oversize_bytes=8_192,
+            )
+            a = {r["url"]: r for r in r1["answers"].take_all()}
+            b = {r["url"]: r for r in r2["answers"].take_all()}
+            assert set(a) == set(b)
+            assert "https://big.example/giant0" in a
+            for u in a:
+                assert a[u]["extracted_json"] == b[u]["extracted_json"], u
+                assert a[u]["text_norm"] == b[u]["text_norm"], u
+        finally:
+            os.remove(pages_dir + "/part-zzbig.parquet")
+
+
+class TestPartialHitWarm:
+    def test_partial_hit_warm_answers_readable(self, corpus, tmp_path_factory):
+        """Warm run where SOME rows hit (land in wave1/refit=0) and some
+        miss (land in wave2): the final answers read spans two dirs —
+        regression for read_parquet failing on a multi-element list of
+        directory paths."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        pages_dir, _ = corpus
+        base = pq.read_table(pages_dir + "/part-00000.parquet")
+        row = base.slice(0, 1).to_pylist()[0]
+        novel = []
+        for j in range(3):
+            r = dict(row)
+            r["url"] = f"https://novel.example/n{j}"
+            r["text"] = f"Campo Novo: valor{j}\nOutra Linha: x{j}"
+            r["html"] = None
+            novel.append(r)
+        extra = pa.Table.from_pylist(novel, schema=base.schema)
+        pq.write_table(extra, pages_dir + "/part-zznovel.parquet")
+        try:
+            w1 = str(tmp_path_factory.mktemp("cold2"))
+            r1 = extract_pages(rd.read_parquet(pages_dir + "/part-00000.parquet"), w1,
+                               write_answers=False)
+            w2 = str(tmp_path_factory.mktemp("warm2"))
+            r2 = extract_pages(
+                rd.read_parquet(pages_dir), w2, store_path=r1["store_path"],
+                write_answers=True,
+            )
+            assert len(r2["answer_dirs"]) == 2  # refit=0 AND wave2
+            urls = {r["url"] for r in r2["answers"].select_columns(["url"]).take_all()}
+            assert "https://novel.example/n0" in urls
+            assert len(urls) == base.num_rows + len({r["url"] for r in novel}) + (
+                rd.read_parquet(pages_dir).count() - base.num_rows - 3
+            )
+        finally:
+            os.remove(pages_dir + "/part-zznovel.parquet")
