@@ -4903,6 +4903,83 @@ from read_parquet('{truth_dir}/*.parquet')
 """
 
 
+def q_cdx_index(sf_dir: str):
+    """CDX capture-index generation — the random-access lookup table CC
+    consumers use to fetch ONE record out of a petabyte of WARC without
+    scanning: per response record emit (urlkey SURT, compact timestamp,
+    url, payload digest, warc_file, rec_offset, rec_length). Offsets
+    come from the parser's forward-only Content-Length arithmetic (the
+    fixture's ground truth records the writer's actual byte positions,
+    so the hash check proves the parser's coordinates are byte-exact —
+    a wrong offset means a broken random read later). Same no-shuffle
+    per-file plan as warc_roundtrip; a production CDX additionally
+    SORTS by urlkey, which at scale is the one all-to-all exchange
+    (range-partitioned writes), deliberately left to the consumer here.
+    Digest is md5 (DuckDB-replayable) where real CC uses sha1 — the
+    framing, not the hash family, is what's under test."""
+    from ..sources.warc import parse_warc_records, surt_key
+
+    warc_dir, _ = warc_corpus()
+    ds = rd.read_binary_files(
+        warc_dir, file_extensions=["warc"], include_paths=True
+    )
+
+    def index(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            "urlkey": [], "ts": [], "url": [], "digest": [],
+            "warc_file": [], "rec_offset": [], "rec_length": [],
+        }
+        for path, data in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
+            fname = os.path.basename(path)
+            for rec in parse_warc_records(data):
+                cols["urlkey"].append(surt_key(rec["url"]))
+                cols["ts"].append(
+                    re.sub(r"[^0-9]", "", rec["warc_date"])
+                )
+                cols["url"].append(rec["url"])
+                cols["digest"].append(
+                    hashlib.md5(rec["text"].encode("utf-8")).hexdigest()
+                )
+                cols["warc_file"].append(fname)
+                cols["rec_offset"].append(rec["offset"])
+                cols["rec_length"].append(rec["length"])
+        return pa.table(
+            {
+                "urlkey": pa.array(cols["urlkey"], pa.string()),
+                "ts": pa.array(cols["ts"], pa.string()),
+                "url": pa.array(cols["url"], pa.string()),
+                "digest": pa.array(cols["digest"], pa.string()),
+                "warc_file": pa.array(cols["warc_file"], pa.string()),
+                "rec_offset": pa.array(cols["rec_offset"], pa.int64()),
+                "rec_length": pa.array(cols["rec_length"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(index, batch_format="pyarrow")
+
+
+def cdx_oracle_sql(truth_dir: str) -> str:
+    return f"""
+with t as (select * from read_parquet('{truth_dir}/*.parquet')),
+s as (
+  select *,
+    split_part(url, '://', 2) as rest,
+    regexp_replace(regexp_replace(
+      lower(split_part(split_part(url, '://', 2), '/', 1)),
+      ':[0-9]+$', ''), '^www\\.', '') as host
+  from t)
+select
+  array_to_string(list_reverse(string_split(host, '.')), ',') || ')/'
+    || (case when position('/' in rest) > 0
+             then substr(rest, length(split_part(rest, '/', 1)) + 2)
+             else '' end) as urlkey,
+  regexp_replace(warc_date, '[^0-9]', '', 'g') as ts,
+  url, md5(text) as digest, warc_file,
+  "offset" as rec_offset, "length" as rec_length
+from s
+"""
+
+
 BLOOM_BITS = 1 << 17  # filter width (16 KiB as a bit array)
 BLOOM_K = 4  # hash functions
 
@@ -5293,6 +5370,7 @@ QUERIES = {
     "crawl_frontier": q_crawl_frontier,
     "top_terms_by_lang": q_top_terms_by_lang,
     "warc_roundtrip": q_warc_roundtrip,
+    "cdx_index": q_cdx_index,
     "bloom_dedup": q_bloom_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "bpe_pairs": q_bpe_pairs,
@@ -6681,6 +6759,7 @@ def all_oracles() -> dict[str, str]:
     out["dsir_weights"] = DSIR_WEIGHTS_SQL
     out["top_terms_by_lang"] = TOP_TERMS_BY_LANG_SQL
     out["warc_roundtrip"] = warc_oracle_sql(warc_corpus()[1])
+    out["cdx_index"] = cdx_oracle_sql(warc_corpus()[1])
     out["bloom_dedup"] = BLOOM_DEDUP_SQL
     out["ccnet_buckets"] = ccnet_oracle_sql()
     out["bpe_pairs"] = BPE_PAIRS_SQL

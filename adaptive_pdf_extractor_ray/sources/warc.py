@@ -69,6 +69,7 @@ def parse_warc_records(data: bytes) -> list[dict]:
             pos += 2
         if pos >= n:
             break
+        rec_start = pos
         hdr_end = data.find(_HDR_END, pos)
         if hdr_end < 0 or not data.startswith(b"WARC/", pos):
             break  # truncated / not a record boundary
@@ -79,6 +80,7 @@ def parse_warc_records(data: bytes) -> list[dict]:
             break
         payload = data[hdr_end + 4 : hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
+        rec_len = pos - rec_start  # headers + payload, pre-separator
         if hdrs.get("warc-type") != "response":
             continue
         # payload is an HTTP response: status line + headers, then body.
@@ -97,9 +99,30 @@ def parse_warc_records(data: bytes) -> list[dict]:
                 "status": status,
                 "n_bytes": len(body),
                 "text": body.decode("utf-8", errors="replace"),
+                # random-access coordinates for a CDX index: byte offset
+                # of the record start and record length (headers+payload)
+                "offset": rec_start,
+                "length": rec_len,
             }
         )
     return out
+
+
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) canonical key —
+    the urlkey column of a CDX index: host labels reversed and
+    comma-joined, default ports and a leading 'www.' dropped, lowercase
+    scheme/host, path kept as-is after ')'. Subset of the full SURT
+    spec sufficient for exact-host CC-style lookups."""
+    rest = url.split("://", 1)[1] if "://" in url else url
+    hostport, slash, path = rest.partition("/")
+    host = hostport.rsplit(":", 1)[0] if ":" in hostport else hostport
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    return ",".join(reversed(host.split("."))) + ")/" + (
+        path if slash else ""
+    )
 
 
 # --------------------------------------------------------------------------
@@ -138,7 +161,7 @@ def write_warc_corpus(
     warc_dir = os.path.join(root, "warc")
     truth_dir = os.path.join(root, "truth")
     marker = os.path.join(root, "_manifest.json")
-    want = {"kind": "warc", "n": n, "shards": shards, "v": 1}
+    want = {"kind": "warc", "n": n, "shards": shards, "v": 2}
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == want:
@@ -147,6 +170,7 @@ def write_warc_corpus(
     os.makedirs(truth_dir, exist_ok=True)
     truth: dict[str, list] = {
         "url": [], "warc_date": [], "status": [], "n_bytes": [], "text": [],
+        "warc_file": [], "offset": [], "length": [],
     }
     per = (n + shards - 1) // shards
     for s in range(shards):
@@ -157,6 +181,7 @@ def write_warc_corpus(
                 f"software: aper-fixture shard {s}\r\n".encode(),
             )
         ]
+        written = len(chunks[0])  # running byte offset within the shard
         for i in range(s * per, min((s + 1) * per, n)):
             url = f"https://w{i % 9}.example/page{i}"
             date = (
@@ -165,36 +190,39 @@ def write_warc_corpus(
             )
             rid = hashlib.md5(f"rec{i}".encode()).hexdigest()
             if i % 5 == 0:  # request-record noise the parser must skip
-                chunks.append(
-                    _record(
-                        "request",
-                        [("WARC-Target-URI", url), ("WARC-Date", date)],
-                        f"GET /page{i} HTTP/1.1\r\nHost: h\r\n\r\n".encode(),
-                    )
+                req = _record(
+                    "request",
+                    [("WARC-Target-URI", url), ("WARC-Date", date)],
+                    f"GET /page{i} HTTP/1.1\r\nHost: h\r\n\r\n".encode(),
                 )
+                chunks.append(req)
+                written += len(req)
             status, reason = (404, "Not Found") if i % 17 == 0 else (200, "OK")
             body = _page_html(i).encode("utf-8")
             http = (
                 f"HTTP/1.1 {status} {reason}\r\n"
                 "Content-Type: text/html; charset=utf-8\r\n\r\n"
             ).encode() + body
-            chunks.append(
-                _record(
-                    "response",
-                    [
-                        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
-                        ("WARC-Target-URI", url),
-                        ("WARC-Date", date),
-                        ("Content-Type", "application/http; msgtype=response"),
-                    ],
-                    http,
-                )
+            rec = _record(
+                "response",
+                [
+                    ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                    ("WARC-Target-URI", url),
+                    ("WARC-Date", date),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
             )
+            chunks.append(rec)
             truth["url"].append(url)
             truth["warc_date"].append(date)
             truth["status"].append(status)
             truth["n_bytes"].append(len(body))
             truth["text"].append(body.decode("utf-8"))
+            truth["warc_file"].append(f"shard{s}.warc")
+            truth["offset"].append(written)
+            truth["length"].append(len(rec) - 4)  # sans record separator
+            written += len(rec)
         tmp = os.path.join(warc_dir, f"shard{s}.warc.tmp")
         with open(tmp, "wb") as f:
             f.write(b"".join(chunks))
@@ -206,6 +234,9 @@ def write_warc_corpus(
             "status": pa.array(truth["status"], pa.int64()),
             "n_bytes": pa.array(truth["n_bytes"], pa.int64()),
             "text": pa.array(truth["text"], pa.string()),
+            "warc_file": pa.array(truth["warc_file"], pa.string()),
+            "offset": pa.array(truth["offset"], pa.int64()),
+            "length": pa.array(truth["length"], pa.int64()),
         }
     )
     pq.write_table(t, os.path.join(truth_dir, "truth.parquet"))

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "top_terms_by_lang",
     "warc_roundtrip",
+    "cdx_index",
     "bloom_dedup",
     "ccnet_buckets",
     "bpe_pairs",

@@ -156,3 +156,32 @@ class TestBpePairs:
         assert len(df) == q.BPE_TOPK
         rows = list(zip(df["n"], df["pair"]))
         assert rows == sorted(rows, key=lambda r: (-r[0], r[1]))
+
+
+class TestCdxIndex:
+    def test_offsets_enable_random_access(self, ray_session):
+        """The CDX contract: seeking to rec_offset and reading rec_length
+        bytes must yield exactly one parseable record with the indexed
+        url — a wrong offset breaks every downstream fetch."""
+        import hashlib
+
+        warc_dir, _ = q.warc_corpus()
+        df = q.QUERIES["cdx_index"](SF).to_pandas()
+        assert len(df) == 240
+        sample = df.sort_values("url").iloc[::37]  # every 37th record
+        for _, r in sample.iterrows():
+            with open(os.path.join(warc_dir, r["warc_file"]), "rb") as f:
+                f.seek(r["rec_offset"])
+                blob = f.read(r["rec_length"]) + b"\r\n\r\n"
+            recs = w.parse_warc_records(blob)
+            assert len(recs) == 1
+            assert recs[0]["url"] == r["url"]
+            got = hashlib.md5(recs[0]["text"].encode()).hexdigest()
+            assert got == r["digest"]
+
+    def test_surt_key(self):
+        assert w.surt_key("https://www.Example.com/a/b?q=1") == (
+            "com,example)/a/b?q=1"
+        )
+        assert w.surt_key("http://sub.host.org:8080/x") == "org,host,sub)/x"
+        assert w.surt_key("https://plain.io") == "io,plain)/"
