@@ -4916,46 +4916,43 @@ def q_cdx_index(sf_dir: str):
     SORTS by urlkey, which at scale is the one all-to-all exchange
     (range-partitioned writes), deliberately left to the consumer here.
     Digest is md5 (DuckDB-replayable) where real CC uses sha1 — the
-    framing, not the hash family, is what's under test."""
-    from ..sources.warc import parse_warc_records, surt_key
+    framing, not the hash family, is what's under test.
+
+    Ingest goes through ``WarcDatasource`` — the STREAMING source that
+    frames records chunk-by-chunk and emits bounded blocks, so a warc
+    file larger than the object-store block target never materializes
+    whole (``warc_roundtrip`` keeps the whole-file ``read_binary_files``
+    path covered; this query is the driver-gate proof of the streaming
+    one — same byte-exact offsets against the writer's ground truth)."""
+    from ..sources.warc import WarcDatasource, surt_key
 
     warc_dir, _ = warc_corpus()
-    ds = rd.read_binary_files(
-        warc_dir, file_extensions=["warc"], include_paths=True
-    )
+    ds = rd.read_datasource(WarcDatasource(warc_dir, records_per_block=64))
 
     def index(t: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {
-            "urlkey": [], "ts": [], "url": [], "digest": [],
-            "warc_file": [], "rec_offset": [], "rec_length": [],
-        }
-        for path, data in zip(t["path"].to_pylist(), t["bytes"].to_pylist()):
-            fname = os.path.basename(path)
-            for rec in parse_warc_records(data):
-                cols["urlkey"].append(surt_key(rec["url"]))
-                cols["ts"].append(
-                    re.sub(r"[^0-9]", "", rec["warc_date"])
-                )
-                cols["url"].append(rec["url"])
-                cols["digest"].append(
-                    hashlib.md5(rec["text"].encode("utf-8")).hexdigest()
-                )
-                cols["warc_file"].append(fname)
-                cols["rec_offset"].append(rec["offset"])
-                cols["rec_length"].append(rec["length"])
+        urlkeys = [surt_key(u) for u in t["url"].to_pylist()]
+        ts = [
+            re.sub(r"[^0-9]", "", d) for d in t["warc_date"].to_pylist()
+        ]
+        digests = [
+            hashlib.md5(x.encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
         return pa.table(
             {
-                "urlkey": pa.array(cols["urlkey"], pa.string()),
-                "ts": pa.array(cols["ts"], pa.string()),
-                "url": pa.array(cols["url"], pa.string()),
-                "digest": pa.array(cols["digest"], pa.string()),
-                "warc_file": pa.array(cols["warc_file"], pa.string()),
-                "rec_offset": pa.array(cols["rec_offset"], pa.int64()),
-                "rec_length": pa.array(cols["rec_length"], pa.int64()),
+                "urlkey": pa.array(urlkeys, pa.string()),
+                "ts": pa.array(ts, pa.string()),
+                "url": t["url"],
+                "digest": pa.array(digests, pa.string()),
+                "warc_file": t["warc_file"],
+                "rec_offset": t["rec_offset"],
+                "rec_length": t["rec_length"],
             }
         )
 
-    return ds.map_batches(index, batch_format="pyarrow")
+    return ds.map_batches(
+        index, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def cdx_oracle_sql(truth_dir: str) -> str:

@@ -185,3 +185,63 @@ class TestCdxIndex:
         )
         assert w.surt_key("http://sub.host.org:8080/x") == "org,host,sub)/x"
         assert w.surt_key("https://plain.io") == "io,plain)/"
+
+
+class TestWarcStreaming:
+    def test_stream_core_resumes_across_chunk_boundaries(self):
+        """Feed the incremental core byte-by-byte-ish: records must come
+        out whole with file-absolute offsets once enough bytes arrive."""
+        data = b""
+        expected = []
+        for j in range(5):
+            body = f"HTTP/1.1 200 OK\r\n\r\nbody {j} \r\n\r\n trap".encode()
+            rec = w._record(
+                "response",
+                [("WARC-Target-URI", f"https://s.example/{j}"),
+                 ("WARC-Date", "2024-01-01T00:00:00Z")],
+                body,
+            )
+            expected.append((f"https://s.example/{j}", len(data)))
+            data += rec
+        got = []
+        buf, base = b"", 0
+        for i in range(0, len(data), 37):  # 37-byte trickle
+            buf += data[i:i + 37]
+            recs, consumed = w.parse_warc_stream(buf, base)
+            buf = buf[consumed:]
+            base += consumed
+            got.extend((r["url"], r["offset"]) for r in recs)
+        assert got == expected
+
+    def test_datasource_matches_whole_file_parse(self, ray_session):
+        import ray.data as rd
+
+        warc_dir, _ = q.warc_corpus()
+        streamed = (
+            rd.read_datasource(
+                w.WarcDatasource(
+                    warc_dir, records_per_block=7, chunk_bytes=256
+                )
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        whole = []
+        for fn in sorted(os.listdir(warc_dir)):
+            with open(os.path.join(warc_dir, fn), "rb") as f:
+                for r in w.parse_warc_records(f.read()):
+                    whole.append(
+                        {
+                            "url": r["url"], "warc_date": r["warc_date"],
+                            "status": r["status"], "n_bytes": r["n_bytes"],
+                            "text": r["text"], "warc_file": fn,
+                            "rec_offset": r["offset"],
+                            "rec_length": r["length"],
+                        }
+                    )
+        import pandas as pd
+
+        wdf = pd.DataFrame(whole).sort_values("url").reset_index(drop=True)
+        assert streamed.equals(wdf[streamed.columns])
+        assert len(streamed) == 240
