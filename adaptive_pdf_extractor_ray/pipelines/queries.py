@@ -4977,6 +4977,78 @@ from s
 """
 
 
+WARC_FETCH_MOD = 11  # page-number % this == 0 selects the fetch set
+
+
+def q_warc_fetch(sf_dir: str):
+    """Index-driven random access — the OTHER half of the CDX story:
+    given an index and a url subset (every 11th page here), fetch ONLY
+    those records by seeking to their byte coordinates, never scanning
+    the archive. Lookups group by warc_file (ONE small shuffle of index
+    rows — bytes never shuffle) so each task opens its file once and
+    reads its offsets in ascending order (sequential-ish I/O); at CC
+    scale the same plan issues ranged GETs against object storage. The
+    oracle answers from the writer's independent ground truth, so a
+    single wrong offset/length surfaces as a digest/text mismatch."""
+    from ..sources.warc import parse_warc_records
+
+    warc_dir, _ = warc_corpus()
+    cdx = q_cdx_index(sf_dir)
+
+    def want(t: pa.Table) -> pa.Table:
+        mask = [
+            int(u.rsplit("page", 1)[1]) % WARC_FETCH_MOD == 0
+            for u in t["url"].to_pylist()
+        ]
+        return t.filter(pa.array(mask, pa.bool_())).select(
+            ["url", "warc_file", "rec_offset", "rec_length"]
+        )
+
+    targets = cdx.map_batches(
+        want, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fetch(g: pa.Table) -> pa.Table:
+        path = os.path.join(warc_dir, g["warc_file"][0].as_py())
+        g = g.take(pc.sort_indices(g["rec_offset"]))
+        urls, status, nb, digest = [], [], [], []
+        with open(path, "rb") as f:
+            for u, off, ln in zip(
+                g["url"].to_pylist(),
+                g["rec_offset"].to_pylist(),
+                g["rec_length"].to_pylist(),
+            ):
+                f.seek(off)
+                recs = parse_warc_records(f.read(ln) + b"\r\n\r\n")
+                assert len(recs) == 1 and recs[0]["url"] == u
+                urls.append(u)
+                status.append(recs[0]["status"])
+                nb.append(recs[0]["n_bytes"])
+                digest.append(
+                    hashlib.md5(recs[0]["text"].encode()).hexdigest()
+                )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "status": pa.array(status, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
+                "digest": pa.array(digest, pa.string()),
+            }
+        )
+
+    return targets.groupby("warc_file").map_groups(
+        fetch, batch_format="pyarrow"
+    )
+
+
+def warc_fetch_oracle_sql(truth_dir: str) -> str:
+    return f"""
+select url, status, n_bytes, md5(text) as digest
+from read_parquet('{truth_dir}/*.parquet')
+where regexp_extract(url, 'page(\\d+)$', 1)::int % {WARC_FETCH_MOD} = 0
+"""
+
+
 BLOOM_BITS = 1 << 17  # filter width (16 KiB as a bit array)
 BLOOM_K = 4  # hash functions
 
@@ -5368,6 +5440,7 @@ QUERIES = {
     "top_terms_by_lang": q_top_terms_by_lang,
     "warc_roundtrip": q_warc_roundtrip,
     "cdx_index": q_cdx_index,
+    "warc_fetch": q_warc_fetch,
     "bloom_dedup": q_bloom_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "bpe_pairs": q_bpe_pairs,
@@ -6757,6 +6830,7 @@ def all_oracles() -> dict[str, str]:
     out["top_terms_by_lang"] = TOP_TERMS_BY_LANG_SQL
     out["warc_roundtrip"] = warc_oracle_sql(warc_corpus()[1])
     out["cdx_index"] = cdx_oracle_sql(warc_corpus()[1])
+    out["warc_fetch"] = warc_fetch_oracle_sql(warc_corpus()[1])
     out["bloom_dedup"] = BLOOM_DEDUP_SQL
     out["ccnet_buckets"] = ccnet_oracle_sql()
     out["bpe_pairs"] = BPE_PAIRS_SQL

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "top_terms_by_lang",
     "warc_roundtrip",
     "cdx_index",
+    "warc_fetch",
     "bloom_dedup",
     "ccnet_buckets",
     "bpe_pairs",
