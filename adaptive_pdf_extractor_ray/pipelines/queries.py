@@ -3896,6 +3896,174 @@ def _lm_score_join(docs, counts, total: int):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+LM_LAMBDA = 0.7  # Jelinek–Mercer interpolation weight on the bigram term
+LM_BIGRAM_CAP = 2_000_000  # broadcast-model ceiling (distinct bigrams)
+
+
+def q_lm_bigram(sf_dir: str):
+    """Interpolated bigram-LM quality score — the KenLM-style upgrade of
+    ``lm_score`` (CCNet's actual filter is a 5-gram KenLM; this is the
+    same conditional-probability shape one order up from the unigram
+    proxy, with Jelinek–Mercer smoothing against the unigram floor).
+    Fit: two partial-count combiners (unigrams and adjacent pairs) →
+    groupby-sum — the shuffles move (word, n) / (w1, w2, n) rows, never
+    text. Score: position 1 is unigram-coded, position i>1 costs
+    ``-log2(lam·cb/cc + (1-lam)·c/T)``. Size-routed exactly like
+    ``q_lm_score``: within-cap models broadcast to an autoscaling actor
+    pool (one pass, no further shuffle); over-cap vocabularies switch to
+    the EXACT distributed-join route (explode token positions, join
+    counts on the composite bigram key, groupby doc_id) —
+    value-identical by equivalence test. No approximation either way."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    uni = (
+        docs.map_batches(
+            tx.word_count_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("word")
+        .sum("n")
+        .materialize()
+    )
+    total = uni.sum("sum(n)") or 0
+    big = (
+        docs.map_batches(
+            tx.bigram_count_partials, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["w1", "w2"])
+        .sum("n")
+        .materialize()
+    )
+    if uni.count() > LM_VOCAB_CAP or big.count() > LM_BIGRAM_CAP:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "lm_bigram: model over the broadcast cap; routing to the "
+            "exact distributed-join scorer"
+        )
+        return _lm_bigram_join(docs, uni, big, total)
+    uni_m = {r["word"]: r["sum(n)"] for r in uni.take_all()}
+    big_m: dict[tuple[str, str], int] = {}
+    ctx_m: dict[str, int] = {}
+    for r in big.take_all():
+        big_m[(r["w1"], r["w2"])] = r["sum(n)"]
+        ctx_m[r["w1"]] = ctx_m.get(r["w1"], 0) + r["sum(n)"]
+    return docs.map_batches(
+        tx.LmBigramScore,
+        fn_constructor_args=(
+            {
+                "uni": uni_m,
+                "big": big_m,
+                "ctx": ctx_m,
+                "total": total,
+                "lam": LM_LAMBDA,
+            },
+        ),
+        batch_format="pyarrow",
+        concurrency=_apool(),
+        zero_copy_batch=True,
+    )
+
+
+def _lm_bigram_join(docs, uni, big, total: int):
+    """Exact bigram scoring without a broadcast model: token positions
+    explode to (doc_id, w1, w2, bg) rows; first-token rows (w1 = "",
+    unigram-coded — no context) take the short path of ONE join against
+    the unigram counts, the rest take three hash joins — bigram counts
+    on the composite ``bg`` key, context counts on ``w1``, unigram
+    counts on ``w2`` — and both bit streams union into one groupby
+    doc_id fold. Shuffle volume is O(corpus tokens) of short strings;
+    the 6-dp round absorbs cross-block float Sum reorder, same stance
+    as ``_lm_score_join``."""
+    from ..stages.dedup import adaptive_partitions
+
+    nparts = adaptive_partitions(int(total))
+    tok = docs.map_batches(
+        tx.explode_bigram_positions_batch, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    firsts = tok.filter(expr="w1 == ''")
+    rest = tok.filter(expr="w1 != ''")
+    bg_cnt = big.map_batches(
+        lambda t: pa.table(
+            {
+                "bg": pc.binary_join_element_wise(
+                    pc.cast(t["w1"], pa.string()),
+                    pc.cast(t["w2"], pa.string()),
+                    " ",
+                ),
+                "cb": t["sum(n)"],
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ctx_cnt = big.groupby("w1").sum("sum(n)").map_batches(
+        lambda t: pa.table({"w1": t["w1"], "cc": t["sum(sum(n))"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    uni_cnt = uni.map_batches(
+        lambda t: pa.table({"w2": t["word"], "c": t["sum(n)"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = (
+        rest.join(bg_cnt, join_type="inner", on=("bg",),
+                  num_partitions=nparts)
+        .join(ctx_cnt, join_type="inner", on=("w1",),
+              num_partitions=nparts)
+        .join(uni_cnt, join_type="inner", on=("w2",),
+              num_partitions=nparts)
+    )
+    jf = firsts.join(uni_cnt, join_type="inner", on=("w2",),
+                     num_partitions=nparts)
+    T = float(total)
+    lam, one_m = float(LM_LAMBDA), 1.0 - float(LM_LAMBDA)
+
+    def bits(t: pa.Table) -> pa.Table:
+        cb = np.asarray(t["cb"].to_pylist(), dtype=np.float64)
+        cc = np.asarray(t["cc"].to_pylist(), dtype=np.float64)
+        c = np.asarray(t["c"].to_pylist(), dtype=np.float64)
+        b = -np.log2(lam * (cb / cc) + one_m * (c / T))
+        return pa.table(
+            {"doc_id": t["doc_id"], "bits": pa.array(b, pa.float64())}
+        )
+
+    def bits_first(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bits": pa.array(np.log2(T / c), pa.float64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(bits, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            jf.map_batches(
+                bits_first, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Sum("bits", alias_name="s"),
+            ray.data.aggregate.Count(alias_name="n_tokens"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_tokens"], pa.int64())
+        s = np.asarray(t["s"].to_pylist(), dtype=np.float64)
+        nv = np.asarray(n.to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n,
+                "lm2_bits": pa.array(np.round(s / nv, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_chunk_windows(sf_dir: str):
     """Training-sequence chunking: overlapping fixed-size token windows
     (32-token window, 24-token stride) per document — embarrassingly
@@ -5422,6 +5590,7 @@ QUERIES = {
     "line_dedup_domain": q_line_dedup_domain,
     "clean_c4": q_clean_c4,
     "lm_score": q_lm_score,
+    "lm_bigram": q_lm_bigram,
     "url_dedup": q_url_dedup,
     "chunk_windows": q_chunk_windows,
     "pack_sequences": q_pack_sequences,
@@ -6238,6 +6407,38 @@ select doc_id, count(*)::bigint as n_tokens,
        round(sum(log2(t / c)) / count(*), 6) as lm_bits
 from tok join cnt using (w) cross join tot
 group by doc_id
+"""
+
+ORACLES["lm_bigram"] = f"""
+with base as (
+  select doc_id, list_filter(string_split(text, ' '), w -> w <> '') as ws
+  from documents),
+tok as (
+  select doc_id, unnest(ws) as w, unnest(range(1, len(ws) + 1)) as pos
+  from base where len(ws) > 0),
+tok2 as (
+  select doc_id, pos, w,
+         lag(w) over (partition by doc_id order by pos) as w1
+  from tok),
+uni as (select w, count(*)::bigint as c from tok group by w),
+tot as (select count(*)::double as t from tok),
+big as (select w1, w as w2, count(*)::bigint as cb
+        from tok2 where w1 is not null group by w1, w),
+ctx as (select w1, count(*)::bigint as cc
+        from tok2 where w1 is not null group by w1),
+bits as (
+  select t2.doc_id,
+         case when t2.w1 is null then log2(tot.t / u.c)
+              else -log2({LM_LAMBDA!r} * (b.cb::double / x.cc)
+                         + {1.0 - LM_LAMBDA!r} * (u.c / tot.t)) end as b
+  from tok2 t2
+  join uni u on u.w = t2.w
+  left join big b on b.w1 = t2.w1 and b.w2 = t2.w
+  left join ctx x on x.w1 = t2.w1
+  cross join tot)
+select doc_id, count(*)::bigint as n_tokens,
+       round(sum(b) / count(*), 6) as lm2_bits
+from bits group by doc_id
 """
 
 ORACLES["line_dedup"] = f"""

@@ -940,3 +940,111 @@ def explode_words_batch(batch: pa.Table, col: str = "text") -> pa.Table:
             "word": pa.array(words_out, pa.string()),
         }
     )
+
+
+def bigram_count_partials(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Pass 1 of the bigram-LM score: PARTIAL adjacent-pair counts per
+    batch (combiner — the shuffle moves (w1, w2, count) rows, never
+    text). Tokenization is the repo convention (single-space split,
+    empties dropped); a doc with < 2 tokens contributes no bigrams."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch[col].to_pylist():
+        ws = [w for w in (t or "").split(" ") if w]
+        c.update(zip(ws, ws[1:]))
+    k = list(c.keys())
+    return pa.table(
+        {
+            "w1": pa.array([a for a, _ in k], pa.string()),
+            "w2": pa.array([b for _, b in k], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        }
+    )
+
+
+def explode_bigram_positions_batch(
+    batch: pa.Table, col: str = "text"
+) -> pa.Table:
+    """One row per TOKEN POSITION for the exact (join-route) bigram
+    scorer: ``w2`` is the token itself, ``w1`` its predecessor ("" for
+    each doc's first token — scored unigram-only), ``bg`` the composite
+    join key "w1 w2" (unambiguous: tokens contain no spaces). Shuffles
+    carry only these short strings, never document text."""
+    ids_out: list[int] = []
+    w1_out: list[str] = []
+    w2_out: list[str] = []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch[col].to_pylist()):
+        ws = [w for w in (t or "").split(" ") if w]
+        if not ws:
+            continue
+        ids_out.extend([did] * len(ws))
+        w1_out.append("")
+        w1_out.extend(ws[:-1])
+        w2_out.extend(ws)
+    bg = [f"{a} {b}" if a else "" for a, b in zip(w1_out, w2_out)]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "w1": pa.array(w1_out, pa.string()),
+            "w2": pa.array(w2_out, pa.string()),
+            "bg": pa.array(bg, pa.string()),
+        }
+    )
+
+
+class LmBigramScore:
+    """Pass 2 of the interpolated bigram-LM score (the KenLM-style
+    upgrade of ``LmScore``; CCNet filters on a 5-gram KenLM — a bigram
+    with Jelinek–Mercer interpolation is the same shape one order up
+    from the unigram proxy). Broadcast models shipped once per actor as
+    plain constructor values (restart-safe, ray#53727):
+
+    - position 1:  bits = log2(T / c(w))           (unigram, no context)
+    - position i>1: bits = -log2(lam * cb(w1,w2)/cc(w1)
+                             + (1-lam) * c(w2)/T)
+
+    where cb = corpus bigram count, cc(w1) = count of bigrams starting
+    with w1 (so cb/cc is a proper conditional), c = unigram count, T =
+    total tokens. The model is fit on the same corpus, so every bigram
+    and word of every doc is in-model — no OOV path (over-cap
+    vocabularies route to the exact distributed-join scorer instead,
+    same size-routing contract as ``q_lm_score``). Emits per doc the
+    mean per-token code length ``lm2_bits`` rounded to 6 dp (the float
+    reorder tolerance used by every float aggregate here)."""
+
+    def __init__(self, model: dict, col: str = "text"):
+        self.uni = model["uni"]
+        self.big = model["big"]
+        self.ctx = model["ctx"]
+        self.total = float(model["total"])
+        self.lam = float(model["lam"])
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        uni, big, ctx = self.uni, self.big, self.ctx
+        T, lam, one_m = self.total, self.lam, 1.0 - float(self.lam)
+        ids_out, nt_out, bits_out = [], [], []
+        for did, t in zip(
+            batch["doc_id"].to_pylist(), batch[self.col].to_pylist()
+        ):
+            ws = [w for w in (t or "").split(" ") if w]
+            if not ws:
+                continue
+            s = math.log2(T / uni[ws[0]])
+            for a, b in zip(ws, ws[1:]):
+                s += -math.log2(
+                    lam * (big[(a, b)] / ctx[a]) + one_m * (uni[b] / T)
+                )
+            ids_out.append(did)
+            nt_out.append(len(ws))
+            bits_out.append(round(s / len(ws), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "n_tokens": pa.array(nt_out, pa.int64()),
+                "lm2_bits": pa.array(bits_out, pa.float64()),
+            }
+        )

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "warc_roundtrip",
     "cdx_index",
     "warc_fetch",
+    "lm_bigram",
     "bloom_dedup",
     "ccnet_buckets",
     "bpe_pairs",

@@ -29,6 +29,7 @@ SUBSET = [
     "knn_brute",
     "knn_lsh",
     "lm_score",
+    "lm_bigram",
     "agg_lineitem",
     "topk_orders",
     "window_hourly",

@@ -978,6 +978,71 @@ class TestLmScore:
         )
 
 
+class TestLmBigram:
+    def test_matches_hand_model(self):
+        """Hand-computed interpolated bits on a 2-doc corpus: fit and
+        score replay the exact formula (position 1 unigram-coded,
+        position i>1 Jelinek–Mercer against the unigram floor)."""
+        import math
+
+        batch = pa.table({"doc_id": [1, 2], "text": ["a a b", "a b"]})
+        bp = tx.bigram_count_partials(batch)
+        big = {
+            (a, b): n
+            for a, b, n in zip(
+                bp["w1"].to_pylist(), bp["w2"].to_pylist(),
+                bp["n"].to_pylist(),
+            )
+        }
+        assert big == {("a", "a"): 1, ("a", "b"): 2}
+        uni = {"a": 3, "b": 2}
+        ctx = {"a": 3}
+        model = {"uni": uni, "big": big, "ctx": ctx, "total": 5,
+                 "lam": 0.7}
+        out = tx.LmBigramScore(model)(batch)
+        lam, om, T = 0.7, 1.0 - 0.7, 5.0
+        d1 = (
+            math.log2(T / 3)
+            - math.log2(lam * (1 / 3) + om * (3 / T))
+            - math.log2(lam * (2 / 3) + om * (2 / T))
+        ) / 3
+        d2 = (
+            math.log2(T / 3) - math.log2(lam * (2 / 3) + om * (2 / T))
+        ) / 2
+        assert out["lm2_bits"].to_pylist() == [round(d1, 6), round(d2, 6)]
+        assert out["n_tokens"].to_pylist() == [3, 2]
+
+    def test_explode_positions_marks_firsts(self):
+        batch = pa.table({"doc_id": [7, 8], "text": ["x y", ""]})
+        t = tx.explode_bigram_positions_batch(batch)
+        assert t["doc_id"].to_pylist() == [7, 7]
+        assert t["w1"].to_pylist() == ["", "x"]
+        assert t["w2"].to_pylist() == ["x", "y"]
+        assert t["bg"].to_pylist() == ["", "x y"]
+
+    def test_join_route_matches_broadcast_route(self, ray_session,
+                                                monkeypatch):
+        """Forcing the bigram table over the broadcast cap must route to
+        the exact distributed-join scorer and produce value-identical
+        results — the q_lm_score equivalence contract one n-gram order
+        up."""
+        import pandas as pd
+
+        from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        a = q.q_lm_bigram(sf).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        monkeypatch.setattr(q, "LM_BIGRAM_CAP", 1)
+        b = q.q_lm_bigram(sf).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert len(a) == 500
+        pd.testing.assert_frame_equal(
+            a[["doc_id", "n_tokens", "lm2_bits"]],
+            b[["doc_id", "n_tokens", "lm2_bits"]],
+        )
+
+
 class TestUrlCanonicalize:
     def _canon(self, urls):
         b = pa.table({"doc_id": list(range(len(urls))),
