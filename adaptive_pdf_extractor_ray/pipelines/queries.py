@@ -242,6 +242,89 @@ def q_doc_fingerprint(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup (the rsync/LBFS trick applied to
+    corpus curation): docs split at rolling-hash breakpoints
+    (``stages/text.py:cdc_chunk_batch``), chunks keyed by content md5,
+    and every doc reports how much of it — by chunk count and by byte
+    volume — is duplicated SOMEWHERE else in the corpus. Unlike
+    line_dedup (fixed line boundaries) or dedup_substring (fixed-stride
+    shingles), CDC boundaries move WITH the content: prepend a byline to
+    a syndicated article and the downstream chunks re-align and still
+    match. Dataflow: chunk explode (combiner — shuffles (doc_id, ck,
+    clen), never text) → per-chunk distinct-doc count via two bounded
+    groupbys → one hash join back on ck → per-doc fold. All stages are
+    key-partitioned; no driver materialization, no O(corpus) state."""
+    chunks = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.cdc_chunk_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    freq = (
+        chunks.select_columns(["ck", "doc_id"])
+        .groupby(["ck", "doc_id"])
+        .count()
+        .groupby("ck")
+        .count()
+    ).map_batches(
+        lambda t: pa.table({"ck": t["ck"], "nd": t["count()"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = chunks.join(
+        freq, join_type="inner", on=("ck",),
+        num_partitions=adaptive_partitions_docs(sf_dir),
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        dup = pc.greater_equal(t["nd"], pa.scalar(2))
+        clen = t["clen"]
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "dup": pc.cast(dup, pa.int64()),
+                "dupb": pc.if_else(dup, clen, zero),
+                "clen": clen,
+            }
+        )
+
+    agg = (
+        j.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_chunks"),
+            ray.data.aggregate.Sum("dup", alias_name="n_dup_chunks"),
+            ray.data.aggregate.Sum("dupb", alias_name="dupb"),
+            ray.data.aggregate.Sum("clen", alias_name="nb"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # integer byte tallies, not a rounded ratio: chunk-length ratios
+        # land on exact binary halves (1/128 = 0.0078125) where numpy
+        # half-to-even and SQL half-away-from-zero disagree at any fixed
+        # precision — the integers are hash-exact and the frac derivable
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chunks": pc.cast(t["n_chunks"], pa.int64()),
+                "n_dup_chunks": pc.cast(t["n_dup_chunks"], pa.int64()),
+                "dup_bytes": pc.cast(t["dupb"], pa.int64()),
+                "total_bytes": pc.cast(t["nb"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def adaptive_partitions_docs(sf_dir: str) -> int:
+    """Shuffle partition count sized to the documents table (parquet
+    metadata row count — no data read)."""
+    from ..stages.dedup import adaptive_partitions
+
+    return adaptive_partitions(_table_rows(sf_dir, "documents"))
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partitioned keep-first (min doc_id) per content."""
     hashed = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -1243,6 +1326,58 @@ def q_approx_distinct(sf_dir: str):
     )
 
 
+HH_DENOM = 32  # heavy-hitter threshold = ceil(total_tokens / HH_DENOM)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Count-Min-Sketch heavy hitters over the documents vocabulary —
+    the bounded-memory count companion to the KMV cardinality sketch.
+    Per-block partials fold local word counts into sparse sketch cells
+    (<= depth*width rows shuffled per block REGARDLESS of block size or
+    vocabulary), one bounded groupby merges cells elementwise (the CMS
+    merge law), the driver assembles the ~64 KiB grid (sketch-sized by
+    construction — not an O(data) pull) and broadcasts it to a point-
+    query pass over the distinct words. Total tokens T is read off the
+    sketch itself (any row sums to T exactly); threshold =
+    ceil(T/{HH_DENOM}). Deterministic md5 cells make this an APPROXIMATE
+    operator with an EXACT oracle (same contract as
+    ``approx_distinct_kmv`` / ``bloom_dedup``): the oracle replays the
+    identical grid in SQL, so estimates — overestimates included —
+    match to the integer."""
+    from ..stages import sketch as sk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cells = (
+        docs.map_batches(
+            sk.cms_partial_batch, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["j", "pos"])
+        .sum("v")
+        .take_all()
+    )
+    flat = [0] * (sk.CMS_DEPTH * sk.CMS_WIDTH)
+    for r in cells:
+        flat[r["j"] * sk.CMS_WIDTH + r["pos"]] = r["sum(v)"]
+    total = sum(flat[: sk.CMS_WIDTH])
+    thresh = (total + HH_DENOM - 1) // HH_DENOM
+    words = (
+        docs.map_batches(
+            tx.word_count_partials, batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("word")
+        .count()
+    )
+    return words.map_batches(
+        sk.CmsEstimate,
+        fn_constructor_args=(flat, thresh),
+        batch_format="pyarrow",
+        concurrency=_apool(),
+        zero_copy_batch=True,
+    )
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (event attribution): for every event, the most recent
     STRICTLY earlier 'click' by the same user, plus the gap in seconds.
@@ -1357,12 +1492,17 @@ def q_asof_join_bucketed(sf_dir: str):
         )
         # explicit schema: a bucket whose prior_click_id is ALL null
         # would otherwise produce an arrow null-typed column, and blocks
-        # with divergent schemas break the downstream hash join
-        t = pa.Table.from_pandas(
-            pd.concat([rows, summary], ignore_index=True),
-            preserve_index=False,
-        ).replace_schema_metadata(None)
-        return t.cast(_ASOF_MIXED_SCHEMA)
+        # with divergent schemas break the downstream hash join (concat
+        # at the Arrow level after the cast — pandas concat of an
+        # all-NA frame is deprecated dtype-inference territory)
+        def to_t(df: pd.DataFrame) -> pa.Table:
+            return (
+                pa.Table.from_pandas(df, preserve_index=False)
+                .replace_schema_metadata(None)
+                .cast(_ASOF_MIXED_SCHEMA)
+            )
+
+        return pa.concat_tables([to_t(rows), to_t(summary)])
 
     def carry(g: pd.DataFrame) -> pa.Table:
         """Per user: for each bucket, the latest click from EARLIER
@@ -5542,6 +5682,8 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "distinct_events": q_distinct_events,
     "approx_distinct_kmv": q_approx_distinct,
+    "heavy_hitters": q_heavy_hitters,
+    "cdc_dedup": q_cdc_dedup,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "window_hourly": q_window_hourly,
@@ -6071,6 +6213,47 @@ from documents d left join fp using (doc_id)
 
 ORACLES["doc_fingerprint_rolling"] = _rolling_oracle_sql()
 
+
+def _cdc_oracle_sql() -> str:
+    """CDC chunk dedup replayed exactly in SQL: the SAME iterative
+    HUGEINT rolling-hash CTE as the winnowing oracle (the two operators
+    share one recurrence by construction — ``_rolling_accs``), then cut
+    positions where acc % CDC_DIV = 0 (t >= window) plus the forced
+    end-of-doc cut, chunks as hex substrings between consecutive cuts,
+    chunk identity = md5 of the UPPERCASE hex (DuckDB ``to_hex``), and
+    the same per-doc dup fold as the Ray dataflow."""
+    base = _rolling_oracle_sql()
+    head = base[: base.index("fp as (")]
+    return head + f"""
+cuts as (
+  select r.doc_id, r.t
+  from r join s2 using (doc_id)
+  where r.t >= s2.w and r.acc % {tx.CDC_DIV} = 0
+  union
+  select doc_id, n from s2),
+ch as (
+  select doc_id, t as cut_end,
+         lag(t, 1, 0) over (partition by doc_id order by t) as cut_start
+  from cuts),
+chunks as (
+  select ch.doc_id,
+         md5(substr(s2.hx, 2 * ch.cut_start + 1,
+                    2 * (ch.cut_end - ch.cut_start))) as ck,
+         ch.cut_end - ch.cut_start as clen
+  from ch join s2 using (doc_id)),
+freq as (select ck, count(distinct doc_id) as nd from chunks group by ck)
+select c.doc_id,
+       count(*)::bigint as n_chunks,
+       sum(case when f.nd >= 2 then 1 else 0 end)::bigint as n_dup_chunks,
+       sum(case when f.nd >= 2 then c.clen else 0 end)::bigint as dup_bytes,
+       sum(c.clen)::bigint as total_bytes
+from chunks c join freq f using (ck)
+group by c.doc_id
+"""
+
+
+ORACLES["cdc_dedup"] = _cdc_oracle_sql()
+
 # clusters = the full chain (LSH pairs -> Jaccard>=0.5 verify -> connected
 # components); components via a recursive CTE (min reachable node id ==
 # min-label-propagation fixpoint). The verify threshold applies to the
@@ -6440,6 +6623,42 @@ select doc_id, count(*)::bigint as n_tokens,
        round(sum(b) / count(*), 6) as lm2_bits
 from bits group by doc_id
 """
+
+def _heavy_hitters_sql() -> str:
+    from ..stages.sketch import CMS_DEPTH, CMS_WIDTH
+
+    def cell(w: str, j: str) -> str:
+        return (
+            f"(('0x' || substr(md5({w} || ':' || {j}::varchar), 1, 15))"
+            f"::ubigint % {CMS_WIDTH})::bigint"
+        )
+
+    return f"""
+with tok as (
+  select unnest(list_filter(string_split(text, ' '), w -> w <> '')) as w
+  from documents),
+wc as (select w, count(*)::bigint as c from tok group by w),
+cells as (
+  select j, {cell("w", "j")} as pos, sum(c)::bigint as v
+  from wc cross join generate_series(0, {CMS_DEPTH - 1}) t(j)
+  group by j, pos),
+tot as (select sum(v)::bigint as t from cells where j = 0),
+est as (
+  select w as word, min(v)::bigint as est
+  from (
+    select wc.w, cells.v
+    from wc
+    cross join generate_series(0, {CMS_DEPTH - 1}) g(j)
+    join cells on cells.j = g.j
+              and cells.pos = {cell("wc.w", "g.j")}
+  ) group by w)
+select word, est
+from est cross join tot
+where est >= (t + {HH_DENOM - 1}) // {HH_DENOM}
+"""
+
+
+ORACLES["heavy_hitters"] = _heavy_hitters_sql()
 
 ORACLES["line_dedup"] = f"""
 with base as (

@@ -76,3 +76,86 @@ def kmv_estimate_batch(batch: pa.Table, k: int = K_KMV) -> pa.Table:
             "est_distinct": pa.array([est], pa.float64()),
         }
     )
+
+
+# --- Count-Min Sketch (heavy hitters) ---------------------------------
+#
+# The count-state companion to KMV: a depth x width grid of counters
+# where every word increments one cell per row (cell chosen by the same
+# DuckDB-expressible 60-bit md5 idiom as above, mod width) and a point
+# query reads the MIN over rows — an overestimate with error <=
+# 2T/width at probability 1 - 2^-depth (Cormode & Muthukrishnan 2005).
+# Mergeability is elementwise addition, so per-block partials emit
+# sparse (row, pos, count) cells — at most depth*width rows per block
+# REGARDLESS of block size or vocabulary — and one bounded groupby sums
+# them into the corpus sketch. That is the 100 TB story: exact top-K
+# partials carry a block's whole vocabulary into the shuffle; the CMS
+# shuffle is capped at depth*width cells per block forever.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def _cms_pos(word: str, j: int) -> int:
+    """Row-j cell index: first 15 hex chars of md5("word:j") mod width —
+    mirrors DuckDB's ('0x' || substr(md5(w || ':' || j::varchar), 1,
+    15))::ubigint % width (same idiom as the Bloom filter oracle)."""
+    return (
+        int(hashlib.md5(f"{word}:{j}".encode("utf-8")).hexdigest()[:15], 16)
+        % CMS_WIDTH
+    )
+
+
+def cms_partial_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Per-block CMS partial over the repo's tokenization (single-space
+    split, empties dropped): local word counts fold into a sparse cell
+    map emitted as (j, pos, v) rows — bounded by depth*width however
+    large the block."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch[col].to_pylist():
+        c.update(w for w in (t or "").split(" ") if w)
+    cells: Counter = Counter()
+    for w, n in c.items():
+        for j in range(CMS_DEPTH):
+            cells[(j, _cms_pos(w, j))] += n
+    ks = list(cells.keys())
+    return pa.table(
+        {
+            "j": pa.array([a for a, _ in ks], pa.int64()),
+            "pos": pa.array([b for _, b in ks], pa.int64()),
+            "v": pa.array(list(cells.values()), pa.int64()),
+        }
+    )
+
+
+class CmsEstimate:
+    """Point-query stage: the merged sketch (depth*width ints, ~64 KiB)
+    ships once per actor as a plain constructor value (restart-safe,
+    ray#53727). Emits (word, est) for words whose min-over-rows estimate
+    clears the threshold; est is an overestimate by construction, never
+    an undercount, so no true heavy hitter is missed."""
+
+    def __init__(self, cms_flat: list, thresh: int):
+        self.cms = cms_flat
+        self.thresh = int(thresh)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cms = self.cms
+        w_out: list[str] = []
+        e_out: list[int] = []
+        for w in batch["word"].to_pylist():
+            e = min(
+                cms[j * CMS_WIDTH + _cms_pos(w, j)]
+                for j in range(CMS_DEPTH)
+            )
+            if e >= self.thresh:
+                w_out.append(w)
+                e_out.append(e)
+        return pa.table(
+            {
+                "word": pa.array(w_out, pa.string()),
+                "est": pa.array(e_out, pa.int64()),
+            }
+        )

@@ -113,6 +113,30 @@ def rolling_fingerprint(text: str, window: int = 16) -> int:
         return 0
     if len(data) < window:
         window = len(data)
+    return int(_rolling_accs(data, window).min())
+
+
+def rolling_fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint64": pa.array(
+                [rolling_fingerprint(t or "") for t in batch[col].to_pylist()],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+CDC_DIV = 64  # breakpoint divisor -> ~64-byte average chunks
+CDC_WINDOW = 16  # rolling window (shared with the winnowing fingerprint)
+
+
+def _rolling_accs(data: np.ndarray, window: int) -> np.ndarray:
+    """The window-hash array of ``rolling_fingerprint`` (h[i] = hash of
+    the window ENDING at 1-based byte position i + window), factored out
+    so CDC chunking and winnowing share one recurrence — and therefore
+    one SQL replication (the iterative HUGEINT CTE)."""
     h = np.zeros(len(data) - window + 1, dtype=np.uint64)
     acc = np.uint64(0)
     with np.errstate(over="ignore"):
@@ -125,17 +149,56 @@ def rolling_fingerprint(text: str, window: int = 16) -> int:
         for i in range(1, len(h)):
             acc = ((acc - data[i - 1] * bw) * _B + data[i + window - 1]) & _MASK
             h[i] = acc
-    return int(h.min())
+    return h
 
 
-def rolling_fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+def cdc_chunk_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Content-defined chunking (Rabin-style CDC): cut each doc's UTF-8
+    byte stream AFTER position t wherever the rolling window hash ending
+    at t is ≡ 0 mod ``CDC_DIV`` (plus a forced cut at end-of-doc), then
+    key each chunk by md5 of its bytes. Because breakpoints depend only
+    on local content, an insertion near the head of a page shifts
+    boundaries only until the next breakpoint — downstream chunks
+    re-align and still dedup, which is what positional/fixed-size
+    chunking can never do (the LBFS/rsync trick, Muthitacharoen et al.
+    2001). No minimum-chunk constraint: cut positions are then a pure
+    function of the byte stream (stateless), which keeps the SQL
+    replication exact. Zero-length docs emit no chunks (documented
+    contract). md5 is taken over the UPPERCASE hex of the chunk bytes —
+    byte-identical to DuckDB's ``md5(substr(to_hex(encode(text)), ..))``."""
+    ids_out: list[int] = []
+    idx_out: list[int] = []
+    ck_out: list[str] = []
+    len_out: list[int] = []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch[col].to_pylist()):
+        data = (t or "").encode("utf-8")
+        n = len(data)
+        if n == 0:
+            continue
+        w = min(CDC_WINDOW, n)
+        h = _rolling_accs(
+            np.frombuffer(data, dtype=np.uint8).astype(np.uint64), w
+        )
+        cuts = sorted(
+            {t_ for t_ in range(w, n + 1) if int(h[t_ - w]) % CDC_DIV == 0}
+            | {n}
+        )
+        start = 0
+        for ci, end in enumerate(cuts):
+            chunk = data[start:end]
+            ids_out.append(did)
+            idx_out.append(ci)
+            ck_out.append(
+                hashlib.md5(chunk.hex().upper().encode("ascii")).hexdigest()
+            )
+            len_out.append(end - start)
+            start = end
     return pa.table(
         {
-            "doc_id": batch["doc_id"],
-            "fingerprint64": pa.array(
-                [rolling_fingerprint(t or "") for t in batch[col].to_pylist()],
-                pa.int64(),
-            ),
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "chunk_idx": pa.array(idx_out, pa.int64()),
+            "ck": pa.array(ck_out, pa.string()),
+            "clen": pa.array(len_out, pa.int64()),
         }
     )
 

@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "cdx_index",
     "warc_fetch",
     "lm_bigram",
+    "heavy_hitters",
+    "cdc_dedup",
     "bloom_dedup",
     "ccnet_buckets",
     "bpe_pairs",

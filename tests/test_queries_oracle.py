@@ -30,6 +30,8 @@ SUBSET = [
     "knn_lsh",
     "lm_score",
     "lm_bigram",
+    "heavy_hitters",
+    "cdc_dedup",
     "agg_lineitem",
     "topk_orders",
     "window_hourly",

@@ -455,6 +455,121 @@ class TestKmvSketch:
         assert len(out) == 0
 
 
+class TestCdcChunking:
+    def _chunks(self, text):
+        t = tx.cdc_chunk_batch(pa.table({"doc_id": [1], "text": [text]}))
+        return t["ck"].to_pylist(), t["clen"].to_pylist()
+
+    def test_chunks_cover_doc_exactly(self):
+        text = "the quick brown fox jumps over the lazy dog " * 20
+        ck, clen = self._chunks(text)
+        assert sum(clen) == len(text.encode("utf-8"))
+        assert all(c > 0 for c in clen)
+        assert len(ck) > 1  # breakpoints actually fire at this length
+
+    def test_boundaries_realign_after_prefix_insertion(self):
+        """THE content-defined property: prepending a byline shifts
+        chunk boundaries only until the next breakpoint — the tail
+        chunks re-align byte-for-byte and still dedup (fixed-stride or
+        positional chunking shares ~nothing after an insertion)."""
+        body = "syndicated article body with enough bytes to chunk " * 30
+        ck_a, _ = self._chunks(body)
+        ck_b, _ = self._chunks("By A. Reporter — Metro Desk. " + body)
+        shared = set(ck_a) & set(ck_b)
+        # everything after the first post-insertion breakpoint matches:
+        # all but the first chunk(s) of each version are shared
+        assert len(shared) >= len(ck_a) - 2
+        assert ck_a[-1] == ck_b[-1]
+
+    def test_empty_and_none_emit_nothing(self):
+        t = tx.cdc_chunk_batch(
+            pa.table({"doc_id": [1, 2], "text": ["", None]})
+        )
+        assert len(t) == 0
+
+    def test_shared_recurrence_with_winnowing(self):
+        """cdc and the winnowing fingerprint share _rolling_accs — the
+        min over the window-hash array must equal the fingerprint op."""
+        text = "shared recurrence check between the two operators"
+        data = np.frombuffer(
+            text.encode("utf-8"), dtype=np.uint8
+        ).astype(np.uint64)
+        h = tx._rolling_accs(data, 16)
+        assert int(h.min()) == tx.rolling_fingerprint(text)
+
+
+class TestCmsSketch:
+    def test_partials_merge_to_whole_corpus_grid(self):
+        """CMS merge law: summing per-piece sparse cells elementwise
+        equals the grid built from the whole corpus in one pass —
+        block-layout invariance, the property the groupby relies on."""
+        from collections import Counter
+
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        texts = [f"w{i % 7} w{i % 3} common" for i in range(200)]
+
+        def grid(tables):
+            g = Counter()
+            for t in tables:
+                for j, p, v in zip(
+                    t["j"].to_pylist(), t["pos"].to_pylist(),
+                    t["v"].to_pylist(),
+                ):
+                    g[(j, p)] += v
+            return g
+
+        whole = grid([sk.cms_partial_batch(pa.table({"text": texts}))])
+        pieces = grid(
+            sk.cms_partial_batch(pa.table({"text": texts[i:i + 37]}))
+            for i in range(0, len(texts), 37)
+        )
+        assert whole == pieces
+        # any row sums to the total token count — the property
+        # q_heavy_hitters uses to derive its threshold from the sketch
+        total = sum(v for (j, _), v in whole.items() if j == 0)
+        assert total == 3 * len(texts)
+
+    def test_estimate_never_undercounts(self):
+        """Point queries are overestimates by construction: est >= true
+        count for every word, and equals it when no collision lands in
+        any of the word's depth cells."""
+        from collections import Counter
+
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        texts = ["alpha beta alpha", "beta gamma", "alpha"]
+        true = Counter(w for t in texts for w in t.split(" ") if w)
+        cells = sk.cms_partial_batch(pa.table({"text": texts}))
+        flat = [0] * (sk.CMS_DEPTH * sk.CMS_WIDTH)
+        for j, p, v in zip(
+            cells["j"].to_pylist(), cells["pos"].to_pylist(),
+            cells["v"].to_pylist(),
+        ):
+            flat[j * sk.CMS_WIDTH + p] += v
+        est = sk.CmsEstimate(flat, thresh=0)(
+            pa.table({"word": list(true.keys())})
+        )
+        got = dict(zip(est["word"].to_pylist(), est["est"].to_pylist()))
+        for w, c in true.items():
+            assert got[w] >= c
+        # 3 words into 2048-wide rows: no collisions, estimates exact
+        assert got == dict(true)
+
+    def test_threshold_filters(self):
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        flat = [0] * (sk.CMS_DEPTH * sk.CMS_WIDTH)
+        for j in range(sk.CMS_DEPTH):
+            flat[j * sk.CMS_WIDTH + sk._cms_pos("hot", j)] = 100
+            flat[j * sk.CMS_WIDTH + sk._cms_pos("cold", j)] += 2
+        out = sk.CmsEstimate(flat, thresh=50)(
+            pa.table({"word": ["hot", "cold"]})
+        )
+        assert out["word"].to_pylist() == ["hot"]
+        assert out["est"].to_pylist() == [100]
+
+
 class TestDomainQuota:
     def test_quota_binds_and_is_block_invariant(self, ray_session, tmp_path):
         """30 docs in one source, 3 in another: quota keeps exactly 10/3,
