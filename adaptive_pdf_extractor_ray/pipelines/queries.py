@@ -661,6 +661,22 @@ def q_dedup_jaccard(sf_dir: str):
     )
 
 
+def q_dedup_containment(sf_dir: str):
+    """Directional n-gram containment over the LSH candidate pairs —
+    the asymmetric companion to ``dedup_ngram_jaccard``. A syndicated
+    article embedded in a bigger host page scores high containment
+    (article ⊆ page) but mediocre Jaccard (the host chrome inflates the
+    union), so containment is the right kill signal for quote-expansion
+    near-dups (Broder 1997). Same distributed shape: pair texts attach
+    via two hash joins on doc_id, verification runs per batch — no
+    driver-side text or pair materialization."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _lsh_distinct_pairs(sf_dir)
+    return dd.attach_pair_texts(pairs, docs).map_batches(
+        dd.containment_pairs_batch, batch_format="pyarrow"
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (sim >= 0.95), exact within label
     buckets — SQL-verifiable with list_cosine_similarity."""
@@ -5666,6 +5682,7 @@ QUERIES = {
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_containment": q_dedup_containment,
     "dedup_keep_best": q_dedup_keep_best,
     "tfidf_top_terms": q_tfidf_top_terms,
     "inverted_index": q_inverted_index,
@@ -6152,6 +6169,20 @@ select p.a, p.b,
        round(len(list_intersect(xa.sd, xb.sd))::double /
              (len(xa.sd) + len(xb.sd) - len(list_intersect(xa.sd, xb.sd))),
              6) as jaccard
+from pairs p
+join sd xa on xa.doc_id = p.a
+join sd xb on xb.doc_id = p.b
+"""
+
+ORACLES["dedup_containment"] = _minhash_cte() + """
+, sd as (select doc_id, list_distinct(shingles) as sd from sh)
+select p.a, p.b,
+       case when len(xa.sd) = 0 then 1.0
+            else round(len(list_intersect(xa.sd, xb.sd))::double
+                       / len(xa.sd), 6) end as cont_a_in_b,
+       case when len(xb.sd) = 0 then 1.0
+            else round(len(list_intersect(xa.sd, xb.sd))::double
+                       / len(xb.sd), 6) end as cont_b_in_a
 from pairs p
 join sd xa on xa.doc_id = p.a
 join sd xb on xb.doc_id = p.b

@@ -307,6 +307,42 @@ def jaccard_pairs_batch(batch: pa.Table, k: int = 3,
     )
 
 
+def ngram_containment(t1: str, t2: str, k: int = 3) -> tuple[float, float]:
+    """Asymmetric n-gram containment (Broder 1997's second resemblance
+    measure): (|S1∩S2|/|S1|, |S1∩S2|/|S2|). High containment with low
+    Jaccard is the quote-expansion case — a page that embeds another doc
+    plus its own chrome — which symmetric Jaccard under-scores (the
+    union is inflated by the host page). Empty shingle sets are
+    vacuously contained (1.0)."""
+    s1, s2 = set(_shingles(t1, k)), set(_shingles(t2, k))
+    inter = len(s1 & s2)
+    c1 = 1.0 if not s1 else inter / len(s1)
+    c2 = 1.0 if not s2 else inter / len(s2)
+    return c1, c2
+
+
+def containment_pairs_batch(batch: pa.Table, k: int = 3,
+                            a_col: str = "text_a",
+                            b_col: str = "text_b") -> pa.Table:
+    """Per-pair directional containment over a joined candidate-pair
+    batch (a, b, text_a, text_b) -> (a, b, cont_a_in_b, cont_b_in_a).
+    Same fully-distributed shape as ``jaccard_pairs_batch``."""
+    ab_out: list[float] = []
+    ba_out: list[float] = []
+    for ta, tb in zip(batch[a_col].to_pylist(), batch[b_col].to_pylist()):
+        c1, c2 = ngram_containment(ta or "", tb or "", k)
+        ab_out.append(round(c1, 6))
+        ba_out.append(round(c2, 6))
+    return pa.table(
+        {
+            "a": batch["a"],
+            "b": batch["b"],
+            "cont_a_in_b": pa.array(ab_out, pa.float64()),
+            "cont_b_in_a": pa.array(ba_out, pa.float64()),
+        }
+    )
+
+
 def adaptive_partitions(n_rows: int, *, rows_per_part: int = 100_000,
                         cap: int | None = None) -> int:
     """Hash-shuffle partition count scaled to the DATA, clamped to the

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "lm_bigram",
     "heavy_hitters",
     "cdc_dedup",
+    "dedup_containment",
     "bloom_dedup",
     "ccnet_buckets",
     "bpe_pairs",

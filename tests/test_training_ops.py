@@ -455,6 +455,46 @@ class TestKmvSketch:
         assert len(out) == 0
 
 
+class TestContainment:
+    def test_quote_expansion_scores_high_containment_low_jaccard(self):
+        """The signal containment exists for: article ⊆ host page gives
+        cont(article→page) = 1.0 while Jaccard stays well below any
+        dedup threshold."""
+        from adaptive_pdf_extractor_ray.stages import dedup as dd
+
+        article = "the quick brown fox jumps over the lazy dog again"
+        page = (
+            "site nav home login search breadcrumbs header "
+            + article
+            + " related stories comments footer copyright terms contact"
+        )
+        c_art_in_page, c_page_in_art = dd.ngram_containment(article, page)
+        assert c_art_in_page == 1.0
+        assert c_page_in_art < 0.6
+        assert dd.ngram_jaccard(article, page) < 0.6
+
+    def test_empty_sets_vacuously_contained(self):
+        from adaptive_pdf_extractor_ray.stages import dedup as dd
+
+        assert dd.ngram_containment("", "") == (1.0, 1.0)
+        c1, c2 = dd.ngram_containment("", "a b c d")
+        assert (c1, c2) == (1.0, 0.0)
+
+    def test_batch_shape(self):
+        from adaptive_pdf_extractor_ray.stages import dedup as dd
+
+        b = pa.table(
+            {
+                "a": [1], "b": [2],
+                "text_a": ["x y z w"], "text_b": ["x y z w v u"],
+            }
+        )
+        out = dd.containment_pairs_batch(b)
+        assert out.column_names == ["a", "b", "cont_a_in_b", "cont_b_in_a"]
+        assert out["cont_a_in_b"][0].as_py() == 1.0
+        assert out["cont_b_in_a"][0].as_py() == 0.5
+
+
 class TestCdcChunking:
     def _chunks(self, text):
         t = tx.cdc_chunk_batch(pa.table({"doc_id": [1], "text": [text]}))
