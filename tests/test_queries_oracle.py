@@ -32,6 +32,7 @@ SUBSET = [
     "lm_bigram",
     "heavy_hitters",
     "cdc_dedup",
+    "dedup_containment",
     "agg_lineitem",
     "topk_orders",
     "window_hourly",
