@@ -374,3 +374,102 @@ class TestLmScoreProperties:
         lo = min(math.log2(total / c) for c in counts.values())
         hi = max(math.log2(total / c) for c in counts.values())
         assert lo - 1e-6 <= bits <= hi + 1e-6
+
+
+class TestCdcProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=400))
+    def test_chunks_partition_the_byte_stream(self, text):
+        """CDC cuts partition the UTF-8 stream exactly: lengths sum to
+        the byte length, every chunk is non-empty, and re-hashing the
+        reassembled chunks reproduces the per-chunk keys (no overlap,
+        no gap, no reorder) for ARBITRARY unicode input."""
+        import hashlib
+
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages import text as tx
+
+        out = tx.cdc_chunk_batch(pa.table({"doc_id": [1], "text": [text]}))
+        data = text.encode("utf-8")
+        if not data:
+            assert len(out) == 0
+            return
+        lens = out["clen"].to_pylist()
+        assert sum(lens) == len(data)
+        assert all(n > 0 for n in lens)
+        assert out["chunk_idx"].to_pylist() == list(range(len(lens)))
+        pos = 0
+        for n, ck in zip(lens, out["ck"].to_pylist()):
+            seg = data[pos:pos + n]
+            assert hashlib.md5(
+                seg.hex().upper().encode("ascii")
+            ).hexdigest() == ck
+            pos += n
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(min_size=20, max_size=300), st.integers(1, 6))
+    def test_block_layout_invariance(self, text, pieces):
+        """Chunking is per-row: splitting a batch into sub-batches
+        yields identical chunk rows (the map_batches contract)."""
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages import text as tx
+
+        docs = [text + str(i) for i in range(pieces)]
+        whole = tx.cdc_chunk_batch(
+            pa.table({"doc_id": list(range(pieces)), "text": docs})
+        )
+        parts = [
+            tx.cdc_chunk_batch(pa.table({"doc_id": [i], "text": [docs[i]]}))
+            for i in range(pieces)
+        ]
+        merged = pa.concat_tables(parts)
+        assert whole.to_pylist() == merged.to_pylist()
+
+
+class TestCmsProperties:
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=string.ascii_lowercase, min_size=1, max_size=6
+            ),
+            max_size=60,
+        ),
+        st.integers(1, 7),
+    )
+    def test_merge_law_and_overestimate(self, words, split):
+        """Sparse-cell partials merged across ANY block layout equal
+        the single-pass grid, and every point estimate >= true count."""
+        from collections import Counter
+
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        text = " ".join(words)
+        docs = [text[i::split] for i in range(split)]  # arbitrary split
+        grid: Counter = Counter()
+        for d in docs:
+            t = sk.cms_partial_batch(pa.table({"text": [d]}))
+            for j, p, v in zip(
+                t["j"].to_pylist(), t["pos"].to_pylist(), t["v"].to_pylist()
+            ):
+                grid[(j, p)] += v
+        true: Counter = Counter(
+            w for d in docs for w in d.split(" ") if w
+        )
+        flat = [0] * (sk.CMS_DEPTH * sk.CMS_WIDTH)
+        for (j, p), v in grid.items():
+            flat[j * sk.CMS_WIDTH + p] = v
+        # row-sum identity: every row totals the token count
+        for j in range(sk.CMS_DEPTH):
+            assert sum(
+                flat[j * sk.CMS_WIDTH:(j + 1) * sk.CMS_WIDTH]
+            ) == sum(true.values())
+        est = sk.CmsEstimate(flat, thresh=0)(
+            pa.table({"word": list(true.keys())})
+        )
+        for w, e in zip(est["word"].to_pylist(), est["est"].to_pylist()):
+            assert e >= true[w]
