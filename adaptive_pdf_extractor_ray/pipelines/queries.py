@@ -5665,6 +5665,249 @@ limit {BPE_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# session-7 additions: reservoir sample, per-domain dup accounting,
+# funnel, bounded range join, HyperLogLog, HITS
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 100
+
+
+def q_sample_reservoir(sf_dir: str):
+    """Fixed-size-k uniform sample of the corpus — the distributed,
+    deterministic equivalent of reservoir sampling: rank every row by a
+    content-independent hash (md5 of doc_id) and keep the global k
+    smallest. Because the hash is a uniform permutation of the key
+    space, the k lowest-ranked rows ARE a uniform k-subset — but unlike
+    a classic sequential reservoir the selection is order-free,
+    restart-stable and embarrassingly parallel: per-block top-k partials
+    + one tiny final reduce (``stages/topk.dataset_topk``), never a
+    global sort. Shuffle volume: k rows per block, independent of corpus
+    size."""
+
+    def rk(t: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(str(d).encode("utf-8")).hexdigest()
+            for d in t["doc_id"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "rk": pa.array(keys, pa.string())})
+
+    ranked = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        rk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ..stages.topk import dataset_topk
+
+    return dataset_topk(ranked, [("rk", "ascending")], RESERVOIR_K)
+
+
+def q_domain_dup_stats(sf_dir: str):
+    """Per-domain duplication accounting — the crawl-health signal that
+    decides which domains to downsample before expensive near-dup
+    passes: per (source, md5(text)) copy counts, then a per-source
+    rollup to (n_docs, n_unique, dup_ratio). Two shuffles, both keyed
+    below document granularity: (source, 16-byte hash) then source —
+    text never moves."""
+
+    def h(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table({"source": t["source"],
+                         "h": pa.array(hs, pa.string())})
+
+    per_text = (
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(h, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "h"])
+        .count()
+    )
+    agg = per_text.groupby("source").aggregate(
+        ray.data.aggregate.Count(alias_name="n_unique"),
+        ray.data.aggregate.Sum("count()", alias_name="n_docs"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ratio = pc.round(
+            pc.subtract(
+                pa.scalar(1.0),
+                pc.divide(
+                    pc.multiply(pc.cast(t["n_unique"], pa.float64()),
+                                pa.scalar(1.0)),
+                    pc.cast(t["n_docs"], pa.float64()),
+                ),
+            ),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_unique": pc.cast(t["n_unique"], pa.int64()),
+                "dup_ratio": ratio,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_funnel(sf_dir: str):
+    """Per-user conversion funnel view -> click -> purchase: the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that (greedy-earliest chain — the unique
+    deterministic parse of the funnel). One shuffle on user_id; each
+    step is a vectorized min over the sorted group. Strict '>' at every
+    hop keeps the result tie-independent when a user has several events
+    on one timestamp. Same partitioning contract as sessionize: one
+    user's history fits a group."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def funnel(g: pa.Table) -> pa.Table:
+        uid = g["user_id"][0].as_py()
+        ts = g["ts"].to_pandas().values
+        et = g["event_type"].to_pylist()
+        kinds = np.asarray(et)
+        t1 = t2 = t3 = None
+        v = ts[kinds == "view"]
+        if len(v):
+            t1 = v.min()
+            c = ts[(kinds == "click") & (ts > t1)]
+            if len(c):
+                t2 = c.min()
+                p = ts[(kinds == "purchase") & (ts > t2)]
+                if len(p):
+                    t3 = p.min()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "t_view": pa.array([t1], pa.timestamp("us")),
+                "t_click": pa.array([t2], pa.timestamp("us")),
+                "t_purchase": pa.array([t3], pa.timestamp("us")),
+                "completed": pa.array(
+                    [1 if t3 is not None else 0], pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+
+
+RANGE_WINDOW_S = 300
+
+
+def q_range_join(sf_dir: str):
+    """Bounded range join (time-window attribution): for every event,
+    the number of 'view' events by the same user in the half-open
+    window [ts - 300 s, ts). Ray Data has no native range join; the
+    shape is groupby(user).map_groups with TWO vectorized searchsorted
+    probes per group (window start and end) against the sorted view
+    timestamps — O(n log n) per group instead of the oracle's O(n^2)
+    self-join. Counting is tie-insensitive, so no secondary sort key is
+    needed. Same partitioning contract as asof_join; see
+    q_range_join_bucketed for the bounded-window decomposition that
+    removes it."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    w = np.timedelta64(RANGE_WINDOW_S, "s")
+
+    def count_views(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = g.take(order)
+        ts = g["ts"].to_pandas().values
+        ids = np.asarray(g["event_id"].to_pylist(), dtype=np.int64)
+        is_view = np.asarray(
+            [t == "view" for t in g["event_type"].to_pylist()], dtype=bool
+        )
+        vts = ts[is_view]
+        lo = np.searchsorted(vts, ts - w, side="left")
+        hi = np.searchsorted(vts, ts, side="left")
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "n_views_5m": pa.array(
+                    (hi - lo).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        count_views, batch_format="pyarrow"
+    )
+
+
+def q_approx_distinct_hll(sf_dir: str):
+    """Approximate count-distinct of ``event_id`` via HyperLogLog
+    (``stages/sketch.py``): per-block partials emit <= 64 (register,
+    max-rank) rows however large the block, one bounded groupby merges
+    registers by MAX (the HLL merge law), and a single-row reduce
+    computes the estimator. The KMV companion with the opposite
+    trade-off: HLL's shuffle is m rows per block (vs KMV's k = 256) and
+    its state is registers, so sketches from disjoint corpora merge by
+    elementwise max — the shape used for per-partition cardinality
+    rollups at 10^12 rows. Deterministic md5 hashing + an exact-integer
+    estimator (see hll_estimate_batch) make this an APPROXIMATE operator
+    with an EXACT oracle, same contract as approx_distinct_kmv."""
+    from ..stages import sketch as sk
+
+    partials = _read(sf_dir, "events", ["event_id"]).map_batches(
+        lambda t: sk.hll_partial_batch(t, "event_id"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    merged = partials.groupby("j").max("rank")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"j": t["j"], "rank": t["max(rank)"]})
+
+    return (
+        merged.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(sk.hll_estimate_batch, batch_format="pyarrow",
+                     batch_size=None)
+    )
+
+
+def _hll_oracle_sql() -> str:
+    """Replays the HLL sketch exactly in SQL: same 60-bit md5 hash, the
+    leading-zero rank as an unrolled CASE over the 54-bit suffix, exact
+    integer register sums, and the identical single double division (the
+    numerator literal is repr'd from the engine's own constant)."""
+    from ..stages import sketch as sk
+
+    suffix = sk._HLL_SUFFIX_BITS
+    cases = [f"when w = 0 then {suffix + 1}"]
+    for k in range(suffix - 1, -1, -1):
+        cases.append(f"when w >= {1 << k} then {suffix - k}")
+    rank_case = "case " + " ".join(cases) + " end"
+    num = repr(sk.HLL_NUM)
+    return f"""
+with h as (
+  select distinct
+    ('0x' || substr(md5(cast(event_id as varchar)), 1, 15))::ubigint::bigint
+      as hv
+  from events where event_id is not null),
+rw as (select hv >> {suffix} as j,
+              hv & {(1 << suffix) - 1} as w from h),
+mr as (select j, max({rank_case}) as m_j from rw group by j),
+regs as (
+  select t.j, coalesce(mr.m_j, 0) as m_j
+  from (select unnest(generate_series(0, {sk.HLL_M - 1})) as j) t
+  left join mr using (j)),
+s as (select sum(1::bigint << ({suffix + 1} - m_j))::bigint as s_scaled,
+             sum(case when m_j = 0 then 1 else 0 end)::bigint as v_zero
+      from regs)
+select {sk.HLL_M}::bigint as m, v_zero, s_scaled,
+       round(case when {num} / s_scaled <= {2.5 * sk.HLL_M}
+                   and v_zero > 0
+                  then {sk.HLL_M} * ln({sk.HLL_M}.0 / v_zero)
+                  else {num} / s_scaled end, 6) as est_distinct
+from s
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -5772,6 +6015,11 @@ QUERIES = {
     "bloom_dedup": q_bloom_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "bpe_pairs": q_bpe_pairs,
+    "sample_reservoir": q_sample_reservoir,
+    "domain_dup_stats": q_domain_dup_stats,
+    "funnel": q_funnel,
+    "range_join": q_range_join,
+    "approx_distinct_hll": q_approx_distinct_hll,
 }
 
 
@@ -5973,6 +6221,42 @@ k as (select hv from h order by hv limit 256)
 select count(*)::bigint as k, max(hv) as kth_h,
        round((count(*) - 1) * pow(2.0, 60) / max(hv), 6) as est_distinct
 from k
+""",
+    "sample_reservoir": (
+        f"select doc_id, md5(cast(doc_id as varchar)) as rk "
+        f"from documents order by rk limit {RESERVOIR_K}"
+    ),
+    "domain_dup_stats": """
+with g as (
+  select source, md5(coalesce(text, '')) as h, count(*)::bigint as c
+  from documents group by 1, 2)
+select source, sum(c)::bigint as n_docs, count(*)::bigint as n_unique,
+       round(1.0 - count(*) * 1.0 / sum(c), 6) as dup_ratio
+from g group by source
+""",
+    "funnel": """
+with v as (select user_id, min(ts) as t_view
+           from events where event_type = 'view' group by 1),
+c as (select e.user_id, min(e.ts) as t_click
+      from events e join v using (user_id)
+      where e.event_type = 'click' and e.ts > v.t_view group by 1),
+p as (select e.user_id, min(e.ts) as t_purchase
+      from events e join c using (user_id)
+      where e.event_type = 'purchase' and e.ts > c.t_click group by 1)
+select u.user_id, v.t_view, c.t_click, p.t_purchase,
+       (case when p.t_purchase is not null then 1 else 0 end)::bigint
+         as completed
+from (select distinct user_id from events) u
+left join v using (user_id)
+left join c using (user_id)
+left join p using (user_id)
+""",
+    "range_join": f"""
+select e.event_id, count(v.ts)::bigint as n_views_5m
+from events e left join events v
+  on v.user_id = e.user_id and v.event_type = 'view'
+ and v.ts >= e.ts - interval {RANGE_WINDOW_S} second and v.ts < e.ts
+group by e.event_id
 """,
     "asof_join": (
         # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF
@@ -7275,6 +7559,7 @@ def all_oracles() -> dict[str, str]:
     import)."""
     out = dict(ORACLES)
     out["split_assign"] = SPLIT_ASSIGN_SQL
+    out["approx_distinct_hll"] = _hll_oracle_sql()
     out["bm25_search"] = bm25_oracle_sql()
     out["embedding_outliers"] = EMBEDDING_OUTLIERS_SQL
     out["dsir_weights"] = DSIR_WEIGHTS_SQL

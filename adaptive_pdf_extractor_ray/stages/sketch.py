@@ -159,3 +159,80 @@ class CmsEstimate:
                 "est": pa.array(e_out, pa.int64()),
             }
         )
+
+
+# --- HyperLogLog (cardinality, register-merge form) --------------------
+#
+# The register-based companion to KMV (Flajolet et al. 2007): every
+# value's 60-bit hash splits into a register index (top HLL_B bits) and
+# a 54-bit suffix whose leading-zero rank feeds a per-register MAX.
+# Where KMV's sketch is the k smallest hashes (k rows shuffled per
+# block), HLL's is m = 2^HLL_B single-byte registers — merge is
+# elementwise max, so per-block partials emit <= m rows and the whole
+# corpus sketch is m rows after one bounded groupby. Relative error
+# ~1.04/sqrt(m). Integer-exact estimator: sum(2^-M_j) is computed as
+# the EXACT integer S = sum(2^(55 - M_j)) (<= m * 2^55 < 2^63), and the
+# estimate alpha*m^2*2^55 / S is one double division of two exactly
+# known operands — bit-identical in numpy and DuckDB, which is what
+# makes this approximate operator value-verifiable by an exact oracle.
+
+HLL_B = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_B
+_HLL_SUFFIX_BITS = _HASH_BITS - HLL_B          # 54
+_HLL_ALPHA = 0.709             # alpha_64 (Flajolet et al., m = 64)
+# exact-integer scaling: S = sum(2^(55 - M_j)); estimate = NUM / S
+HLL_NUM = _HLL_ALPHA * HLL_M * HLL_M * 2.0 ** (_HLL_SUFFIX_BITS + 1)
+
+
+def hll_rank(w: int) -> int:
+    """Leading-zero rank of the 54-bit suffix: 55 - bit_length(w)
+    (w = 0 -> 55). Range 1..55, fits the exact-integer estimator."""
+    return (_HLL_SUFFIX_BITS + 1) - w.bit_length()
+
+
+def hll_partial_batch(batch: pa.Table, col: str) -> pa.Table:
+    """Per-block HLL partial: max rank per register over this block's
+    values (nulls skipped). Output <= HLL_M rows however large the
+    block; downstream merge is groupby(j).max(rank)."""
+    regs: dict[int, int] = {}
+    for v in batch[col].to_pylist():
+        if v is None:
+            continue
+        hv = _h60(v)
+        j = hv >> _HLL_SUFFIX_BITS
+        r = hll_rank(hv & ((1 << _HLL_SUFFIX_BITS) - 1))
+        if r > regs.get(j, 0):
+            regs[j] = r
+    ks = sorted(regs)
+    return pa.table(
+        {
+            "j": pa.array(ks, pa.int64()),
+            "rank": pa.array([regs[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def hll_estimate_batch(batch: pa.Table) -> pa.Table:
+    """Final HLL reduce over the merged (j, max rank) rows: fills the
+    absent registers with rank 0, computes the exact integer
+    S = sum(2^(55 - M_j)), and emits one row with the raw estimate
+    (or the linear-counting small-range correction m*ln(m/V) when
+    E <= 2.5 m and empty registers remain — Flajolet et al. §4)."""
+    import math
+
+    m_j = [0] * HLL_M
+    for j, r in zip(batch["j"].to_pylist(), batch["rank"].to_pylist()):
+        m_j[j] = max(m_j[j], r)
+    s_int = sum(1 << (_HLL_SUFFIX_BITS + 1 - r) for r in m_j)
+    v_zero = sum(1 for r in m_j if r == 0)
+    est = HLL_NUM / s_int
+    if est <= 2.5 * HLL_M and v_zero > 0:
+        est = HLL_M * math.log(HLL_M / v_zero)
+    return pa.table(
+        {
+            "m": pa.array([HLL_M], pa.int64()),
+            "v_zero": pa.array([v_zero], pa.int64()),
+            "s_scaled": pa.array([s_int], pa.int64()),
+            "est_distinct": pa.array([round(est, 6)], pa.float64()),
+        }
+    )

@@ -53,6 +53,11 @@ SUBSET = [
     "quality_tiers",
     "domain_stats",
     "mix_rebalance",
+    "sample_reservoir",
+    "domain_dup_stats",
+    "funnel",
+    "range_join",
+    "approx_distinct_hll",
 ]
 
 
