@@ -5837,6 +5837,272 @@ def q_range_join(sf_dir: str):
     )
 
 
+def q_range_join_bucketed(sf_dir: str):
+    """range_join WITHOUT the per-key-history assumption — and, unlike
+    asof_join_bucketed, with NO carry pass at all: because the lookback
+    window is BOUNDED (300 s), an event can only see views from its own
+    (user, day) bucket plus the final 300 s of the previous day, so
+    replicating just those boundary views forward as context-only rows
+    makes every bucket self-contained. One map emits each event into
+    its bucket (kind='evt') and each boundary view additionally into
+    the next day's bucket (kind='ctx'); one groupby resolves counts
+    inside the bucket. Replication volume is O(window/day_span) of the
+    views — the bounded-window decomposition every windowed operator
+    gets for free at 100 TB. Value-verified identical to the plain
+    operator (same oracle + equivalence test)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    w = np.timedelta64(RANGE_WINDOW_S, "s")
+    day_us = np.timedelta64(1, "D")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_pandas().values
+        day = ts.astype("datetime64[D]").astype("datetime64[us]")
+        ids = np.asarray(t["event_id"].to_pylist(), dtype=np.int64)
+        uid = np.asarray(t["user_id"].to_pylist(), dtype=np.int64)
+        et = np.asarray(t["event_type"].to_pylist())
+        is_view = et == "view"
+        # boundary views: within the window of the NEXT day's start
+        ctx = is_view & (ts >= day + day_us - w)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    ["evt"] * len(ids) + ["ctx"] * int(ctx.sum()),
+                    pa.string(),
+                ),
+                "event_id": pa.array(
+                    np.concatenate([ids, ids[ctx]]), pa.int64()
+                ),
+                "user_id": pa.array(
+                    np.concatenate([uid, uid[ctx]]), pa.int64()
+                ),
+                "day": pa.array(
+                    np.concatenate([day, day[ctx] + day_us]),
+                    pa.timestamp("us"),
+                ),
+                "ts": pa.array(
+                    np.concatenate([ts, ts[ctx]]), pa.timestamp("us")
+                ),
+                "event_type": pa.array(
+                    np.concatenate([et, et[ctx]]), pa.string()
+                ),
+            }
+        )
+
+    def count_in_bucket(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_pandas().values
+        ids = np.asarray(g["event_id"].to_pylist(), dtype=np.int64)
+        kind = np.asarray(g["kind"].to_pylist())
+        et = np.asarray(g["event_type"].to_pylist())
+        is_view = et == "view"
+        vts = np.sort(ts[is_view])
+        probe = kind == "evt"
+        pts = ts[probe]
+        lo = np.searchsorted(vts, pts - w, side="left")
+        hi = np.searchsorted(vts, pts, side="left")
+        return pa.table(
+            {
+                "event_id": pa.array(ids[probe], pa.int64()),
+                "n_views_5m": pa.array(
+                    (hi - lo).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .map_groups(count_in_bucket, batch_format="pyarrow")
+    )
+
+
+HITS_ITERS = 3
+HITS_SCALE = 10 ** 6
+
+
+def _hits_rescale_q(max_s: int) -> int:
+    """Per-half-step rescale divisor: ceil(max / SCALE), >= 1. Dividing
+    by q (instead of multiplying by SCALE/max) keeps every intermediate
+    <= n_nodes * SCALE — no int64 overflow up to ~9e12 nodes — while
+    staying a single exact integer floor division on both engine
+    routes and in the SQL oracle."""
+    return max((max_s + HITS_SCALE - 1) // HITS_SCALE, 1)
+
+
+def _hits_driver(pages_dir: str, iters: int = HITS_ITERS):
+    """HITS on the driver for small graphs (same routing guard as
+    pagerank): identical integer fixed-point arithmetic to the
+    distributed route, so the two are bit-equal."""
+    e = _outlinks_ds(pages_dir).to_pandas()
+    edges = list(zip(e["src"].tolist(), e["dst"].tolist()))
+    nodes = rd.read_parquet(pages_dir, columns=["url"]).to_pandas()[
+        "url"
+    ].tolist()
+    h = {u: HITS_SCALE for u in nodes}
+    a = {u: 0 for u in nodes}
+    for _ in range(iters):
+        araw = {u: 0 for u in nodes}
+        for s, d in edges:
+            araw[d] += h[s]
+        qa = _hits_rescale_q(max(araw.values()))
+        a = {u: v // qa for u, v in araw.items()}
+        hraw = {u: 0 for u in nodes}
+        for s, d in edges:
+            hraw[s] += a[d]
+        qh = _hits_rescale_q(max(hraw.values()))
+        h = {u: v // qh for u, v in hraw.items()}
+    return pa.table(
+        {
+            "url": pa.array(nodes, pa.string()),
+            "authority": pa.array(
+                [a[u] / float(HITS_SCALE) for u in nodes], pa.float64()
+            ),
+            "hub": pa.array(
+                [h[u] / float(HITS_SCALE) for u in nodes], pa.float64()
+            ),
+        }
+    )
+
+
+def _hits_distributed(pages_dir: str, n: int, iters: int = HITS_ITERS):
+    """HITS as iterative join + groupby dataflow — the two-sided twin of
+    ``_pagerank_distributed``: each half-step joins the edge list to the
+    current vector (authority pulls hub over src, hub pulls authority
+    over dst), per-batch pre-sums the contributions (integer sums are
+    exactly associative), groupby-sums across blocks, and rescales by a
+    single scalar divisor read off a tiny max aggregate. Ghost 0-rows
+    keep sink/source nodes alive without an outer join. Vectors are
+    O(nodes) rows per round, materialized to cut lineage growth."""
+    edges = _outlinks_ds(pages_dir).materialize()
+    nparts = dd.adaptive_partitions(n * 4)
+    nodes = rd.read_parquet(pages_dir, columns=["url"])
+    hvec = nodes.map_batches(
+        lambda t: pa.table(
+            {"url": t["url"],
+             "v": pa.array([HITS_SCALE] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    ghost = nodes.map_batches(
+        lambda t: pa.table(
+            {"k": t["url"], "w": pa.array([0] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def contrib(out_key: str):
+        def f(t: pa.Table) -> pa.Table:
+            part = (
+                pa.table({"k": t[out_key], "w": t["v"]})
+                .group_by("k")
+                .aggregate([("w", "sum")])
+            )
+            return pa.table(
+                {"k": part["k"], "w": pc.cast(part["w_sum"], pa.int64())}
+            )
+
+        return f
+
+    def half_step(vec, edge_key: str, out_key: str):
+        contribs = (
+            edges.join(vec, join_type="inner", num_partitions=nparts,
+                       on=(edge_key,), right_on=("url",))
+            .map_batches(contrib(out_key), batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .union(ghost)
+        )
+        sums = _grouped_sum_str(contribs, "k", "w", "w_sum", nparts)
+        q = _hits_rescale_q(int(sums.max("w_sum")))
+        return sums.map_batches(
+            lambda t: pa.table(
+                {"url": t["k"],
+                 "v": pc.divide(pc.cast(t["w_sum"], pa.int64()),
+                                pa.scalar(q, pa.int64()))}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+
+    avec = None
+    for _ in range(iters):
+        avec = half_step(hvec, "src", "dst")   # authority <- sum of hubs
+        hvec = half_step(avec, "dst", "src")   # hub <- sum of authorities
+
+    out = avec.join(hvec, join_type="inner", num_partitions=nparts,
+                    on=("url",), right_on=("url",),
+                    right_suffix="_h")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t["url"],
+                "authority": pc.divide(
+                    pc.cast(t["v"], pa.float64()),
+                    pa.scalar(float(HITS_SCALE)),
+                ),
+                "hub": pc.divide(
+                    pc.cast(t["v_h"], pa.float64()),
+                    pa.scalar(float(HITS_SCALE)),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_hits_rank(sf_dir: str):
+    """HITS hubs & authorities over the link graph (Kleinberg 1999) —
+    the query-independent page-quality companion to PageRank: 3
+    synchronous iterations of a <- A^T h, h <- A a with an integer
+    fixed-point max-rescale per half-step (see _hits_rescale_q).
+    Size-routed like pagerank/lm_score: small graphs iterate on the
+    driver, big ones run the distributed join+groupby rounds — both
+    routes use the same integer arithmetic and are bit-equal to each
+    other and to the unrolled SQL oracle."""
+    pages_dir = link_corpus()
+    if LINK_N * 6 <= PR_DRIVER_EDGE_LIMIT:
+        return _hits_driver(pages_dir)
+    return _hits_distributed(pages_dir, LINK_N)
+
+
+def hits_oracle_sql(pages_dir: str, iters: int = HITS_ITERS) -> str:
+    """Unrolled replay of q_hits_rank's integer recurrence (the
+    pagerank_oracle_sql pattern): same exact integer sums, the same
+    ceil-divide rescale via greatest((max+S-1)//S, 1), ghost-zero
+    semantics via coalesce over the full page list, ending in the
+    identical int -> double divisions."""
+    s = HITS_SCALE
+    parts = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+a{k}raw as (
+  select e.dst as url, sum(hp.v)::bigint as s
+  from edges e join {prev_h} hp on e.src = hp.url group by e.dst),
+a{k}q as (
+  select greatest((max(s) + {s - 1}) // {s}, 1) as q from a{k}raw),
+a{k} as (
+  select p.url, coalesce(ar.s, 0) // (select q from a{k}q) as v
+  from pages p left join a{k}raw ar using (url)),
+h{k}raw as (
+  select e.src as url, sum(ap.v)::bigint as s
+  from edges e join a{k} ap on e.dst = ap.url group by e.src),
+h{k}q as (
+  select greatest((max(s) + {s - 1}) // {s}, 1) as q from h{k}raw),
+h{k} as (
+  select p.url, coalesce(hr.s, 0) // (select q from h{k}q) as v
+  from pages p left join h{k}raw hr using (url))""")
+        prev_h = f"h{k}"
+    return f"""
+with pages_raw as ({_link_pages_sql(pages_dir)}),
+links as ({outlinks_oracle_sql(pages_dir)}),
+edges as (select src, dst from links),
+pages as (select url from pages_raw),
+h0 as (select url, {s}::bigint as v from pages){"".join(parts)}
+select a{iters}.url, a{iters}.v / {s}.0 as authority,
+       h{iters}.v / {s}.0 as hub
+from a{iters} join h{iters} using (url)
+"""
+
+
 def q_approx_distinct_hll(sf_dir: str):
     """Approximate count-distinct of ``event_id`` via HyperLogLog
     (``stages/sketch.py``): per-block partials emit <= 64 (register,
@@ -6019,7 +6285,9 @@ QUERIES = {
     "domain_dup_stats": q_domain_dup_stats,
     "funnel": q_funnel,
     "range_join": q_range_join,
+    "range_join_bucketed": q_range_join_bucketed,
     "approx_distinct_hll": q_approx_distinct_hll,
+    "hits_rank": q_hits_rank,
 }
 
 
@@ -6252,6 +6520,15 @@ left join c using (user_id)
 left join p using (user_id)
 """,
     "range_join": f"""
+select e.event_id, count(v.ts)::bigint as n_views_5m
+from events e left join events v
+  on v.user_id = e.user_id and v.event_type = 'view'
+ and v.ts >= e.ts - interval {RANGE_WINDOW_S} second and v.ts < e.ts
+group by e.event_id
+""",
+    # the bucketed decomposition is value-identical by construction;
+    # same oracle as the plain operator
+    "range_join_bucketed": f"""
 select e.event_id, count(v.ts)::bigint as n_views_5m
 from events e left join events v
   on v.user_id = e.user_id and v.event_type = 'view'
@@ -7576,6 +7853,7 @@ def all_oracles() -> dict[str, str]:
     out["outlinks"] = outlinks_oracle_sql(link_dir)
     out["link_indegree"] = indegree_oracle_sql(link_dir)
     out["pagerank"] = pagerank_oracle_sql(link_dir)
+    out["hits_rank"] = hits_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)
     out["external_link_ratio"] = external_link_ratio_oracle_sql(link_dir)

@@ -89,6 +89,13 @@ BENCH_QUERIES = [
     "bloom_dedup",
     "ccnet_buckets",
     "bpe_pairs",
+    "sample_reservoir",
+    "domain_dup_stats",
+    "funnel",
+    "range_join",
+    "range_join_bucketed",
+    "approx_distinct_hll",
+    "hits_rank",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

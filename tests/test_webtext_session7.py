@@ -173,3 +173,80 @@ class TestHll:
         assert sk.hll_rank(1) == 54
         assert sk.hll_rank((1 << 53)) == 1
         assert sk.hll_rank((1 << 53) + 12345) == 1
+
+
+class TestHits:
+    def test_distributed_route_bit_equal_to_driver(
+        self, ray_session, monkeypatch
+    ):
+        """The scale path (join+groupby half-steps) must produce the
+        exact table the driver route produces — same integer
+        fixed-point arithmetic, so equality is bitwise, not approximate."""
+        drv = q.QUERIES["hits_rank"](SF).to_pandas()
+        monkeypatch.setattr(q, "PR_DRIVER_EDGE_LIMIT", 0)
+        dist = q.QUERIES["hits_rank"](SF).to_pandas()
+        a = drv.sort_values("url").reset_index(drop=True)
+        b = dist.sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    def test_scores_in_unit_range_and_informative(self, ray_session):
+        df = q.QUERIES["hits_rank"](SF).to_pandas()
+        assert ((df["authority"] >= 0) & (df["authority"] <= 1)).all()
+        assert ((df["hub"] >= 0) & (df["hub"] <= 1)).all()
+        # the ceil-divide rescale (v // ceil(max/S)) keeps the max in
+        # (0.5, 1.0] — it cannot decay toward zero across iterations
+        assert df["authority"].max() > 0.5
+        assert df["hub"].max() > 0.5
+        # not a constant vector
+        assert df["authority"].nunique() > 10
+
+
+class TestRangeJoinBucketed:
+    def test_identical_to_plain_operator(self, ray_session):
+        a = (
+            q.QUERIES["range_join"](SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            q.QUERIES["range_join_bucketed"](SF)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    def test_cross_midnight_window_resolved_by_replication(
+        self, ray_session, tmp_path
+    ):
+        """A click 10 s after midnight must see the views from the last
+        minutes of the previous day — the case the per-bucket count
+        would miss without the boundary-view replication."""
+        mid = pd.Timestamp("2025-03-02 00:00:00")
+        rows = [
+            (1, mid - pd.Timedelta(seconds=200), "view"),   # prev day, in window
+            (2, mid - pd.Timedelta(seconds=400), "view"),   # prev day, too old
+            (3, mid + pd.Timedelta(seconds=10), "click"),   # probe, next day
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows]),
+                "user_id": pa.array([3] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, tmp_path / "events.parquet")
+        df = (
+            q.QUERIES["range_join_bucketed"](str(tmp_path))
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert df.loc[3, "n_views_5m"] == 1
+        # and the replicated context row is not double-reported
+        assert len(df) == 3
