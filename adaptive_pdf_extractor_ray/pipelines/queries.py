@@ -6103,6 +6103,53 @@ from a{iters} join h{iters} using (url)
 """
 
 
+def link_components_oracle_sql(pages_dir: str) -> str:
+    """Replay of q_link_components: same md5-60-bit node ids, same
+    intra-domain + known-target edge filter, self-loops for singletons,
+    min-label components via the recursive-CTE idiom shared with the
+    dedup_minhash_clusters oracle, then the two id->url joins."""
+    return f"""
+with pages_raw as ({_link_pages_sql(pages_dir)}),
+l as ({outlinks_oracle_sql(pages_dir)}),
+h as (select url, ('0x' || substr(md5(url), 1, 15))::bigint as hid
+      from pages_raw),
+e0 as (
+  select src, dst from l
+  where src <> dst
+    and split_part(split_part(src, '://', 2), '/', 1)
+        = split_part(split_part(dst, '://', 2), '/', 1)),
+eh as (select hs.hid as a, hd.hid as b
+       from e0 join h hs on hs.url = e0.src
+               join h hd on hd.url = e0.dst),
+edges as (select a as src, b as dst from eh
+          union select b, a from eh
+          union select hid, hid from h),
+comp as (
+  select node, rep from (
+    with recursive r(node, reached) as (
+      select src, src from edges
+      union
+      select r.node, e.dst from r join edges e on e.src = r.reached)
+    select node, min(reached) as rep from r group by node))
+select hu.url, hr.url as component
+from comp join h hu on hu.hid = comp.node
+          join h hr on hr.hid = comp.rep
+"""
+
+
+def triangles_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with l as ({outlinks_oracle_sql(pages_dir)}),
+d as (select distinct src, dst from l where src <> dst),
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from d)
+select count(*)::bigint as n_triangles
+from und e1
+join und e2 on e2.a = e1.b
+join und e3 on e3.a = e1.a and e3.b = e2.b
+"""
+
+
 def q_approx_distinct_hll(sf_dir: str):
     """Approximate count-distinct of ``event_id`` via HyperLogLog
     (``stages/sketch.py``): per-block partials emit <= 64 (register,
@@ -6171,6 +6218,264 @@ select {sk.HLL_M}::bigint as m, v_zero, s_scaled,
                   else {num} / s_scaled end, 6) as est_distinct
 from s
 """
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix over events: users are cohorted by their
+    first active day; each (cohort_day, day_offset) cell counts users
+    from that cohort active on cohort_day + offset. One groupby(user)
+    bounds the shuffle to DISTINCT (user, day) pairs (deduped per batch
+    before the shuffle), then per-batch partial counts make the second
+    shuffle move counters, not users — the analytics-warehouse op every
+    event pipeline ends in."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        return (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = np.unique(
+            g["day"].to_numpy(zero_copy_only=False)
+        )  # sorted datetime64[us]
+        cohort = days[0]
+        off = ((days - cohort) // np.timedelta64(1, "D")).astype(np.int64)
+        # epoch-DAY int key through the shuffle (Ray's sort/aggregate
+        # boundary sampling logs precision warnings on timestamp keys,
+        # and an int64 shuffles cheaper); back to timestamp at the end
+        cohort_day_i = int(
+            cohort.astype("datetime64[D]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "cohort_day_i": pa.array(
+                    np.full(len(days), cohort_day_i, dtype=np.int64),
+                    pa.int64(),
+                ),
+                "day_offset": pa.array(off, pa.int64()),
+                "n": pa.array(np.ones(len(days), np.int64), pa.int64()),
+            }
+        )
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = t.group_by(["cohort_day_i", "day_offset"]).aggregate(
+            [("n", "sum")]
+        )
+        return pa.table(
+            {
+                "cohort_day_i": part["cohort_day_i"],
+                "day_offset": part["day_offset"],
+                "n": pc.cast(part["n_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(to_days, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["cohort_day_i", "day_offset"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_day": pc.cast(
+                    pc.multiply(t["cohort_day_i"],
+                                pa.scalar(86_400_000_000, pa.int64())),
+                    pa.timestamp("us"),
+                ),
+                "day_offset": t["day_offset"],
+                "n_users": pc.cast(t["n_users"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_session_stats(sf_dir: str):
+    """Per-session roll-up (the row-level companion to the per-user
+    ``sessionize`` counts): sessions split at >30 min gaps within a
+    (ts, event_id)-sorted per-user stream; each session row carries its
+    1-based index, event count, exact microsecond duration, purchase
+    count, and revenue in integer micro-units (floor(value*1e6 + 0.5),
+    identical arithmetic both sides — order-free integer sums, no
+    float-summation-order hazard). Same bounded-group caveat as
+    sessionize; the bucketed decomposition pattern applies unchanged."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+
+    def sessions(g) -> "pa.Table":
+        import pandas as pd
+
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds()
+        sid = ((gaps > SESSION_GAP_S) | gaps.isna()).cumsum()
+        micro = np.floor(g["value"].values * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        out = []
+        for s, sub in g.assign(
+            _sid=sid, _micro=micro
+        ).groupby("_sid", sort=True):
+            out.append(
+                {
+                    "user_id": int(sub["user_id"].iloc[0]),
+                    "session_idx": int(s),
+                    "n_events": len(sub),
+                    "duration_us": int(
+                        (sub["ts"].iloc[-1] - sub["ts"].iloc[0]).value
+                        // 1000
+                    ),
+                    "n_purchases": int(
+                        (sub["event_type"] == "purchase").sum()
+                    ),
+                    "revenue_micro": int(sub["_micro"].sum()),
+                }
+            )
+        return pd.DataFrame(out)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def _h60(u: str) -> int:
+    """60-bit node id from md5 — fits int64 on both engines; SQL twin:
+    ``('0x' || substr(md5(u), 1, 15))::bigint``. A collision would merge
+    the same two components on BOTH sides (the id is the only identity),
+    so value-parity is hash-independent; production graphs past ~1e8
+    nodes should assign dense ids instead."""
+    return int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def q_link_components(sf_dir: str):
+    """Weakly-connected components of the INTRA-domain link subgraph
+    (site-section segmentation: cross-domain edges cut, so components =
+    navigational clusters within each site). Nodes are md5-60-bit ids
+    (_h60); edges keep only same-host, non-self links whose target is a
+    known page (hash join against the page list — never a broadcast of
+    the corpus-sized url set); every page contributes a self-loop so
+    singletons surface. Components via stages/dedup.connected_components
+    (size-routed union-find task / distributed min-label propagation),
+    then two hash joins map (node, rep) ids back to urls."""
+    pages_dir = link_corpus()
+    pages = rd.read_parquet(pages_dir, columns=["url"])
+
+    def host(u: str) -> str:
+        parts = u.split("://", 1)
+        rest = parts[1] if len(parts) == 2 else ""
+        return rest.split("/", 1)[0]
+
+    def intra(t: pa.Table) -> pa.Table:
+        src = t["src"].to_pylist()
+        dst = t["dst"].to_pylist()
+        keep_s, keep_d = [], []
+        for s, d in zip(src, dst):
+            if s != d and host(s) == host(d):
+                keep_s.append(s)
+                keep_d.append(d)
+        return pa.table(
+            {
+                "src": pa.array(keep_s, pa.string()),
+                "dst": pa.array(keep_d, pa.string()),
+            }
+        )
+
+    def hash_pages(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "hid": pa.array(
+                    [_h60(u) for u in t["url"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    hmap = pages.map_batches(hash_pages, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    nparts = dd.adaptive_partitions(LINK_N)
+    internal = _outlinks_ds(pages_dir).map_batches(
+        intra, batch_format="pyarrow"
+    ).join(hmap, join_type="inner", num_partitions=nparts,
+           on=("dst",), right_on=("url",))
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(
+                    [_h60(u) for u in t["src"].to_pylist()], pa.int64()
+                ),
+                "b": t["hid"],
+            }
+        )
+
+    self_loops = hmap.map_batches(
+        lambda t: pa.table({"a": t["hid"], "b": t["hid"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    edges = internal.map_batches(
+        to_ids, batch_format="pyarrow"
+    ).union(self_loops)
+    comp = dd.connected_components(edges, num_partitions=nparts)
+    named = comp.join(hmap, join_type="inner", num_partitions=nparts,
+                      on=("doc_id",), right_on=("hid",))
+    return (
+        named.join(hmap, join_type="inner", num_partitions=nparts,
+                   on=("rep_id",), right_on=("hid",), right_suffix="_rep")
+        .map_batches(
+            lambda t: pa.table(
+                {"url": t["url"], "component": t["url_rep"]}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+
+def q_graph_triangles(sf_dir: str):
+    """Global triangle count of the undirected simple link graph (the
+    clustering / community-density signal; Suri & Vassilvitskii's
+    join-based formulation): dedup the multigraph into oriented edges
+    (a < b) via one groupby, self-join on the shared middle vertex to
+    enumerate wedges (a<b<c), then a multi-key hash join back against
+    the edge set closes them. Each triangle is counted exactly once by
+    the total order. At web scale the orientation would be by DEGREE
+    (low-degree vertex first) to bound wedges on skewed graphs; id
+    order keeps the oracle exact here and the join shape identical."""
+    pages_dir = link_corpus()
+    e = _outlinks_ds(pages_dir)
+
+    def orient(t: pa.Table) -> pa.Table:
+        src, dst = t["src"], t["dst"]
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        lo = pc.min_element_wise(src, dst)
+        hi = pc.max_element_wise(src, dst)
+        return (
+            pa.table({"a": lo, "b": hi})
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    nparts = dd.adaptive_partitions(LINK_N)
+    und = (
+        e.map_batches(orient, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+    wedges = und.join(und, join_type="inner", num_partitions=nparts,
+                      on=("b",), right_on=("a",), right_suffix="_2")
+    tris = wedges.join(und, join_type="inner", num_partitions=nparts,
+                       on=("a", "b_2"), right_on=("a", "b"),
+                       right_suffix="_3")
+    n = tris.count()
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
 # ---------------------------------------------------------------------------
@@ -6288,6 +6593,10 @@ QUERIES = {
     "range_join_bucketed": q_range_join_bucketed,
     "approx_distinct_hll": q_approx_distinct_hll,
     "hits_rank": q_hits_rank,
+    "cohort_retention": q_cohort_retention,
+    "session_stats": q_session_stats,
+    "link_components": q_link_components,
+    "graph_triangles": q_graph_triangles,
 }
 
 
@@ -6534,6 +6843,36 @@ from events e left join events v
   on v.user_id = e.user_id and v.event_type = 'view'
  and v.ts >= e.ts - interval {RANGE_WINDOW_S} second and v.ts < e.ts
 group by e.event_id
+""",
+    "cohort_retention": """
+with ud as (
+  select distinct user_id, date_trunc('day', ts) as day from events),
+c as (select user_id, min(day) as cohort_day from ud group by user_id)
+select c.cohort_day,
+       date_diff('day', c.cohort_day, ud.day)::bigint as day_offset,
+       count(*)::bigint as n_users
+from ud join c using (user_id)
+group by 1, 2
+""",
+    "session_stats": f"""
+with o as (
+  select user_id, ts, event_id, event_type, value,
+         case when lag(ts) over w is null
+                or ts - lag(ts) over w > interval {SESSION_GAP_S} seconds
+              then 1 else 0 end as new_s
+  from events
+  window w as (partition by user_id order by ts, event_id)),
+s as (
+  select *, sum(new_s) over (partition by user_id order by ts, event_id
+                             rows unbounded preceding) as session_idx
+  from o)
+select user_id, session_idx::bigint as session_idx,
+       count(*)::bigint as n_events,
+       date_diff('microsecond', min(ts), max(ts))::bigint as duration_us,
+       sum(case when event_type = 'purchase' then 1 else 0 end)::bigint
+         as n_purchases,
+       sum(floor(value * 1000000 + 0.5)::bigint)::bigint as revenue_micro
+from s group by user_id, session_idx
 """,
     "asof_join": (
         # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF
@@ -7854,6 +8193,8 @@ def all_oracles() -> dict[str, str]:
     out["link_indegree"] = indegree_oracle_sql(link_dir)
     out["pagerank"] = pagerank_oracle_sql(link_dir)
     out["hits_rank"] = hits_oracle_sql(link_dir)
+    out["link_components"] = link_components_oracle_sql(link_dir)
+    out["graph_triangles"] = triangles_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)
     out["external_link_ratio"] = external_link_ratio_oracle_sql(link_dir)

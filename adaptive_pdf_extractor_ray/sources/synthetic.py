@@ -554,7 +554,13 @@ def write_link_corpus(out_dir: str, n: int = 200, seed: int = 1) -> str:
     manifest = os.path.join(out_dir, "_manifest.json")
     # v2: every 25th page pair (i, i+1) links BOTH ways — the reciprocal
     # pairs the link-farm detector (q_reciprocal_links) must surface
-    want = {"kind": "links", "n": n, "seed": seed, "v": 2}
+    # v3: same-domain nav links (page i -> i-20, i.e. the previous page
+    # of the same site) — real sites have internal navigation; gives the
+    # intra-domain subgraph (q_link_components) 20 chain components
+    # instead of near-empty. Verified to add NO reciprocal pairs to the
+    # (200, seed 1) and (50, seed 3) corpora, preserving the planted
+    # every-25th-pair invariant q_reciprocal_links tests pin.
+    want = {"kind": "links", "n": n, "seed": seed, "v": 3}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == want:
@@ -581,6 +587,8 @@ def write_link_corpus(out_dir: str, n: int = 200, seed: int = 1) -> str:
             targets.append(page_url(i + 1))
         if i % 25 == 1:
             targets.append(page_url(i - 1))
+        if i >= 20:  # same-domain nav: previous page of this site
+            targets.append(page_url(i - 20))
         anchors = "".join(
             f'<a href="{u}">link-{k}</a>' for k, u in enumerate(targets)
         )

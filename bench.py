@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "range_join_bucketed",
     "approx_distinct_hll",
     "hits_rank",
+    "cohort_retention",
+    "session_stats",
+    "link_components",
+    "graph_triangles",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

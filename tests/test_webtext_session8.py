@@ -1,0 +1,154 @@
+"""Unit tests for the session-8 operators: cohort retention, per-session
+stats, intra-domain link components, triangle counting. (Oracle
+value-parity is covered by the driver gate / check_oracles; these pin
+the semantic edge cases the SQL compare can't isolate.)
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts, user_id, event_type, value)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+class TestCohortRetention:
+    def test_offsets_anchor_to_first_day(self, ray_session, tmp_path):
+        t0 = pd.Timestamp("2025-03-01 10:00:00")
+        day = pd.Timedelta(days=1)
+        rows = [
+            # user 1: active day 0 and day 2
+            (1, t0, 1, "view", 0.0),
+            (2, t0 + day * 2, 1, "view", 0.0),
+            # user 2: joins a day later, active once
+            (3, t0 + day, 2, "view", 0.0),
+            # user 1 again on day 0 (same-day dup must not double count)
+            (4, t0 + pd.Timedelta(hours=5), 1, "click", 0.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        df = (
+            q.QUERIES["cohort_retention"](sf)
+            .to_pandas()
+            .set_index(["cohort_day", "day_offset"])["n_users"]
+        )
+        d0 = pd.Timestamp("2025-03-01")
+        d1 = pd.Timestamp("2025-03-02")
+        assert df[(d0, 0)] == 1
+        assert df[(d0, 2)] == 1
+        assert df[(d1, 0)] == 1
+        assert len(df) == 3
+
+    def test_every_cohort_has_offset_zero(self, ray_session):
+        df = q.QUERIES["cohort_retention"](SF).to_pandas()
+        zero = df[df["day_offset"] == 0].set_index("cohort_day")
+        for c in df["cohort_day"].unique():
+            assert c in zero.index
+        # offset-0 count is the cohort size: no later offset can exceed it
+        m = df.groupby("cohort_day")["n_users"].max()
+        assert (zero["n_users"] >= m.loc[zero.index] * 0 + 0).all()
+        merged = df.merge(
+            zero["n_users"].rename("c0"), left_on="cohort_day",
+            right_index=True,
+        )
+        assert (merged["n_users"] <= merged["c0"]).all()
+
+
+class TestSessionStats:
+    def test_gap_splits_and_revenue_micro(self, ray_session, tmp_path):
+        t0 = pd.Timestamp("2025-03-01 10:00:00")
+        rows = [
+            (1, t0, 7, "view", 1.25),
+            (2, t0 + pd.Timedelta(seconds=10), 7, "purchase", 10.50),
+            # > 30 min gap: new session
+            (3, t0 + pd.Timedelta(seconds=10 + 1801), 7, "view", 0.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        df = (
+            q.QUERIES["session_stats"](sf)
+            .to_pandas()
+            .sort_values("session_idx")
+            .reset_index(drop=True)
+        )
+        assert len(df) == 2
+        assert df.loc[0, "n_events"] == 2
+        assert df.loc[0, "duration_us"] == 10_000_000
+        assert df.loc[0, "n_purchases"] == 1
+        assert df.loc[0, "revenue_micro"] == 11_750_000
+        assert df.loc[1, "n_events"] == 1
+        assert df.loc[1, "duration_us"] == 0
+
+    def test_session_count_matches_sessionize(self, ray_session):
+        per_session = q.QUERIES["session_stats"](SF).to_pandas()
+        per_user = q.QUERIES["sessionize"](SF).to_pandas()
+        got = per_session.groupby("user_id").agg(
+            n_sessions=("session_idx", "max"), n_events=("n_events", "sum")
+        )
+        want = per_user.set_index("user_id")[["n_sessions", "n_events"]]
+        pd.testing.assert_frame_equal(
+            got.sort_index(), want.sort_index(), check_like=True,
+            check_dtype=False,
+        )
+
+
+class TestLinkComponents:
+    def test_twenty_intra_domain_chains(self, ray_session):
+        df = q.QUERIES["link_components"](SF).to_pandas()
+        assert len(df) == q.LINK_N
+        # v3 corpus: each of the 20 sites is one nav chain
+        assert df["component"].nunique() == 20
+        sizes = df.groupby("component").size()
+        assert (sizes == q.LINK_N // 20).all()
+        # a component never spans domains
+        host = df["url"].str.extract(r"https://([^/]+)/")[0]
+        assert (
+            df.assign(h=host).groupby("component")["h"].nunique() == 1
+        ).all()
+
+    def test_rep_is_min_hash_member(self, ray_session):
+        df = q.QUERIES["link_components"](SF).to_pandas()
+        reps = df.groupby("component").apply(
+            lambda g: min(g["url"], key=q._h60), include_groups=False
+        )
+        assert (reps.index == reps.values).all()
+
+
+class TestTriangles:
+    def test_count_matches_bruteforce(self, ray_session):
+        import itertools
+
+        got = q.QUERIES["graph_triangles"](SF)["n_triangles"][0].as_py()
+        pages_dir = q.link_corpus()
+        e = q._outlinks_ds(pages_dir).to_pandas()
+        und = set()
+        for s, d in zip(e["src"], e["dst"]):
+            if s != d:
+                und.add((min(s, d), max(s, d)))
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        n = 0
+        for a, b in und:
+            n += len((adj[a] & adj[b]) - {a, b})
+        # each triangle is counted once per edge -> exactly 3 times
+        assert n % 3 == 0
+        assert got == n // 3
+        assert got > 0
