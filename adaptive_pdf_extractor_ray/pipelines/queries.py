@@ -6478,6 +6478,174 @@ def q_graph_triangles(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+COLLOC_MIN_COUNT = 5
+
+
+def q_collocations(sf_dir: str):
+    """Collocation mining over the corpus (the phrase-discovery /
+    tokenizer-seeding signal): adjacent-token bigrams scored by LIFT
+    (observed/expected frequency ratio — the exp of PMI, so the same
+    ranking without a cross-engine ln). Tokenization is the dedup
+    family's ASCII-whitespace split (SQL_TOKENIZE parity). Per-batch
+    partial counts collapse both shuffles to (token, n) counters; the
+    two count joins run on the already-tiny >= min-count bigram set.
+    The lift division is written with the IDENTICAL association order
+    on both engines so the doubles agree bit-for-bit before round(6)."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def bigram_partials(t: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str], int] = {}
+        for s in t["text"].to_pylist():
+            toks = [w for w in dd._WS_RE.split(s or "") if w]
+            for w1, w2 in zip(toks, toks[1:]):
+                agg[(w1, w2)] = agg.get((w1, w2), 0) + 1
+        keys = list(agg.keys())
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in keys], pa.string()),
+                "w2": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    def unigram_partials(t: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for w in dd._WS_RE.split(s or ""):
+                if w:
+                    agg[w] = agg.get(w, 0) + 1
+        return pa.table(
+            {
+                "w": pa.array(list(agg.keys()), pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    big = (
+        docs.map_batches(bigram_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="c_ab"))
+        .materialize()
+    )
+    uni = (
+        docs.map_batches(unigram_partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="c"))
+        .materialize()
+    )
+    # totals read off the materialized count tables — no recompute pass
+    n_tok = int(uni.sum("c"))
+    n_pairs = int(big.sum("c_ab"))
+    nparts = _pool()
+    sel = big.filter(
+        expr=f"c_ab >= {COLLOC_MIN_COUNT}"
+    )
+    j1 = sel.join(uni, join_type="inner", num_partitions=nparts,
+                  on=("w1",), right_on=("w",))
+    j2 = j1.join(uni, join_type="inner", num_partitions=nparts,
+                 on=("w2",), right_on=("w",), right_suffix="_b")
+
+    def score(t: pa.Table) -> pa.Table:
+        c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = t["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # EXACT shape mirrored in SQL: (c_ab*n_tok*n_tok) / (n_pairs*c_a*c_b)
+        lift = (c_ab * float(n_tok) * float(n_tok)) / (
+            (float(n_pairs) * c_a) * c_b
+        )
+        return pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "c_ab": t["c_ab"],
+                "c_a": t["c"],
+                "c_b": t["c_b"],
+                "lift": pa.array(np.round(lift, 6), pa.float64()),
+            }
+        )
+
+    return j2.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_posting_gaps(sf_dir: str):
+    """Gap-encoded inverted index (the index-compression layout: sorted
+    posting lists stored as deltas): distinct (term, doc_id) postings,
+    one shuffle on term, per-term sorted doc ids emitted as (idx, doc_id,
+    gap) rows with gap = delta to the previous posting (first = the id
+    itself). Row-per-posting output streams; no list columns to blow a
+    block on a stop-word's million-entry posting list."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        d_out: list[int] = []
+        t_out: list[str] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in {w for w in (s or "").split(" ") if w}:
+                d_out.append(did)
+                t_out.append(w)
+        return pa.table(
+            {
+                "term": pa.array(t_out, pa.string()),
+                "doc_id": pa.array(d_out, pa.int64()),
+            }
+        )
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.asarray(g["doc_id"].to_pylist(), dtype=np.int64)
+        )
+        prev = np.concatenate(([0], ids[:-1]))
+        return pa.table(
+            {
+                "term": pa.array(
+                    [g["term"][0].as_py()] * len(ids), pa.string()
+                ),
+                "idx": pa.array(
+                    np.arange(1, len(ids) + 1, dtype=np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+                "gap": pa.array(ids - prev, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+def q_quantiles_by_domain(sf_dir: str):
+    """Exact per-domain length quantiles (the corpus-profiling op behind
+    per-source mix decisions): p50/p90 of n_chars per source via the
+    explicit order-statistic index floor((n-1)*q) — one definition, no
+    interpolation-mode ambiguity, identical on both engines. One
+    groupby(source); each group sorts its own lengths (bounded by the
+    per-source doc count — the same bounded-group caveat as sessionize,
+    with the same bucketed-decomposition escape if a source outgrows a
+    group)."""
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def stats(g: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(g["n_chars"].to_pylist(), dtype=np.int64))
+        n = len(v)
+        return pa.table(
+            {
+                "source": pa.array([g["source"][0].as_py()], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "p50_chars": pa.array([int(v[(n - 1) // 2])], pa.int64()),
+                "p90_chars": pa.array(
+                    [int(v[((n - 1) * 9) // 10])], pa.int64()
+                ),
+            }
+        )
+
+    return docs.groupby("source").map_groups(stats, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -6597,6 +6765,9 @@ QUERIES = {
     "session_stats": q_session_stats,
     "link_components": q_link_components,
     "graph_triangles": q_graph_triangles,
+    "collocations": q_collocations,
+    "posting_gaps": q_posting_gaps,
+    "quantiles_by_domain": q_quantiles_by_domain,
 }
 
 
@@ -6873,6 +7044,58 @@ select user_id, session_idx::bigint as session_idx,
          as n_purchases,
        sum(floor(value * 1000000 + 0.5)::bigint)::bigint as revenue_micro
 from s group by user_id, session_idx
+""",
+    "collocations": f"""
+with tk as (select {dd.SQL_TOKENIZE.format(col="text")} as toks
+            from documents),
+big as (
+  select split_part(p, ' ', 1) as w1, split_part(p, ' ', 2) as w2
+  from (select unnest(case when len(toks) >= 2 then
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i+1])
+               else [] end) as p
+        from tk)),
+uni as (select unnest(toks) as w from tk),
+cb as (select w1, w2, count(*)::bigint as c_ab from big group by 1, 2),
+cu as (select w, count(*)::bigint as c from uni group by w),
+tot as (select (select count(*)::bigint from uni) as n_tok,
+               (select count(*)::bigint from big) as n_pairs)
+select cb.w1, cb.w2, cb.c_ab, ca.c as c_a, cbb.c as c_b,
+       round((cb.c_ab::double * tot.n_tok * tot.n_tok)
+             / ((tot.n_pairs::double * ca.c) * cbb.c), 6) as lift
+from cb
+cross join tot
+join cu ca on ca.w = cb.w1
+join cu cbb on cbb.w = cb.w2
+where cb.c_ab >= {COLLOC_MIN_COUNT}
+""",
+    "posting_gaps": """
+with p as (
+  select distinct doc_id, term
+  from (select doc_id, unnest(string_split(text, ' ')) as term
+        from documents)
+  where term <> '')
+select term,
+       row_number() over (partition by term order by doc_id)::bigint
+         as idx,
+       doc_id,
+       (doc_id - coalesce(
+          lag(doc_id) over (partition by term order by doc_id),
+          0))::bigint as gap
+from p
+""",
+    "quantiles_by_domain": """
+with r as (select source, n_chars,
+                  row_number() over (partition by source
+                                     order by n_chars) as rn,
+                  count(*) over (partition by source) as n
+           from documents)
+select source, max(n)::bigint as n_docs,
+       max(case when rn = (n - 1) // 2 + 1 then n_chars end)::bigint
+         as p50_chars,
+       max(case when rn = ((n - 1) * 9) // 10 + 1 then n_chars end)::bigint
+         as p90_chars
+from r group by source
 """,
     "asof_join": (
         # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF

@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "session_stats",
     "link_components",
     "graph_triangles",
+    "collocations",
+    "posting_gaps",
+    "quantiles_by_domain",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

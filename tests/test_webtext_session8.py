@@ -152,3 +152,80 @@ class TestTriangles:
         assert n % 3 == 0
         assert got == n // 3
         assert got > 0
+
+
+def _write_docs(tmp_path, rows):
+    """rows: list of (doc_id, text, source)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+class TestCollocations:
+    def test_planted_collocation_outranks_independents(
+        self, ray_session, tmp_path
+    ):
+        # "new york" always adjacent; "the" co-occurs with everything
+        docs = ["new york " + "the cat " * 3] * 5
+        sf = _write_docs(tmp_path, [(i, t, "s") for i, t in enumerate(docs)])
+        df = q.QUERIES["collocations"](sf).to_pandas().set_index(["w1", "w2"])
+        assert df.loc[("new", "york"), "c_ab"] == 5
+        assert (
+            df.loc[("new", "york"), "lift"] > df.loc[("the", "cat"), "lift"]
+        )
+
+    def test_min_count_threshold(self, ray_session, tmp_path):
+        sf = _write_docs(tmp_path, [(0, "rare pair", "s"),
+                                    (1, "aa bb " * 10, "s")])
+        df = q.QUERIES["collocations"](sf).to_pandas()
+        pairs = set(zip(df["w1"], df["w2"]))
+        assert ("rare", "pair") not in pairs  # c_ab=1 < threshold
+        assert ("aa", "bb") in pairs
+
+
+class TestPostingGaps:
+    def test_gaps_reconstruct_postings(self, ray_session):
+        df = q.QUERIES["posting_gaps"](SF).to_pandas()
+        for term, g in list(df.groupby("term"))[:20]:
+            g = g.sort_values("idx")
+            assert (g["idx"].values == range(1, len(g) + 1)).all()
+            assert (g["gap"].cumsum().values == g["doc_id"].values).all()
+            assert (g["gap"].iloc[1:] > 0).all()  # strictly sorted ids
+
+    def test_distinct_per_doc(self, ray_session, tmp_path):
+        sf = _write_docs(tmp_path, [(7, "x x x y", "s"), (9, "x", "s")])
+        df = q.QUERIES["posting_gaps"](sf).to_pandas().set_index(
+            ["term", "idx"]
+        )
+        assert df.loc[("x", 1), "doc_id"] == 7
+        assert df.loc[("x", 1), "gap"] == 7
+        assert df.loc[("x", 2), "doc_id"] == 9
+        assert df.loc[("x", 2), "gap"] == 2
+        assert len(df.loc["y"]) == 1
+
+
+class TestQuantilesByDomain:
+    def test_exact_order_statistics(self, ray_session, tmp_path):
+        # source "a": lengths 1..10 -> p50 = v[(10-1)//2]=v[4]=5,
+        # p90 = v[(9*9)//10]=v[8]=9
+        rows = [(i, "x" * (i + 1), "a") for i in range(10)]
+        rows += [(100, "x" * 3, "b")]
+        sf = _write_docs(tmp_path, rows)
+        df = (
+            q.QUERIES["quantiles_by_domain"](sf)
+            .to_pandas()
+            .set_index("source")
+        )
+        assert df.loc["a", "n_docs"] == 10
+        assert df.loc["a", "p50_chars"] == 5
+        assert df.loc["a", "p90_chars"] == 9
+        assert df.loc["b", "p50_chars"] == 3
+        assert df.loc["b", "p90_chars"] == 3
