@@ -337,10 +337,12 @@ def q_dedup_exact(sf_dir: str):
     return agg
 
 
-def _lsh_candidate_pairs(sf_dir: str):
+def _lsh_candidate_pairs(sf_dir: str, docs: rd.Dataset | None = None):
     """shingle -> md5 minhash -> band groupby -> candidate pairs (the LSH
-    core, fully SQL-reproducible)."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    core, fully SQL-reproducible). ``docs`` overrides the default
+    documents read (e.g. the dedup_eval sample)."""
+    if docs is None:
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = docs.map_batches(
         dd.MinHasher, batch_format="pyarrow", concurrency=_apool(),
     )
@@ -6103,6 +6105,64 @@ from a{iters} join h{iters} using (url)
 """
 
 
+def dedup_eval_oracle_sql() -> str:
+    """Replay of q_dedup_eval_lsh: the shared minhash CTE over the
+    md5-sampled subset gives the candidate `pairs`; the exact truth is
+    the same shingle-set Jaccard the dedup family defines (empty-set
+    cases mirrored from dd.ngram_jaccard: both empty -> 1.0, one empty
+    -> 0.0)."""
+    body = _minhash_cte_body(source="s")
+    return f"""
+with s as (
+  select doc_id, text from documents
+  where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::uinteger
+        % 1000 < {DEDUP_EVAL_RATE}),
+{body},
+sd as (select doc_id, list_distinct(shingles) as sd from sh),
+truth as (
+  select x.doc_id as a, y.doc_id as b
+  from sd x join sd y on x.doc_id < y.doc_id
+  where case
+          when len(x.sd) = 0 and len(y.sd) = 0 then 1.0
+          when len(x.sd) = 0 or len(y.sd) = 0 then 0.0
+          else len(list_intersect(x.sd, y.sd))::double /
+               (len(x.sd) + len(y.sd) - len(list_intersect(x.sd, y.sd)))
+        end >= 0.5),
+tp as (select count(*)::bigint as n
+       from pairs p join truth t on p.a = t.a and p.b = t.b),
+np as (select count(*)::bigint as n from pairs),
+nt as (select count(*)::bigint as n from truth)
+select np.n as n_pred, nt.n as n_true, tp.n as tp,
+       (case when np.n > 0 then tp.n * 1000000 // np.n
+             else 0 end)::bigint as precision_ppm,
+       (case when nt.n > 0 then tp.n * 1000000 // nt.n
+             else 0 end)::bigint as recall_ppm
+from np, nt, tp
+"""
+
+
+def url_history_oracle_sql(pages_dir: str) -> str:
+    return f"""
+select url, min(warc_ts) as first_ts, max(warc_ts) as last_ts,
+       count(*)::bigint as n_captures,
+       count(distinct coalesce(text, ''))::bigint as n_revisions,
+       (case when count(*) > 1
+             then (count(distinct coalesce(text, '')) - 1) * 1000000
+                  // (count(*) - 1)
+             else 0 end)::bigint as churn_ppm
+from read_parquet('{pages_dir}/*.parquet')
+group by url
+"""
+
+
+def degree_distribution_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with l as ({outlinks_oracle_sql(pages_dir)}),
+d as (select src, count(*)::bigint as out_degree from l group by src)
+select out_degree, count(*)::bigint as n_pages from d group by out_degree
+"""
+
+
 def link_components_oracle_sql(pages_dir: str) -> str:
     """Replay of q_link_components: same md5-60-bit node ids, same
     intra-domain + known-target edge filter, self-loops for singletons,
@@ -6479,6 +6539,7 @@ def q_graph_triangles(sf_dir: str):
 
 
 COLLOC_MIN_COUNT = 5
+COLLOC_VOCAB_BROADCAST_LIMIT = 2_000_000
 
 
 def q_collocations(sf_dir: str):
@@ -6538,35 +6599,65 @@ def q_collocations(sf_dir: str):
     # totals read off the materialized count tables — no recompute pass
     n_tok = int(uni.sum("c"))
     n_pairs = int(big.sum("c_ab"))
-    nparts = _pool()
-    sel = big.filter(
-        expr=f"c_ab >= {COLLOC_MIN_COUNT}"
-    )
-    j1 = sel.join(uni, join_type="inner", num_partitions=nparts,
-                  on=("w1",), right_on=("w",))
-    j2 = j1.join(uni, join_type="inner", num_partitions=nparts,
-                 on=("w2",), right_on=("w",), right_suffix="_b")
+    n_vocab = uni.count()
+    sel = big.filter(expr=f"c_ab >= {COLLOC_MIN_COUNT}")
 
-    def score(t: pa.Table) -> pa.Table:
+    def lift_cols(t: pa.Table, c_a: np.ndarray,
+                  c_b: np.ndarray) -> pa.Table:
         c_ab = t["c_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c_a = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c_b = t["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
-        # EXACT shape mirrored in SQL: (c_ab*n_tok*n_tok) / (n_pairs*c_a*c_b)
+        # EXACT shape mirrored in SQL: (c_ab*n_tok*n_tok) / ((n_pairs*c_a)*c_b)
         lift = (c_ab * float(n_tok) * float(n_tok)) / (
-            (float(n_pairs) * c_a) * c_b
+            (float(n_pairs) * c_a.astype(np.float64))
+            * c_b.astype(np.float64)
         )
         return pa.table(
             {
                 "w1": t["w1"],
                 "w2": t["w2"],
                 "c_ab": t["c_ab"],
-                "c_a": t["c"],
-                "c_b": t["c_b"],
+                "c_a": pa.array(c_a.astype(np.int64), pa.int64()),
+                "c_b": pa.array(c_b.astype(np.int64), pa.int64()),
                 "lift": pa.array(np.round(lift, 6), pa.float64()),
             }
         )
 
-    return j2.map_batches(score, batch_format="pyarrow",
+    if n_vocab <= COLLOC_VOCAB_BROADCAST_LIMIT:
+        # vocab-count lookup is the canonical broadcast join: ray.put
+        # the (word -> count) map once, read it per task — no shuffle,
+        # and no hash-join fragility on a small side (a partition that
+        # receives zero shards of one side breaks the Arrow join)
+        udf = uni.to_pandas()
+        cmap_ref = ray.put(
+            dict(zip(udf["w"].tolist(), udf["c"].astype(int).tolist()))
+        )
+
+        def score_broadcast(t: pa.Table) -> pa.Table:
+            m = ray.get(cmap_ref)
+            c_a = np.array([m[w] for w in t["w1"].to_pylist()],
+                           dtype=np.int64)
+            c_b = np.array([m[w] for w in t["w2"].to_pylist()],
+                           dtype=np.int64)
+            return lift_cols(t, c_a, c_b)
+
+        return sel.map_batches(score_broadcast, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    # open-web vocabularies past the broadcast limit: two distributed
+    # hash joins on the (already >= min-count filtered) bigram set
+    nparts = dd.adaptive_partitions(n_vocab, rows_per_part=50_000)
+    j1 = sel.join(uni, join_type="inner", num_partitions=nparts,
+                  on=("w1",), right_on=("w",))
+    j2 = j1.join(uni, join_type="inner", num_partitions=nparts,
+                 on=("w2",), right_on=("w",), right_suffix="_b")
+
+    def score_joined(t: pa.Table) -> pa.Table:
+        return lift_cols(
+            t,
+            t["c"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["c_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    return j2.map_batches(score_joined, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 
@@ -6644,6 +6735,219 @@ def q_quantiles_by_domain(sf_dir: str):
         )
 
     return docs.groupby("source").map_groups(stats, batch_format="pyarrow")
+
+
+def q_url_history(sf_dir: str):
+    """Per-url capture history over the re-crawl corpus (the CDX-side
+    lifecycle analytics a crawl scheduler feeds on): first/last capture,
+    capture count, distinct content revisions, and churn in integer PPM
+    ((n_revisions-1)*1e6 // (n_captures-1) — the fraction of re-crawls
+    that found new content). One groupby(url); a url's history is
+    bounded by crawl frequency, never corpus-sized."""
+
+    def hist(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["warc_ts"].to_numpy(zero_copy_only=False))
+        n = len(ts)
+        n_rev = len({t or "" for t in g["text"].to_pylist()})
+        churn = ((n_rev - 1) * 1_000_000) // (n - 1) if n > 1 else 0
+        return pa.table(
+            {
+                "url": pa.array([g["url"][0].as_py()], pa.string()),
+                "first_ts": pa.array([ts[0]], pa.timestamp("us")),
+                "last_ts": pa.array([ts[-1]], pa.timestamp("us")),
+                "n_captures": pa.array([n], pa.int64()),
+                "n_revisions": pa.array([n_rev], pa.int64()),
+                "churn_ppm": pa.array([churn], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(recrawl_corpus(), columns=["url", "warc_ts", "text"])
+        .groupby("url")
+        .map_groups(hist, batch_format="pyarrow")
+    )
+
+
+def q_degree_distribution(sf_dir: str):
+    """Out-degree histogram of the link multigraph (the power-law
+    profile every crawl audit starts with): per-batch partial counts
+    per src collapse the first shuffle to counters, a second tiny
+    groupby over (degree) buckets yields the histogram. Both shuffles
+    move O(distinct keys), never edges."""
+    e = _outlinks_ds(link_corpus())
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for s in t["src"].to_pylist():
+            agg[s] = agg.get(s, 0) + 1
+        return pa.table(
+            {
+                "src": pa.array(list(agg.keys()), pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    deg = (
+        e.map_batches(partial, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="out_degree"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        part = (
+            t.select(["out_degree"])
+            .group_by("out_degree")
+            .aggregate([([], "count_all")])
+        )
+        return part.rename_columns(["out_degree", "n"])
+
+    return (
+        deg.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("out_degree")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_pages"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "out_degree": pc.cast(t["out_degree"], pa.int64()),
+                    "n_pages": pc.cast(t["n_pages"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+
+TOP_DOCS_PER_SOURCE = 3
+
+
+def q_top_docs_per_source(sf_dir: str):
+    """Per-group top-K (the best-exemplars-per-source curation op):
+    top-3 docs per source by (n_chars desc, doc_id asc). Per-batch
+    partial top-K per key pre-prunes BEFORE the shuffle (a group's
+    global top-3 is a subset of the union of its per-batch top-3s), so
+    the groupby moves at most 3 x sources x blocks rows, not the
+    corpus; the final per-group sort sees <= 3 x blocks rows."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    keys = [("source", "ascending"), ("n_chars", "descending"),
+            ("doc_id", "ascending")]
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        src = t["source"].to_pylist()
+        keep, seen, last = [], 0, None
+        for i, s in enumerate(src):
+            if s != last:
+                last, seen = s, 0
+            seen += 1
+            if seen <= TOP_DOCS_PER_SOURCE:
+                keep.append(i)
+        return t.take(pa.array(keep, pa.int64()))
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        top = g.take(idx.slice(0, TOP_DOCS_PER_SOURCE))
+        return top.append_column(
+            "rank", pa.array(range(1, top.num_rows + 1), pa.int64())
+        )
+
+    return (
+        docs.map_batches(partial_topk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+# dedup_eval sample: md5(doc_id) mod 1000 < rate — the sample stays a
+# CONSTANT absolute size as the corpus grows (rate shrinks), so the
+# all-pairs ground-truth task is O(1) however big the input
+DEDUP_EVAL_RATE = 400
+
+
+def q_dedup_eval_lsh(sf_dir: str):
+    """LSH quality evaluation (the measure-your-dedup op): run the
+    production MinHash-LSH candidate generator over a deterministic
+    md5-keyed sample, compute the EXACT all-pairs n-gram-Jaccard >= 0.5
+    ground truth on that same constant-size sample in one task, and
+    report candidate precision/recall in integer PPM. Evaluation on a
+    fixed-size sample is the scale path: the expensive exact truth
+    never grows with the corpus, while the candidate side exercises the
+    real pipeline code end-to-end."""
+    import hashlib as _hl
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = [
+            int.from_bytes(_hl.md5(str(i).encode()).digest()[:4], "big")
+            % 1000 < DEDUP_EVAL_RATE
+            for i in t["doc_id"].to_pylist()
+        ]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    sample = docs.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    pred = _distinct_pairs(_lsh_candidate_pairs(sf_dir, docs=sample))
+
+    def truth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        order = np.argsort(np.asarray(ids, dtype=np.int64))
+        a_out, b_out = [], []
+        for xi in range(len(order)):
+            for yi in range(xi + 1, len(order)):
+                i, j = order[xi], order[yi]
+                if dd.ngram_jaccard(texts[i] or "", texts[j] or "") >= 0.5:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    truth_ds = sample.repartition(1).map_batches(
+        truth, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    pred = pred.materialize()
+    n_pred = pred.count()
+    n_true = truth_ds.count()
+    # the truth set is O(sample^2) BOUNDED (constant-size sample), so
+    # broadcast-membership beats a pair join: ray.put the set once,
+    # count hits per batch, sum the partials
+    tset_ref = ray.put(
+        set(zip(truth_ds.to_pandas()["a"], truth_ds.to_pandas()["b"]))
+        if n_true else set()
+    )
+
+    def tp_partial(t: pa.Table) -> pa.Table:
+        ts = ray.get(tset_ref)
+        n = sum(
+            (a, b) in ts
+            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist())
+        )
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    tp = (
+        int(pred.map_batches(tp_partial, batch_format="pyarrow").sum("n"))
+        if n_pred else 0
+    )
+    return pa.table(
+        {
+            "n_pred": pa.array([n_pred], pa.int64()),
+            "n_true": pa.array([n_true], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "precision_ppm": pa.array(
+                [tp * 1_000_000 // n_pred if n_pred else 0], pa.int64()
+            ),
+            "recall_ppm": pa.array(
+                [tp * 1_000_000 // n_true if n_true else 0], pa.int64()
+            ),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6768,6 +7072,10 @@ QUERIES = {
     "collocations": q_collocations,
     "posting_gaps": q_posting_gaps,
     "quantiles_by_domain": q_quantiles_by_domain,
+    "url_history": q_url_history,
+    "degree_distribution": q_degree_distribution,
+    "top_docs_per_source": q_top_docs_per_source,
+    "dedup_eval_lsh": q_dedup_eval_lsh,
 }
 
 
@@ -7097,6 +7405,15 @@ select source, max(n)::bigint as n_docs,
          as p90_chars
 from r group by source
 """,
+    "top_docs_per_source": f"""
+select source, doc_id, n_chars, rank from (
+  select source, doc_id, n_chars,
+         row_number() over (partition by source
+                            order by n_chars desc, doc_id asc)::bigint
+           as rank
+  from documents)
+where rank <= {TOP_DOCS_PER_SOURCE}
+""",
     "asof_join": (
         # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF
         # picks an arbitrary row among equal c_ts — this window form pins
@@ -7235,6 +7552,7 @@ ORACLES["asof_join_bucketed"] = ORACLES["asof_join"]
 ORACLES["event_lag_bucketed"] = ORACLES["event_lag"]
 
 ORACLES["dedup_minhash_lsh"] = _minhash_cte() + "select a, b from pairs"
+ORACLES["dedup_eval_lsh"] = dedup_eval_oracle_sql()
 
 ORACLES["curate_neardup"] = """
 with feat as (
@@ -8418,6 +8736,8 @@ def all_oracles() -> dict[str, str]:
     out["hits_rank"] = hits_oracle_sql(link_dir)
     out["link_components"] = link_components_oracle_sql(link_dir)
     out["graph_triangles"] = triangles_oracle_sql(link_dir)
+    out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)
+    out["url_history"] = url_history_oracle_sql(recrawl_corpus())
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)
     out["external_link_ratio"] = external_link_ratio_oracle_sql(link_dir)

@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "collocations",
     "posting_gaps",
     "quantiles_by_domain",
+    "url_history",
+    "degree_distribution",
+    "top_docs_per_source",
+    "dedup_eval_lsh",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

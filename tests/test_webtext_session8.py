@@ -229,3 +229,104 @@ class TestQuantilesByDomain:
         assert df.loc["a", "p90_chars"] == 9
         assert df.loc["b", "p50_chars"] == 3
         assert df.loc["b", "p90_chars"] == 3
+
+
+class TestUrlHistory:
+    def test_capture_and_revision_counts(self, ray_session):
+        df = q.QUERIES["url_history"](SF).to_pandas().set_index("url")
+        assert len(df) == 150
+        # fixture: url i has 1 + (i % 3) captures
+        d2 = df.loc["https://crawl2.example/doc2"]
+        assert d2["n_captures"] == 3
+        assert d2["n_revisions"] >= 1
+        assert (df["first_ts"] <= df["last_ts"]).all()
+        one = df[df["n_captures"] == 1]
+        assert (one["churn_ppm"] == 0).all()
+        assert (df["n_revisions"] <= df["n_captures"]).all()
+
+
+class TestDegreeDistribution:
+    def test_histogram_masses_match_page_count(self, ray_session):
+        df = q.QUERIES["degree_distribution"](SF).to_pandas()
+        assert df["n_pages"].sum() == q.LINK_N
+        # v3: every page has >= 2 arithmetic + possible hub/nav links
+        assert (df["out_degree"] >= 2).all()
+
+
+class TestTopDocsPerSource:
+    def test_top3_with_deterministic_ties(self, ray_session, tmp_path):
+        rows = [(1, "aaaa", "s"), (2, "aaaa", "s"), (3, "aaaa", "s"),
+                (4, "aaaa", "s"), (5, "bbbbbb", "s"), (6, "c", "t")]
+        sf = _write_docs(tmp_path, rows)
+        df = (
+            q.QUERIES["top_docs_per_source"](sf)
+            .to_pandas()
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)
+        )
+        s = df[df["source"] == "s"]
+        assert s["doc_id"].tolist() == [5, 1, 2]  # longest, then min ids
+        assert s["rank"].tolist() == [1, 2, 3]
+        assert df[df["source"] == "t"]["doc_id"].tolist() == [6]
+
+    def test_partial_topk_preprune_is_lossless(self, ray_session):
+        got = (
+            q.QUERIES["top_docs_per_source"](SF)
+            .to_pandas()
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd_
+        docs = pd_.read_parquet(SF + "/documents.parquet",
+                                columns=["doc_id", "source", "n_chars"])
+        want = (
+            docs.sort_values(["source", "n_chars", "doc_id"],
+                             ascending=[True, False, True])
+            .groupby("source")
+            .head(q.TOP_DOCS_PER_SOURCE)
+        )
+        assert len(got) == len(want)
+        got_ids = got.groupby("source")["doc_id"].apply(set)
+        want_ids = want.groupby("source")["doc_id"].apply(set)
+        assert got_ids.to_dict() == want_ids.to_dict()
+
+
+class TestDedupEval:
+    def test_perfect_on_fixture_and_consistent(self, ray_session):
+        df = q.QUERIES["dedup_eval_lsh"](SF).to_pandas().iloc[0]
+        assert df["tp"] <= min(df["n_pred"], df["n_true"])
+        if df["n_pred"]:
+            assert df["precision_ppm"] == df["tp"] * 1_000_000 // df["n_pred"]
+        if df["n_true"]:
+            assert df["recall_ppm"] == df["tp"] * 1_000_000 // df["n_true"]
+
+    def test_empty_sample_is_all_zero_row(self, ray_session, tmp_path):
+        sf = _write_docs(tmp_path, [(999999937 * k, "unique text %d" % k,
+                                     "s") for k in range(1, 4)])
+        df = q.QUERIES["dedup_eval_lsh"](sf).to_pandas().iloc[0]
+        # whatever sampled in: no near-dups -> tp == n_true == 0
+        assert df["n_true"] == 0
+        assert df["tp"] == 0
+        assert df["recall_ppm"] == 0
+
+
+class TestCollocationRoutes:
+    def test_join_route_matches_broadcast_route(
+        self, ray_session, monkeypatch
+    ):
+        a = (
+            q.QUERIES["collocations"](SF)
+            .to_pandas()
+            .sort_values(["w1", "w2"])
+            .reset_index(drop=True)
+        )
+        monkeypatch.setattr(q, "COLLOC_VOCAB_BROADCAST_LIMIT", 0)
+        b = (
+            q.QUERIES["collocations"](SF)
+            .to_pandas()
+            .sort_values(["w1", "w2"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            a, b[a.columns.tolist()], check_exact=True
+        )
