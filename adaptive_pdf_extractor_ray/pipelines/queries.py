@@ -1439,12 +1439,28 @@ def q_asof_join(sf_dir: str):
     return ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
 
 
+DAY_US = 86_400_000_000
+HOUR_US = 3_600_000_000
+
+
+def _append_epoch_day(t: pa.Table) -> pa.Table:
+    """int64 epoch-day shuffle key (column ``day``): a timestamp key
+    trips Ray's sort-boundary sampling into per-worker precision-warning
+    logs and shuffles wider than an int64 — every bucketed operator
+    keys on this instead. Internal only; never an output column."""
+    day = pc.divide(
+        pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()),
+        pa.scalar(DAY_US, pa.int64()),
+    )
+    return t.append_column("day", day)
+
+
 _ASOF_MIXED_SCHEMA = pa.schema(
     [
         ("kind", pa.string()),
         ("event_id", pa.int64()),
         ("user_id", pa.int64()),
-        ("day", pa.timestamp("us")),
+        ("day", pa.int64()),
         ("ts", pa.timestamp("us")),
         ("prior_click_id", pa.int64()),
         ("prior_ts", pa.timestamp("us")),
@@ -1453,7 +1469,7 @@ _ASOF_MIXED_SCHEMA = pa.schema(
 _ASOF_CARRY_SCHEMA = pa.schema(
     [
         ("user_id", pa.int64()),
-        ("day", pa.timestamp("us")),
+        ("day", pa.int64()),
         ("carry_id", pa.int64()),
         ("carry_ts", pa.timestamp("us")),
     ]
@@ -1471,11 +1487,7 @@ def q_asof_join_bucketed(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def day_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "day", pc.cast(pc.floor_temporal(t["ts"], unit="day"),
-                           pa.timestamp("us")),
-        )
+    day_bucket = _append_epoch_day
 
     def bucket_asof(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["ts", "event_id"])
@@ -1594,7 +1606,7 @@ def q_asof_join_bucketed(sf_dir: str):
                 "mkind": pa.array(["ev2"] * len(t), pa.string()),
                 "event_id": pc.cast(t["event_id"], pa.int64()),
                 "user_id": pc.cast(t["user_id"], pa.int64()),
-                "day": pc.cast(t["day"], pa.timestamp("us")),
+                "day": pc.cast(t["day"], pa.int64()),
                 "ts": pc.cast(t["ts"], pa.timestamp("us")),
                 "carry_id": pa.nulls(len(t), pa.int64()),
                 "carry_ts": pa.nulls(len(t), pa.timestamp("us")),
@@ -1607,7 +1619,7 @@ def q_asof_join_bucketed(sf_dir: str):
                 "mkind": pa.array(["carry"] * len(t), pa.string()),
                 "event_id": pa.nulls(len(t), pa.int64()),
                 "user_id": pc.cast(t["user_id"], pa.int64()),
-                "day": pc.cast(t["day"], pa.timestamp("us")),
+                "day": pc.cast(t["day"], pa.int64()),
                 "ts": pa.nulls(len(t), pa.timestamp("us")),
                 "carry_id": pc.cast(t["carry_id"], pa.int64()),
                 "carry_ts": pc.cast(t["carry_ts"], pa.timestamp("us")),
@@ -1658,7 +1670,11 @@ def q_window_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def pre(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
+        # int64 epoch-hour shuffle key; back to timestamp after the agg
+        hour = pc.divide(
+            pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64()),
+            pa.scalar(HOUR_US, pa.int64()),
+        )
         return pa.table(
             {"event_type": t["event_type"], "hour": hour, "value": t["value"]}
         )
@@ -1671,7 +1687,10 @@ def q_window_hourly(sf_dir: str):
             ray.data.aggregate.Sum("value", alias_name="sum_value"),
         )
     )
+    import pandas as pd
+
     df = agg.to_pandas()
+    df["hour"] = pd.to_datetime(df["hour"] * 3600, unit="s")
     df["sum_value"] = df["sum_value"].round(2)
     return df
 
@@ -1685,7 +1704,11 @@ def q_sliding_window(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def pre(t: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(t["ts"], unit="hour")
+        # int64 epoch-hour shuffle key; back to timestamp after the agg
+        hour = pc.divide(
+            pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64()),
+            pa.scalar(HOUR_US, pa.int64()),
+        )
         return pa.table(
             {"event_type": t["event_type"], "hour": hour, "value": t["value"]}
         )
@@ -1700,6 +1723,7 @@ def q_sliding_window(sf_dir: str):
     )
 
     def slide(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(hour=pd.to_datetime(g["hour"] * 3600, unit="s"))
         g = g.sort_values("hour").set_index("hour")
         full = g.reindex(
             pd.date_range(g.index.min(), g.index.max(), freq="1h")
@@ -1751,11 +1775,7 @@ def q_event_lag_bucketed(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def day_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "day", pc.cast(pc.floor_temporal(t["ts"], unit="day"),
-                           pa.timestamp("us")),
-        )
+    day_bucket = _append_epoch_day
 
     def bucket_lag(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
@@ -1858,11 +1878,7 @@ def q_sessionize_bucketed(sf_dir: str):
     (same oracle SQL), proving the decomposition is exact."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def day_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "day", pc.cast(pc.floor_temporal(t["ts"], unit="day"),
-                           pa.timestamp("us")),
-        )
+    day_bucket = _append_epoch_day
 
     def bucket_summary(g) -> "pa.Table":
         g = g.sort_values("ts")
@@ -5858,13 +5874,14 @@ def q_range_join_bucketed(sf_dir: str):
 
     def explode(t: pa.Table) -> pa.Table:
         ts = t["ts"].to_pandas().values
-        day = ts.astype("datetime64[D]").astype("datetime64[us]")
+        day_dt = ts.astype("datetime64[D]")
+        day_i = day_dt.astype(np.int64)  # int64 epoch-day shuffle key
         ids = np.asarray(t["event_id"].to_pylist(), dtype=np.int64)
         uid = np.asarray(t["user_id"].to_pylist(), dtype=np.int64)
         et = np.asarray(t["event_type"].to_pylist())
         is_view = et == "view"
         # boundary views: within the window of the NEXT day's start
-        ctx = is_view & (ts >= day + day_us - w)
+        ctx = is_view & (ts >= day_dt.astype("datetime64[us]") + day_us - w)
         return pa.table(
             {
                 "kind": pa.array(
@@ -5878,8 +5895,7 @@ def q_range_join_bucketed(sf_dir: str):
                     np.concatenate([uid, uid[ctx]]), pa.int64()
                 ),
                 "day": pa.array(
-                    np.concatenate([day, day[ctx] + day_us]),
-                    pa.timestamp("us"),
+                    np.concatenate([day_i, day_i[ctx] + 1]), pa.int64()
                 ),
                 "ts": pa.array(
                     np.concatenate([ts, ts[ctx]]), pa.timestamp("us")
@@ -6115,8 +6131,9 @@ def dedup_eval_oracle_sql() -> str:
     return f"""
 with s as (
   select doc_id, text from documents
-  where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::uinteger
-        % 1000 < {DEDUP_EVAL_RATE}),
+  order by ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::uinteger,
+           doc_id
+  limit {DEDUP_EVAL_K}),
 {body},
 sd as (select doc_id, list_distinct(shingles) as sd from sh),
 truth as (
@@ -6860,35 +6877,42 @@ def q_top_docs_per_source(sf_dir: str):
     )
 
 
-# dedup_eval sample: md5(doc_id) mod 1000 < rate — the sample stays a
-# CONSTANT absolute size as the corpus grows (rate shrinks), so the
-# all-pairs ground-truth task is O(1) however big the input
-DEDUP_EVAL_RATE = 400
+# dedup_eval sample: the K docs with the smallest md5(doc_id) ranks
+# (the hash-rank idiom sample_reservoir uses) — a FIXED absolute size
+# however big the corpus grows, so the all-pairs ground-truth task is
+# O(K^2) = O(1); a constant keep-RATE would grow the quadratic truth
+# with the input
+DEDUP_EVAL_K = 200
 
 
 def q_dedup_eval_lsh(sf_dir: str):
     """LSH quality evaluation (the measure-your-dedup op): run the
     production MinHash-LSH candidate generator over a deterministic
-    md5-keyed sample, compute the EXACT all-pairs n-gram-Jaccard >= 0.5
-    ground truth on that same constant-size sample in one task, and
-    report candidate precision/recall in integer PPM. Evaluation on a
-    fixed-size sample is the scale path: the expensive exact truth
-    never grows with the corpus, while the candidate side exercises the
-    real pipeline code end-to-end."""
+    fixed-size hash-rank sample (the K smallest md5(doc_id) ranks),
+    compute the EXACT all-pairs n-gram-Jaccard >= 0.5 ground truth on
+    that same sample in one task, and report candidate precision/recall
+    in integer PPM. Evaluation on a fixed-size sample is the scale
+    path: the expensive exact truth never grows with the corpus, while
+    the candidate side exercises the real pipeline code end-to-end."""
     import hashlib as _hl
+
+    from ..stages.topk import dataset_topk
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def keep(t: pa.Table) -> pa.Table:
-        mask = [
+    def rank(t: pa.Table) -> pa.Table:
+        r = [
             int.from_bytes(_hl.md5(str(i).encode()).digest()[:4], "big")
-            % 1000 < DEDUP_EVAL_RATE
             for i in t["doc_id"].to_pylist()
         ]
-        return t.filter(pa.array(mask, pa.bool_()))
+        return t.append_column("r", pa.array(r, pa.int64()))
 
-    sample = docs.map_batches(keep, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+    sample = dataset_topk(
+        docs.map_batches(rank, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        [("r", "ascending"), ("doc_id", "ascending")],
+        DEDUP_EVAL_K,
+    ).select_columns(["doc_id", "text"]).materialize()
     pred = _distinct_pairs(_lsh_candidate_pairs(sf_dir, docs=sample))
 
     def truth(t: pa.Table) -> pa.Table:
@@ -6945,6 +6969,210 @@ def q_dedup_eval_lsh(sf_dir: str):
             ),
             "recall_ppm": pa.array(
                 [tp * 1_000_000 // n_true if n_true else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def q_pivot_events(sf_dir: str):
+    """Wide pivot of the event stream (the activity-feature table a
+    ranking model trains on): one row per user with per-event-type
+    counts and total value in integer micro-units. Per-batch Arrow
+    group_by collapses the shuffle to one counter row per (user, batch);
+    the Dataset groupby then sums counters — classic two-level
+    aggregation, no row ever crosses the wire twice."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        micro = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        aug = pa.table(
+            {
+                "user_id": t["user_id"],
+                "v": pa.array((et == "view").astype(np.int64)),
+                "c": pa.array((et == "click").astype(np.int64)),
+                "p": pa.array((et == "purchase").astype(np.int64)),
+                "m": pa.array(micro, pa.int64()),
+            }
+        )
+        part = aug.group_by("user_id").aggregate(
+            [("v", "sum"), ("c", "sum"), ("p", "sum"), ("m", "sum")]
+        )
+        return part.rename_columns(["user_id", "v", "c", "p", "m"])
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Sum("v", alias_name="n_view"),
+            ray.data.aggregate.Sum("c", alias_name="n_click"),
+            ray.data.aggregate.Sum("p", alias_name="n_purchase"),
+            ray.data.aggregate.Sum("m", alias_name="value_micro"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_view": pc.cast(t["n_view"], pa.int64()),
+                "n_click": pc.cast(t["n_click"], pa.int64()),
+                "n_purchase": pc.cast(t["n_purchase"], pa.int64()),
+                "value_micro": pc.cast(t["value_micro"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_rollup_source_lang(sf_dir: str):
+    """ROLLUP(source, lang) corpus accounting (the mix report every
+    training-set readme carries): doc counts and char sums at the
+    (source, lang), (source) and grand-total levels, null-marked like
+    SQL ROLLUP. Computed the scale-right way: the finest level
+    aggregates once from the corpus (two-level partial sums); the two
+    coarser levels re-aggregate the FINEST AGGREGATE — O(sources x
+    langs) rows — never the corpus again."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = t.group_by(["source", "lang"]).aggregate(
+            [("n_chars", "sum"), ([], "count_all")]
+        )
+        return part.rename_columns(["source", "lang", "chars", "n"])
+
+    fine = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(
+            ray.data.aggregate.Sum("chars", alias_name="chars"),
+            ray.data.aggregate.Sum("n", alias_name="n_docs"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "source": t["source"],
+                    "lang": t["lang"],
+                    "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                    "sum_chars": pc.cast(t["chars"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    def coarsen(keep_source: bool):
+        def f(t: pa.Table) -> pa.Table:
+            keys = ["source"] if keep_source else []
+            g = (
+                t.append_column("one", pa.array([1] * t.num_rows,
+                                                pa.int64()))
+                if not keys else t
+            )
+            part = (
+                g.group_by(keys if keys else ["one"]).aggregate(
+                    [("n_docs", "sum"), ("sum_chars", "sum")]
+                )
+            )
+            src = (
+                part["source"] if keep_source
+                else pa.array([None] * part.num_rows, pa.string())
+            )
+            return pa.table(
+                {
+                    "source": src,
+                    "lang": pa.array([None] * part.num_rows, pa.string()),
+                    "n_docs": pc.cast(part["n_docs_sum"], pa.int64()),
+                    "sum_chars": pc.cast(part["sum_chars_sum"],
+                                         pa.int64()),
+                }
+            )
+
+        return f
+
+    # the finest aggregate is tiny (sources x langs): one block derives
+    # both rollup levels exactly
+    small = fine.repartition(1)
+    by_source = small.map_batches(coarsen(True), batch_format="pyarrow",
+                                  batch_size=None)
+    total = small.map_batches(coarsen(False), batch_format="pyarrow",
+                              batch_size=None)
+    return fine.union(by_source).union(total)
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running totals over the (ts, event_id)-ordered stream
+    (the cumulative-spend feature): each event row carries its 1-based
+    sequence number and the cumulative value in integer micro-units.
+    One groupby(user) + vectorized cumsum inside the group — the
+    bounded-group caveat and bucketed escape are sessionize's."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def cumulate(g) -> "pa.Table":
+        g = g.sort_values(["ts", "event_id"])
+        micro = np.floor(g["value"].values * 1_000_000 + 0.5).astype(
+            np.int64
+        )
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].values,
+                "user_id": g["user_id"].values,
+                "seq": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cum_value_micro": np.cumsum(micro),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(cumulate,
+                                            batch_format="pandas")
+
+
+def q_key_skew(sf_dir: str):
+    """Shuffle-key skew audit (the pre-flight check before keying a
+    100 TB groupby on user_id): row count, distinct keys, the heaviest
+    key and its share in integer PPM. Per-batch partial counts -> one
+    counter groupby -> per-block partial top-1 reduce; totals read off
+    the materialized counter table."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = t.group_by("user_id").aggregate([([], "count_all")])
+        return part.rename_columns(["user_id", "n"])
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {"user_id": t["user_id"], "n": pc.cast(t["n"], pa.int64())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_rows = int(counts.sum("n"))
+    n_keys = counts.count()
+    from ..stages.topk import dataset_topk
+
+    top = dataset_topk(
+        counts, [("n", "descending"), ("user_id", "ascending")], 1
+    ).take(1)[0]
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_keys": pa.array([n_keys], pa.int64()),
+            "top_key": pa.array([int(top["user_id"])], pa.int64()),
+            "top_n": pa.array([int(top["n"])], pa.int64()),
+            "top_share_ppm": pa.array(
+                [int(top["n"]) * 1_000_000 // n_rows if n_rows else 0],
+                pa.int64(),
             ),
         }
     )
@@ -7076,6 +7304,10 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "top_docs_per_source": q_top_docs_per_source,
     "dedup_eval_lsh": q_dedup_eval_lsh,
+    "pivot_events": q_pivot_events,
+    "rollup_source_lang": q_rollup_source_lang,
+    "running_total": q_running_total,
+    "key_skew": q_key_skew,
 }
 
 
@@ -7413,6 +7645,42 @@ select source, doc_id, n_chars, rank from (
            as rank
   from documents)
 where rank <= {TOP_DOCS_PER_SOURCE}
+""",
+    "pivot_events": """
+select user_id,
+       sum(case when event_type = 'view' then 1 else 0 end)::bigint
+         as n_view,
+       sum(case when event_type = 'click' then 1 else 0 end)::bigint
+         as n_click,
+       sum(case when event_type = 'purchase' then 1 else 0 end)::bigint
+         as n_purchase,
+       sum(floor(value * 1000000 + 0.5)::bigint)::bigint as value_micro
+from events group by user_id
+""",
+    "rollup_source_lang": """
+select source, lang, count(*)::bigint as n_docs,
+       sum(n_chars)::bigint as sum_chars
+from documents
+group by rollup(source, lang)
+""",
+    "running_total": """
+select event_id, user_id,
+       row_number() over w::bigint as seq,
+       sum(floor(value * 1000000 + 0.5)::bigint) over w::bigint
+         as cum_value_micro
+from events
+window w as (partition by user_id order by ts, event_id
+             rows unbounded preceding)
+""",
+    "key_skew": """
+with c as (select user_id, count(*)::bigint as n from events
+           group by user_id),
+t as (select user_id, n from c order by n desc, user_id asc limit 1),
+tot as (select sum(n)::bigint as n_rows, count(*)::bigint as n_keys
+        from c)
+select tot.n_rows, tot.n_keys, t.user_id as top_key, t.n as top_n,
+       (t.n * 1000000 // tot.n_rows)::bigint as top_share_ppm
+from tot, t
 """,
     "asof_join": (
         # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF

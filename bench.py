@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "degree_distribution",
     "top_docs_per_source",
     "dedup_eval_lsh",
+    "pivot_events",
+    "rollup_source_lang",
+    "running_total",
+    "key_skew",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -330,3 +330,70 @@ class TestCollocationRoutes:
         pd.testing.assert_frame_equal(
             a, b[a.columns.tolist()], check_exact=True
         )
+
+
+class TestPivotEvents:
+    def test_counts_and_micro_value(self, ray_session, tmp_path):
+        t0 = pd.Timestamp("2025-03-01 10:00:00")
+        rows = [
+            (1, t0, 1, "view", 1.25),
+            (2, t0, 1, "view", 0.50),
+            (3, t0, 1, "purchase", 10.00),
+            (4, t0, 2, "click", 0.0),
+        ]
+        sf = _write_events(tmp_path, rows)
+        df = q.QUERIES["pivot_events"](sf).to_pandas().set_index("user_id")
+        assert df.loc[1, "n_view"] == 2
+        assert df.loc[1, "n_purchase"] == 1
+        assert df.loc[1, "n_click"] == 0
+        assert df.loc[1, "value_micro"] == 11_750_000
+        assert df.loc[2, "n_click"] == 1
+
+
+class TestRollup:
+    def test_levels_are_consistent(self, ray_session):
+        df = q.QUERIES["rollup_source_lang"](SF).to_pandas()
+        fine = df[df["lang"].notna()]
+        by_src = df[df["lang"].isna() & df["source"].notna()]
+        total = df[df["source"].isna()]
+        assert len(total) == 1
+        assert total["n_docs"].iloc[0] == fine["n_docs"].sum()
+        assert total["sum_chars"].iloc[0] == fine["sum_chars"].sum()
+        got = by_src.set_index("source")["n_docs"]
+        want = fine.groupby("source")["n_docs"].sum()
+        assert got.sort_index().equals(want.sort_index())
+
+
+class TestRunningTotal:
+    def test_cumsum_and_seq(self, ray_session, tmp_path):
+        t0 = pd.Timestamp("2025-03-01 10:00:00")
+        rows = [
+            (2, t0 + pd.Timedelta(seconds=5), 1, "view", 2.0),
+            (1, t0, 1, "view", 1.5),
+            (3, t0 + pd.Timedelta(seconds=9), 1, "view", 0.25),
+        ]
+        sf = _write_events(tmp_path, rows)
+        df = (
+            q.QUERIES["running_total"](sf)
+            .to_pandas()
+            .sort_values("seq")
+            .reset_index(drop=True)
+        )
+        assert df["event_id"].tolist() == [1, 2, 3]
+        assert df["cum_value_micro"].tolist() == [
+            1_500_000, 3_500_000, 3_750_000]
+
+
+class TestKeySkew:
+    def test_profile_matches_pandas(self, ray_session):
+        got = q.QUERIES["key_skew"](SF).to_pandas().iloc[0]
+        ev = pd.read_parquet(SF + "/events.parquet", columns=["user_id"])
+        vc = ev["user_id"].value_counts()
+        top_n = int(vc.max())
+        # engine tie-break: max n, then min key
+        top_key = int(min(k for k, v in vc.items() if v == top_n))
+        assert got["n_rows"] == len(ev)
+        assert got["n_keys"] == ev["user_id"].nunique()
+        assert got["top_key"] == top_key
+        assert got["top_n"] == top_n
+        assert got["top_share_ppm"] == top_n * 1_000_000 // len(ev)
