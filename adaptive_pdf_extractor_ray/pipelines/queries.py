@@ -7178,6 +7178,184 @@ def q_key_skew(sf_dir: str):
     )
 
 
+def q_orders_without_lineitems(sf_dir: str):
+    """Anti-join (the find-the-unmatched relational primitive — Ray
+    Data's ``left_anti`` join type): orders with no lineitems — the
+    referential-integrity audit. The probe side pre-dedups to distinct
+    keys per batch so only distinct order keys cross the wire; the
+    typed-empty union pins the output schema even when the audit comes
+    back clean (an empty Dataset otherwise loses its schema)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    items = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        return t.group_by("l_orderkey").aggregate([])
+
+    probe = items.map_batches(distinct_keys, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    nparts = dd.adaptive_partitions(50_000)
+    out = orders.join(probe, join_type="left_anti",
+                      num_partitions=nparts,
+                      on=("o_orderkey",), right_on=("l_orderkey",))
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_custkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        )
+    )
+    return out.union(empty)
+
+
+def q_global_quantiles(sf_dir: str):
+    """Exact GLOBAL quantiles without a global sort (the
+    histogram-of-values trick): per-batch partial (value, n) counts ->
+    one counter groupby (O(distinct values) rows) -> the tiny histogram
+    cumsums on the driver and reads the order statistics at
+    floor((n-1)q). A range-shuffle sort of the corpus for three scalars
+    is the canonical all-to-all to AVOID; this plan's shuffle volume is
+    the value domain, not the row count."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = t.group_by("n_chars").aggregate([([], "count_all")])
+        return part.rename_columns(["n_chars", "n"])
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # O(distinct values) — the histogram, not the data
+        .sort_values("n_chars")
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    vals = hist["n_chars"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+
+    def at(q_num: int, q_den: int) -> int:
+        idx = ((n - 1) * q_num) // q_den  # 0-based order statistic
+        return int(vals[np.searchsorted(cum, idx + 1, side="left")])
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "p50_chars": pa.array([at(1, 2)], pa.int64()),
+            "p90_chars": pa.array([at(9, 10)], pa.int64()),
+            "p99_chars": pa.array([at(99, 100)], pa.int64()),
+        }
+    )
+
+
+HASH_FEATURE_BUCKETS = 64
+
+
+def q_hash_features(sf_dir: str):
+    """Feature hashing (the fastText-style fixed-width featurizer):
+    char-trigrams of the raw text hashed into 64 buckets (md5 mod 64,
+    SQL-replayable), emitted as sparse (doc_id, bucket, n) rows. NO
+    shuffle at all: a document is one row, so per-batch counts are
+    final — the map is the whole plan, embarrassingly parallel at any
+    corpus size."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        d_out: list[int] = []
+        b_out: list[int] = []
+        n_out: list[int] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = s or ""
+            agg: dict[int, int] = {}
+            for i in range(len(s) - 2):
+                h = int.from_bytes(
+                    hashlib.md5(s[i:i + 3].encode("utf-8")).digest()[:4],
+                    "big",
+                ) % HASH_FEATURE_BUCKETS
+                agg[h] = agg.get(h, 0) + 1
+            for b, n in agg.items():
+                d_out.append(did)
+                b_out.append(b)
+                n_out.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "bucket": pa.array(b_out, pa.int64()),
+                "n": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(feats, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_dau(sf_dir: str):
+    """Daily active users with the new-vs-returning split (the growth
+    dashboard op): distinct (user, day) activity, per-user first day
+    from one groupby(user), then per-day counter sums. Day keys ride
+    the shuffles as int64 epoch days and convert back at the edge."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.int64()),
+            pa.scalar(DAY_US, pa.int64()),
+        )
+        return (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        days = np.unique(np.asarray(g["day"].to_pylist(), dtype=np.int64))
+        return pa.table(
+            {
+                "day": pa.array(days, pa.int64()),
+                "active": pa.array(np.ones(len(days), np.int64)),
+                "new": pa.array(
+                    (days == days[0]).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = t.group_by("day").aggregate(
+            [("active", "sum"), ("new", "sum")]
+        )
+        return part.rename_columns(["day", "active", "new"])
+
+    agg = (
+        ds.map_batches(to_days, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(
+            ray.data.aggregate.Sum("active", alias_name="n_active"),
+            ray.data.aggregate.Sum("new", alias_name="n_new"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "day": pc.cast(
+                    pc.multiply(t["day"], pa.scalar(DAY_US, pa.int64())),
+                    pa.timestamp("us"),
+                ),
+                "n_active": pc.cast(t["n_active"], pa.int64()),
+                "n_new": pc.cast(t["n_new"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -7308,6 +7486,10 @@ QUERIES = {
     "rollup_source_lang": q_rollup_source_lang,
     "running_total": q_running_total,
     "key_skew": q_key_skew,
+    "orders_without_lineitems": q_orders_without_lineitems,
+    "global_quantiles": q_global_quantiles,
+    "hash_features": q_hash_features,
+    "dau": q_dau,
 }
 
 
@@ -7681,6 +7863,45 @@ tot as (select sum(n)::bigint as n_rows, count(*)::bigint as n_keys
 select tot.n_rows, tot.n_keys, t.user_id as top_key, t.n as top_n,
        (t.n * 1000000 // tot.n_rows)::bigint as top_share_ppm
 from tot, t
+""",
+    "orders_without_lineitems": """
+select o_orderkey, o_custkey, o_totalprice from orders o
+where not exists (select 1 from lineitem l
+                  where l.l_orderkey = o.o_orderkey)
+""",
+    "global_quantiles": """
+with r as (select n_chars,
+                  row_number() over (order by n_chars) as rn,
+                  count(*) over () as n
+           from documents)
+select max(n)::bigint as n_docs,
+       max(case when rn = (n - 1) // 2 + 1 then n_chars end)::bigint
+         as p50_chars,
+       max(case when rn = ((n - 1) * 9) // 10 + 1 then n_chars end)::bigint
+         as p90_chars,
+       max(case when rn = ((n - 1) * 99) // 100 + 1 then n_chars
+           end)::bigint as p99_chars
+from r
+""",
+    "hash_features": f"""
+with tri as (
+  select doc_id, substr(text, i, 3) as g
+  from documents, unnest(range(1, length(text) - 1)) as r(i))
+select doc_id,
+       (('0x' || substr(md5(g), 1, 8))::uinteger
+        % {HASH_FEATURE_BUCKETS})::bigint as bucket,
+       count(*)::bigint as n
+from tri group by 1, 2
+""",
+    "dau": """
+with ud as (
+  select distinct user_id, date_trunc('day', ts) as day from events),
+f as (select user_id, min(day) as first_day from ud group by user_id)
+select ud.day, count(*)::bigint as n_active,
+       sum(case when ud.day = f.first_day then 1 else 0 end)::bigint
+         as n_new
+from ud join f using (user_id)
+group by ud.day
 """,
     "asof_join": (
         # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF

@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "rollup_source_lang",
     "running_total",
     "key_skew",
+    "orders_without_lineitems",
+    "global_quantiles",
+    "hash_features",
+    "dau",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -397,3 +397,56 @@ class TestKeySkew:
         assert got["top_key"] == top_key
         assert got["top_n"] == top_n
         assert got["top_share_ppm"] == top_n * 1_000_000 // len(ev)
+
+
+class TestAntiJoin:
+    def test_orders_without_lineitems(self, ray_session):
+        got = q.QUERIES["orders_without_lineitems"](SF).to_pandas()
+        orders = pd.read_parquet(SF + "/orders.parquet",
+                                 columns=["o_orderkey"])
+        items = pd.read_parquet(SF + "/lineitem.parquet",
+                                columns=["l_orderkey"])
+        want = set(orders["o_orderkey"]) - set(items["l_orderkey"])
+        assert set(got["o_orderkey"]) == want
+        assert len(got) == len(want) > 0
+        assert list(got.columns) == ["o_orderkey", "o_custkey",
+                                     "o_totalprice"]
+
+
+class TestGlobalQuantiles:
+    def test_matches_sorted_order_statistics(self, ray_session):
+        got = q.QUERIES["global_quantiles"](SF).to_pandas().iloc[0]
+        v = (
+            pd.read_parquet(SF + "/documents.parquet", columns=["n_chars"])
+            ["n_chars"].sort_values().reset_index(drop=True)
+        )
+        n = len(v)
+        assert got["n_docs"] == n
+        assert got["p50_chars"] == v[(n - 1) // 2]
+        assert got["p90_chars"] == v[((n - 1) * 9) // 10]
+        assert got["p99_chars"] == v[((n - 1) * 99) // 100]
+
+
+class TestHashFeatures:
+    def test_bucket_range_and_mass(self, ray_session, tmp_path):
+        sf = _write_docs(tmp_path, [(1, "abcd", "s"), (2, "ab", "s")])
+        df = q.QUERIES["hash_features"](sf).to_pandas()
+        # doc 1: trigrams 'abc','bcd' -> total mass 2; doc 2: none
+        assert df[df["doc_id"] == 1]["n"].sum() == 2
+        assert (df["doc_id"] == 2).sum() == 0
+        assert df["bucket"].between(0, q.HASH_FEATURE_BUCKETS - 1).all()
+
+
+class TestDau:
+    def test_new_plus_returning_consistency(self, ray_session):
+        df = (
+            q.QUERIES["dau"](SF).to_pandas().sort_values("day")
+            .reset_index(drop=True)
+        )
+        assert (df["n_new"] <= df["n_active"]).all()
+        ev = pd.read_parquet(SF + "/events.parquet",
+                             columns=["user_id", "ts"])
+        # total new across days == number of distinct users ever seen
+        assert df["n_new"].sum() == ev["user_id"].nunique()
+        # first day: everyone active is new
+        assert df.loc[0, "n_new"] == df.loc[0, "n_active"]
