@@ -336,6 +336,50 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered named pipeline over a table directory and
+    stream the result to parquet (or print a head sample): the
+    switch-from-the-reference entry point for every operator in
+    ``pipelines/queries.py``. ``query list`` enumerates the registry."""
+    if args.name == "list":
+        from .pipelines.queries import QUERIES
+
+        print(json.dumps(sorted(QUERIES)))
+        return 0
+    ray, owns_session = _ray_session(args.num_cpus)
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from .pipelines.queries import QUERIES
+
+    if args.name not in QUERIES:
+        print(json.dumps({"error": f"unknown query {args.name!r} "
+                          f"(try: query list)"}))
+        return 2
+    res = QUERIES[args.name](args.sf_dir)
+    if args.out:
+        if isinstance(res, pa.Table):
+            res = rd.from_arrow(res)
+        elif isinstance(res, pd.DataFrame):
+            res = rd.from_pandas(res)
+        res.write_parquet(args.out, compression="zstd")
+        n = rd.read_parquet(args.out).count()
+        print(json.dumps({"query": args.name, "rows": n, "out": args.out}))
+    else:
+        if isinstance(res, rd.Dataset):
+            df = res.limit(args.head).to_pandas()
+        elif isinstance(res, pa.Table):
+            df = res.slice(0, args.head).to_pandas()
+        else:
+            df = res.head(args.head)
+        print(df.to_string())
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="adaptive_pdf_extractor_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -404,6 +448,18 @@ def main(argv: list[str] | None = None) -> int:
                           "exceeds this budget (CCNet-style gate)")
     pc_.add_argument("--num-cpus", type=int, default=None)
     pc_.set_defaults(fn=cmd_curate)
+
+    pq = sub.add_parser(
+        "query",
+        help="run a registered named pipeline (or 'list') over a table dir",
+    )
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq.add_argument("--out", default=None,
+                    help="write result parquet here (else print a head)")
+    pq.add_argument("--head", type=int, default=20)
+    pq.add_argument("--num-cpus", type=int, default=None)
+    pq.set_defaults(fn=cmd_query)
 
     pv = sub.add_parser("evaluate", help="score answers vs expected")
     pv.add_argument("--answer-dirs", nargs="+", default=None)

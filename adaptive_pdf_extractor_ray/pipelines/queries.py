@@ -6180,6 +6180,21 @@ select out_degree, count(*)::bigint as n_pages from d group by out_degree
 """
 
 
+def cocitation_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with l as ({outlinks_oracle_sql(pages_dir)}),
+d as (select distinct src, dst from l),
+deg as (select src, count(*)::bigint as deg from d group by src),
+p as (
+  select x.dst as a, y.dst as b, 1000000 // dg.deg as w
+  from d x join d y on x.src = y.src and x.dst < y.dst
+  join deg dg on dg.src = x.src)
+select a, b, count(*)::bigint as n_common, sum(w)::bigint as aa_ppm
+from p group by a, b
+having count(*) >= {COCITE_MIN_COMMON}
+"""
+
+
 def link_components_oracle_sql(pages_dir: str) -> str:
     """Replay of q_link_components: same md5-60-bit node ids, same
     intra-domain + known-target edge filter, self-loops for singletons,
@@ -7356,6 +7371,143 @@ def q_dau(sf_dir: str):
     )
 
 
+COCITE_MIN_COMMON = 2
+
+
+def q_cocitation(sf_dir: str):
+    """Co-citation similarity over the link graph (Small 1973 — pages
+    repeatedly linked FROM the same pages are related; the structural
+    related-pages signal that needs no text): distinct directed edges,
+    self-join on the citing page, per-pair count of common citers plus
+    an inverse-outdegree weight sum in integer PPM (the Adamic-Adar
+    shape with 1e6//outdeg instead of 1/log — exact on both engines).
+    Fan-out is outdeg^2 per citing page — bounded by page design (a
+    page links to tens of targets); a mega-outdegree page (link farm)
+    should be capped/sampled before the self-join at open-web scale,
+    the same guard as LSH's bucket_pairs."""
+    pages_dir = link_corpus()
+    e = _outlinks_ds(pages_dir)
+
+    def dedup_batch(t: pa.Table) -> pa.Table:
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    d = (
+        e.map_batches(dedup_batch, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def outdeg_partial(t: pa.Table) -> pa.Table:
+        part = t.select(["src"]).group_by("src").aggregate(
+            [([], "count_all")]
+        )
+        return part.rename_columns(["src", "deg"])
+
+    deg = (
+        d.map_batches(outdeg_partial, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        .groupby("src")
+        .aggregate(ray.data.aggregate.Sum("deg", alias_name="deg"))
+    )
+    nparts = dd.adaptive_partitions(LINK_N)
+    dw = d.join(deg, join_type="inner", num_partitions=nparts,
+                on=("src",)).materialize()
+    pairs = dw.join(dw.select_columns(["src", "dst"]),
+                    join_type="inner", num_partitions=nparts,
+                    on=("src",), right_suffix="_2")
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["dst"], t["dst_2"])
+        t = t.filter(keep)
+        w = pc.divide(pa.scalar(1_000_000, pa.int64()),
+                      pc.cast(t["deg"], pa.int64()))
+        aug = pa.table(
+            {
+                "a": t["dst"],
+                "b": t["dst_2"],
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+                "w": w,
+            }
+        )
+        part = aug.group_by(["a", "b"]).aggregate(
+            [("n", "sum"), ("w", "sum")]
+        )
+        return part.rename_columns(["a", "b", "n", "w"])
+
+    agg = (
+        pairs.map_batches(score_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_common"),
+            ray.data.aggregate.Sum("w", alias_name="aa_ppm"),
+        )
+    )
+    return agg.filter(
+        expr=f"n_common >= {COCITE_MIN_COMMON}"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "n_common": pc.cast(t["n_common"], pa.int64()),
+                "aa_ppm": pc.cast(t["aa_ppm"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-vocab coverage audit (the OOV-rate check before
+    committing a vocab): what fraction of corpus token OCCURRENCES the
+    top-K vocabulary covers, in integer PPM. Reuses the term-count
+    table for BOTH totals — in-vocab mass is the sum of the top-K
+    counts themselves, so there is no second pass over the text and
+    the count table is never driver-materialized (per-block top-K
+    partials + sums)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for w in (s or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ..stages.topk import dataset_topk
+
+    counts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+        .materialize()
+    )
+    n_tokens = int(counts.sum("n"))
+    top = dataset_topk(
+        counts, [("n", "descending"), ("term", "ascending")], VOCAB_TOP_K
+    ).materialize()
+    n_in = int(top.sum("n"))
+    return pa.table(
+        {
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "n_in_vocab": pa.array([n_in], pa.int64()),
+            "vocab_size": pa.array([top.count()], pa.int64()),
+            "coverage_ppm": pa.array(
+                [n_in * 1_000_000 // n_tokens if n_tokens else 0],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -7490,6 +7642,8 @@ QUERIES = {
     "global_quantiles": q_global_quantiles,
     "hash_features": q_hash_features,
     "dau": q_dau,
+    "cocitation": q_cocitation,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 
@@ -7902,6 +8056,20 @@ select ud.day, count(*)::bigint as n_active,
          as n_new
 from ud join f using (user_id)
 group by ud.day
+""",
+    "vocab_coverage": f"""
+with t as (select unnest(string_split(text, ' ')) as term
+           from documents),
+c as (select term, count(*)::bigint as n from t
+      where term <> '' group by term),
+top as (select term, n from c order by n desc, term asc
+        limit {VOCAB_TOP_K}),
+tot as (select sum(n)::bigint as n_tokens from c),
+iv as (select sum(n)::bigint as n_in,
+              count(*)::bigint as vocab_size from top)
+select tot.n_tokens, iv.n_in as n_in_vocab, iv.vocab_size,
+       (iv.n_in * 1000000 // tot.n_tokens)::bigint as coverage_ppm
+from tot, iv
 """,
     "asof_join": (
         # not DuckDB's ASOF JOIN: with duplicate click timestamps ASOF
@@ -9227,6 +9395,7 @@ def all_oracles() -> dict[str, str]:
     out["graph_triangles"] = triangles_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)
     out["url_history"] = url_history_oracle_sql(recrawl_corpus())
+    out["cocitation"] = cocitation_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)
     out["external_link_ratio"] = external_link_ratio_oracle_sql(link_dir)

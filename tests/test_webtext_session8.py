@@ -450,3 +450,52 @@ class TestDau:
         assert df["n_new"].sum() == ev["user_id"].nunique()
         # first day: everyone active is new
         assert df.loc[0, "n_new"] == df.loc[0, "n_active"]
+
+
+class TestCocitation:
+    def test_matches_bruteforce(self, ray_session):
+        got = (
+            q.QUERIES["cocitation"](SF)
+            .to_pandas()
+            .set_index(["a", "b"])
+            .sort_index()
+        )
+        e = q._outlinks_ds(q.link_corpus()).to_pandas()
+        d = e.drop_duplicates()
+        deg = d.groupby("src").size()
+        from collections import defaultdict
+
+        n_common: dict = defaultdict(int)
+        aa: dict = defaultdict(int)
+        for src, grp in d.groupby("src"):
+            ds_ = sorted(set(grp["dst"]))
+            w = 1_000_000 // int(deg[src])
+            for i in range(len(ds_)):
+                for j in range(i + 1, len(ds_)):
+                    n_common[(ds_[i], ds_[j])] += 1
+                    aa[(ds_[i], ds_[j])] += w
+        want = {k: (v, aa[k]) for k, v in n_common.items()
+                if v >= q.COCITE_MIN_COMMON}
+        assert len(got) == len(want)
+        for k, (n, s) in want.items():
+            assert got.loc[k, "n_common"] == n
+            assert got.loc[k, "aa_ppm"] == s
+
+    def test_hub_is_most_cocited(self, ray_session):
+        got = q.QUERIES["cocitation"](SF).to_pandas()
+        hub = "https://site0.example/p0"
+        assert ((got["a"] == hub) | (got["b"] == hub)).any()
+
+
+class TestVocabCoverage:
+    def test_consistent_with_top_terms(self, ray_session):
+        cov = q.QUERIES["vocab_coverage"](SF).to_pandas().iloc[0]
+        top = q.QUERIES["vocab_top_terms"](SF).to_pandas()
+        # tiny fixtures can have fewer distinct terms than the cap
+        assert cov["vocab_size"] == len(top) <= q.VOCAB_TOP_K
+        assert cov["n_in_vocab"] == top["n"].sum()
+        assert 0 < cov["coverage_ppm"] <= 1_000_000
+        assert (
+            cov["coverage_ppm"]
+            == cov["n_in_vocab"] * 1_000_000 // cov["n_tokens"]
+        )
