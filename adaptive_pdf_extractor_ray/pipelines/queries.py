@@ -7508,6 +7508,263 @@ def q_vocab_coverage(sf_dir: str):
     )
 
 
+MOJIBAKE_MARKERS = ["Ã", "â€", "Â"]  # double-decoded UTF-8 tell-tales
+
+
+def q_mojibake(sf_dir: str):
+    """Encoding-damage audit (the ftfy-style mojibake scan a web corpus
+    needs before training): count tell-tale double-decoded UTF-8
+    sequences (Ã., â€., Â.) per page with vectorized substring-count
+    kernels and flag damaged docs. The fixture page injects a
+    deterministic amount of mojibake per doc_id (the raw fixture text is
+    clean), mirrored by the oracle's ``repeat``; marker counting is three
+    ``pc.count_substring`` kernels — no regex, no Python loop. At 100 TB
+    this is a stateless single-pass map; the damaged-share rollup is a
+    two-int aggregate."""
+
+    def f(t: pa.Table) -> pa.Table:
+        pages = pa.array(
+            [
+                f"{txt} " + "Ã©â€™Â« " * (did % 3)
+                for txt, did in zip(
+                    t["text"].to_pylist(), t["doc_id"].to_pylist()
+                )
+            ],
+            pa.string(),
+        )
+        n = None
+        for m in MOJIBAKE_MARKERS:
+            c = pc.cast(pc.count_substring(pages, m), pa.int64())
+            n = c if n is None else pc.add(n, c)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_mojibake": n,
+                "damaged": pc.cast(
+                    pc.greater(n, pa.scalar(0, pa.int64())), pa.int64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer fertility per language (subword tokens per whitespace
+    word, integer PPM — the tokenizer-eval metric that decides whether a
+    vocab under-serves a language): two vectorized RE2 counts per batch
+    (words = ``\\S+`` runs, subwords = a GPT-2-ish letter/digit/symbol
+    split), per-batch partial sums per lang, then a languages-sized
+    groupby — the shuffle moves O(langs × read-parallelism) rows, never
+    text."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int64())
+        s = pc.cast(
+            pc.count_substring_regex(
+                t["text"], r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+            ),
+            pa.int64(),
+        )
+        part = pa.table(
+            {"lang": t["lang"], "w": w, "s": s}
+        ).group_by("lang").aggregate([("w", "sum"), ("s", "sum")])
+        return part.rename_columns(["lang", "w", "s"])
+
+    agg = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            ray.data.aggregate.Sum("w", alias_name="n_words"),
+            ray.data.aggregate.Sum("s", alias_name="n_subtokens"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["n_words"], pa.int64())
+        s = pc.cast(t["n_subtokens"], pa.int64())
+        ppm = pc.divide(
+            pc.multiply(s, pa.scalar(1_000_000, pa.int64())),
+            pc.max_element_wise(w, pa.scalar(1, pa.int64())),
+        )
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_words": w,
+                "n_subtokens": s,
+                "fertility_ppm": ppm,
+            }
+        )
+
+    return agg.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster size distribution (the dedup audit every corpus
+    report carries: how much of the corpus sits in 2-doc pairs vs giant
+    boilerplate blobs): the verified LSH cluster chain -> per-cluster
+    member count -> histogram of cluster sizes. Reuses the whole
+    distributed clusters dataflow; both rollups shuffle O(clusters) then
+    O(distinct sizes) rows."""
+    comp = q_dedup_minhash_clusters(sf_dir)
+    sizes = comp.groupby("rep_id").aggregate(
+        ray.data.aggregate.Count(alias_name="n_members")
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        part = (
+            t.select(["n_members"])
+            .group_by("n_members")
+            .aggregate([([], "count_all"), ("n_members", "sum")])
+        )
+        return part.rename_columns(["cluster_size", "n_clusters", "n_docs"])
+
+    return (
+        sizes.map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cluster_size")
+        .aggregate(
+            ray.data.aggregate.Sum("n_clusters", alias_name="n_clusters"),
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_size": pc.cast(t["cluster_size"], pa.int64()),
+                    "n_clusters": pc.cast(t["n_clusters"], pa.int64()),
+                    "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding column (the corpus
+    clustering behind SemDeDup / cluster-balanced sampling) — the one
+    ITERATIVE dataflow in the family: per iteration, broadcast the K
+    rounded centroids into a stateless assignment map (distance at 4 dp,
+    first-lowest-cluster tie-break — knn_brute's determinism recipe),
+    pre-aggregate (cluster, vector-sum, count) partials per batch, and
+    reduce K rows on the driver. Per iteration the shuffle moves
+    O(K × read-parallelism) partial rows and the driver holds K×D
+    floats — corpus-size-independent. Centroids round to 6 dp each
+    update so both engines iterate on identical values. Deterministic
+    init: the K lowest-vec_id embeddings. Output: final centroids (long
+    form) + member counts of the converged assignment."""
+    import pyarrow.parquet as pq_
+
+    path = _pq(sf_dir, "embeddings")
+    pf = pq_.ParquetFile(path)
+    init_rows: list = []
+    for b in pf.iter_batches(batch_size=4096, columns=["vec_id", "embedding"]):
+        init_rows.append(b)
+        if sum(x.num_rows for x in init_rows) >= KMEANS_K:
+            break
+    head = pa.Table.from_batches(init_rows).sort_by("vec_id")
+    C = np.asarray(
+        head["embedding"].to_pylist()[:KMEANS_K], dtype=np.float64
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def make_partial(cents: np.ndarray):
+        def partial(t: pa.Table) -> pa.Table:
+            X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            d = np.round(
+                np.sqrt(
+                    ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                ),
+                4,
+            )
+            assign = d.argmin(axis=1)  # ties -> lowest cluster index
+            out_c, out_s, out_n = [], [], []
+            for k in np.unique(assign):
+                m = assign == k
+                out_c.append(int(k))
+                out_s.append(X[m].sum(axis=0).tolist())
+                out_n.append(int(m.sum()))
+            return pa.table(
+                {
+                    "cluster": pa.array(out_c, pa.int64()),
+                    "vsum": pa.array(out_s, pa.list_(pa.float64())),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        return partial
+
+    n_members = np.zeros(KMEANS_K, dtype=np.int64)
+    for _ in range(KMEANS_ITERS):
+        parts = (
+            ds.map_batches(
+                make_partial(C), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("cluster")
+            .map_groups(
+                lambda g: pa.table(
+                    {
+                        "cluster": g["cluster"][:1],
+                        "vsum": pa.array(
+                            [
+                                np.asarray(
+                                    g["vsum"].to_pylist(), dtype=np.float64
+                                )
+                                .sum(axis=0)
+                                .tolist()
+                            ],
+                            pa.list_(pa.float64()),
+                        ),
+                        "n": pa.array(
+                            [int(pc.sum(g["n"]).as_py())], pa.int64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .take_all()  # exactly K tiny rows
+        )
+        newC = C.copy()
+        n_members[:] = 0
+        for r in parts:
+            k = int(r["cluster"])
+            n = int(r["n"])
+            n_members[k] = n
+            if n:
+                newC[k] = np.round(
+                    np.asarray(r["vsum"], dtype=np.float64) / n, 6
+                )
+        C = newC
+
+    rows_c, rows_p, rows_v, rows_n = [], [], [], []
+    for k in range(KMEANS_K):
+        for p in range(C.shape[1]):
+            rows_c.append(k)
+            rows_p.append(p + 1)
+            rows_v.append(float(C[k, p]))
+            rows_n.append(int(n_members[k]))
+    return pa.table(
+        {
+            "cluster": pa.array(rows_c, pa.int64()),
+            "pos": pa.array(rows_p, pa.int64()),
+            "value": pa.array(rows_v, pa.float64()),
+            "n_members": pa.array(rows_n, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -7644,6 +7901,10 @@ QUERIES = {
     "dau": q_dau,
     "cocitation": q_cocitation,
     "vocab_coverage": q_vocab_coverage,
+    "mojibake": q_mojibake,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "kmeans": q_kmeans,
 }
 
 
@@ -8634,6 +8895,94 @@ ORACLES["global_rank"] = """
 select doc_id, n_chars,
        row_number() over (order by n_chars, doc_id) as rnk
 from documents
+"""
+
+ORACLES["mojibake"] = """
+with page as (
+  select doc_id, text || ' ' || repeat('Ã©â€™Â« ', doc_id % 3) as page
+  from documents),
+c as (
+  select doc_id,
+         ((length(page) - length(replace(page, 'Ã', '')))
+        + (length(page) - length(replace(page, 'â€', ''))) / 2
+        + (length(page) - length(replace(page, 'Â', ''))))::bigint
+           as n_mojibake
+  from page)
+select doc_id, n_mojibake,
+       (case when n_mojibake > 0 then 1 else 0 end)::bigint as damaged
+from c
+"""
+
+ORACLES["tokenizer_fertility"] = """
+with c as (
+  select lang,
+         length(regexp_extract_all(text, '\\S+'))::bigint as w,
+         length(regexp_extract_all(
+             text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::bigint as s
+  from documents)
+select lang, sum(w)::bigint as n_words, sum(s)::bigint as n_subtokens,
+       (sum(s) * 1000000 // greatest(sum(w), 1))::bigint as fertility_ppm
+from c group by lang
+"""
+
+# the verified-cluster chain (identical to dedup_minhash_clusters), then
+# per-cluster member counts, then the size histogram
+ORACLES["dup_cluster_sizes"] = _minhash_cte() + """
+, sd as (select doc_id, list_distinct(shingles) as sd from sh),
+verified as (
+  select p.a, p.b
+  from pairs p
+  join sd xa on xa.doc_id = p.a
+  join sd xb on xb.doc_id = p.b
+  where round(len(list_intersect(xa.sd, xb.sd))::double /
+              (len(xa.sd) + len(xb.sd) - len(list_intersect(xa.sd, xb.sd))),
+              6) >= 0.5),
+edges as (select a as src, b as dst from verified
+          union select b, a from verified),
+comp as (
+  select node, rep_id from (
+    with recursive r(node, reached) as (
+      select src, src from edges
+      union
+      select r.node, e.dst from r join edges e on e.src = r.reached
+    )
+    select node, min(reached) as rep_id from r group by node
+  )),
+cs as (select rep_id, count(*)::bigint as n_members from comp group by rep_id)
+select n_members as cluster_size, count(*)::bigint as n_clusters,
+       sum(n_members)::bigint as n_docs
+from cs group by n_members
+"""
+
+ORACLES["kmeans"] = f"""
+with e as (select vec_id, embedding::double[] as v from embeddings),
+c0 as (select (row_number() over (order by vec_id)) - 1 as cluster, v
+       from (select * from e order by vec_id limit {KMEANS_K})),
+a1 as (select vec_id, v, cluster from (
+  select e.vec_id, e.v, c0.cluster,
+         row_number() over (partition by e.vec_id
+           order by round(list_distance(e.v, c0.v), 4) asc,
+                    c0.cluster asc) as rn
+  from e cross join c0) where rn = 1),
+c1 as (select cluster, list(value order by pos) as v from (
+  select cluster, pos, round(avg(val), 6) as value from (
+    select cluster, unnest(v) as val, generate_subscripts(v, 1) as pos
+    from a1)
+  group by cluster, pos) group by cluster),
+a2 as (select vec_id, v, cluster from (
+  select e.vec_id, e.v, c1.cluster,
+         row_number() over (partition by e.vec_id
+           order by round(list_distance(e.v, c1.v), 4) asc,
+                    c1.cluster asc) as rn
+  from e cross join c1) where rn = 1),
+n2 as (select cluster, count(*)::bigint as n_members from a2
+       group by cluster),
+c2 as (select cluster, pos::bigint as pos, round(avg(val), 6) as value
+       from (select cluster, unnest(v) as val,
+                    generate_subscripts(v, 1) as pos from a2)
+       group by cluster, pos)
+select c2.cluster::bigint as cluster, c2.pos, c2.value, n2.n_members
+from c2 join n2 using (cluster)
 """
 
 ORACLES["label_centroids"] = """

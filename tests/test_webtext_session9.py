@@ -1,0 +1,97 @@
+"""Unit tests for the session-9 operators: mojibake audit, tokenizer
+fertility, dup-cluster size distribution, distributed Lloyd k-means.
+(Oracle value-parity is covered by the driver gate / check_oracles;
+these pin the semantic invariants the SQL compare can't isolate.)
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestMojibake:
+    def test_injected_counts_and_flag(self, ray_session):
+        df = q.QUERIES["mojibake"](SF).to_pandas()
+        assert len(df) == 500
+        # the raw fixture text is clean ASCII-ish: every marker comes
+        # from the deterministic injection of 3 markers per repeat
+        expected = (df["doc_id"] % 3) * 3
+        assert (df["n_mojibake"] == expected).all()
+        assert (df["damaged"] == (expected > 0).astype("int64")).all()
+
+
+class TestTokenizerFertility:
+    def test_fertility_at_least_one(self, ray_session):
+        df = q.QUERIES["tokenizer_fertility"](SF).to_pandas()
+        # every whitespace word yields >= 1 subword token, so fertility
+        # is >= 1.0 (1e6 PPM) for every language
+        assert (df["n_subtokens"] >= df["n_words"]).all()
+        assert (df["fertility_ppm"] >= 1_000_000).all()
+        # totals must cover the whole corpus token count
+        tok = q.QUERIES["token_count"](SF).to_pandas()
+        assert df["n_words"].sum() == tok["n_tokens"].sum()
+
+
+class TestDupClusterSizes:
+    def test_histogram_accounts_for_every_clustered_doc(self, ray_session):
+        hist = q.QUERIES["dup_cluster_sizes"](SF).to_pandas()
+        comp = q.QUERIES["dedup_minhash_clusters"](SF).to_pandas()
+        # clusters come from verified pairs: size >= 2 always
+        assert (hist["cluster_size"] >= 2).all()
+        assert hist["n_docs"].sum() == len(comp)
+        assert (
+            hist["n_docs"] == hist["cluster_size"] * hist["n_clusters"]
+        ).all()
+        assert hist["n_clusters"].sum() == comp["rep_id"].nunique()
+
+
+class TestKmeans:
+    def test_partition_and_centroid_consistency(self, ray_session):
+        df = q.QUERIES["kmeans"](SF).to_pandas()
+        n_vecs = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+        dim = df["pos"].max()
+        assert len(df) == q.KMEANS_K * dim
+        # n_members is constant per cluster and partitions the corpus
+        per = df.groupby("cluster")["n_members"].agg(["min", "max"])
+        assert (per["min"] == per["max"]).all()
+        assert per["min"].sum() == n_vecs
+        assert df["value"].notna().all()
+        assert np.isfinite(df["value"]).all()
+
+    def test_matches_plain_numpy_lloyd(self, ray_session):
+        """The distributed partial-sum dataflow must equal the
+        single-process Lloyd loop with the same determinism recipe
+        (distance at 4 dp, first-lowest-cluster argmin, centroids
+        rounded to 6 dp per update, init = K lowest vec_ids)."""
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        vid = np.array(t["vec_id"])
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        order = np.argsort(vid)
+        X = X[order]
+        C = X[: q.KMEANS_K].copy()
+        counts = np.zeros(q.KMEANS_K, dtype=np.int64)
+        for _ in range(q.KMEANS_ITERS):
+            d = np.round(
+                np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)), 4
+            )
+            assign = d.argmin(axis=1)
+            for k in range(q.KMEANS_K):
+                m = assign == k
+                counts[k] = m.sum()
+                if counts[k]:
+                    C[k] = np.round(X[m].mean(0), 6)
+        df = (
+            q.QUERIES["kmeans"](SF)
+            .to_pandas()
+            .sort_values(["cluster", "pos"])
+            .reset_index(drop=True)
+        )
+        got = df["value"].to_numpy().reshape(q.KMEANS_K, -1)
+        assert np.array_equal(got, C)
+        got_n = (
+            df.groupby("cluster")["n_members"].first().to_numpy()
+        )
+        assert np.array_equal(got_n, counts)
