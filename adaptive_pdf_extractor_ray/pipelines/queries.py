@@ -7648,22 +7648,29 @@ def q_dup_cluster_sizes(sf_dir: str):
 
 
 KMEANS_K = 8
-KMEANS_ITERS = 2
+KMEANS_ITERS = 2  # pinned: the SQL oracle unrolls exactly two rounds
+CLUSTER_SAMPLE_Q = 20  # kept rows per cluster in q_cluster_sample
 
 
-def q_kmeans(sf_dir: str):
-    """Distributed Lloyd k-means over the embedding column (the corpus
-    clustering behind SemDeDup / cluster-balanced sampling) — the one
-    ITERATIVE dataflow in the family: per iteration, broadcast the K
-    rounded centroids into a stateless assignment map (distance at 4 dp,
-    first-lowest-cluster tie-break — knn_brute's determinism recipe),
-    pre-aggregate (cluster, vector-sum, count) partials per batch, and
-    reduce K rows on the driver. Per iteration the shuffle moves
-    O(K × read-parallelism) partial rows and the driver holds K×D
-    floats — corpus-size-independent. Centroids round to 6 dp each
-    update so both engines iterate on identical values. Deterministic
-    init: the K lowest-vec_id embeddings. Output: final centroids (long
-    form) + member counts of the converged assignment."""
+def _kmeans_assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """The shared determinism recipe (knn_brute's): Euclidean distance
+    rounded to 4 dp, argmin with first-lowest-cluster tie-break."""
+    d = np.round(
+        np.sqrt(((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)), 4
+    )
+    return d.argmin(axis=1)
+
+
+def _kmeans_fit(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed Lloyd loop shared by q_kmeans / q_cluster_sample:
+    returns (centroids rounded to 6 dp, member counts of the final
+    assignment). Per iteration, the K rounded centroids broadcast into
+    a stateless assignment map, each batch pre-aggregates
+    (cluster, vector-sum, count) partials, and the driver reduces K tiny
+    rows — shuffle volume O(K × read-parallelism), driver state K×D
+    floats, both corpus-size-independent. Deterministic init: the K
+    lowest-vec_id embeddings (read via parquet batch iteration, never a
+    full-column load)."""
     import pyarrow.parquet as pq_
 
     path = _pq(sf_dir, "embeddings")
@@ -7683,13 +7690,7 @@ def q_kmeans(sf_dir: str):
     def make_partial(cents: np.ndarray):
         def partial(t: pa.Table) -> pa.Table:
             X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            d = np.round(
-                np.sqrt(
-                    ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-                ),
-                4,
-            )
-            assign = d.argmin(axis=1)  # ties -> lowest cluster index
+            assign = _kmeans_assign(X, cents)
             out_c, out_s, out_n = [], [], []
             for k in np.unique(assign):
                 m = assign == k
@@ -7747,6 +7748,18 @@ def q_kmeans(sf_dir: str):
                     np.asarray(r["vsum"], dtype=np.float64) / n, 6
                 )
         C = newC
+    return C, n_members
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding column (the corpus
+    clustering behind SemDeDup / cluster-balanced sampling) — the one
+    ITERATIVE dataflow in the family; see ``_kmeans_fit`` for the plan
+    shape. Centroids round to 6 dp each update so both engines iterate
+    on identical values; the oracle unrolls the two Lloyd rounds in SQL.
+    Output: final centroids (long form) + member counts of the
+    converged assignment."""
+    C, n_members = _kmeans_fit(sf_dir)
 
     rows_c, rows_p, rows_v, rows_n = [], [], [], []
     for k in range(KMEANS_K):
@@ -7762,6 +7775,63 @@ def q_kmeans(sf_dir: str):
             "value": pa.array(rows_v, pa.float64()),
             "n_members": pa.array(rows_n, pa.int64()),
         }
+    )
+
+
+def q_cluster_sample(sf_dir: str):
+    """Cluster-balanced diversity sample (the SemDeDup-era curation
+    move: sample evenly across embedding-space clusters instead of
+    uniformly, so head clusters can't drown the tail): fit k-means
+    (``_kmeans_fit``), one stateless assignment pass with the broadcast
+    final centroids, then keep the ``CLUSTER_SAMPLE_Q`` rows with the
+    smallest md5(vec_id) hash rank per cluster — the deterministic,
+    order-free, restart-stable sampling idiom shared with
+    sample_reservoir. Per-batch per-cluster top-Q partials pre-prune
+    before the shuffle, so the groupby moves ≤ Q × K × blocks rows."""
+    C, _ = _kmeans_fit(sf_dir)
+
+    def assign_rank(t: pa.Table) -> pa.Table:
+        X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        assign = _kmeans_assign(X, C)
+        rks = [
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()
+            for v in t["vec_id"].to_pylist()
+        ]
+        out = pa.table(
+            {
+                "cluster": pa.array(assign, pa.int64()),
+                "vec_id": t["vec_id"],
+                "rk": pa.array(rks, pa.string()),
+            }
+        )
+        # per-batch per-cluster top-Q prune (a cluster's global top-Q is
+        # a subset of the union of its per-batch top-Qs)
+        out = out.take(
+            pc.sort_indices(
+                out, sort_keys=[("cluster", "ascending"), ("rk", "ascending")]
+            )
+        )
+        cl = out["cluster"].to_pylist()
+        keep, last, seen = [], None, 0
+        for i, c in enumerate(cl):
+            if c != last:
+                last, seen = c, 0
+            seen += 1
+            if seen <= CLUSTER_SAMPLE_Q:
+                keep.append(i)
+        return out.take(pa.array(keep, pa.int64()))
+
+    def final_topq(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("rk", "ascending")])
+        return g.take(idx.slice(0, CLUSTER_SAMPLE_Q))
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            assign_rank, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cluster")
+        .map_groups(final_topq, batch_format="pyarrow")
     )
 
 
@@ -7905,6 +7975,7 @@ QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "kmeans": q_kmeans,
+    "cluster_sample": q_cluster_sample,
 }
 
 
@@ -8954,7 +9025,13 @@ select n_members as cluster_size, count(*)::bigint as n_clusters,
 from cs group by n_members
 """
 
-ORACLES["kmeans"] = f"""
+def _kmeans_sql_cte() -> str:
+    """The unrolled two-round Lloyd chain shared by the kmeans and
+    cluster_sample oracles: deterministic init (K lowest vec_ids),
+    assignment = argmin of distance rounded to 4 dp with lowest-cluster
+    tie-break, centroids re-rounded to 6 dp each update — byte-for-byte
+    the engine's recipe."""
+    return f"""
 with e as (select vec_id, embedding::double[] as v from embeddings),
 c0 as (select (row_number() over (order by vec_id)) - 1 as cluster, v
        from (select * from e order by vec_id limit {KMEANS_K})),
@@ -8981,8 +9058,29 @@ c2 as (select cluster, pos::bigint as pos, round(avg(val), 6) as value
        from (select cluster, unnest(v) as val,
                     generate_subscripts(v, 1) as pos from a2)
        group by cluster, pos)
+"""
+
+
+ORACLES["kmeans"] = _kmeans_sql_cte() + """
 select c2.cluster::bigint as cluster, c2.pos, c2.value, n2.n_members
 from c2 join n2 using (cluster)
+"""
+
+ORACLES["cluster_sample"] = _kmeans_sql_cte() + f"""
+, c2v as (select cluster, list(value order by pos) as v from c2
+          group by cluster),
+a3 as (select vec_id, cluster from (
+  select e.vec_id, c2v.cluster,
+         row_number() over (partition by e.vec_id
+           order by round(list_distance(e.v, c2v.v), 4) asc,
+                    c2v.cluster asc) as rn
+  from e cross join c2v) where rn = 1),
+ranked as (select cluster::bigint as cluster, vec_id,
+                  md5(cast(vec_id as varchar)) as rk,
+                  row_number() over (partition by cluster
+                    order by md5(cast(vec_id as varchar)) asc) as qn
+           from a3)
+select cluster, vec_id, rk from ranked where qn <= {CLUSTER_SAMPLE_Q}
 """
 
 ORACLES["label_centroids"] = """

@@ -95,3 +95,26 @@ class TestKmeans:
             df.groupby("cluster")["n_members"].first().to_numpy()
         )
         assert np.array_equal(got_n, counts)
+
+
+class TestClusterSample:
+    def test_balanced_and_hash_ranked(self, ray_session):
+        df = q.QUERIES["cluster_sample"](SF).to_pandas()
+        km = q.QUERIES["kmeans"](SF).to_pandas()
+        members = km.groupby("cluster")["n_members"].first()
+        per = df.groupby("cluster")["vec_id"].count()
+        # every cluster contributes min(Q, |cluster|) rows — balance,
+        # not proportionality (n_members comes from the assignment that
+        # produced the final centroids; the sample re-assigns WITH the
+        # final centroids, so sizes can drift by a row near boundaries
+        # — cap is the hard invariant, exact-Q holds with headroom)
+        assert (per <= q.CLUSTER_SAMPLE_Q).all()
+        full = members[members >= q.CLUSTER_SAMPLE_Q * 2].index
+        assert (per.loc[full] == q.CLUSTER_SAMPLE_Q).all()
+        # hash-rank determinism: rk really is md5(vec_id)
+        import hashlib
+
+        recomputed = df["vec_id"].map(
+            lambda v: hashlib.md5(str(v).encode()).hexdigest()
+        )
+        assert (df["rk"] == recomputed).all()
