@@ -7307,6 +7307,72 @@ def q_hash_features(sf_dir: str):
                             zero_copy_batch=True)
 
 
+LOGIT_WEIGHT_SPAN = 1_000_001  # weights land in [-500000, 500000]
+
+
+@functools.lru_cache(maxsize=1)
+def _logit_weights() -> dict[int, int]:
+    """Deterministic per-bucket weights for the linear quality scorer:
+    md5(bucket) first 4 bytes mod the span, recentred — the stand-in for
+    trained fastText weights (no network / no training data here), fully
+    integer so both engines hash-match exactly."""
+    return {
+        b: int.from_bytes(
+            hashlib.md5(str(b).encode("utf-8")).digest()[:4], "big"
+        )
+        % LOGIT_WEIGHT_SPAN
+        - 500_000
+        for b in range(HASH_FEATURE_BUCKETS)
+    }
+
+
+def q_quality_logit(sf_dir: str):
+    """Model-based quality filter (the DCLM/fastText-style linear
+    classifier pass — the other half of quality filtering next to the
+    rule-based gopher/c4 signals): hash char-trigrams into 64 buckets
+    (q_hash_features' featurizer), dot the count vector with a fixed
+    integer weight table, normalize by total trigram count with
+    TRUNCATING integer division (DuckDB's ``//`` truncates toward zero;
+    Python's floors — mimicked explicitly), and keep docs with positive
+    logit. All-integer arithmetic, so the oracle is hash-exact. NO
+    shuffle: a doc is one row, per-batch scores are final; the weight
+    table is 64 ints compiled once per process."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    W = _logit_weights()
+
+    def score(t: pa.Table) -> pa.Table:
+        d_out, l_out, k_out = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = s or ""
+            agg: dict[int, int] = {}
+            for i in range(len(s) - 2):
+                h = int.from_bytes(
+                    hashlib.md5(s[i : i + 3].encode("utf-8")).digest()[:4],
+                    "big",
+                ) % HASH_FEATURE_BUCKETS
+                agg[h] = agg.get(h, 0) + 1
+            total = sum(agg.values())
+            raw = sum(n * W[b] for b, n in agg.items())
+            if total:
+                q_, r_ = divmod(abs(raw), total)
+                logit = q_ if raw >= 0 else -q_
+            else:
+                logit = 0
+            d_out.append(did)
+            l_out.append(logit)
+            k_out.append(1 if logit > 0 else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "logit_ppm": pa.array(l_out, pa.int64()),
+                "keep": pa.array(k_out, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_dau(sf_dir: str):
     """Daily active users with the new-vs-returning split (the growth
     dashboard op): distinct (user, day) activity, per-user first day
@@ -7976,6 +8042,7 @@ QUERIES = {
     "dup_cluster_sizes": q_dup_cluster_sizes,
     "kmeans": q_kmeans,
     "cluster_sample": q_cluster_sample,
+    "quality_logit": q_quality_logit,
 }
 
 
@@ -8378,6 +8445,30 @@ select doc_id,
         % {HASH_FEATURE_BUCKETS})::bigint as bucket,
        count(*)::bigint as n
 from tri group by 1, 2
+""",
+    "quality_logit": f"""
+with tri as (
+  select doc_id, substr(text, i, 3) as g
+  from documents, unnest(range(1, length(text) - 1)) as r(i)),
+feats as (
+  select doc_id,
+         (('0x' || substr(md5(g), 1, 8))::uinteger
+          % {HASH_FEATURE_BUCKETS})::bigint as bucket,
+         count(*)::bigint as n
+  from tri group by 1, 2),
+w as (
+  select b::bigint as bucket,
+         ((('0x' || substr(md5(b::varchar), 1, 8))::uinteger
+           % {LOGIT_WEIGHT_SPAN})::bigint - 500000) as w
+  from unnest(range(0, {HASH_FEATURE_BUCKETS})) t(b)),
+s as (
+  select f.doc_id, (sum(f.n * w.w) // greatest(sum(f.n), 1))::bigint
+           as logit_ppm
+  from feats f join w using (bucket) group by f.doc_id)
+select d.doc_id, coalesce(s.logit_ppm, 0)::bigint as logit_ppm,
+       (case when coalesce(s.logit_ppm, 0) > 0 then 1 else 0 end)::bigint
+         as keep
+from documents d left join s using (doc_id)
 """,
     "dau": """
 with ud as (

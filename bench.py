@@ -115,6 +115,14 @@ BENCH_QUERIES = [
     "global_quantiles",
     "hash_features",
     "dau",
+    "cocitation",
+    "vocab_coverage",
+    "mojibake",
+    "tokenizer_fertility",
+    "dup_cluster_sizes",
+    "kmeans",
+    "cluster_sample",
+    "quality_logit",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

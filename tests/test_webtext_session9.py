@@ -4,6 +4,8 @@ fertility, dup-cluster size distribution, distributed Lloyd k-means.
 these pin the semantic invariants the SQL compare can't isolate.)
 """
 
+import hashlib
+
 import numpy as np
 import pyarrow.parquet as pq
 
@@ -112,9 +114,57 @@ class TestClusterSample:
         full = members[members >= q.CLUSTER_SAMPLE_Q * 2].index
         assert (per.loc[full] == q.CLUSTER_SAMPLE_Q).all()
         # hash-rank determinism: rk really is md5(vec_id)
-        import hashlib
-
         recomputed = df["vec_id"].map(
             lambda v: hashlib.md5(str(v).encode()).hexdigest()
         )
         assert (df["rk"] == recomputed).all()
+
+
+class TestQualityLogit:
+    def test_short_docs_score_zero_and_flag_consistency(
+        self, ray_session, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        texts = ["", "ab", "hello world", "aaaaaa", "zzz quality text"]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+                "source": pa.array(["t"] * 5, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        pq_.write_table(tbl, tmp_path / "documents.parquet")
+        df = (
+            q.QUERIES["quality_logit"](str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert len(df) == 5  # zero-trigram docs still emitted
+        assert df.loc[0, "logit_ppm"] == 0 and df.loc[1, "logit_ppm"] == 0
+        assert (df["keep"] == (df["logit_ppm"] > 0).astype("int64")).all()
+        # independent recomputation for one doc (truncating division)
+        W = q._logit_weights()
+        s = "hello world"
+        agg = {}
+        for i in range(len(s) - 2):
+            h = (
+                int.from_bytes(
+                    hashlib.md5(s[i : i + 3].encode()).digest()[:4], "big"
+                )
+                % q.HASH_FEATURE_BUCKETS
+            )
+            agg[h] = agg.get(h, 0) + 1
+        raw = sum(n * W[b] for b, n in agg.items())
+        total = sum(agg.values())
+        expected = (abs(raw) // total) * (1 if raw >= 0 else -1)
+        assert df.loc[2, "logit_ppm"] == expected
+
+    def test_weights_are_bounded(self):
+        W = q._logit_weights()
+        assert len(W) == q.HASH_FEATURE_BUCKETS
+        assert all(-500_000 <= w <= 500_000 for w in W.values())
