@@ -7373,6 +7373,136 @@ def q_quality_logit(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_filter_agreement(sf_dir: str):
+    """Filter-agreement matrix (the audit run before swapping quality
+    filters: how often does the model-based logit filter agree with the
+    rule-based Gopher tiers?): ONE fused pass computes both signals per
+    doc — tier via the shared word-stats/tier kernels, keep via the
+    hashed-feature logit — then per-batch (tier, keep) counter partials
+    feed a 6-row groupby. No corpus-row shuffle, no join: both signals
+    derive from the same row. Docs with zero words carry no tier and are
+    excluded on both sides (word_stats_batch drops them; the oracle's
+    tier CTE never emits them)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_total = _table_rows(sf_dir, "documents")
+    W = _logit_weights()
+
+    def f(t: pa.Table) -> pa.Table:
+        keeps: dict[int, int] = {}
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = s or ""
+            agg: dict[int, int] = {}
+            for i in range(len(s) - 2):
+                h = int.from_bytes(
+                    hashlib.md5(s[i : i + 3].encode("utf-8")).digest()[:4],
+                    "big",
+                ) % HASH_FEATURE_BUCKETS
+                agg[h] = agg.get(h, 0) + 1
+            total = sum(agg.values())
+            raw = sum(n * W[b] for b, n in agg.items())
+            logit = (abs(raw) // total) * (1 if raw >= 0 else -1) \
+                if total else 0
+            keeps[did] = 1 if logit > 0 else 0
+        tiers = tx.quality_tier_batch(tx.word_stats_batch(t))
+        part = pa.table(
+            {
+                "tier": tiers["tier"],
+                "keep": pa.array(
+                    [keeps[d] for d in tiers["doc_id"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        ).group_by(["tier", "keep"]).aggregate([([], "count_all")])
+        return part.rename_columns(["tier", "keep", "n"])
+
+    agg = (
+        docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["tier", "keep"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "tier": t["tier"],
+                "keep": pc.cast(t["keep"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "share_ppm": pc.divide(
+                    pc.multiply(
+                        pc.cast(t["n_docs"], pa.int64()),
+                        pa.scalar(1_000_000, pa.int64()),
+                    ),
+                    pa.scalar(max(n_total, 1), pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_split_token_budget(sf_dir: str):
+    """Per-split token accounting (the budget sheet of a training-data
+    build: how many tokens actually land in train/valid/test): split
+    assignment and token count both derive from the row, so ONE fused
+    map emits per-batch per-split (n_docs, n_tokens) partials into a
+    3-row groupby — no join, no corpus shuffle. Shares are integer PPM
+    of the corpus token total (read off the materialized 3-row
+    aggregate, not a second pass)."""
+    import hashlib as _hl
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        buckets = [
+            int(_hl.md5(str(i).encode()).hexdigest()[:15], 16)
+            % SPLIT_BUCKETS
+            for i in ids
+        ]
+        splits = [
+            "train" if b < SPLIT_TRAIN else "valid" if b < SPLIT_VALID
+            else "test"
+            for b in buckets
+        ]
+        toks = pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+        )
+        part = pa.table(
+            {
+                "split": pa.array(splits, pa.string()),
+                "one": pa.array([1] * len(ids), pa.int64()),
+                "toks": toks,
+            }
+        ).group_by("split").aggregate([("one", "sum"), ("toks", "sum")])
+        return part.rename_columns(["split", "n_docs", "n_tokens"])
+
+    agg = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("split")
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .materialize()  # exactly <=3 rows
+    )
+    total_toks = int(agg.sum("n_tokens") or 0)
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "split": t["split"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "token_share_ppm": pc.divide(
+                    pc.multiply(
+                        pc.cast(t["n_tokens"], pa.int64()),
+                        pa.scalar(1_000_000, pa.int64()),
+                    ),
+                    pa.scalar(max(total_toks, 1), pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_dau(sf_dir: str):
     """Daily active users with the new-vs-returning split (the growth
     dashboard op): distinct (user, day) activity, per-user first day
@@ -8043,6 +8173,8 @@ QUERIES = {
     "kmeans": q_kmeans,
     "cluster_sample": q_cluster_sample,
     "quality_logit": q_quality_logit,
+    "filter_agreement": q_filter_agreement,
+    "split_token_budget": q_split_token_budget,
 }
 
 
@@ -9667,6 +9799,83 @@ select doc_id,
             else 'mid' end as tier,
        n_words::bigint as n_words, top_frac, dup_frac
 from s
+"""
+
+ORACLES["filter_agreement"] = f"""
+with words as (
+  select doc_id, w
+  from (select doc_id, unnest(string_split(text, ' ')) as w from documents)
+  where w <> ''),
+per as (select doc_id, w, count(*)::bigint as c from words
+        group by doc_id, w),
+ranked as (
+  select doc_id, w, c,
+         sum(c) over (partition by doc_id) as n_words,
+         count(*) over (partition by doc_id) as n_distinct,
+         row_number() over (partition by doc_id
+                            order by c desc, w asc) as rn
+  from per),
+s as (
+  select doc_id, n_words,
+         round(c / n_words, 6) as top_frac,
+         round((n_words - n_distinct) / n_words, 6) as dup_frac
+  from ranked where rn = 1),
+tiers as (
+  select doc_id,
+         case when n_words < {tx.TIER_LOW_WORDS}
+                   or dup_frac >= {tx.TIER_LOW_DUP}
+                   or top_frac >= {tx.TIER_LOW_TOP} then 'low'
+              when n_words >= {tx.TIER_HIGH_WORDS}
+                   and dup_frac < {tx.TIER_HIGH_DUP}
+                   and top_frac < {tx.TIER_HIGH_TOP} then 'high'
+              else 'mid' end as tier
+  from s),
+tri as (
+  select doc_id, substr(text, i, 3) as g
+  from documents, unnest(range(1, length(text) - 1)) as r(i)),
+feats as (
+  select doc_id,
+         (('0x' || substr(md5(g), 1, 8))::uinteger
+          % {HASH_FEATURE_BUCKETS})::bigint as bucket,
+         count(*)::bigint as n
+  from tri group by 1, 2),
+w as (
+  select b::bigint as bucket,
+         ((('0x' || substr(md5(b::varchar), 1, 8))::uinteger
+           % {LOGIT_WEIGHT_SPAN})::bigint - 500000) as w
+  from unnest(range(0, {HASH_FEATURE_BUCKETS})) t(b)),
+lg as (
+  select f.doc_id, (sum(f.n * w.w) // greatest(sum(f.n), 1))::bigint
+           as logit
+  from feats f join w using (bucket) group by f.doc_id),
+k as (
+  select d.doc_id,
+         (case when coalesce(lg.logit, 0) > 0 then 1 else 0 end)::bigint
+           as keep
+  from documents d left join lg using (doc_id))
+select t.tier, k.keep, count(*)::bigint as n_docs,
+       (count(*) * 1000000 //
+        (select greatest(count(*), 1) from documents))::bigint as share_ppm
+from tiers t join k using (doc_id)
+group by t.tier, k.keep
+"""
+
+ORACLES["split_token_budget"] = f"""
+with b as (
+  select doc_id,
+         (('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::ubigint
+          % {SPLIT_BUCKETS})::bigint as bucket,
+         length(regexp_extract_all(text, '\\S+'))::bigint as toks
+  from documents),
+s as (select case when bucket < {SPLIT_TRAIN} then 'train'
+                  when bucket < {SPLIT_VALID} then 'valid'
+                  else 'test' end as split, toks from b),
+a as (select split, count(*)::bigint as n_docs,
+             sum(toks)::bigint as n_tokens from s group by split),
+tot as (select greatest(sum(n_tokens), 1) as tt from a)
+select split, n_docs, n_tokens,
+       (n_tokens * 1000000 // tot.tt)::bigint as token_share_ppm
+from a, tot
 """
 
 ORACLES["domain_stats"] = """

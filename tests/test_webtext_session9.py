@@ -168,3 +168,33 @@ class TestQualityLogit:
         W = q._logit_weights()
         assert len(W) == q.HASH_FEATURE_BUCKETS
         assert all(-500_000 <= w <= 500_000 for w in W.values())
+
+
+class TestFilterAgreement:
+    def test_matrix_consistent_with_both_filters(self, ray_session):
+        m = q.QUERIES["filter_agreement"](SF).to_pandas()
+        tiers = q.QUERIES["quality_tiers"](SF).to_pandas()
+        logit = q.QUERIES["quality_logit"](SF).to_pandas()
+        # cells partition the tiered docs; marginals match each filter
+        assert m["n_docs"].sum() == len(tiers)
+        tm = m.groupby("tier")["n_docs"].sum()
+        assert tm.equals(
+            tiers.groupby("tier")["doc_id"].count().rename("n_docs")
+        )
+        both = tiers.merge(logit, on="doc_id")
+        km = m.groupby("keep")["n_docs"].sum()
+        assert km.equals(
+            both.groupby("keep")["doc_id"].count().rename("n_docs")
+        )
+
+
+class TestSplitTokenBudget:
+    def test_budget_partitions_the_corpus(self, ray_session):
+        df = q.QUERIES["split_token_budget"](SF).to_pandas()
+        splits = q.QUERIES["split_assign"](SF).to_pandas()
+        tok = q.QUERIES["token_count"](SF).to_pandas()
+        assert set(df["split"]) == {"train", "valid", "test"}
+        assert df["n_docs"].sum() == len(splits)
+        assert df["n_tokens"].sum() == tok["n_tokens"].sum()
+        # integer-floor shares can undershoot by at most one PPM per row
+        assert 1_000_000 - 3 <= df["token_share_ppm"].sum() <= 1_000_000
