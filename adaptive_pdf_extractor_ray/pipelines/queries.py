@@ -7503,6 +7503,81 @@ def q_split_token_budget(sf_dir: str):
     )
 
 
+REDIR_BLOCK = 8  # ids at multiples of 8 are terminal; chains <= 7 hops
+REDIR_ROUNDS = 3  # pointer doubling: 2^3 = 8 >= max chain length
+
+
+def q_redirects(sf_dir: str):
+    """Redirect-chain resolution by POINTER DOUBLING (the CDX/crawl-time
+    canonicalization step: every captured URL resolves to its terminal
+    target): the fixture derives one redirect edge per doc
+    (``i -> i-1`` unless ``i`` is a block terminal), then each round
+    composes the pointer map with itself through a hash join —
+    ``(id, nxt, hops) ⋈ (nxt = id')`` — so after r rounds every pointer
+    covers 2^r hops. log2(max-chain) JOIN rounds instead of max-chain
+    sequential walks: the web's redirect chains are short (<10), so 3-4
+    rounds resolve 10^12 urls with each round a plain O(n) hash join on
+    the id key. Terminals self-loop with hops=0, which makes the
+    composition idempotent at the fixpoint. Output: (url, final_url,
+    hops); the oracle replays the walk with a recursive CTE."""
+    ids = _read(sf_dir, "documents", ["doc_id"])
+
+    def init_map(t: pa.Table) -> pa.Table:
+        i = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        term = i % REDIR_BLOCK == 0
+        nxt = np.where(term, i, i - 1)
+        hops = np.where(term, 0, 1).astype(np.int64)
+        return pa.table(
+            {
+                "id": pa.array(i, pa.int64()),
+                "nxt": pa.array(nxt, pa.int64()),
+                "hops": pa.array(hops, pa.int64()),
+            }
+        )
+
+    m = ids.map_batches(init_map, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    nparts = dd.adaptive_partitions(_table_rows(sf_dir, "documents"))
+    for _ in range(REDIR_ROUNDS):
+        right = m.select_columns(["id", "nxt", "hops"])
+        m = (
+            m.join(
+                right,
+                join_type="inner",
+                num_partitions=nparts,
+                on=("nxt",),
+                right_on=("id",),
+                right_suffix="_r",
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "id": t["id"],
+                        "nxt": t["nxt_r"],
+                        "hops": pc.add(t["hops"], t["hops_r"]),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()  # pin each doubling round (join inputs reused)
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        urls = [f"https://r.example/p{i}" for i in t["id"].to_pylist()]
+        finals = [f"https://r.example/p{i}" for i in t["nxt"].to_pylist()]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "final_url": pa.array(finals, pa.string()),
+                "hops": pc.cast(t["hops"], pa.int64()),
+            }
+        )
+
+    return m.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 def q_dau(sf_dir: str):
     """Daily active users with the new-vs-returning split (the growth
     dashboard op): distinct (user, day) activity, per-user first day
@@ -8175,6 +8250,7 @@ QUERIES = {
     "quality_logit": q_quality_logit,
     "filter_agreement": q_filter_agreement,
     "split_token_budget": q_split_token_budget,
+    "redirects": q_redirects,
 }
 
 
@@ -9799,6 +9875,29 @@ select doc_id,
             else 'mid' end as tier,
        n_words::bigint as n_words, top_frac, dup_frac
 from s
+"""
+
+ORACLES["redirects"] = f"""
+with ids as (select doc_id as id from documents),
+nxt as (select id,
+               case when id % {REDIR_BLOCK} = 0 then id else id - 1 end
+                 as nxt
+        from ids),
+walk as (
+  with recursive r(id, cur, hops) as (
+    select id, id, 0 from ids
+    union all
+    select r.id, n.nxt, r.hops + 1
+    from r join nxt n on n.id = r.cur
+    where n.nxt <> r.cur
+  )
+  select id, cur, hops,
+         row_number() over (partition by id order by hops desc) as rn
+  from r)
+select 'https://r.example/p' || id as url,
+       'https://r.example/p' || cur as final_url,
+       hops::bigint as hops
+from walk where rn = 1
 """
 
 ORACLES["filter_agreement"] = f"""

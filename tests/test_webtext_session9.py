@@ -198,3 +198,20 @@ class TestSplitTokenBudget:
         assert df["n_tokens"].sum() == tok["n_tokens"].sum()
         # integer-floor shares can undershoot by at most one PPM per row
         assert 1_000_000 - 3 <= df["token_share_ppm"].sum() <= 1_000_000
+
+
+class TestRedirects:
+    def test_pointer_doubling_matches_closed_form(self, ray_session):
+        """For the i -> i-1 chain fixture the terminal and hop count
+        have a closed form (final = i - i % B, hops = i % B) — the
+        doubling rounds must land exactly there."""
+        df = q.QUERIES["redirects"](SF).to_pandas()
+        ids = df["url"].str.extract(r"p(\d+)$")[0].astype("int64")
+        finals = df["final_url"].str.extract(r"p(\d+)$")[0].astype("int64")
+        assert (finals == ids - ids % q.REDIR_BLOCK).all()
+        assert (df["hops"] == ids % q.REDIR_BLOCK).all()
+        assert len(df) == 500
+        # every terminal is a fixpoint
+        term = df[ids % q.REDIR_BLOCK == 0]
+        assert (term["url"] == term["final_url"]).all()
+        assert (term["hops"] == 0).all()
