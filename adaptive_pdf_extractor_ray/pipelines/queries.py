@@ -7578,6 +7578,95 @@ def q_redirects(sf_dir: str):
                          zero_copy_batch=True)
 
 
+SKEW_DIM = 50  # dim-table cardinality for the skewed-join fixture
+
+
+def q_join_skewed(sf_dir: str):
+    """Hot-key join via explicit salting (the straggler-killer for the
+    empty-referrer/boilerplate-key joins a web corpus always has): the
+    fixture key sends ~75% of events to key 0; ``detect_hot_keys`` (one
+    counter pass, rows never move) finds it, ``salted_join`` fans the
+    hot key over 8 salt sub-partitions while replicating the matching
+    thin-side rows 8 ways, and the whole thing runs as ONE uniform
+    (key, salt) hash join — identical result set to the plain join (the
+    oracle IS the plain SQL join), without the unbounded single-
+    partition straggler. Values ride as integer micro-units (no
+    float-sum-order hazard)."""
+    from ..stages import joins as js
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["event_id"].to_pylist(), dtype=np.int64)
+        k = np.where(eid % 4 != 0, 0, eid % SKEW_DIM)
+        micro = np.floor(
+            np.asarray(t["value"].to_pylist(), dtype=np.float64) * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "k": pa.array(k, pa.int64()),
+                "micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    fat = ev.map_batches(derive, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    dim = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(range(SKEW_DIM), pa.int64()),
+                "mult": pa.array(
+                    [(k * 7) % 13 + 1 for k in range(SKEW_DIM)], pa.int64()
+                ),
+            }
+        )
+    )
+    hot = js.detect_hot_keys(fat, "k")
+    joined = js.salted_join(
+        fat, dim, on="k", salt_col="event_id", hot_keys=hot, salt=8,
+        num_partitions=dd.adaptive_partitions(_table_rows(sf_dir, "events")),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.multiply(t["micro"], t["mult"])
+        part = (
+            pa.table(
+                {
+                    "k": t["k"],
+                    "one": pa.array([1] * t.num_rows, pa.int64()),
+                    "w": w,
+                }
+            )
+            .group_by("k")
+            .aggregate([("one", "sum"), ("w", "sum")])
+        )
+        return part.rename_columns(["k", "n", "w"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_events"),
+            ray.data.aggregate.Sum("w", alias_name="weighted_micro"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pc.cast(t["k"], pa.int64()),
+                    "n_events": pc.cast(t["n_events"], pa.int64()),
+                    "weighted_micro": pc.cast(
+                        t["weighted_micro"], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+
 def q_dau(sf_dir: str):
     """Daily active users with the new-vs-returning split (the growth
     dashboard op): distinct (user, day) activity, per-user first day
@@ -8251,6 +8340,7 @@ QUERIES = {
     "filter_agreement": q_filter_agreement,
     "split_token_budget": q_split_token_budget,
     "redirects": q_redirects,
+    "join_skewed": q_join_skewed,
 }
 
 
@@ -9875,6 +9965,22 @@ select doc_id,
             else 'mid' end as tier,
        n_words::bigint as n_words, top_frac, dup_frac
 from s
+"""
+
+ORACLES["join_skewed"] = f"""
+with fat as (
+  select event_id,
+         case when event_id % 4 <> 0 then 0
+              else event_id % {SKEW_DIM} end as k,
+         cast(floor(value * 1000000 + 0.5) as bigint) as micro
+  from events),
+dim as (
+  select b::bigint as k, ((b * 7) % 13 + 1)::bigint as mult
+  from unnest(range(0, {SKEW_DIM})) t(b))
+select f.k, count(*)::bigint as n_events,
+       sum(f.micro * d.mult)::bigint as weighted_micro
+from fat f join dim d using (k)
+group by f.k
 """
 
 ORACLES["redirects"] = f"""
