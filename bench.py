@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     "kmeans",
     "cluster_sample",
     "quality_logit",
+    "filter_agreement",
+    "split_token_budget",
+    "redirects",
+    "join_skewed",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
