@@ -679,6 +679,49 @@ def q_dedup_containment(sf_dir: str):
     )
 
 
+def q_setsim_join(sf_dir: str):
+    """EXACT set-similarity self-join (word-3-gram Jaccard >= tau) via
+    df-ordered prefix filtering — the AllPairs/PPJoin family
+    (`stages/setsim.py` for the theorem and the 10^12-doc partitioning
+    notes). Unlike the MinHash-LSH chain this is deterministic and
+    complete: the verified output EQUALS brute-force all-pairs, which is
+    exactly what the relational oracle computes (pairs sharing >= 1
+    shingle -> intersection counts via an exploded equijoin -> Jaccard
+    filter) — the green hash check is a data-level proof of the prefix
+    filter's no-false-negative guarantee.
+
+    Dataflow: explode distinct shingles -> df count (salted Arrow C++
+    groupby) -> join df back on shingle -> per-doc prefix selection in
+    bounded groupby(doc_id) groups -> candidate pairs from prefix-token
+    buckets (skew-guarded) -> distinct pairs -> two text joins -> exact
+    per-batch Jaccard verify. Nothing driver-side scales with the corpus
+    or the pair set."""
+    from ..stages import setsim as ss
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok = docs.map_batches(
+        ss.explode_shingle_sets, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df = _grouped_count(tok, key="sh", out="df")
+    # explode rows ~ tokens/doc x n_docs; the df side is vocabulary-sized
+    n_parts = dd.adaptive_partitions(_table_rows(sf_dir, "documents") * 120)
+    tok_df = tok.join(df, join_type="inner", num_partitions=n_parts,
+                      on=("sh",))
+    prefixes = tok_df.groupby("doc_id").map_groups(
+        lambda g: ss.prefix_select(g, ss.SETSIM_TAU), batch_format="pyarrow"
+    )
+    cands = prefixes.groupby("sh").map_groups(
+        lambda g: dd.bucket_pairs(g, max_bucket=ss.SETSIM_MAX_BUCKET),
+        batch_format="pyarrow",
+    )
+    pairs = _distinct_pairs(cands)
+    return (
+        dd.attach_pair_texts(pairs, docs)
+        .map_batches(dd.jaccard_pairs_batch, batch_format="pyarrow")
+        .filter(expr=f"jaccard >= {ss.SETSIM_TAU}")
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (sim >= 0.95), exact within label
     buckets — SQL-verifiable with list_cosine_similarity."""
@@ -8213,6 +8256,7 @@ QUERIES = {
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "setsim_join": q_setsim_join,
     "dedup_containment": q_dedup_containment,
     "dedup_keep_best": q_dedup_keep_best,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -8992,6 +9036,44 @@ from pairs p
 join sd xa on xa.doc_id = p.a
 join sd xb on xb.doc_id = p.b
 """
+
+# Exact relational all-pairs Jaccard (pairs sharing >= 1 shingle — for
+# tau > 0 that IS every qualifying pair): the oracle does NOT replicate
+# the prefix filter, so a green hash check proves the engine's prefix
+# pruning has no false negatives on the data (AllPairs lemma, see
+# stages/setsim.py). Intersections come from an exploded equijoin +
+# group-count — no per-pair list_intersect.
+def _setsim_oracle_sql() -> str:
+    from ..stages.setsim import SETSIM_TAU
+
+    tokenize = dd.SQL_TOKENIZE.format(col="text")
+    return f"""
+with toks as (
+  select doc_id, {tokenize} as toks from documents),
+shl as (
+  select doc_id,
+         case when len(toks) >= 3 then
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         when len(toks) >= 1 then [array_to_string(toks, ' ')]
+         else [] end as shingles
+  from toks),
+tok as (select distinct doc_id, unnest(shingles) as s from shl),
+sz as (select doc_id, count(*)::bigint as n from tok group by 1),
+inter as (
+  select a.doc_id as a, b.doc_id as b, count(*)::bigint as c
+  from tok a join tok b on a.s = b.s and a.doc_id < b.doc_id
+  group by 1, 2)
+select i.a, i.b,
+       round(c::double / (sa.n + sb.n - c), 6) as jaccard
+from inter i
+join sz sa on sa.doc_id = i.a
+join sz sb on sb.doc_id = i.b
+where round(c::double / (sa.n + sb.n - c), 6) >= {SETSIM_TAU}
+"""
+
+
+ORACLES["setsim_join"] = _setsim_oracle_sql()
 
 ORACLES["dedup_containment"] = _minhash_cte() + """
 , sd as (select doc_id, list_distinct(shingles) as sd from sh)

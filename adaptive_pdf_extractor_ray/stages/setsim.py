@@ -1,0 +1,102 @@
+"""Exact set-similarity join via df-ordered prefix filtering — the
+AllPairs / PPJoin family (Bayardo, Ma & Srikant, WWW'07; Chaudhuri,
+Ganti & Kaushik, ICDE'06; Xiao et al., WWW'08).
+
+A different algorithmic family from MinHash-LSH (`stages/dedup.py`):
+LSH is probabilistic (a true pair can miss every band), while prefix
+filtering is EXACT — every pair with Jaccard >= tau is guaranteed to
+surface as a candidate, so the verified output equals the brute-force
+all-pairs result without ever forming the quadratic cross product.
+
+The theorem (AllPairs, lemma 1): fix any global total order over the
+token universe and sort every set by it. If |A ∩ B| >= alpha, then the
+first |A| - alpha + 1 tokens of A share at least one token with the
+first |B| - alpha + 1 tokens of B (otherwise all alpha shared tokens
+lie in both suffixes of length alpha - 1 — impossible). For Jaccard
+J(A,B) >= tau we have |A ∩ B| >= tau * |A ∪ B| >= ceil(tau * |A|), so a
+prefix of length
+
+    p(n) = n - ceil(tau * n) + 1
+
+per set is sufficient on both sides. The global order is free; choosing
+ascending DOCUMENT FREQUENCY (rarest token first — the PPJoin heuristic)
+makes the candidate buckets as small as possible, because prefixes are
+then made of the corpus's rarest tokens.
+
+Dataflow shape (all Dataset ops, nothing driver-side):
+
+    docs -> map_batches(explode_shingle_sets)      per-doc DISTINCT shingles
+         -> groupby(sh).count                      df per shingle (salted C++)
+         -> join df back on sh                     tokens learn their rarity
+         -> groupby(doc_id).map_groups(prefix)     bounded group = ONE doc's
+                                                   shingle rows (~tokens/doc)
+         -> groupby(sh).map_groups(bucket_pairs)   candidates; bucket size is
+                                                   bounded by df of a PREFIX
+                                                   token (rare by construction)
+         -> distinct pairs -> text join -> exact Jaccard verify >= tau
+
+Partitioning assumptions at 10^12 docs: the (doc_id, shingle) explode is
+the big relation (~100 rows/doc) and is shuffled twice, keyed by shingle
+(df join) and by doc_id (prefix selection) — both well-distributed keys.
+The df side of the join is vocabulary-sized. A prefix bucket's size is
+the df of its key token; adversarial corpora (everyone shares the same
+rare template sentence) are bounded by ``bucket_pairs``'s skew guard
+(star + neighbor adjacency over caps, dropped volume logged).
+
+Reference parity note: the reference engine has no similarity join at
+all (single-threaded regex loop, GustavoZiel/adaptive-PDF-extractor
+src/main.py); this operator is part of the LLM-training-data family the
+100 TB engine adds on top.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _shingles
+
+# Exact-join verification threshold (word-3-gram Jaccard).
+SETSIM_TAU = 0.6
+
+# Candidate buckets are keyed by a df-minimal (rare) token, so they stay
+# tiny on natural corpora; the cap only engages on adversarial skew
+# (identical boilerplate everywhere) where `bucket_pairs` degrades to
+# star + bounded adjacency and LOGS the dropped volume.
+SETSIM_MAX_BUCKET = 10_000
+
+
+def explode_shingle_sets(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> one row per DISTINCT word-3-gram shingle:
+    (doc_id, sh). The distinct-within-doc here is what makes the later
+    groupby(sh).count a document frequency."""
+    ids, shs = [], []
+    for did, txt in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+        for s in set(_shingles(txt or "")):
+            ids.append(did)
+            shs.append(s)
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(shs, pa.string())}
+    )
+
+
+def prefix_length(n: int, tau: float) -> int:
+    """AllPairs sufficient prefix for Jaccard >= tau over a set of size
+    ``n``: n - ceil(tau*n) + 1 (>= 1 for any 0 < tau <= 1)."""
+    return n - math.ceil(tau * n) + 1
+
+
+def prefix_select(group: pa.Table, tau: float = SETSIM_TAU) -> pa.Table:
+    """One doc's (doc_id, sh, df) rows -> its prefix rows (doc_id, sh),
+    rarest-first under the deterministic total order (df, sh). The group
+    is one document's distinct shingles — bounded by document length,
+    never corpus-sized (same contract as sessionize)."""
+    n = group.num_rows
+    p = prefix_length(n, tau)
+    idx = pc.sort_indices(
+        group, sort_keys=[("df", "ascending"), ("sh", "ascending")]
+    )
+    return group.take(idx.slice(0, p)).select(["doc_id", "sh"])
