@@ -5761,6 +5761,69 @@ def q_sample_reservoir(sf_dir: str):
     return dataset_topk(ranked, [("rk", "ascending")], RESERVOIR_K)
 
 
+SAMPLE_W_K = 64
+
+
+def q_sample_weighted(sf_dir: str):
+    """Weight-proportional sample WITHOUT replacement — priority sampling
+    (Duffield, Lund & Thorup, JACM'07), the weighted analog of the
+    hash-rank reservoir above. Each doc gets priority q = w / u with
+    weight w = n_chars and u a deterministic md5-derived uniform
+    ((hv+1) / 2^60 for the 60-bit hash prefix — the constant 2^60 cancels
+    in the ordering, so the key is the single IEEE division
+    w / (hv+1)); the k largest priorities are the sample, and with
+    threshold tau = the (k+1)-th priority, est_w = max(w, tau) is the
+    DLT unbiased per-item weight estimator (sum(est_w) estimates the
+    corpus's total weight from k rows).
+
+    Deterministic, order-free and restart-stable like sample_reservoir —
+    no RNG state, no sequential scan. Distributed shape: stateless
+    priority map -> per-block top-(k+1) partials -> one tiny final
+    reduce; shuffle volume is k+1 rows per block regardless of corpus
+    size. The oracle replays the identical integer->double arithmetic,
+    so the gate verifies both the selection and the estimator."""
+    from ..stages.topk import dataset_topk
+
+    def pri(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hv1 = [
+            int(hashlib.md5(str(d).encode("utf-8")).hexdigest()[:15], 16) + 1
+            for d in ids
+        ]
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = w / np.array(hv1, dtype=np.float64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_chars": t["n_chars"],
+             "p": pa.array(p, pa.float64())}
+        )
+
+    keys = [("p", "descending"), ("doc_id", "ascending")]
+    top = dataset_topk(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+            pri, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys, SAMPLE_W_K + 1,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        tau = t["p"][SAMPLE_W_K].as_py() if t.num_rows > SAMPLE_W_K else 0.0
+        keep = t.slice(0, SAMPLE_W_K)
+        w = keep["n_chars"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": keep["doc_id"],
+                "n_chars": keep["n_chars"],
+                "pri": pc.round(keep["p"], ndigits=6),
+                "est_w": pc.round(
+                    pa.array(np.maximum(w, tau), pa.float64()), ndigits=6
+                ),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
 def q_domain_dup_stats(sf_dir: str):
     """Per-domain duplication accounting — the crawl-health signal that
     decides which domains to downsample before expensive near-dup
@@ -6841,6 +6904,169 @@ def q_url_history(sf_dir: str):
         .groupby("url")
         .map_groups(hist, batch_format="pyarrow")
     )
+
+
+def urltrap_corpus() -> str:
+    """Lazily write the deterministic crawler-trap url fixture
+    (sf-independent fixed path); both the Ray query and the oracle
+    composer call this, so either side can run first."""
+    import tempfile
+
+    from ..sources.synthetic import write_urltrap_corpus
+
+    root = os.path.join(tempfile.gettempdir(), "aper_urltrap_600")
+    return write_urltrap_corpus(root, n=600, seed=1)
+
+
+# crawler-trap gate: a template is a trap when it explodes into many
+# urls that serve few distinct page bodies. Integer cross-multiplied
+# threshold (house style — no float comparison in the gate).
+TRAP_MIN_URLS = 20
+TRAP_DUP_FACTOR = 5
+
+
+def _distinct_rows(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Exact distinct over string-keyed rows: salt-partition shuffle +
+    per-partition Arrow C++ ``group_by`` — the string-key generalization
+    of ``_distinct_pairs`` (Dataset.groupby(...).aggregate combines rows
+    at Python speed; the salted shape dedups in Arrow's hash table). The
+    crc32 salt is deterministic per row key, so duplicates co-locate and
+    the distinct is exact."""
+    import zlib
+
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 4)) * 2)
+
+    def salt(t: pa.Table) -> pa.Table:
+        key_cols = [t[c].to_pylist() for c in cols]
+        p = [
+            zlib.crc32("|".join(vals).encode("utf-8")) % n_parts
+            for vals in zip(*key_cols)
+        ]
+        return t.append_column("p", pa.array(p, pa.int64()))
+
+    def dedup_part(g: pa.Table) -> pa.Table:
+        return g.select(cols).group_by(cols).aggregate([])
+
+    return (
+        ds.map_batches(salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(dedup_part, batch_format="pyarrow")
+    )
+
+
+def q_url_templates(sf_dir: str):
+    """URL-template mining / crawler-trap detection (the Heritrix /
+    production-crawler frontier-hygiene stage): collapse every url to
+    its template (query values -> ``=V`` first, then digit runs ->
+    ``N``) and score each template by url fan-out vs content diversity.
+    Calendar crossproducts and session-id urls collapse to ONE template
+    with hundreds of urls over a handful of distinct bodies -> trap;
+    article templates keep one body per url -> clean.
+
+    Distributed shape at 10^12 urls: stateless template map, then BOTH
+    distinct counts are decomposed so no group ever holds a template's
+    full url set — dedup rows by (template, md5(url)) / (template,
+    md5(text)) in salted Arrow C++ partitions, count the survivors per
+    template, and join the two count tables (template-cardinality-sized,
+    tiny). A naive groupby(template).map_groups would concentrate a
+    trap's millions of urls in one task — exactly the skew this avoids."""
+    pages = rd.read_parquet(urltrap_corpus(), columns=["url", "text"])
+
+    def tmpl(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        tm = [
+            re.sub(r"[0-9]+", "N", re.sub(r"=[^&#]*", "=V", u))
+            for u in urls
+        ]
+        uh = [hashlib.md5(u.encode("utf-8")).hexdigest() for u in urls]
+        th = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "template": pa.array(tm, pa.string()),
+                "uh": pa.array(uh, pa.string()),
+                "th": pa.array(th, pa.string()),
+            }
+        )
+
+    rows = pages.map_batches(
+        tmpl, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nu = _grouped_count(
+        _distinct_rows(rows.select_columns(["template", "uh"]),
+                       ["template", "uh"]),
+        key="template", out="n_urls",
+    )
+    nt = _grouped_count(
+        _distinct_rows(rows.select_columns(["template", "th"]),
+                       ["template", "th"]),
+        key="template", out="n_texts",
+    )
+
+    # combine the two count tables via tagged union + a bounded groupby
+    # (<= 2 rows per template group) rather than Dataset.join: the salted
+    # count outputs carry empty zero-schema blocks for unused salt
+    # partitions (tiny key cardinality << n_parts), which the groupby
+    # shuffle tolerates but pyarrow's per-partition join rejects
+    # ("No match for FieldRef" on a schemaless empty block).
+    def tag(kind: int, col: str):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table(
+                    {"template": pa.array([], pa.string()),
+                     "kind": pa.array([], pa.int64()),
+                     "v": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"template": t["template"],
+                 "kind": pa.array([kind] * t.num_rows, pa.int64()),
+                 "v": pc.cast(t[col], pa.int64())}
+            )
+
+        return f
+
+    both = nu.map_batches(tag(0, "n_urls"), batch_format="pyarrow").union(
+        nt.map_batches(tag(1, "n_texts"), batch_format="pyarrow")
+    )
+
+    def pivot(g: pa.Table) -> pa.Table:
+        m = dict(zip(g["kind"].to_pylist(), g["v"].to_pylist()))
+        n_urls, n_texts = m.get(0, 0), m.get(1, 0)
+        return pa.table(
+            {
+                "template": g["template"].slice(0, 1),
+                "n_urls": pa.array([n_urls], pa.int64()),
+                "n_texts": pa.array([n_texts], pa.int64()),
+                "trap": pa.array(
+                    [n_urls >= TRAP_MIN_URLS
+                     and n_texts * TRAP_DUP_FACTOR <= n_urls],
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    return both.groupby("template").map_groups(pivot,
+                                               batch_format="pyarrow")
+
+
+def url_templates_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with t as (
+  select regexp_replace(regexp_replace(url, '=[^&#]*', '=V', 'g'),
+                        '[0-9]+', 'N', 'g') as template,
+         url, md5(coalesce(text, '')) as th
+  from read_parquet('{pages_dir}/*.parquet')),
+nu as (select template, count(distinct url)::bigint as n_urls
+       from t group by 1),
+nt as (select template, count(distinct th)::bigint as n_texts
+       from t group by 1)
+select nu.template, nu.n_urls, nt.n_texts,
+       (nu.n_urls >= {TRAP_MIN_URLS}
+        and nt.n_texts * {TRAP_DUP_FACTOR} <= nu.n_urls) as trap
+from nu join nt using (template)
+"""
 
 
 def q_degree_distribution(sf_dir: str):
@@ -8348,6 +8574,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "bpe_pairs": q_bpe_pairs,
     "sample_reservoir": q_sample_reservoir,
+    "sample_weighted": q_sample_weighted,
     "domain_dup_stats": q_domain_dup_stats,
     "funnel": q_funnel,
     "range_join": q_range_join,
@@ -8362,6 +8589,7 @@ QUERIES = {
     "posting_gaps": q_posting_gaps,
     "quantiles_by_domain": q_quantiles_by_domain,
     "url_history": q_url_history,
+    "url_templates": q_url_templates,
     "degree_distribution": q_degree_distribution,
     "top_docs_per_source": q_top_docs_per_source,
     "dedup_eval_lsh": q_dedup_eval_lsh,
@@ -8591,6 +8819,26 @@ from k
         f"select doc_id, md5(cast(doc_id as varchar)) as rk "
         f"from documents order by rk limit {RESERVOIR_K}"
     ),
+    # replays the DLT priority-sampling arithmetic exactly: same 60-bit
+    # md5-prefix hash, same integer (hv+1) before the double conversion
+    # (converting then adding 1.0 can differ by an ulp at 2^60), same
+    # single IEEE division and max-threshold estimator
+    "sample_weighted": f"""
+with pri as (
+  select doc_id, n_chars,
+         n_chars::double /
+         ((('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::ubigint
+           + 1)::double) as p
+  from documents),
+top as (select * from pri order by p desc, doc_id limit {SAMPLE_W_K + 1}),
+tau as (select case when (select count(*) from top) > {SAMPLE_W_K}
+                    then (select min(p) from top) else 0.0 end as t)
+select doc_id, n_chars, round(p, 6) as pri,
+       round(greatest(n_chars::double, (select t from tau)), 6) as est_w
+from top
+order by p desc, doc_id
+limit {SAMPLE_W_K}
+""",
     "domain_dup_stats": """
 with g as (
   select source, md5(coalesce(text, '')) as h, count(*)::bigint as c
@@ -10429,6 +10677,7 @@ def all_oracles() -> dict[str, str]:
     out["graph_triangles"] = triangles_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)
     out["url_history"] = url_history_oracle_sql(recrawl_corpus())
+    out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     out["cocitation"] = cocitation_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)

@@ -616,3 +616,76 @@ def write_link_corpus(out_dir: str, n: int = 200, seed: int = 1) -> str:
     with open(manifest, "w") as f:
         json.dump(want, f)
     return pages_dir
+
+
+def write_urltrap_corpus(out_dir: str, n: int = 600, seed: int = 1) -> str:
+    """Deterministic crawler-trap fixture for the url-template operator:
+    three url families mixed by ``i % 3`` —
+
+    * calendar trap: ``/events/{y}/{m}/{d}?page={p}`` — a date x page
+      crossproduct serving only 3 distinct (near-empty) page bodies;
+    * session-id trap: ``viewtopic.php?t={t}&sid={hex}`` — per-visit
+      session tokens exploding 10 real threads into hundreds of urls;
+    * legit articles: ``/article/story-{i}`` — one unique body per url.
+
+    The template miner must collapse each family to ONE template and
+    flag the first two (many urls, few distinct contents) while leaving
+    the articles unflagged. Pure arithmetic on (i, seed); idempotent
+    (manifest-keyed). Returns the pages dir with (url, text) parquet."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages_dir = os.path.join(out_dir, "pages")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"kind": "urltrap", "n": n, "seed": seed, "v": 2}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return pages_dir
+    import shutil
+
+    if os.path.isdir(pages_dir):
+        shutil.rmtree(pages_dir)
+    os.makedirs(pages_dir, exist_ok=True)
+
+    urls, texts = [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            urls.append(
+                f"https://cal.example/events/{2000 + i % 5}/"
+                f"{1 + i % 12}/{1 + i % 28}?page={i % 7}"
+            )
+            texts.append(
+                f"calendar view: no events scheduled (v{(i // 3) % 3})"
+            )
+        elif kind == 1:
+            sid = _hl.md5(f"sid-{i}-{seed}".encode()).hexdigest()[:12]
+            urls.append(
+                f"https://forum.example/viewtopic.php?t={i % 10}&sid={sid}"
+            )
+            texts.append(
+                f"thread {i % 10}: "
+                + " ".join(f"t{(i % 10) * 7 + k}" for k in range(10))
+            )
+        else:
+            urls.append(f"https://news.example/article/story-{i}")
+            texts.append(
+                f"article {i}: "
+                + " ".join(f"a{(i * 13 + k * seed) % 9973}" for k in range(20))
+            )
+
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(pages_dir, "part-00000.parquet"),
+    )
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return pages_dir

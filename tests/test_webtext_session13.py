@@ -1,0 +1,100 @@
+"""Unit tests for the session-13 operators: DLT priority sampling,
+URL-template mining / crawler-trap detection, the exact set-similarity
+join's salted-distinct helper. (Oracle value-parity is covered by the
+driver gate / check_oracles; these pin semantics the SQL compare can't
+isolate.)
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSampleWeighted:
+    def test_matches_bruteforce_priorities(self, ray_session):
+        df = q.QUERIES["sample_weighted"](SF).to_pandas()
+        assert len(df) == q.SAMPLE_W_K
+
+        tbl = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+        ids = tbl["doc_id"].to_pylist()
+        w = np.asarray(tbl["n_chars"].to_pylist(), dtype=np.float64)
+        hv1 = np.array(
+            [int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) + 1
+             for d in ids],
+            dtype=np.float64,
+        )
+        p = w / hv1
+        order = sorted(range(len(ids)), key=lambda i: (-p[i], ids[i]))
+        want_ids = [ids[i] for i in order[: q.SAMPLE_W_K]]
+        assert df["doc_id"].tolist() == want_ids
+
+        # DLT threshold estimator: est_w = max(w, tau), tau = (k+1)-th pri
+        tau = p[order[q.SAMPLE_W_K]]
+        want_est = np.maximum(w[order[: q.SAMPLE_W_K]], tau).round(6)
+        assert np.allclose(df["est_w"].to_numpy(), want_est)
+        assert (df["est_w"] >= df["n_chars"] - 1e-9).all()
+
+    def test_weight_proportionality(self, ray_session):
+        # heavy docs must be over-represented vs the uniform reservoir:
+        # mean weight of the weighted sample > corpus mean weight
+        df = q.QUERIES["sample_weighted"](SF).to_pandas()
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"])
+        corpus_mean = np.mean(tbl["n_chars"].to_pylist())
+        assert df["n_chars"].mean() > corpus_mean
+
+
+class TestUrlTemplates:
+    def test_trap_flags_and_counts(self, ray_session):
+        df = (
+            q.QUERIES["url_templates"](SF)
+            .to_pandas()
+            .set_index("template")
+            .sort_index()
+        )
+        assert len(df) == 3
+        cal = df.loc["https://cal.example/events/N/N/N?page=V"]
+        forum = df.loc["https://forum.example/viewtopic.php?t=V&sid=V"]
+        news = df.loc["https://news.example/article/story-N"]
+        # calendar crossproduct repeats (lcm of the moduli < family size)
+        assert cal["n_urls"] == 140 and cal["n_texts"] == 3 and cal["trap"]
+        assert forum["n_urls"] == 200 and forum["n_texts"] == 10
+        assert bool(forum["trap"])
+        # articles: one body per url -> clean
+        assert news["n_urls"] == 200 and news["n_texts"] == 200
+        assert not news["trap"]
+
+    def test_template_normalization(self):
+        import re
+
+        def tmpl(u):
+            return re.sub(r"[0-9]+", "N", re.sub(r"=[^&#]*", "=V", u))
+
+        assert tmpl("https://a.example/x/2024/5/7?page=3") == \
+            "https://a.example/x/N/N/N?page=V"
+        assert tmpl("https://f.example/t.php?t=9&sid=ab3f9c") == \
+            "https://f.example/t.php?t=V&sid=V"
+        # fragment and ampersand stop the value run
+        assert tmpl("https://a.example/p?x=1&y=2#frag") == \
+            "https://a.example/p?x=V&y=V#frag"
+
+
+class TestDistinctRows:
+    def test_exact_distinct(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "a", "b", "b", "b", "c"], pa.string()),
+                "v": pa.array(["1", "1", "2", "2", "3", "4"], pa.string()),
+            }
+        )
+        out = q._distinct_rows(rd.from_arrow(t), ["k", "v"]).to_pandas()
+        got = set(zip(out["k"], out["v"]))
+        assert got == {("a", "1"), ("b", "2"), ("b", "3"), ("c", "4")}
