@@ -722,6 +722,56 @@ def q_setsim_join(sf_dir: str):
     )
 
 
+def q_syndication_pairs(sf_dir: str):
+    """Source-pair syndication network: which pairs of sources/domains
+    publish near-identical documents, and how often — the signal a crawl
+    operator uses to spot wire-service mirrors and scraper farms before
+    paying for near-dup removal per document. Built on the EXACT
+    set-similarity pair set (``setsim_join``), so the edge weights are
+    deterministic ground truth, not LSH-probabilistic.
+
+    Dataflow: setsim pairs -> two hash joins on doc_id to attach each
+    side's source (pair-set-sized, never the corpus) -> normalize the
+    source pair (lexicographic least/greatest so the edge is undirected)
+    -> groupby count. Self-pairs (both docs from one source) are kept:
+    a source syndicating itself is the intra-site duplication signal."""
+    pairs = q_setsim_join(sf_dir).select_columns(["a", "b"]).materialize()
+    srcs = _read(sf_dir, "documents", ["doc_id", "source"])
+    n_parts = dd.adaptive_partitions(pairs.count())
+    j1 = pairs.join(
+        srcs, join_type="inner", num_partitions=n_parts,
+        on=("a",), right_on=("doc_id",),
+    ).rename_columns({"source": "src_of_a"})
+    j2 = j1.join(
+        srcs, join_type="inner", num_partitions=n_parts,
+        on=("b",), right_on=("doc_id",),
+    ).rename_columns({"source": "src_of_b"})
+
+    def norm(t: pa.Table) -> pa.Table:
+        sa = t["src_of_a"].to_pylist()
+        sb = t["src_of_b"].to_pylist()
+        return pa.table(
+            {
+                "src_a": pa.array([min(x, y) for x, y in zip(sa, sb)],
+                                  pa.string()),
+                "src_b": pa.array([max(x, y) for x, y in zip(sa, sb)],
+                                  pa.string()),
+            }
+        )
+
+    return (
+        j2.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_a", "src_b"])
+        .aggregate(ray.data.aggregate.Count(alias_name="n_pairs"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("n_pairs"), "n_pairs",
+                pc.cast(t["n_pairs"], pa.int64())),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (sim >= 0.95), exact within label
     buckets — SQL-verifiable with list_cosine_similarity."""
@@ -1385,6 +1435,105 @@ def q_approx_distinct(sf_dir: str):
     return bottom_k.repartition(1).map_batches(
         sk.kmv_estimate_batch, batch_format="pyarrow", batch_size=None
     )
+
+
+def q_skew_f2(sf_dir: str):
+    """AMS second-moment (F2) sketch over the events user_id column —
+    the SELF-JOIN-SIZE / skew estimator (`stages/sketch.py` for the
+    estimator math). F2 = sum of count^2 per key is exactly what a
+    planner needs to decide "salt this join key or not" before paying
+    for the shuffle; the sketch answers it in one streaming pass with
+    64 signed counters per block, merged by a 64-row groupby — no
+    per-key shuffle. The exact F2 rides along (per-key groupby.count +
+    per-block sum-of-squares partials) so the output reports the
+    sketch's own relative error; the oracle replays sketch AND exact in
+    SQL, estimator bias and all (median-of-means; a bare median would
+    sit at chi-squared's 0.455 quantile)."""
+    from ..stages import sketch as sk
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    sums = (
+        ev.map_batches(
+            lambda t: sk.ams_partial_batch(t, "user_id"),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("j")
+        .aggregate(ray.data.aggregate.Sum("s", alias_name="s"))
+    )
+
+    def tag_est(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        return pa.table(
+            {"kind": pa.array([0] * t.num_rows, pa.int64()),
+             "key": pc.cast(t["j"], pa.int64()),
+             "v": pc.cast(t["s"], pa.int64())}
+        )
+
+    def sumsq_partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"kind": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        ss = sum(int(c) ** 2 for c in t["count()"].to_pylist())
+        return pa.table({"kind": pa.array([1], pa.int64()),
+                         "key": pa.array([0], pa.int64()),
+                         "v": pa.array([ss], pa.int64())})
+
+    exact_partials = ev.groupby("user_id").count().map_batches(
+        sumsq_partial, batch_format="pyarrow"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        kinds = t["kind"].to_pylist()
+        keys = t["key"].to_pylist()
+        vs = t["v"].to_pylist()
+        s_by_j = {k: v for kd, k, v in zip(kinds, keys, vs) if kd == 0}
+        exact = sum(v for kd, v in zip(kinds, vs) if kd == 1)
+        est = sk.ams_estimate(s_by_j)
+        rel = round(abs(est - exact) / exact, 6) if exact else 0.0
+        return pa.table(
+            {
+                "k": pa.array([sk.AMS_K], pa.int64()),
+                "est_f2": pa.array([round(est, 6)], pa.float64()),
+                "exact_f2": pa.array([exact], pa.int64()),
+                "rel_err": pa.array([rel], pa.float64()),
+            }
+        )
+
+    return (
+        sums.map_batches(tag_est, batch_format="pyarrow")
+        .union(exact_partials)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def skew_f2_oracle_sql() -> str:
+    from ..stages.sketch import AMS_GROUPS, AMS_K
+
+    per = AMS_K // AMS_GROUPS
+    return f"""
+with js as (select unnest(range({AMS_K})) as j),
+sg as (
+  select j, sum(case when ('0x' || substr(md5(cast(user_id as varchar)
+                                           || '|' || j::varchar), 1, 15)
+                          )::ubigint % 2 = 1
+                     then 1 else -1 end)::hugeint as s
+  from events cross join js
+  where user_id is not null
+  group by j),
+gm as (select j // {per} as g, avg((s*s)::double) as m from sg group by 1),
+est as (select median(m)::double as est_f2 from gm),
+ex as (select sum(c*c)::bigint as exact_f2 from (
+    select count(*)::hugeint as c from events
+    where user_id is not null group by user_id))
+select {AMS_K}::bigint as k, round(est.est_f2, 6) as est_f2, ex.exact_f2,
+       round(abs(est.est_f2 - ex.exact_f2) / ex.exact_f2, 6) as rel_err
+from est, ex
+"""
 
 
 HH_DENOM = 32  # heavy-hitter threshold = ceil(total_tokens / HH_DENOM)
@@ -8483,6 +8632,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "setsim_join": q_setsim_join,
+    "syndication_pairs": q_syndication_pairs,
     "dedup_containment": q_dedup_containment,
     "dedup_keep_best": q_dedup_keep_best,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -8500,6 +8650,7 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "distinct_events": q_distinct_events,
     "approx_distinct_kmv": q_approx_distinct,
+    "skew_f2": q_skew_f2,
     "heavy_hitters": q_heavy_hitters,
     "cdc_dedup": q_cdc_dedup,
     "asof_join": q_asof_join,
@@ -9322,6 +9473,17 @@ where round(c::double / (sa.n + sb.n - c), 6) >= {SETSIM_TAU}
 
 
 ORACLES["setsim_join"] = _setsim_oracle_sql()
+
+ORACLES["syndication_pairs"] = f"""
+with pr as ({_setsim_oracle_sql()})
+select least(da.source, db.source) as src_a,
+       greatest(da.source, db.source) as src_b,
+       count(*)::bigint as n_pairs
+from pr
+join documents da on da.doc_id = pr.a
+join documents db on db.doc_id = pr.b
+group by 1, 2
+"""
 
 ORACLES["dedup_containment"] = _minhash_cte() + """
 , sd as (select doc_id, list_distinct(shingles) as sd from sh)
@@ -10656,6 +10818,7 @@ def all_oracles() -> dict[str, str]:
     out = dict(ORACLES)
     out["split_assign"] = SPLIT_ASSIGN_SQL
     out["approx_distinct_hll"] = _hll_oracle_sql()
+    out["skew_f2"] = skew_f2_oracle_sql()
     out["bm25_search"] = bm25_oracle_sql()
     out["embedding_outliers"] = EMBEDDING_OUTLIERS_SQL
     out["dsir_weights"] = DSIR_WEIGHTS_SQL

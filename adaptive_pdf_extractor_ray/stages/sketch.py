@@ -236,3 +236,67 @@ def hll_estimate_batch(batch: pa.Table) -> pa.Table:
             "est_distinct": pa.array([round(est, 6)], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS second-moment (F2) sketch — Alon, Matias & Szegedy (STOC'96)
+# ---------------------------------------------------------------------------
+# F2 = sum over distinct keys of count^2 is the SELF-JOIN SIZE: the exact
+# cost of any equi-join/groupby keyed on the column, and the canonical
+# skew statistic (uniform keys minimize it, one hot key maximizes it).
+# Exact F2 needs a full shuffle of every distinct key; the AMS sketch is
+# AMS_K signed counters updated per row — mergeable by plain addition,
+# so per-block partials + one tiny groupby reproduce the single-pass
+# sketch exactly. Each estimator X_j = (sum_i sign_j(key_i))^2 is
+# unbiased for F2 but chi^2-skewed (median alone would sit at ~0.455 F2),
+# hence the classic MEDIAN-OF-MEANS reduce: AMS_GROUPS groups of
+# AMS_K/AMS_GROUPS estimators, mean per group, median across groups.
+# With 64 counters the relative error is a few tens of percent — the
+# right tool for "is this key column skewed enough to salt?" at 10^12
+# rows, not for exact accounting. Signs are md5-derived (60-bit hash
+# parity), so the dataflow and the DuckDB oracle agree to the bit; the
+# group means stay exact in float64 while every s^2 <= 2^53.
+
+AMS_K = 64
+AMS_GROUPS = 4
+
+
+def ams_sign(v, j: int) -> int:
+    """Deterministic ±1 for (value, estimator j) — the parity of the
+    60-bit md5 hash of 'value|j' (same expression the oracle uses)."""
+    return 2 * (_h60(f"{v}|{j}") & 1) - 1
+
+
+def ams_partial_batch(batch: pa.Table, col: str, k: int = AMS_K) -> pa.Table:
+    """Per-block AMS partial: k signed counters over this block's rows,
+    emitted as k (j, s) rows however large the block. Hashes are
+    computed once per DISTINCT value in the block and scaled by its
+    multiplicity — the combiner trick that keeps the md5 cost at
+    O(distinct x k), not O(rows x k)."""
+    from collections import Counter
+
+    cnt = Counter(v for v in batch[col].to_pylist() if v is not None)
+    sums = [0] * k
+    for v, c in cnt.items():
+        for j in range(k):
+            sums[j] += ams_sign(v, j) * c
+    return pa.table(
+        {
+            "j": pa.array(list(range(k)), pa.int64()),
+            "s": pa.array(sums, pa.int64()),
+        }
+    )
+
+
+def ams_estimate(s_by_j: dict[int, int], k: int = AMS_K,
+                 groups: int = AMS_GROUPS) -> float:
+    """Median-of-means over the merged counters: mean of s^2 within each
+    of ``groups`` consecutive-j groups, median across groups (even group
+    count -> average of the middle two, matching DuckDB's median)."""
+    import numpy as np
+
+    per = k // groups
+    sq = [float(s_by_j.get(j, 0)) ** 2 for j in range(k)]
+    means = [float(np.mean(sq[g * per:(g + 1) * per]))
+             for g in range(groups)]
+    return float(np.median(means))

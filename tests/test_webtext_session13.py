@@ -98,3 +98,63 @@ class TestDistinctRows:
         out = q._distinct_rows(rd.from_arrow(t), ["k", "v"]).to_pandas()
         got = set(zip(out["k"], out["v"]))
         assert got == {("a", "1"), ("b", "2"), ("b", "3"), ("c", "4")}
+
+
+class TestSyndicationPairs:
+    def test_edges_match_pair_sources(self, ray_session):
+        pairs = q.QUERIES["setsim_join"](SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "source"]).to_pandas()
+        src = dict(zip(docs["doc_id"], docs["source"]))
+        want: dict = {}
+        for a, b in zip(pairs["a"], pairs["b"]):
+            k = tuple(sorted((src[a], src[b])))
+            want[k] = want.get(k, 0) + 1
+        got = q.QUERIES["syndication_pairs"](SF).to_pandas()
+        got_map = {
+            (r.src_a, r.src_b): r.n_pairs for r in got.itertuples()
+        }
+        assert got_map == want
+        assert (got["src_a"] <= got["src_b"]).all()
+
+
+class TestSkewF2:
+    def test_exact_and_bounded_error(self, ray_session):
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        df = q.QUERIES["skew_f2"](SF).to_pandas()
+        assert len(df) == 1
+        row = df.iloc[0]
+        ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+        from collections import Counter
+
+        c = Counter(v for v in ev["user_id"].to_pylist() if v is not None)
+        exact = sum(n * n for n in c.values())
+        assert row["exact_f2"] == exact
+        assert row["k"] == sk.AMS_K
+        # AMS with 64 counters: rel error is tens of percent, not silly
+        assert row["rel_err"] < 0.5
+        assert abs(row["rel_err"] - abs(row["est_f2"] - exact) / exact) < 1e-6
+
+    def test_partials_merge_law(self):
+        """Sketch partials merge by addition: splitting a batch must give
+        the same merged counters as one pass (the mergeability the
+        distributed groupby relies on)."""
+        import pyarrow as pa
+
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+
+        vals = [1, 2, 2, 3, 3, 3, 7, 7, 9]
+        whole = sk.ams_partial_batch(
+            pa.table({"u": pa.array(vals, pa.int64())}), "u"
+        )
+        p1 = sk.ams_partial_batch(
+            pa.table({"u": pa.array(vals[:4], pa.int64())}), "u"
+        )
+        p2 = sk.ams_partial_batch(
+            pa.table({"u": pa.array(vals[4:], pa.int64())}), "u"
+        )
+        merged = [
+            a + b for a, b in zip(p1["s"].to_pylist(), p2["s"].to_pylist())
+        ]
+        assert merged == whole["s"].to_pylist()
