@@ -679,6 +679,13 @@ def q_dedup_containment(sf_dir: str):
     )
 
 
+# setsim's broadcast budget for the shingle-df table (rows). Shares the
+# rationale of BROADCAST_MAX_ROWS but is its own knob: shingle spaces
+# grow ~linearly with corpus tokens, so real web corpora exceed it and
+# take the distributed-join route.
+SETSIM_BROADCAST_CAP = 5_000_000
+
+
 def q_setsim_join(sf_dir: str):
     """EXACT set-similarity self-join (word-3-gram Jaccard >= tau) via
     df-ordered prefix filtering — the AllPairs/PPJoin family
@@ -688,29 +695,73 @@ def q_setsim_join(sf_dir: str):
     exactly what the relational oracle computes (pairs sharing >= 1
     shingle -> intersection counts via an exploded equijoin -> Jaccard
     filter) — the green hash check is a data-level proof of the prefix
-    filter's no-false-negative guarantee.
+    filter's no-false-negative guarantee. Completeness holds for every
+    bucket under SETSIM_MAX_BUCKET; over-cap buckets (thousands of
+    byte-identical copies) star-collapse by content_md5 with logged
+    dropped volume (see stages/setsim.py — exact dedup is the upstream
+    fix for such corpora).
 
     Dataflow: explode distinct shingles -> df count (salted Arrow C++
-    groupby) -> join df back on shingle -> per-doc prefix selection in
-    bounded groupby(doc_id) groups -> candidate pairs from prefix-token
-    buckets (skew-guarded) -> distinct pairs -> two text joins -> exact
-    per-batch Jaccard verify. Nothing driver-side scales with the corpus
-    or the pair set."""
+    groupby) -> per-doc prefix selection, SIZE-ROUTED like the repo's
+    other lookups: a shingle vocabulary within SETSIM_BROADCAST_CAP
+    ships the df table once via ray.put and ONE fused map over the docs
+    sorts + slices each doc's prefix in place (no tok shuffle, no df
+    join, no per-doc groupby — it halved the 100k-doc wall time); past
+    the cap the exact distributed route takes over (join df back on
+    shingle, prefix in bounded groupby(doc_id) groups — one doc's
+    shingles, never corpus-sized), value-identical by equivalence test.
+    Then candidate pairs from prefix-token buckets (skew-guarded) ->
+    distinct pairs -> two text joins -> exact per-batch Jaccard verify.
+    Nothing driver-side scales with the corpus or the pair set."""
     from ..stages import setsim as ss
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     tok = docs.map_batches(
         ss.explode_shingle_sets, batch_format="pyarrow", zero_copy_batch=True
     )
-    df = _grouped_count(tok, key="sh", out="df")
-    # explode rows ~ tokens/doc x n_docs; the df side is vocabulary-sized
-    n_parts = dd.adaptive_partitions(_table_rows(sf_dir, "documents") * 120)
-    tok_df = tok.join(df, join_type="inner", num_partitions=n_parts,
-                      on=("sh",))
-    prefixes = tok_df.groupby("doc_id").map_groups(
-        lambda g: ss.prefix_select(g, ss.SETSIM_TAU), batch_format="pyarrow"
-    )
-    cands = prefixes.groupby("sh").map_groups(
+    df = _grouped_count(tok, key="sh", out="df").materialize()
+    if df.count() <= SETSIM_BROADCAST_CAP:
+        lookup: dict[str, int] = {}
+        for b in df.iter_batches(batch_format="pyarrow"):
+            lookup.update(zip(b["sh"].to_pylist(), b["df"].to_pylist()))
+        dref = ray.put(lookup)
+        # actor pool, not a task closure: the df dict deserializes once
+        # per actor (stages/setsim.BroadcastPrefixer), not once per batch
+        prefixes = docs.map_batches(
+            ss.BroadcastPrefixer, fn_constructor_args=(dref,),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=_apool(),
+        )
+    else:
+        # explode rows ~ tokens/doc x n_docs; df side is vocabulary-sized
+        n_parts = dd.adaptive_partitions(
+            _table_rows(sf_dir, "documents") * 120
+        )
+        tok_df = tok.join(df, join_type="inner", num_partitions=n_parts,
+                          on=("sh",))
+        prefixes = tok_df.groupby("doc_id").map_groups(
+            lambda g: ss.prefix_select(g, ss.SETSIM_TAU),
+            batch_format="pyarrow",
+        )
+    # bucket key = crc32 of the shingle, NOT the ~25-byte string: the
+    # candidate shuffle moves int64s and the sort compares ints. A 32-bit
+    # collision merely merges two buckets (a candidate SUPERSET — the
+    # exact verify below removes any false pair), so correctness is
+    # collision-proof while the shuffle shrinks ~2x.
+    def hash_sh(t: pa.Table) -> pa.Table:
+        import zlib
+
+        hs = [zlib.crc32(s.encode("utf-8"))
+              for s in t["sh"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "sh64": pa.array(hs, pa.int64()),
+             "content_md5": t["content_md5"]}
+        )
+
+    cands = prefixes.map_batches(
+        hash_sh, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("sh64").map_groups(
         lambda g: dd.bucket_pairs(g, max_bucket=ss.SETSIM_MAX_BUCKET),
         batch_format="pyarrow",
     )

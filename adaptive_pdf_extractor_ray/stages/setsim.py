@@ -62,24 +62,40 @@ from .dedup import _shingles
 SETSIM_TAU = 0.6
 
 # Candidate buckets are keyed by a df-minimal (rare) token, so they stay
-# tiny on natural corpora; the cap only engages on adversarial skew
-# (identical boilerplate everywhere) where `bucket_pairs` degrades to
-# star + bounded adjacency and LOGS the dropped volume.
-SETSIM_MAX_BUCKET = 10_000
+# tiny on natural corpora; the cap only engages on adversarial skew —
+# thousands of byte-identical boilerplate copies whose "rarest" shingle
+# still has df = copy count. There `bucket_pairs` collapses the bucket
+# by content_md5 (identical docs star to one representative, J = 1.0 by
+# construction) and all-pairs the representatives; completeness degrades
+# ONLY for over-cap buckets (a non-rep identical member is linked to its
+# rep, not to every cross-family partner — the components pass restores
+# the cluster), and the dropped volume is logged. Under the cap the join
+# is exact (what the driver oracle verifies).
+SETSIM_MAX_BUCKET = 1_000
 
 
 def explode_shingle_sets(batch: pa.Table) -> pa.Table:
     """(doc_id, text) -> one row per DISTINCT word-3-gram shingle:
-    (doc_id, sh). The distinct-within-doc here is what makes the later
-    groupby(sh).count a document frequency."""
-    ids, shs = [], []
+    (doc_id, sh, content_md5). The distinct-within-doc is what makes the
+    later groupby(sh).count a document frequency; content_md5 (hashed
+    once per doc) rides along so the candidate stage can star-collapse
+    byte-identical docs inside an over-cap bucket."""
+    import hashlib
+
+    ids, shs, chs = [], [], []
     for did, txt in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
+        ch = hashlib.md5((txt or "").encode("utf-8")).hexdigest()
         for s in set(_shingles(txt or "")):
             ids.append(did)
             shs.append(s)
+            chs.append(ch)
     return pa.table(
-        {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(shs, pa.string())}
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sh": pa.array(shs, pa.string()),
+            "content_md5": pa.array(chs, pa.string()),
+        }
     )
 
 
@@ -89,14 +105,65 @@ def prefix_length(n: int, tau: float) -> int:
     return n - math.ceil(tau * n) + 1
 
 
+def prefix_select_broadcast(batch: pa.Table, df: dict[str, int],
+                            tau: float = SETSIM_TAU) -> pa.Table:
+    """Fused broadcast-route prefix selection: (doc_id, text) rows +
+    the broadcast df dict -> prefix rows (doc_id, sh, content_md5),
+    identical to the distributed join + ``prefix_select`` route (same
+    (df, sh) total order, same prefix length) without shuffling the
+    exploded tokens. Used while the shingle vocabulary fits the
+    broadcast budget; equivalence-tested against the join route."""
+    import hashlib
+
+    ids, shs, chs = [], [], []
+    for did, txt in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+        s = sorted(set(_shingles(txt or "")))
+        if not s:
+            continue
+        s.sort(key=lambda x: (df[x], x))
+        ch = hashlib.md5((txt or "").encode("utf-8")).hexdigest()
+        for sh in s[: prefix_length(len(s), tau)]:
+            ids.append(did)
+            shs.append(sh)
+            chs.append(ch)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sh": pa.array(shs, pa.string()),
+            "content_md5": pa.array(chs, pa.string()),
+        }
+    )
+
+
+class BroadcastPrefixer:
+    """Actor-pool wrapper for the broadcast prefix route: the df dict is
+    ray.get-deserialized ONCE per actor in ``__init__`` (a multi-million
+    entry dict costs seconds to unpickle — paying it per batch dominated
+    the whole join at 100k docs), then every ``__call__`` is a pure
+    in-memory prefix selection."""
+
+    def __init__(self, df_ref, tau: float = SETSIM_TAU):
+        import ray
+
+        self.df = ray.get(df_ref)
+        self.tau = tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return prefix_select_broadcast(batch, self.df, self.tau)
+
+
 def prefix_select(group: pa.Table, tau: float = SETSIM_TAU) -> pa.Table:
-    """One doc's (doc_id, sh, df) rows -> its prefix rows (doc_id, sh),
-    rarest-first under the deterministic total order (df, sh). The group
-    is one document's distinct shingles — bounded by document length,
-    never corpus-sized (same contract as sessionize)."""
+    """One doc's (doc_id, sh, df, content_md5) rows -> its prefix rows
+    (doc_id, sh, content_md5), rarest-first under the deterministic
+    total order (df, sh). The group is one document's distinct shingles
+    — bounded by document length, never corpus-sized (same contract as
+    sessionize)."""
     n = group.num_rows
     p = prefix_length(n, tau)
     idx = pc.sort_indices(
         group, sort_keys=[("df", "ascending"), ("sh", "ascending")]
     )
-    return group.take(idx.slice(0, p)).select(["doc_id", "sh"])
+    return group.take(idx.slice(0, p)).select(
+        ["doc_id", "sh", "content_md5"]
+    )

@@ -127,6 +127,11 @@ BENCH_QUERIES = [
     "split_token_budget",
     "redirects",
     "join_skewed",
+    "setsim_join",
+    "syndication_pairs",
+    "sample_weighted",
+    "url_templates",
+    "skew_f2",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
@@ -230,7 +235,25 @@ def run_dedup_scale(n_docs: int) -> dict:
         "cc_nodes": cc_stats.get("cc_nodes"),
         "clusters": n_clusters,
         "lm_score": _webtext_scale(sf_dir),
+        "setsim": _setsim_scale(sf_dir, n_docs),
     }
+
+
+def _setsim_scale(sf_dir: str, n_docs: int) -> dict:
+    """Exact prefix-filter set-similarity join over the same ≥100k-doc
+    adversarial corpus (near-dup families + 2% byte-identical repeats +
+    1% empties) — times the df-join + prefix + bucket chain where the
+    identical-copy cluster (> SETSIM_MAX_BUCKET) must take the
+    star-collapse path instead of going quadratic."""
+    from adaptive_pdf_extractor_ray.pipelines.queries import q_setsim_join
+
+    t0 = time.time()
+    pairs = q_setsim_join(sf_dir).materialize()
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    return {"docs": n_docs, "wall_s": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "verified_pairs": n_pairs}
 
 
 def _webtext_scale(sf_dir: str) -> dict:

@@ -139,3 +139,51 @@ class TestEndToEnd:
         assert (df["a"] < df["b"]).all()
         # no duplicate pairs survive the distinct stage
         assert not df.duplicated(subset=["a", "b"]).any()
+
+
+class TestSkewGuard:
+    def test_identical_copy_cluster_over_cap(self, ray_session, tmp_path):
+        """An over-cap bucket of byte-identical docs must star-collapse
+        (O(n) pairs at J=1.0, every member linked to the representative)
+        instead of emitting C(n,2) pairs from one task."""
+        n_ident = 1500  # > SETSIM_MAX_BUCKET
+        base = " ".join(f"dup{k}" for k in range(40))
+        ids = list(range(n_ident))
+        texts = [base] * n_ident
+        # plus one ordinary near-dup pair that must still surface
+        ids += [9000, 9001]
+        pair_base = " ".join(f"z{k}" for k in range(30))
+        texts += [pair_base, pair_base.replace("z7", "Q")]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            tmp_path / "documents.parquet",
+        )
+        got = q.QUERIES["setsim_join"](str(tmp_path)).to_pandas()
+        ident = got[(got["a"] < n_ident) & (got["b"] < n_ident)]
+        # star, not quadratic: exactly n-1 pairs, all J = 1.0, all
+        # anchored at the min-doc_id representative
+        assert len(ident) == n_ident - 1
+        assert (ident["jaccard"] == 1.0).all()
+        assert (ident["a"] == 0).all()
+        assert set(ident["b"]) == set(range(1, n_ident))
+        # the ordinary pair still verifies exactly
+        other = got[(got["a"] == 9000) & (got["b"] == 9001)]
+        assert len(other) == 1
+
+
+class TestRouteEquivalence:
+    def test_broadcast_matches_join_route(self, ray_session, monkeypatch):
+        """Forcing the df table over the broadcast cap must route to the
+        distributed join + groupby(doc_id) prefix path and produce the
+        identical pair set — the repo's size-routed equivalence
+        contract."""
+        import pandas as pd
+
+        a = (q.QUERIES["setsim_join"](SF).to_pandas()
+             .sort_values(["a", "b"]).reset_index(drop=True))
+        monkeypatch.setattr(q, "SETSIM_BROADCAST_CAP", 1)
+        b = (q.QUERIES["setsim_join"](SF).to_pandas()
+             .sort_values(["a", "b"]).reset_index(drop=True))
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
