@@ -726,11 +726,14 @@ def q_setsim_join(sf_dir: str):
             lookup.update(zip(b["sh"].to_pylist(), b["df"].to_pylist()))
         dref = ray.put(lookup)
         # actor pool, not a task closure: the df dict deserializes once
-        # per actor (stages/setsim.BroadcastPrefixer), not once per batch
+        # per actor (stages/setsim.BroadcastPrefixer), not once per batch.
+        # max_restarts=0 DELIBERATELY: the ctor arg is an ObjectRef, so a
+        # restart after ref loss would fail anyway (ray#53727) — fail the
+        # task instead and let lineage re-execution rebuild the pool.
         prefixes = docs.map_batches(
             ss.BroadcastPrefixer, fn_constructor_args=(dref,),
             batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=_apool(),
+            concurrency=_apool(), max_restarts=0,
         )
     else:
         # explode rows ~ tokens/doc x n_docs; df side is vocabulary-sized
@@ -7458,6 +7461,138 @@ def q_dedup_eval_lsh(sf_dir: str):
     )
 
 
+def q_dedup_eval_exact(sf_dir: str):
+    """LSH evaluated against EXACT ground truth over the WHOLE corpus —
+    upgrade of ``dedup_eval_lsh``'s sampled estimate, possible because
+    the prefix-filter join (``setsim_join``) computes the complete
+    J >= 0.6 truth as a dataflow: no quadratic step, no sample. Recall
+    answers "how many true near-dup pairs does the MinHash banding
+    miss?"; precision is the candidate-verification cost multiplier.
+    TP via a distributed two-key pair join (truth is corpus-sized in
+    principle — never a broadcast set here). Integer-PPM metrics, one
+    row."""
+    truth = q_setsim_join(sf_dir).select_columns(["a", "b"]).materialize()
+    pred = _lsh_distinct_pairs(sf_dir).materialize()
+    n_true = truth.count()
+    n_pred = pred.count()
+    tp = (
+        truth.join(
+            pred, join_type="inner",
+            num_partitions=dd.adaptive_partitions(max(n_true, n_pred)),
+            on=("a", "b"),
+        ).count()
+        if n_true and n_pred
+        else 0
+    )
+    return pa.table(
+        {
+            "n_pred": pa.array([n_pred], pa.int64()),
+            "n_true": pa.array([n_true], pa.int64()),
+            "tp": pa.array([tp], pa.int64()),
+            "precision_ppm": pa.array(
+                [tp * 1_000_000 // n_pred if n_pred else 0], pa.int64()
+            ),
+            "recall_ppm": pa.array(
+                [tp * 1_000_000 // n_true if n_true else 0], pa.int64()
+            ),
+        }
+    )
+
+
+# fixed positional-phrase query set (3-token adjacency, overlap-aware)
+PHRASES = [
+    "the fast key",
+    "join order batch",
+    "sort merge part",
+    "data slow small",
+]
+
+
+def q_phrase_search(sf_dir: str):
+    """Positional phrase search (the inverted-index-with-positions
+    operation BM25 can't do): exact 3-token adjacency counts per doc for
+    a fixed query-phrase set, overlap-aware. The map stage PRUNES at the
+    source — it emits (doc_id, word, pos) posting rows ONLY for words
+    that occur in some query phrase, so the shuffle carries a vanishing
+    fraction of the corpus; the per-doc group (bounded by document
+    length) then verifies adjacency pos+1/pos+2 per phrase. This is the
+    query-time half of a positional index: at 10^12 docs the same
+    posting layout is what you'd persist, keyed by (word, doc_id)."""
+    qwords = {w for p in PHRASES for w in p.split()}
+    phrase_toks = [p.split() for p in PHRASES]
+
+    def postings(t: pa.Table) -> pa.Table:
+        d_out, w_out, p_out = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            toks = (txt or "").split(" ")
+            for i, w in enumerate(toks):
+                if w in qwords:
+                    d_out.append(did)
+                    w_out.append(w)
+                    p_out.append(i)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "w": pa.array(w_out, pa.string()),
+                "pos": pa.array(p_out, pa.int64()),
+            }
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        did = g["doc_id"][0].as_py()
+        by_word: dict[str, set[int]] = {}
+        for w, p in zip(g["w"].to_pylist(), g["pos"].to_pylist()):
+            by_word.setdefault(w, set()).add(p)
+        ph_out, n_out = [], []
+        for phrase, toks in zip(PHRASES, phrase_toks):
+            first = by_word.get(toks[0], set())
+            n = sum(
+                1
+                for p in first
+                if p + 1 in by_word.get(toks[1], set())
+                and p + 2 in by_word.get(toks[2], set())
+            )
+            if n:
+                ph_out.append(phrase)
+                n_out.append(n)
+        return pa.table(
+            {
+                "phrase": pa.array(ph_out, pa.string()),
+                "doc_id": pa.array([did] * len(ph_out), pa.int64()),
+                "n_occ": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+def phrase_search_oracle_sql() -> str:
+    """Overlap-aware positional adjacency replayed as a DuckDB list
+    comprehension over the tokenized text — one UNION ALL arm per query
+    phrase (same single-space tokenization as the engine's split)."""
+    arms = []
+    for p in PHRASES:
+        w1, w2, w3 = p.split()
+        arms.append(f"""
+select '{p}' as phrase, doc_id,
+       len([i for i in range(1, len(toks) - 1)
+            if toks[i] = '{w1}' and toks[i+1] = '{w2}'
+            and toks[i+2] = '{w3}'])::bigint as n_occ
+from t""")
+    return (
+        "with t as (select doc_id, string_split(coalesce(text, ''), ' ') "
+        "as toks from documents)\nselect * from ("
+        + " union all ".join(arms)
+        + ") where n_occ > 0"
+    )
+
+
 def q_pivot_events(sf_dir: str):
     """Wide pivot of the event stream (the activity-feature table a
     ranking model trains on): one row per user with per-event-type
@@ -8795,6 +8930,8 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "top_docs_per_source": q_top_docs_per_source,
     "dedup_eval_lsh": q_dedup_eval_lsh,
+    "dedup_eval_exact": q_dedup_eval_exact,
+    "phrase_search": q_phrase_search,
     "pivot_events": q_pivot_events,
     "rollup_source_lang": q_rollup_source_lang,
     "running_total": q_running_total,
@@ -9535,6 +9672,22 @@ join documents da on da.doc_id = pr.a
 join documents db on db.doc_id = pr.b
 group by 1, 2
 """
+
+ORACLES["dedup_eval_exact"] = f"""
+with pred as ({_minhash_cte()} select a, b from pairs),
+tr as ({_setsim_oracle_sql()}),
+m as (select (select count(*) from pred)::bigint as n_pred,
+             (select count(*) from tr)::bigint as n_true,
+             (select count(*) from pred join tr using (a, b))::bigint as tp)
+select n_pred, n_true, tp,
+       (case when n_pred > 0 then tp * 1000000 // n_pred
+             else 0 end)::bigint as precision_ppm,
+       (case when n_true > 0 then tp * 1000000 // n_true
+             else 0 end)::bigint as recall_ppm
+from m
+"""
+
+ORACLES["phrase_search"] = phrase_search_oracle_sql()
 
 ORACLES["dedup_containment"] = _minhash_cte() + """
 , sd as (select doc_id, list_distinct(shingles) as sd from sh)

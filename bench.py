@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "sample_weighted",
     "url_templates",
     "skew_f2",
+    "phrase_search",
+    "dedup_eval_exact",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -158,3 +158,50 @@ class TestSkewF2:
             a + b for a, b in zip(p1["s"].to_pylist(), p2["s"].to_pylist())
         ]
         assert merged == whole["s"].to_pylist()
+
+
+class TestPhraseSearch:
+    def test_matches_token_scan(self, ray_session):
+        got = q.QUERIES["phrase_search"](SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        want = {}
+        for did, txt in zip(docs["doc_id"].to_pylist(),
+                            docs["text"].to_pylist()):
+            toks = (txt or "").split(" ")
+            for ph in q.PHRASES:
+                w = ph.split()
+                n = sum(
+                    1 for i in range(len(toks) - 2)
+                    if toks[i:i + 3] == w
+                )
+                if n:
+                    want[(ph, did)] = n
+        got_map = {(r.phrase, r.doc_id): r.n_occ for r in got.itertuples()}
+        assert got_map == want
+        assert want, "fixture must contain at least one phrase hit"
+
+    def test_overlapping_occurrences(self, ray_session, tmp_path):
+        # 'a b a b a' contains 'a b a' twice (overlap-aware counting)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(
+                          ["the fast key fast key the fast key"],
+                          pa.string())}),
+            tmp_path / "documents.parquet",
+        )
+        got = q.QUERIES["phrase_search"](str(tmp_path)).to_pandas()
+        row = got[got["phrase"] == "the fast key"]
+        assert row["n_occ"].tolist() == [2]
+
+
+class TestDedupEvalExact:
+    def test_metrics_consistent(self, ray_session):
+        df = q.QUERIES["dedup_eval_exact"](SF).to_pandas()
+        row = df.iloc[0]
+        assert row["tp"] <= min(row["n_pred"], row["n_true"])
+        assert row["n_true"] == len(q.QUERIES["setsim_join"](SF).to_pandas())
+        assert row["precision_ppm"] == row["tp"] * 1_000_000 // row["n_pred"]
+        assert row["recall_ppm"] == row["tp"] * 1_000_000 // row["n_true"]
+        # on the planted fixture LSH at J>=0.6 should catch most pairs
+        assert row["recall_ppm"] > 500_000
