@@ -7593,6 +7593,66 @@ from t""")
     )
 
 
+DECAY_HALFLIFE_US = 3_600 * 1_000_000  # one hour per halving step
+
+
+def q_decayed_counts(sf_dir: str):
+    """Time-decayed activity score per event type — the freshness-
+    weighted counter behind trending/recency features. Classic
+    exponential decay sums floats whose value depends on summation
+    order; this is the EXACT integer formulation: each event weighs
+    2^-k micro-units where k = full halflives between the event and the
+    corpus's max timestamp (1e6 >> k — a right shift, zero float ops),
+    so the sum is associative, restart-stable and bit-identical to the
+    SQL replay. One bounded aggregate for t_ref (an O(1) driver
+    scalar), then per-batch partial sums -> a tiny groupby(event_type).
+    At 10^12 events the same shape holds: the shuffle carries one
+    partial row per (block, type)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    import pandas as pd
+
+    ref_us = pd.Timestamp(ev.max("ts")).value // 1000  # ns -> us, exact
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.minimum((ref_us - us) // DECAY_HALFLIFE_US, 30).astype(
+            np.int64
+        )
+        w = (1_000_000 >> k).astype(np.int64)
+        aug = pa.table(
+            {
+                "event_type": t["event_type"],
+                "w": pa.array(w),
+                "one": pa.array(np.ones(len(w), dtype=np.int64)),
+            }
+        )
+        r = aug.group_by("event_type").aggregate(
+            [("w", "sum"), ("one", "sum")]
+        )
+        return r.rename_columns(["event_type", "w", "n"])
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("w", alias_name="decayed_micro"),
+            ray.data.aggregate.Sum("n", alias_name="n_events"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "decayed_micro": pc.cast(t["decayed_micro"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_pivot_events(sf_dir: str):
     """Wide pivot of the event stream (the activity-feature table a
     ranking model trains on): one row per user with per-event-type
@@ -8933,6 +8993,7 @@ QUERIES = {
     "dedup_eval_exact": q_dedup_eval_exact,
     "phrase_search": q_phrase_search,
     "pivot_events": q_pivot_events,
+    "decayed_counts": q_decayed_counts,
     "rollup_source_lang": q_rollup_source_lang,
     "running_total": q_running_total,
     "key_skew": q_key_skew,
@@ -9140,6 +9201,18 @@ ORACLES: dict[str, str] = {
         "order by o_totalprice desc, o_orderkey asc limit 10"
     ),
     "distinct_events": "select distinct event_type from events",
+    # exact integer step-decay replay: same epoch-us arithmetic, same
+    # >> k right-shift weight, same 30-step clamp
+    "decayed_counts": f"""
+with m as (select max(epoch_us(ts)) as ref from events)
+select event_type,
+       sum(1000000 // (2 ** least((m.ref - epoch_us(ts))
+                                  // {DECAY_HALFLIFE_US}, 30))::bigint)::bigint
+         as decayed_micro,
+       count(*)::bigint as n_events
+from events, m
+group by event_type
+""",
     # replays the KMV bottom-k sketch exactly (stages/sketch.py): same
     # 60-bit md5-prefix hash, same k, same estimator arithmetic — an
     # approximate operator with an exact, value-verifying oracle

@@ -205,3 +205,24 @@ class TestDedupEvalExact:
         assert row["recall_ppm"] == row["tp"] * 1_000_000 // row["n_true"]
         # on the planted fixture LSH at J>=0.6 should catch most pairs
         assert row["recall_ppm"] > 500_000
+
+
+class TestDecayedCounts:
+    def test_exact_integer_decay(self, ray_session):
+        df = q.QUERIES["decayed_counts"](SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"])
+        us = ev["ts"].cast("int64").to_numpy()
+        ref = us.max()
+        k = np.minimum((ref - us) // q.DECAY_HALFLIFE_US, 30)
+        w = 1_000_000 >> k
+        want = {}
+        for et, wi in zip(ev["event_type"].to_pylist(), w):
+            a, b = want.get(et, (0, 0))
+            want[et] = (a + int(wi), b + 1)
+        got = {r.event_type: (r.decayed_micro, r.n_events)
+               for r in df.itertuples()}
+        assert got == want
+        # freshness: the newest event carries full weight, so the score
+        # is positive for every type that has a recent event
+        assert max(v[0] for v in got.values()) >= 1_000_000
