@@ -6027,6 +6027,79 @@ def q_sample_weighted(sf_dir: str):
     return top.map_batches(finish, batch_format="pyarrow")
 
 
+SAMPLE_WS_K = 3  # per-stratum sample size
+
+
+def q_sample_weighted_stratified(sf_dir: str):
+    """Per-stratum weighted sampling — DLT priority sampling
+    (``sample_weighted``) run independently inside every source: k docs
+    per source, selection probability ∝ n_chars within the stratum, with
+    the per-stratum threshold estimator est_w = max(w, tau_source). The
+    balanced-but-weighted curation primitive ("keep the 3 weightiest-
+    by-chance docs per domain").
+
+    Same two-level shape as ``top_docs_per_source``: a per-batch partial
+    keeps each source's top-(k+1) priorities BEFORE the shuffle, so the
+    groupby moves at most (k+1) x sources x blocks rows; the final
+    bounded group computes tau from the (k+1)-th priority. Deterministic
+    md5 priorities — no RNG state, restart-stable, SQL-replayable."""
+
+    def pri(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        hv1 = [
+            int(hashlib.md5(str(d).encode("utf-8")).hexdigest()[:15], 16) + 1
+            for d in ids
+        ]
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = w / np.array(hv1, dtype=np.float64)
+        return pa.table(
+            {"source": t["source"], "doc_id": t["doc_id"],
+             "n_chars": t["n_chars"], "p": pa.array(p, pa.float64())}
+        )
+
+    keys = [("source", "ascending"), ("p", "descending"),
+            ("doc_id", "ascending")]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        src = t["source"].to_pylist()
+        keep, seen, last = [], 0, None
+        for i, s in enumerate(src):
+            if s != last:
+                last, seen = s, 0
+            seen += 1
+            if seen <= SAMPLE_WS_K + 1:
+                keep.append(i)
+        return t.take(pa.array(keep, pa.int64()))
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("p", "descending"), ("doc_id", "ascending")]
+        ))
+        tau = g["p"][SAMPLE_WS_K].as_py() if g.num_rows > SAMPLE_WS_K else 0.0
+        top = g.slice(0, SAMPLE_WS_K)
+        w = top["n_chars"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "source": top["source"],
+                "doc_id": top["doc_id"],
+                "n_chars": top["n_chars"],
+                "pri": pc.round(top["p"], ndigits=6),
+                "est_w": pc.round(
+                    pa.array(np.maximum(w, tau), pa.float64()), ndigits=6
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .map_batches(pri, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def q_domain_dup_stats(sf_dir: str):
     """Per-domain duplication accounting — the crawl-health signal that
     decides which domains to downsample before expensive near-dup
@@ -8972,6 +9045,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "sample_reservoir": q_sample_reservoir,
     "sample_weighted": q_sample_weighted,
+    "sample_weighted_stratified": q_sample_weighted_stratified,
     "domain_dup_stats": q_domain_dup_stats,
     "funnel": q_funnel,
     "range_join": q_range_join,
@@ -9250,6 +9324,25 @@ select doc_id, n_chars, round(p, 6) as pri,
 from top
 order by p desc, doc_id
 limit {SAMPLE_W_K}
+""",
+    # per-stratum DLT replay: row_number within source, tau = the
+    # (k+1)-th priority of the stratum (0 when the stratum is smaller)
+    "sample_weighted_stratified": f"""
+with pri as (
+  select source, doc_id, n_chars,
+         n_chars::double /
+         ((('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::ubigint
+           + 1)::double) as p
+  from documents),
+r as (select *, row_number() over (partition by source
+                                   order by p desc, doc_id) as rn from pri),
+tau as (select source,
+               max(case when rn = {SAMPLE_WS_K + 1} then p else 0 end) as t
+        from r group by source)
+select r.source, doc_id, n_chars, round(p, 6) as pri,
+       round(greatest(n_chars::double, tau.t), 6) as est_w
+from r join tau using (source)
+where rn <= {SAMPLE_WS_K}
 """,
     "domain_dup_stats": """
 with g as (

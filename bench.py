@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "skew_f2",
     "phrase_search",
     "dedup_eval_exact",
+    "decayed_counts",
+    "sample_weighted_stratified",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -226,3 +226,30 @@ class TestDecayedCounts:
         # freshness: the newest event carries full weight, so the score
         # is positive for every type that has a recent event
         assert max(v[0] for v in got.values()) >= 1_000_000
+
+
+class TestSampleWeightedStratified:
+    def test_per_source_bruteforce(self, ray_session):
+        df = q.QUERIES["sample_weighted_stratified"](SF).to_pandas()
+        docs = pq.read_table(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"]).to_pandas()
+        hv1 = docs["doc_id"].map(
+            lambda d: int(
+                hashlib.md5(str(d).encode()).hexdigest()[:15], 16) + 1)
+        docs["p"] = docs["n_chars"] / hv1.astype(float)
+        for src, g in docs.groupby("source"):
+            g = g.sort_values(["p", "doc_id"],
+                              ascending=[False, True])
+            want_ids = g["doc_id"].head(q.SAMPLE_WS_K).tolist()
+            got = df[df["source"] == src].sort_values(
+                "pri", ascending=False)
+            assert got["doc_id"].tolist() == want_ids
+            tau = (g["p"].iloc[q.SAMPLE_WS_K]
+                   if len(g) > q.SAMPLE_WS_K else 0.0)
+            want_est = np.maximum(
+                g["n_chars"].head(q.SAMPLE_WS_K).to_numpy(float), tau
+            ).round(6)
+            assert np.allclose(
+                got["est_w"].to_numpy(), want_est)
+        assert df.groupby("source").size().eq(q.SAMPLE_WS_K).all()
