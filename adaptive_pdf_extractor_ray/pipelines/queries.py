@@ -826,6 +826,71 @@ def q_syndication_pairs(sf_dir: str):
     )
 
 
+JL_OUT_DIMS = 4
+EMBED_DIMS = 64
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003's database-
+    friendly JL variant): sign(c, d) = parity of the 60-bit md5 hash of
+    'c|d' — the same keyed-parity convention as the AMS sketch, so the
+    oracle replays it cell by cell."""
+    return [
+        [
+            2 * (int(hashlib.md5(f"{c}|{d}".encode()).hexdigest()[:15], 16)
+                 & 1) - 1
+            for d in range(EMBED_DIMS)
+        ]
+        for c in range(JL_OUT_DIMS)
+    ]
+
+
+def q_embed_project(sf_dir: str):
+    """Johnson–Lindenstrauss random projection of the embedding column
+    (64-d -> 4-d) with a deterministic signed matrix — the dimension-
+    reduction front of an ANN/visualization pipeline, kept exactly
+    SQL-replayable: component c = 0.25 * sum_d sign(c,d) * v_d, summed
+    SEQUENTIALLY over d (matching DuckDB's list_sum order — np.dot's
+    pairwise summation would differ in the last ulp and break the hash
+    gate). Stateless map, no shuffle; the sign matrix is built once per
+    task from md5, never shipped."""
+    signs = _jl_signs()
+
+    def f(t: pa.Table) -> pa.Table:
+        vecs = t["embedding"].to_pylist()
+        cols: dict[str, list[float]] = {f"p{c}": [] for c in
+                                        range(JL_OUT_DIMS)}
+        for v in vecs:
+            for c in range(JL_OUT_DIMS):
+                s = 0.0
+                sg = signs[c]
+                for d in range(EMBED_DIMS):
+                    s = s + sg[d] * v[d]
+                cols[f"p{c}"].append(round(0.25 * s, 6))
+        out = {"vec_id": t["vec_id"]}
+        for c in range(JL_OUT_DIMS):
+            out[f"p{c}"] = pa.array(cols[f"p{c}"], pa.float64())
+        return pa.table(out)
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def embed_project_oracle_sql() -> str:
+    comps = []
+    for c in range(JL_OUT_DIMS):
+        comps.append(
+            f"""round(0.25 * list_sum(
+        [(case when ('0x' || substr(md5('{c}|' || (d - 1)::varchar), 1, 15)
+               )::ubigint % 2 = 1 then 1 else -1 end)
+         * embedding[d]::double for d in range(1, {EMBED_DIMS + 1})]),
+        6) as p{c}"""
+        )
+    return ("select vec_id, " + ",\n       ".join(comps)
+            + " from embeddings")
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (sim >= 0.95), exact within label
     buckets — SQL-verifiable with list_cosine_similarity."""
@@ -8952,6 +9017,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "setsim_join": q_setsim_join,
     "syndication_pairs": q_syndication_pairs,
+    "embed_project": q_embed_project,
     "dedup_containment": q_dedup_containment,
     "dedup_keep_best": q_dedup_keep_best,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -9854,6 +9920,8 @@ from m
 """
 
 ORACLES["phrase_search"] = phrase_search_oracle_sql()
+
+ORACLES["embed_project"] = embed_project_oracle_sql()
 
 ORACLES["dedup_containment"] = _minhash_cte() + """
 , sd as (select doc_id, list_distinct(shingles) as sd from sh)

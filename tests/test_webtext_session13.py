@@ -253,3 +253,32 @@ class TestSampleWeightedStratified:
             assert np.allclose(
                 got["est_w"].to_numpy(), want_est)
         assert df.groupby("source").size().eq(q.SAMPLE_WS_K).all()
+
+
+class TestEmbedProject:
+    def test_norm_preservation_in_expectation(self, ray_session):
+        df = q.QUERIES["embed_project"](SF).to_pandas().sort_values(
+            "vec_id").reset_index(drop=True)
+        emb = pq.read_table(f"{SF}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).to_pandas()
+        emb = emb.sort_values("vec_id").reset_index(drop=True)
+        V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        P = df[[f"p{c}" for c in range(q.JL_OUT_DIMS)]].to_numpy()
+        # signed JL with scale 1/4: E[||Px||^2] = (k_out/16)||x||^2 = 0.25
+        ratio = (P ** 2).sum(axis=1) / (V ** 2).sum(axis=1)
+        assert 0.15 < ratio.mean() < 0.35
+
+    def test_matches_sequential_sum(self, ray_session):
+        df = q.QUERIES["embed_project"](SF).to_pandas().sort_values(
+            "vec_id").reset_index(drop=True)
+        emb = pq.read_table(f"{SF}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).to_pandas()
+        emb = emb.sort_values("vec_id").reset_index(drop=True)
+        signs = q._jl_signs()
+        for i in range(5):
+            v = emb["embedding"].iloc[i]
+            for c in range(q.JL_OUT_DIMS):
+                s = 0.0
+                for d in range(q.EMBED_DIMS):
+                    s = s + signs[c][d] * float(v[d])
+                assert df[f"p{c}"].iloc[i] == round(0.25 * s, 6)
