@@ -776,6 +776,46 @@ def q_setsim_join(sf_dir: str):
     )
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-document n-gram novelty — the share of a doc's distinct
+    word-3-gram shingles that occur NOWHERE else in the corpus (df = 1).
+    Low novelty = boilerplate/templated/syndicated content even when no
+    single near-dup partner exists; it's the corpus-level complement to
+    pairwise dedup. Dataflow: the setsim explode (per-doc distinct
+    shingles) -> df count (salted Arrow C++ groupby) -> hash join df
+    back on shingle -> one bounded groupby(doc_id) (a doc's own
+    shingles) computing n_shingles / n_unique / novelty. Shuffles keyed
+    by shingle then doc_id — both well-spread at 10^12 docs."""
+    from ..stages import setsim as ss
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok = docs.map_batches(
+        ss.explode_shingle_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "sh"])
+    df = _grouped_count(tok, key="sh", out="df")
+    n_parts = dd.adaptive_partitions(_table_rows(sf_dir, "documents") * 120)
+    joined = tok.join(df, join_type="inner", num_partitions=n_parts,
+                      on=("sh",))
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        uniq = int(
+            pc.sum(pc.cast(pc.equal(g["df"], pa.scalar(1)), pa.int64()))
+            .as_py()
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].slice(0, 1),
+                "n_shingles": pa.array([n], pa.int64()),
+                "n_unique": pa.array([uniq], pa.int64()),
+                "novelty": pa.array([round(uniq / n, 6)], pa.float64()),
+            }
+        )
+
+    return joined.groupby("doc_id").map_groups(per_doc,
+                                               batch_format="pyarrow")
+
+
 def q_syndication_pairs(sf_dir: str):
     """Source-pair syndication network: which pairs of sources/domains
     publish near-identical documents, and how often — the signal a crawl
@@ -9018,6 +9058,7 @@ QUERIES = {
     "setsim_join": q_setsim_join,
     "syndication_pairs": q_syndication_pairs,
     "embed_project": q_embed_project,
+    "ngram_novelty": q_ngram_novelty,
     "dedup_containment": q_dedup_containment,
     "dedup_keep_best": q_dedup_keep_best,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -9893,6 +9934,29 @@ where round(c::double / (sa.n + sb.n - c), 6) >= {SETSIM_TAU}
 
 
 ORACLES["setsim_join"] = _setsim_oracle_sql()
+
+# same tokenize/shingle CTEs; df over the distinct (doc, shingle) rows
+ORACLES["ngram_novelty"] = f"""
+with toks as (
+  select doc_id, {dd.SQL_TOKENIZE.format(col="text")} as toks
+  from documents),
+shl as (
+  select doc_id,
+         case when len(toks) >= 3 then
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         when len(toks) >= 1 then [array_to_string(toks, ' ')]
+         else [] end as shingles
+  from toks),
+tok as (select distinct doc_id, unnest(shingles) as s from shl),
+dfc as (select s, count(*)::bigint as df from tok group by 1)
+select t.doc_id, count(*)::bigint as n_shingles,
+       count(*) filter (dfc.df = 1)::bigint as n_unique,
+       round((count(*) filter (dfc.df = 1))::double / count(*), 6)
+         as novelty
+from tok t join dfc on dfc.s = t.s
+group by t.doc_id
+"""
 
 ORACLES["syndication_pairs"] = f"""
 with pr as ({_setsim_oracle_sql()})

@@ -282,3 +282,31 @@ class TestEmbedProject:
                 for d in range(q.EMBED_DIMS):
                     s = s + signs[c][d] * float(v[d])
                 assert df[f"p{c}"].iloc[i] == round(0.25 * s, 6)
+
+
+class TestNgramNovelty:
+    def test_bruteforce_df(self, ray_session):
+        from adaptive_pdf_extractor_ray.stages.dedup import _shingles
+
+        df = q.QUERIES["ngram_novelty"](SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        sets = {d: set(_shingles(t or "")) for d, t in
+                zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+        cnt: dict = {}
+        for s in sets.values():
+            for sh in s:
+                cnt[sh] = cnt.get(sh, 0) + 1
+        got = df.set_index("doc_id")
+        for d, s in sets.items():
+            if not s:
+                assert d not in got.index
+                continue
+            uniq = sum(1 for sh in s if cnt[sh] == 1)
+            assert got.loc[d, "n_shingles"] == len(s)
+            assert got.loc[d, "n_unique"] == uniq
+            assert got.loc[d, "novelty"] == round(uniq / len(s), 6)
+        # near-dup planted docs must score low novelty: at least some
+        # docs in the fixture share nearly all shingles
+        assert (df["novelty"] < 0.3).any()
+        assert (df["novelty"] > 0.7).any()
