@@ -931,6 +931,57 @@ def embed_project_oracle_sql() -> str:
             + " from embeddings")
 
 
+def q_dedup_minhash_est(sf_dir: str):
+    """Signature-agreement Jaccard ESTIMATE per LSH candidate pair —
+    Broder's estimator E[matches/k] = J, the production alternative to
+    exact text verification when documents are megabytes: the pair join
+    moves two 128-slot uint64 signatures instead of the texts, and the
+    verify is an integer compare-count. Same distributed shape as
+    ``dedup_ngram_jaccard`` with signatures in place of texts; the
+    oracle replays the full md5 minhash in SQL and counts agreeing
+    slots, so the estimate itself is value-verified."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        # Arrow's hash join can't carry list<uint64> payloads — pack the
+        # 128-slot signature into a 1 KiB binary cell for the ride
+        packed = [
+            np.asarray(s, dtype=np.uint64).tobytes()
+            for s in t["minhash"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "sig": pa.array(packed, pa.binary())}
+        )
+
+    sigs = docs.map_batches(
+        dd.MinHasher, batch_format="pyarrow", concurrency=_apool(),
+    ).map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _lsh_distinct_pairs(sf_dir).materialize()
+    n_parts = dd.adaptive_partitions(pairs.count())
+    j1 = pairs.join(
+        sigs, join_type="inner", num_partitions=n_parts,
+        on=("a",), right_on=("doc_id",),
+    ).rename_columns({"sig": "sig_a"})
+    j2 = j1.join(
+        sigs, join_type="inner", num_partitions=n_parts,
+        on=("b",), right_on=("doc_id",),
+    ).rename_columns({"sig": "sig_b"})
+
+    def est(t: pa.Table) -> pa.Table:
+        vals = []
+        for a, b in zip(t["sig_a"].to_pylist(), t["sig_b"].to_pylist()):
+            va = np.frombuffer(a, dtype=np.uint64)
+            vb = np.frombuffer(b, dtype=np.uint64)
+            vals.append(round(int((va == vb).sum()) / dd.NUM_PERM, 6))
+        return pa.table(
+            {"a": t["a"], "b": t["b"],
+             "est_jaccard": pa.array(vals, pa.float64())}
+        )
+
+    return j2.map_batches(est, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (sim >= 0.95), exact within label
     buckets — SQL-verifiable with list_cosine_similarity."""
@@ -9055,6 +9106,7 @@ QUERIES = {
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_est": q_dedup_minhash_est,
     "setsim_join": q_setsim_join,
     "syndication_pairs": q_syndication_pairs,
     "embed_project": q_embed_project,
@@ -9986,6 +10038,16 @@ from m
 ORACLES["phrase_search"] = phrase_search_oracle_sql()
 
 ORACLES["embed_project"] = embed_project_oracle_sql()
+
+ORACLES["dedup_minhash_est"] = _minhash_cte() + f"""
+select p.a, p.b,
+       round(len([i for i in range(1, {dd.NUM_PERM} + 1)
+                  if sa.sig[i] = sb.sig[i]])::double / {dd.NUM_PERM}, 6)
+         as est_jaccard
+from pairs p
+join sig sa on sa.doc_id = p.a
+join sig sb on sb.doc_id = p.b
+"""
 
 ORACLES["dedup_containment"] = _minhash_cte() + """
 , sd as (select doc_id, list_distinct(shingles) as sd from sh)

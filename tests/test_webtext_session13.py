@@ -310,3 +310,19 @@ class TestNgramNovelty:
         # docs in the fixture share nearly all shingles
         assert (df["novelty"] < 0.3).any()
         assert (df["novelty"] > 0.7).any()
+
+
+class TestMinhashEstimate:
+    def test_estimator_tracks_exact_jaccard(self, ray_session):
+        est = q.QUERIES["dedup_minhash_est"](SF).to_pandas()
+        exact = q.QUERIES["dedup_ngram_jaccard"](SF).to_pandas()
+        j = est.merge(exact, on=["a", "b"])
+        assert len(j) == len(est) > 0
+        # Broder estimator with 128 perms: std ~ sqrt(J(1-J)/128) < 0.05
+        err = (j["est_jaccard"] - j["jaccard"]).abs()
+        assert err.max() < 0.2
+        assert err.mean() < 0.06
+        # identical docs estimate exactly 1.0
+        ones = j[j["jaccard"] == 1.0]
+        if len(ones):
+            assert (ones["est_jaccard"] == 1.0).all()
