@@ -8159,6 +8159,57 @@ def q_global_quantiles(sf_dir: str):
     )
 
 
+def q_winsorize(sf_dir: str):
+    """Winsorization at the exact global p01/p99 (the outlier-robust
+    length normalizer a feature pipeline applies before scaling):
+    reuses the histogram-of-values order-statistic plan above to get
+    BOTH cut points in one tiny counter groupby — the shuffle is the
+    value domain, never the rows — then one stateless clip map over the
+    corpus with the two scalars as closure constants. 0-based order
+    statistic floor((n-1)q) on both sides, so the oracle's window
+    row_number replay is bit-identical."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = t.group_by("n_chars").aggregate([([], "count_all")])
+        return part.rename_columns(["n_chars", "n"])
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    vals = hist["n_chars"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+
+    def at(q_num: int, q_den: int) -> int:
+        idx = ((n - 1) * q_num) // q_den
+        return int(vals[np.searchsorted(cum, idx + 1, side="left")])
+
+    lo, hi = at(1, 100), at(99, 100)
+
+    def clip(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False)
+        c = np.clip(x, lo, hi)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "clipped": pa.array(c.astype(np.int64)),
+                "was_clipped": pa.array((x < lo) | (x > hi)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        clip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 HASH_FEATURE_BUCKETS = 64
 
 
@@ -9232,6 +9283,7 @@ QUERIES = {
     "key_skew": q_key_skew,
     "orders_without_lineitems": q_orders_without_lineitems,
     "global_quantiles": q_global_quantiles,
+    "winsorize_lengths": q_winsorize,
     "hash_features": q_hash_features,
     "dau": q_dau,
     "cocitation": q_cocitation,
@@ -9434,6 +9486,18 @@ ORACLES: dict[str, str] = {
         "order by o_totalprice desc, o_orderkey asc limit 10"
     ),
     "distinct_events": "select distinct event_type from events",
+    "winsorize_lengths": """
+with s as (select n_chars as v,
+                  row_number() over (order by n_chars) - 1 as r
+           from documents),
+nn as (select count(*) as n from documents),
+lo as (select v from s, nn where r = ((nn.n - 1) * 1) // 100),
+hi as (select v from s, nn where r = ((nn.n - 1) * 99) // 100)
+select d.doc_id, d.n_chars,
+       least(greatest(d.n_chars, lo.v), hi.v) as clipped,
+       (d.n_chars < lo.v or d.n_chars > hi.v) as was_clipped
+from documents d, lo, hi
+""",
     # exact integer step-decay replay: same epoch-us arithmetic, same
     # >> k right-shift weight, same 30-step clamp
     "decayed_counts": f"""

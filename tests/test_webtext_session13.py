@@ -326,3 +326,18 @@ class TestMinhashEstimate:
         ones = j[j["jaccard"] == 1.0]
         if len(ones):
             assert (ones["est_jaccard"] == 1.0).all()
+
+
+class TestWinsorize:
+    def test_exact_percentile_clip(self, ray_session):
+        df = q.QUERIES["winsorize_lengths"](SF).to_pandas()
+        x = np.sort(pq.read_table(f"{SF}/documents.parquet",
+                                  columns=["n_chars"])["n_chars"]
+                    .to_numpy())
+        n = len(x)
+        lo, hi = x[(n - 1) * 1 // 100], x[(n - 1) * 99 // 100]
+        assert df["clipped"].min() == lo or df["n_chars"].min() >= lo
+        assert (df["clipped"] == df["n_chars"].clip(lo, hi)).all()
+        assert (df["was_clipped"] == ((df["n_chars"] < lo)
+                                      | (df["n_chars"] > hi))).all()
+        assert df["was_clipped"].any()
