@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "dedup_eval_exact",
     "decayed_counts",
     "sample_weighted_stratified",
+    "dedup_minhash_est",
+    "ngram_novelty",
+    "winsorize_lengths",
+    "embed_project",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
