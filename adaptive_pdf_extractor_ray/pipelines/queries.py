@@ -6984,6 +6984,108 @@ def _h60(u: str) -> int:
     return int(hashlib.md5(u.encode("utf-8")).hexdigest()[:15], 16)
 
 
+def q_mirror_domains(sf_dir: str):
+    """Mirror-site clusters: weakly-connected components of the
+    SYNDICATION graph (sources joined by at least one exact near-dup
+    pair, ``syndication_pairs``) — the domain-level rollup that turns
+    pairwise dup accounting into "these N sites republish one another;
+    curate them as one". Same machinery as ``link_components``: md5-60
+    node ids, self-loops so clean sources surface as singletons, the
+    size-routed components stage, then id->name joins. The graph is
+    source-cardinality-sized — tiny next to the corpus — so every step
+    here is bounded by the number of domains, not documents."""
+    pairs = q_syndication_pairs(sf_dir)
+    srcs = _distinct_rows(
+        _read(sf_dir, "documents", ["source"]), ["source"]
+    )
+
+    def hash_srcs(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "hid": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "source": t["source"],
+                "hid": pa.array(
+                    [_h60(s) for s in t["source"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    hmap = srcs.map_batches(hash_srcs, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    nparts = dd.adaptive_partitions(hmap.count())
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        sa = t["src_a"].to_pylist()
+        sb = t["src_b"].to_pylist()
+        a_out, b_out = [], []
+        for x, y in zip(sa, sb):
+            if x != y:  # intra-source dups are not mirror edges
+                a_out.append(_h60(x))
+                b_out.append(_h60(y))
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()),
+             "b": pa.array(b_out, pa.int64())}
+        )
+
+    self_loops = hmap.map_batches(
+        lambda t: pa.table({"a": t["hid"], "b": t["hid"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    edges = pairs.map_batches(
+        to_ids, batch_format="pyarrow"
+    ).union(self_loops)
+    comp = dd.connected_components(edges, num_partitions=nparts)
+    named = comp.join(hmap, join_type="inner", num_partitions=nparts,
+                      on=("doc_id",), right_on=("hid",))
+    return (
+        named.join(hmap, join_type="inner", num_partitions=nparts,
+                   on=("rep_id",), right_on=("hid",), right_suffix="_rep")
+        .map_batches(
+            lambda t: pa.table(
+                {"source": t["source"], "mirror_rep": t["source_rep"]}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+
+def mirror_domains_oracle_sql() -> str:
+    """Replay of q_mirror_domains: syndication edges over the setsim
+    pair CTE, md5-60 node ids, self-loops, min-label recursive-CTE
+    components (the link_components idiom), id->name joins."""
+    return f"""
+with pr as ({_setsim_oracle_sql()}),
+sy as (
+  select least(da.source, db.source) as src_a,
+         greatest(da.source, db.source) as src_b
+  from pr
+  join documents da on da.doc_id = pr.a
+  join documents db on db.doc_id = pr.b),
+srcs as (select distinct source from documents),
+h as (select source, ('0x' || substr(md5(source), 1, 15))::bigint as hid
+      from srcs),
+e0 as (select distinct src_a, src_b from sy where src_a <> src_b),
+eh as (select ha.hid as a, hb.hid as b
+       from e0 join h ha on ha.source = e0.src_a
+               join h hb on hb.source = e0.src_b),
+edges as (select a as src, b as dst from eh
+          union select b, a from eh
+          union select hid, hid from h),
+comp as (
+  select node, rep from (
+    with recursive r(node, reached) as (
+      select src, src from edges
+      union
+      select r.node, e.dst from r join edges e on e.src = r.reached)
+    select node, min(reached) as rep from r group by node))
+select hu.source, hr.source as mirror_rep
+from comp join h hu on hu.hid = comp.node
+          join h hr on hr.hid = comp.rep
+"""
+
+
 def q_link_components(sf_dir: str):
     """Weakly-connected components of the INTRA-domain link subgraph
     (site-section segmentation: cross-domain edges cut, so components =
@@ -9265,6 +9367,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "session_stats": q_session_stats,
     "link_components": q_link_components,
+    "mirror_domains": q_mirror_domains,
     "graph_triangles": q_graph_triangles,
     "collocations": q_collocations,
     "posting_gaps": q_posting_gaps,
@@ -10102,6 +10205,8 @@ from m
 ORACLES["phrase_search"] = phrase_search_oracle_sql()
 
 ORACLES["embed_project"] = embed_project_oracle_sql()
+
+ORACLES["mirror_domains"] = mirror_domains_oracle_sql()
 
 ORACLES["dedup_minhash_est"] = _minhash_cte() + f"""
 select p.a, p.b,

@@ -341,3 +341,43 @@ class TestWinsorize:
         assert (df["was_clipped"] == ((df["n_chars"] < lo)
                                       | (df["n_chars"] > hi))).all()
         assert df["was_clipped"].any()
+
+
+class TestMirrorDomains:
+    def test_components_match_pair_graph(self, ray_session):
+        df = q.QUERIES["mirror_domains"](SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "source"]).to_pandas()
+        all_sources = set(docs["source"])
+        assert set(df["source"]) == all_sources
+        # brute-force components over the syndication edges
+        edges = q.QUERIES["syndication_pairs"](SF).to_pandas()
+        adj: dict = {s: {s} for s in all_sources}
+        for a, b in zip(edges["src_a"], edges["src_b"]):
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        seen, comps = set(), {}
+        for s in sorted(all_sources):
+            if s in seen:
+                continue
+            stack, comp = [s], set()
+            while stack:
+                x = stack.pop()
+                if x in comp:
+                    continue
+                comp.add(x)
+                stack.extend(adj[x] - comp)
+            seen |= comp
+            for x in comp:
+                comps[x] = comp
+        got = df.set_index("source")["mirror_rep"].to_dict()
+        # same partition: two sources share an engine rep iff they share
+        # a brute-force component
+        for s in all_sources:
+            for t in all_sources:
+                same_engine = got[s] == got[t]
+                same_brute = t in comps[s]
+                assert same_engine == same_brute, (s, t)
+        # at least one non-trivial mirror cluster exists in the fixture
+        assert any(len(c) > 1 for c in comps.values())
