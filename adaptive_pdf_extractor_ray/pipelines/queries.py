@@ -9241,6 +9241,254 @@ def q_cluster_sample(sf_dir: str):
     )
 
 
+XLANG_SRC = "en"  # mined (streamed) side
+XLANG_TGT = "de"  # pivot (broadcast) side — the low-resource language
+XLANG_K = 4  # neighborhood size for the margin denominator
+XLANG_TAU_1E4 = 1800  # keep pairs with margin*1e4 >= this (fixture median)
+
+
+def q_xlang_mine(sf_dir: str):
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    forward-margin variant): for every source-language document, find its
+    best target-language match by cosine and keep the pair only when the
+    best score stands out from the source doc's K-nearest target
+    neighborhood (margin = sim1 - mean(top-K sims)). This is the standard
+    parallel-corpus mining step of a multilingual training-data pipeline
+    (LASER/CCMatrix-style).
+
+    Scale shape: the TARGET side is the low-resource language — bounded
+    by assumption (that is what makes mining against it meaningful), so
+    it is collected via one filtered streaming pass (the driver never
+    holds the full embedding column) and shipped to the actor pool as
+    plain constructor values (restart-safe, ray#53727). The SOURCE side
+    streams: one hash join to attach ``lang`` (an artifact of the fixture
+    splitting documents/embeddings into two tables — a production layout
+    co-locates them and the join vanishes), then a stateless matmul per
+    batch. No all-to-all on similarities, no driver-side pair state.
+    Determinism: sims at 4 dp scaled to int64, top-K by (sim desc, tgt_id
+    asc), margin compared in exact integer arithmetic."""
+    tgt_ids = [
+        r["doc_id"]
+        for r in _read(sf_dir, "documents", ["doc_id", "lang"])
+        .filter(expr=f"lang == '{XLANG_TGT}'")
+        .take_all()
+    ]
+    tgt_set = pa.array(sorted(tgt_ids), pa.int64())
+    brows = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["vec_id"], value_set=tgt_set)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    brows.sort(key=lambda r: r["vec_id"])  # index order == tgt_id order
+    b_ids = [int(r["vec_id"]) for r in brows]
+    b_vecs = [list(map(float, r["embedding"])) for r in brows]
+
+    class MarginMiner:
+        def __init__(self, b_ids: list[int], b_vecs: list[list[float]],
+                     k: int, tau: int):
+            self.tids = np.asarray(b_ids, dtype=np.int64)
+            self.Bn = sim._normalize(np.asarray(b_vecs, dtype=np.float64))
+            self.k = min(k, len(b_ids))
+            self.tau = tau
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            if len(sids) == 0:
+                return pa.table(
+                    {
+                        "src_id": pa.array([], pa.int64()),
+                        "tgt_id": pa.array([], pa.int64()),
+                        "sim_1e4": pa.array([], pa.int64()),
+                        "margin_1e4": pa.array([], pa.int64()),
+                    }
+                )
+            M = sim._normalize(
+                np.stack(
+                    [
+                        np.frombuffer(b, dtype=np.float64)
+                        for b in batch["emb_bytes"].to_pylist()
+                    ]
+                )
+            )
+            s4 = np.rint(
+                np.round(M @ self.Bn.T, 4) * 10000
+            ).astype(np.int64)  # (batch, |B|) sims at 4 dp, integer-exact
+            # composite rank key: sim desc, then tgt index (== tgt_id) asc
+            comp = s4 * (1 << 40) - np.arange(s4.shape[1], dtype=np.int64)
+            kk = self.k
+            top = np.argpartition(comp, -kk, axis=1)[:, -kk:]
+            rows = np.arange(len(sids))[:, None]
+            tops4 = np.take_along_axis(s4, top, axis=1)
+            best_j = np.take_along_axis(
+                top, comp[rows, top].argmax(axis=1)[:, None], axis=1
+            )[:, 0]
+            best_s4 = s4[np.arange(len(sids)), best_j]
+            margin = kk * best_s4 - tops4.sum(axis=1)
+            keep = margin >= self.tau
+            return pa.table(
+                {
+                    "src_id": pa.array(sids[keep], pa.int64()),
+                    "tgt_id": pa.array(self.tids[best_j[keep]], pa.int64()),
+                    "sim_1e4": pa.array(best_s4[keep], pa.int64()),
+                    "margin_1e4": pa.array(margin[keep], pa.int64()),
+                }
+            )
+
+    def pack(t: pa.Table) -> pa.Table:
+        # Ray's hash join cannot carry list<float> as a non-key field;
+        # pack each vector to fixed-width float64 bytes for the shuffle
+        # (cheaper to move than the list representation anyway)
+        vecs = t["embedding"].to_pylist()
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "emb_bytes": pa.array(
+                    [np.asarray(v, dtype=np.float64).tobytes()
+                     for v in vecs],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    src = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        .join(
+            _read(sf_dir, "documents", ["doc_id", "lang"]).filter(
+                expr=f"lang == '{XLANG_SRC}'"
+            ),
+            join_type="inner",
+            num_partitions=dd.adaptive_partitions(
+                _table_rows(sf_dir, "embeddings")
+            ),
+            on=("vec_id",),
+            right_on=("doc_id",),
+        )
+    )
+    return src.map_batches(
+        MarginMiner, fn_constructor_args=(b_ids, b_vecs, XLANG_K,
+                                          XLANG_TAU_1E4),
+        batch_format="pyarrow", concurrency=_apool(),
+    )
+
+
+def xlang_mine_oracle_sql() -> str:
+    """Replay of q_xlang_mine: cosine at 4 dp scaled to bigint,
+    rank by (sim desc, tgt_id asc), margin = K'*best - sum(top-K') in
+    integer arithmetic, threshold inclusive."""
+    return f"""
+with tgt as (
+  select e.vec_id as tid, e.embedding as te
+  from embeddings e join documents d on d.doc_id = e.vec_id
+  where d.lang = '{XLANG_TGT}'),
+src as (
+  select e.vec_id as sid, e.embedding as se
+  from embeddings e join documents d on d.doc_id = e.vec_id
+  where d.lang = '{XLANG_SRC}'),
+scored as (
+  select src.sid, tgt.tid,
+         cast(round(round(list_cosine_similarity(src.se::double[],
+              tgt.te::double[]), 4) * 10000, 0) as bigint) as s4
+  from src cross join tgt),
+ranked as (
+  select *, row_number() over
+      (partition by sid order by s4 desc, tid asc) as rn
+  from scored),
+agg as (
+  select sid,
+         max(case when rn = 1 then tid end) as tgt_id,
+         max(case when rn = 1 then s4 end) as best_s4,
+         count(*) as kk, sum(s4) as sum_s4
+  from ranked where rn <= {XLANG_K} group by sid)
+select sid as src_id, tgt_id, best_s4 as sim_1e4,
+       cast(kk * best_s4 - sum_s4 as bigint) as margin_1e4
+from agg where kk * best_s4 - sum_s4 >= {XLANG_TAU_1E4}
+"""
+
+
+TOPIC_LEXICON = {
+    # word -> topic term lists over the corpus vocabulary; a word may
+    # carry several topics (e.g. 'window' is both compute and streaming)
+    "compute": ["join", "sort", "merge", "hash", "group", "agg", "filter",
+                "query", "order"],
+    "storage": ["table", "column", "row", "scan", "part", "key", "line"],
+    "streaming": ["stream", "batch", "window", "event", "spark",
+                  "vector"],
+}
+
+
+def q_topic_tag(sf_dir: str):
+    """Lexicon-based topic classification (the WebOrganizer / curated-mix
+    'domain tagging' step of a training-data pipeline): count lexicon
+    hits per topic over whitespace tokens, tag each doc with the argmax
+    topic (ties break on topic name; zero hits => 'none'). One streaming
+    pass, no shuffle; the lexicon is a constant broadcast into the batch
+    fn. Output drives mixture re-weighting (see mix_rebalance)."""
+    word2topics: dict[str, list[str]] = {}
+    for topic, words in TOPIC_LEXICON.items():
+        for w in words:
+            word2topics.setdefault(w, []).append(topic)
+    topics = sorted(TOPIC_LEXICON)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_topic, out_hits = [], []
+        for txt in t["text"].to_pylist():
+            counts = dict.fromkeys(topics, 0)
+            for w in txt.split():
+                for tp in word2topics.get(w, ()):
+                    counts[tp] += 1
+            # argmax with lexicographic tie-break; all-zero -> 'none'
+            mx = max(counts.values())
+            best = (
+                min(tp for tp in topics if counts[tp] == mx)
+                if mx > 0 else "none"
+            )
+            out_topic.append(best)
+            out_hits.append(mx)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "topic": pa.array(out_topic, pa.string()),
+                "hits": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def topic_tag_oracle_sql() -> str:
+    lex_rows = ", ".join(
+        f"('{w}', '{t}')"
+        for t, ws in sorted(TOPIC_LEXICON.items())
+        for w in ws
+    )
+    return f"""
+with lex(word, topic) as (values {lex_rows}),
+tok as (
+  select doc_id, unnest(string_split(text, ' ')) as word from documents),
+hits as (
+  select t.doc_id, l.topic, count(*)::bigint as n
+  from tok t join lex l on l.word = t.word
+  group by t.doc_id, l.topic),
+best as (
+  select doc_id, topic, n, row_number() over
+      (partition by doc_id order by n desc, topic asc) as rn
+  from hits)
+select d.doc_id,
+       coalesce(b.topic, 'none') as topic,
+       coalesce(b.n, 0) as hits
+from documents d
+left join best b on b.doc_id = d.doc_id and b.rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -9368,6 +9616,8 @@ QUERIES = {
     "session_stats": q_session_stats,
     "link_components": q_link_components,
     "mirror_domains": q_mirror_domains,
+    "xlang_mine": q_xlang_mine,
+    "topic_tag": q_topic_tag,
     "graph_triangles": q_graph_triangles,
     "collocations": q_collocations,
     "posting_gaps": q_posting_gaps,
@@ -10207,6 +10457,10 @@ ORACLES["phrase_search"] = phrase_search_oracle_sql()
 ORACLES["embed_project"] = embed_project_oracle_sql()
 
 ORACLES["mirror_domains"] = mirror_domains_oracle_sql()
+
+ORACLES["xlang_mine"] = xlang_mine_oracle_sql()
+
+ORACLES["topic_tag"] = topic_tag_oracle_sql()
 
 ORACLES["dedup_minhash_est"] = _minhash_cte() + f"""
 select p.a, p.b,

@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "winsorize_lengths",
     "embed_project",
+    "mirror_domains",
+    "xlang_mine",
+    "topic_tag",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
