@@ -7703,15 +7703,10 @@ def q_top_docs_per_source(sf_dir: str):
 DEDUP_EVAL_K = 200
 
 
-def q_dedup_eval_lsh(sf_dir: str):
-    """LSH quality evaluation (the measure-your-dedup op): run the
-    production MinHash-LSH candidate generator over a deterministic
-    fixed-size hash-rank sample (the K smallest md5(doc_id) ranks),
-    compute the EXACT all-pairs n-gram-Jaccard >= 0.5 ground truth on
-    that same sample in one task, and report candidate precision/recall
-    in integer PPM. Evaluation on a fixed-size sample is the scale
-    path: the expensive exact truth never grows with the corpus, while
-    the candidate side exercises the real pipeline code end-to-end."""
+def _eval_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic fixed-size hash-rank sample (the K smallest
+    md5(doc_id) ranks) shared by the dedup evaluators: the quadratic
+    exact-truth cost is bounded by K regardless of corpus size."""
     import hashlib as _hl
 
     from ..stages.topk import dataset_topk
@@ -7725,12 +7720,24 @@ def q_dedup_eval_lsh(sf_dir: str):
         ]
         return t.append_column("r", pa.array(r, pa.int64()))
 
-    sample = dataset_topk(
+    return dataset_topk(
         docs.map_batches(rank, batch_format="pyarrow",
                          zero_copy_batch=True),
         [("r", "ascending"), ("doc_id", "ascending")],
         DEDUP_EVAL_K,
     ).select_columns(["doc_id", "text"]).materialize()
+
+
+def q_dedup_eval_lsh(sf_dir: str):
+    """LSH quality evaluation (the measure-your-dedup op): run the
+    production MinHash-LSH candidate generator over a deterministic
+    fixed-size hash-rank sample (the K smallest md5(doc_id) ranks),
+    compute the EXACT all-pairs n-gram-Jaccard >= 0.5 ground truth on
+    that same sample in one task, and report candidate precision/recall
+    in integer PPM. Evaluation on a fixed-size sample is the scale
+    path: the expensive exact truth never grows with the corpus, while
+    the candidate side exercises the real pipeline code end-to-end."""
+    sample = _eval_sample(sf_dir)
     pred = _distinct_pairs(_lsh_candidate_pairs(sf_dir, docs=sample))
 
     def truth(t: pa.Table) -> pa.Table:
@@ -7837,6 +7844,113 @@ PHRASES = [
     "sort merge part",
     "data slow small",
 ]
+
+
+SWEEP_TAUS_1E4 = [3000, 4000, 5000, 6000, 7000, 8000, 9000]
+
+
+def q_dedup_threshold_sweep(sf_dir: str):
+    """Precision/recall SWEEP over Jaccard thresholds — the tuning
+    companion of ``dedup_eval_lsh``: which similarity cutoff should the
+    near-dup verifier use for THIS corpus? The LSH candidate set is
+    tau-independent (banding is fixed), so candidates are generated once;
+    one bounded quadratic task over the shared hash-rank sample computes
+    every pair's exact (intersection, union) shingle counts, and each
+    tau's truth/tp derive by integer cross-multiply
+    (J >= tau  <=>  inter * 1e4 >= tau * union — no float thresholds).
+    Output: one row per tau with integer-PPM precision/recall. Scale:
+    the sample is constant-size, candidates over it are bounded, the
+    corpus is never touched beyond the sample selection pass."""
+    sample = _eval_sample(sf_dir)
+    pred = _distinct_pairs(_lsh_candidate_pairs(sf_dir, docs=sample))
+    # bounded by sample^2 — a driver set here is the documented contract
+    pred_pairs = {
+        (int(r["a"]), int(r["b"])) for r in pred.take_all()
+    }
+
+    def sweep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        order = np.argsort(np.asarray(ids, dtype=np.int64))
+        sets = [set(dd._shingles(texts[i] or "")) for i in order]
+        sids = [ids[i] for i in order]
+        pair_iu: list[tuple[int, int, int, int]] = []  # (a, b, i, u)
+        for xi in range(len(sids)):
+            for yi in range(xi + 1, len(sids)):
+                inter = len(sets[xi] & sets[yi])
+                union = len(sets[xi]) + len(sets[yi]) - inter
+                pair_iu.append((sids[xi], sids[yi], inter, union))
+        n_pred = len(pred_pairs)
+        taus, npreds, ntrues, tps, precs, recs = [], [], [], [], [], []
+        for tau in SWEEP_TAUS_1E4:
+            n_true = tp = 0
+            for a, b, i, u in pair_iu:
+                if u == 0 or i * 10000 >= tau * u:  # both-empty => J=1
+                    n_true += 1
+                    if (a, b) in pred_pairs:
+                        tp += 1
+            taus.append(tau)
+            npreds.append(n_pred)
+            ntrues.append(n_true)
+            tps.append(tp)
+            precs.append(tp * 1_000_000 // n_pred if n_pred else 0)
+            recs.append(tp * 1_000_000 // n_true if n_true else 0)
+        return pa.table(
+            {
+                "tau_1e4": pa.array(taus, pa.int64()),
+                "n_pred": pa.array(npreds, pa.int64()),
+                "n_true": pa.array(ntrues, pa.int64()),
+                "tp": pa.array(tps, pa.int64()),
+                "precision_ppm": pa.array(precs, pa.int64()),
+                "recall_ppm": pa.array(recs, pa.int64()),
+            }
+        )
+
+    return sample.repartition(1).map_batches(
+        sweep, batch_format="pyarrow", batch_size=None
+    )
+
+
+def dedup_threshold_sweep_oracle_sql() -> str:
+    """Replay of q_dedup_threshold_sweep: the dedup_eval sample + minhash
+    CTE give the tau-independent candidate pairs; exact shingle-set
+    (inter, union) per sample pair; per-tau truth by integer
+    cross-multiply; left join keeps taus with zero true pairs."""
+    body = _minhash_cte_body(source="s")
+    tau_rows = ", ".join(f"({t})" for t in SWEEP_TAUS_1E4)
+    return f"""
+with s as (
+  select doc_id, text from documents
+  order by ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::uinteger,
+           doc_id
+  limit {DEDUP_EVAL_K}),
+{body},
+sd as (select doc_id, list_distinct(shingles) as sd from sh),
+pj as (
+  select x.doc_id as a, y.doc_id as b,
+         len(list_intersect(x.sd, y.sd))::bigint as i,
+         (len(x.sd) + len(y.sd)
+          - len(list_intersect(x.sd, y.sd)))::bigint as u
+  from sd x join sd y on x.doc_id < y.doc_id),
+np as (select count(*)::bigint as n from pairs),
+taus(tau) as (values {tau_rows}),
+tr as (
+  select taus.tau, pj.a, pj.b,
+         exists (select 1 from pairs p
+                 where p.a = pj.a and p.b = pj.b) as hit
+  from taus join pj on (pj.u = 0 or pj.i * 10000 >= taus.tau * pj.u)),
+agg as (
+  select taus.tau, count(tr.a)::bigint as n_true,
+         coalesce(sum(case when tr.hit then 1 else 0 end), 0)::bigint as tp
+  from taus left join tr on tr.tau = taus.tau
+  group by taus.tau)
+select agg.tau as tau_1e4, np.n as n_pred, agg.n_true, agg.tp,
+       (case when np.n > 0 then agg.tp * 1000000 // np.n
+             else 0 end)::bigint as precision_ppm,
+       (case when agg.n_true > 0 then agg.tp * 1000000 // agg.n_true
+             else 0 end)::bigint as recall_ppm
+from agg, np
+"""
 
 
 def q_phrase_search(sf_dir: str):
@@ -9618,6 +9732,7 @@ QUERIES = {
     "mirror_domains": q_mirror_domains,
     "xlang_mine": q_xlang_mine,
     "topic_tag": q_topic_tag,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "graph_triangles": q_graph_triangles,
     "collocations": q_collocations,
     "posting_gaps": q_posting_gaps,
@@ -10461,6 +10576,8 @@ ORACLES["mirror_domains"] = mirror_domains_oracle_sql()
 ORACLES["xlang_mine"] = xlang_mine_oracle_sql()
 
 ORACLES["topic_tag"] = topic_tag_oracle_sql()
+
+ORACLES["dedup_threshold_sweep"] = dedup_threshold_sweep_oracle_sql()
 
 ORACLES["dedup_minhash_est"] = _minhash_cte() + f"""
 select p.a, p.b,
