@@ -6084,6 +6084,191 @@ limit {BPE_TOPK}
 """
 
 
+BPE_MERGES = 8  # learned merge rounds
+
+
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative
+    merge loop on top of ``bpe_pairs``'s statistics: learn the first
+    ``BPE_MERGES`` merges over the corpus. Scale shape: pass 1 collapses
+    the corpus to the word-frequency table (per-batch dict combiners,
+    one groupby — bounded by VOCABULARY, never corpus size; this is why
+    classic BPE training scales); each merge round is then pair-count
+    partials + groupby + a top-1 partial/final reduce over that word
+    table, and a stateless merge-apply map. Only the single winning pair
+    per round (O(1)) ever reaches the driver. Ties break by (count desc,
+    pair asc) in both engines; merge application is the standard
+    left-to-right non-overlapping scan, replayed in SQL via a
+    wrapped-symbol string replace (``(a)(b) -> (ab)`` — per-symbol
+    wrappers make leftmost non-overlapping replace identical to the
+    scan). Restricted to ``^[a-z]+$`` words like the published BPE
+    demos; ``</w>`` is the end-of-word symbol."""
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for txt in t["text"].to_pylist():
+            for w in (txt or "").split(" "):
+                if w and w.isascii() and w.isalpha() and w.islower():
+                    agg[w] = agg.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(agg.keys()), pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    def to_syms(t: pa.Table) -> pa.Table:
+        syms = [
+            " ".join(list(w) + ["</w>"]) for w in t["word"].to_pylist()
+        ]
+        return pa.table(
+            {"syms": pa.array(syms, pa.string()), "n": t["sum(n)"]}
+        )
+
+    wt = (
+        docs.map_batches(
+            word_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("word")
+        .sum("n")
+        .map_batches(to_syms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    from ..stages.topk import dataset_topk
+
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, BPE_MERGES + 1):
+
+        def pair_partials(t: pa.Table) -> pa.Table:
+            agg: dict[str, int] = {}
+            for syms, n in zip(
+                t["syms"].to_pylist(), t["n"].to_pylist()
+            ):
+                s = syms.split(" ")
+                for a, b in zip(s, s[1:]):
+                    key = a + " " + b
+                    agg[key] = agg.get(key, 0) + n
+            return pa.table(
+                {
+                    "pair": pa.array(list(agg.keys()), pa.string()),
+                    "n": pa.array(list(agg.values()), pa.int64()),
+                }
+            )
+
+        counts = (
+            wt.map_batches(
+                pair_partials, batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("pair")
+            .sum("n")
+            .map_batches(
+                lambda t: pa.table({"pair": t["pair"], "n": t["sum(n)"]}),
+                batch_format="pyarrow",
+            )
+        )
+        top = dataset_topk(
+            counts, [("n", "descending"), ("pair", "ascending")], 1
+        ).take_all()
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ")
+        merges.append((k, left, right, int(top[0]["n"])))
+        merged = left + right
+
+        def apply_merge(
+            t: pa.Table, a: str = left, b: str = right, m: str = merged
+        ) -> pa.Table:
+            out = []
+            for syms in t["syms"].to_pylist():
+                s = syms.split(" ")
+                r: list[str] = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        r.append(m)
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                out.append(" ".join(r))
+            return pa.table(
+                {"syms": pa.array(out, pa.string()), "n": t["n"]}
+            )
+
+        wt = wt.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "merge_idx": pa.array([m[0] for m in merges], pa.int64()),
+                "left_sym": pa.array([m[1] for m in merges], pa.string()),
+                "right_sym": pa.array([m[2] for m in merges], pa.string()),
+                "merged": pa.array(
+                    [m[1] + m[2] for m in merges], pa.string()
+                ),
+                "n": pa.array([m[3] for m in merges], pa.int64()),
+            }
+        )
+    )
+
+
+def bpe_train_oracle_sql() -> str:
+    """Unrolled replay of q_bpe_train's merge loop: the word-frequency
+    table as wrapped-symbol strings ``(h)(i)(</w>)``; per round, pair
+    counts by lateral position unnest, the (count desc, pair asc) top-1,
+    and the wrapped string replace that equals the engine's
+    left-to-right scan merge."""
+    rounds = []
+    prev = "w0"
+    for k in range(1, BPE_MERGES + 1):
+        rounds.append(f"""
+p{k} as materialized (
+  select s[i] || ' ' || s[i + 1] as pair, n
+  from (
+    select s, n, unnest(generate_series(1, len(s) - 1)) as i
+    from (select string_split(substr(spaced, 2, length(spaced) - 2),
+                              ')(') as s, n
+          from {prev}))),
+b{k} as materialized (
+  select {k}::bigint as merge_idx,
+         split_part(pair, ' ', 1) as left_sym,
+         split_part(pair, ' ', 2) as right_sym, n
+  from (select pair, sum(n)::bigint as n from p{k} group by pair
+        order by n desc, pair limit 1)),
+w{k} as materialized (
+  select replace(spaced,
+                 '(' || (select left_sym from b{k}) || ')(' ||
+                 (select right_sym from b{k}) || ')',
+                 '(' || (select left_sym from b{k}) ||
+                 (select right_sym from b{k}) || ')') as spaced, n
+  from {prev})""")
+        prev = f"w{k}"
+    union = "\nunion all\n".join(
+        f"select merge_idx, left_sym, right_sym, left_sym || right_sym"
+        f" as merged, n from b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+with words as (
+  select w as word, count(*)::bigint as n
+  from (select unnest(string_split(text, ' ')) as w from documents)
+  where regexp_matches(w, '^[a-z]+$')
+  group by w),
+w0 as materialized (
+  select '(' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)), ')(')
+         || ')(</w>)' as spaced, n
+  from words),{",".join(rounds)}
+{union}
+"""
+
+
 # ---------------------------------------------------------------------------
 # session-7 additions: reservoir sample, per-domain dup accounting,
 # funnel, bounded range join, HyperLogLog, HITS
@@ -9717,6 +9902,7 @@ QUERIES = {
     "bloom_dedup": q_bloom_dedup,
     "ccnet_buckets": q_ccnet_buckets,
     "bpe_pairs": q_bpe_pairs,
+    "bpe_train": q_bpe_train,
     "sample_reservoir": q_sample_reservoir,
     "sample_weighted": q_sample_weighted,
     "sample_weighted_stratified": q_sample_weighted_stratified,
@@ -11933,6 +12119,7 @@ def all_oracles() -> dict[str, str]:
     out["bloom_dedup"] = BLOOM_DEDUP_SQL
     out["ccnet_buckets"] = ccnet_oracle_sql()
     out["bpe_pairs"] = BPE_PAIRS_SQL
+    out["bpe_train"] = bpe_train_oracle_sql()
     out["extract_synthetic"] = _flagship_oracle_sql()
     out["extract_grid_cards"] = _card_oracle_sql()
     link_dir = link_corpus()  # idempotent fixture write
