@@ -885,6 +885,82 @@ def _jl_signs() -> list[list[int]]:
     ]
 
 
+def q_embed_quantize(sf_dir: str):
+    """Scalar int8 quantization of the embedding column — the
+    compression step a 10^12-vector ANN index needs before it fits in
+    cluster RAM (4x smaller than float32; the SQ counterpart of PQ).
+    Pass 1 reduces the corpus to ONE 64-value per-dimension absmax
+    (per-batch numpy partials as (d, m) rows -> groupby(d).max — O(dims)
+    rows ever reach the driver); pass 2 is a stateless vectorized map:
+    code = floor(x * 127.0 / absmax_d + 0.5) in float64, exactly the
+    arithmetic DuckDB replays, so the approximate representation has an
+    EXACT oracle. All-zero dimensions quantize to 0. Output: one row per
+    (vec_id, d) with the int8 code (as int64 for the gate)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def absmax_partials(t: pa.Table) -> pa.Table:
+        x = np.abs(
+            np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        )
+        m = x.max(axis=0) if len(x) else np.zeros(EMBED_DIMS)
+        return pa.table(
+            {
+                "d": pa.array(range(EMBED_DIMS), pa.int64()),
+                "m": pa.array(m, pa.float64()),
+            }
+        )
+
+    am_rows = (
+        emb.map_batches(
+            absmax_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("d")
+        .max("m")
+        .take_all()
+    )
+    am = np.zeros(EMBED_DIMS, dtype=np.float64)
+    for r in am_rows:
+        am[int(r["d"])] = float(r["max(m)"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        n = len(x)
+        safe = np.where(am == 0.0, 1.0, am)
+        codes = np.floor(x * 127.0 / safe[None, :] + 0.5)
+        codes = np.where(am[None, :] == 0.0, 0.0, codes).astype(np.int64)
+        vec_ids = np.repeat(
+            np.asarray(t["vec_id"].to_pylist(), dtype=np.int64), EMBED_DIMS
+        )
+        ds = np.tile(np.arange(EMBED_DIMS, dtype=np.int64), n)
+        return pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "d": pa.array(ds, pa.int64()),
+                "code": pa.array(codes.ravel(), pa.int64()),
+            }
+        )
+
+    return emb.map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+EMBED_QUANTIZE_SQL = f"""
+with u as (
+  select vec_id, embedding,
+         unnest(generate_series(1, {EMBED_DIMS})) as i
+  from embeddings),
+m as (
+  select i, max(abs(embedding[i]::double)) as am
+  from u group by i)
+select u.vec_id, u.i - 1 as d,
+       (case when m.am = 0 then 0
+             else floor(embedding[u.i]::double * 127.0 / m.am + 0.5)
+        end)::bigint as code
+from u join m using (i)
+"""
+
+
 def q_embed_project(sf_dir: str):
     """Johnson–Lindenstrauss random projection of the embedding column
     (64-d -> 4-d) with a deterministic signed matrix — the dimension-
@@ -9810,6 +9886,7 @@ QUERIES = {
     "setsim_join": q_setsim_join,
     "syndication_pairs": q_syndication_pairs,
     "embed_project": q_embed_project,
+    "embed_quantize": q_embed_quantize,
     "ngram_novelty": q_ngram_novelty,
     "dedup_containment": q_dedup_containment,
     "dedup_keep_best": q_dedup_keep_best,
@@ -10756,6 +10833,8 @@ from m
 ORACLES["phrase_search"] = phrase_search_oracle_sql()
 
 ORACLES["embed_project"] = embed_project_oracle_sql()
+
+ORACLES["embed_quantize"] = EMBED_QUANTIZE_SQL
 
 ORACLES["mirror_domains"] = mirror_domains_oracle_sql()
 
