@@ -9864,6 +9864,138 @@ left join best b on b.doc_id = d.doc_id and b.rn = 1
 """
 
 
+def _distinct_pairs_min(pairs: rd.Dataset, extra: str) -> rd.Dataset:
+    """Exact distinct over (a, b) keeping min(extra) — same
+    salt-partition + per-partition Arrow C++ group_by shape as
+    ``_distinct_pairs`` (the extra column is pair-determined, so min is
+    just "keep the one value")."""
+    n_cpu = int(ray.cluster_resources().get("CPU", 4))
+    n_parts = max(8, n_cpu * 2)
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return t.append_column(
+            "p", pa.array((mix % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    def dedup_part(g: pa.Table) -> pa.Table:
+        r = g.select(["a", "b", extra]).group_by(["a", "b"]).aggregate(
+            [(extra, "min")]
+        )
+        return r.rename_columns(["a", "b", extra])
+
+    return (
+        pairs
+        .map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(dedup_part, batch_format="pyarrow")
+    )
+
+
+def _norm_int_blocks(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Rebuild zero-schema empty blocks as typed int64 empties. Salted
+    pair/distinct stages emit schemaless blocks for partitions that end
+    up with no groups (rare-pair chains at larger sf), and pyarrow's
+    per-partition join rejects those ("No match for FieldRef") — same
+    hazard the url_templates combiner documents."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        return t.select(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _simhash_band_pairs(sf_dir: str) -> rd.Dataset:
+    """Shared simhash near-dup pair chain: signature -> 4×16-bit band
+    explode -> band groupby -> in-bucket popcount verify (Hamming <=
+    SIMHASH_MAX_HAM) -> distributed distinct."""
+    sigs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        dd.simhash_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "simhash"])
+    bands = sigs.map_batches(
+        dd.explode_simhash_bands, batch_format="pyarrow"
+    )
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
+        dd.simhash_bucket_pairs, batch_format="pyarrow"
+    )
+    return _norm_int_blocks(
+        _distinct_pairs_min(pairs, "hamming"), ["a", "b", "hamming"]
+    )
+
+
+def q_dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup PAIRS with exact Hamming verification (Manku,
+    Jain & Das Sarma, WWW'07 — Google's crawl-dedup design): 4×16-bit
+    band blocking finds every pair within Hamming distance 3 by
+    pigeonhole; the in-bucket popcount verify kills band false
+    positives. Fully distributed (band groupby -> bucket verify ->
+    salted distinct); skew-guarded against the constant-signature
+    boilerplate bucket (see ``simhash_bucket_pairs``). The oracle
+    replicates signature, banding, blocking and xor-popcount in SQL."""
+    return _simhash_band_pairs(sf_dir)
+
+
+def q_dedup_simhash_clusters(sf_dir: str):
+    """Connected components over the verified simhash pair graph —
+    the cluster step of Manku-style crawl dedup (one representative per
+    Hamming-neighborhood). Same min-label-propagation dataflow as the
+    MinHash clusters; recursive-CTE oracle."""
+    return dd.connected_components(
+        _simhash_band_pairs(sf_dir).select_columns(["a", "b"])
+    )
+
+
+CROSS_MOD = 3  # doc_id % 3 == 0 -> "new crawl increment", else base corpus
+CROSS_TAU = 0.5  # verify threshold (same as the intra-corpus near-dup ops)
+
+
+def q_dedup_cross_corpus(sf_dir: str):
+    """INCREMENTAL near-dedup: check a new crawl increment against the
+    accumulated base corpus without re-pairing the corpus against
+    itself. Both sides minhash in one streaming pass; inside each LSH
+    band bucket only new×base pairs are emitted (``cross_bucket_pairs``
+    — O(new × base-in-bucket), never O(bucket²)); candidates verify
+    with n-gram Jaccard >= CROSS_TAU via the distributed text joins;
+    one groupby rolls up each flagged new doc to its earliest base
+    match. The monthly-snapshot dedup loop of a Common-Crawl pipeline:
+    at 100 TB the base side's band table is a static index you re-read
+    per increment, and only increment-sized data moves."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = docs.map_batches(
+        dd.MinHasher, batch_format="pyarrow", concurrency=_apool(),
+    )
+    bands = sigs.map_batches(dd.explode_bands, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: dd.cross_bucket_pairs(g, split_mod=CROSS_MOD),
+        batch_format="pyarrow",
+    )
+    distinct = _norm_int_blocks(_distinct_pairs(pairs), ["a", "b"])
+    verified = dd.attach_pair_texts(distinct, docs).map_batches(
+        dd.jaccard_pairs_batch, batch_format="pyarrow"
+    ).filter(expr=f"jaccard >= {CROSS_TAU}").select_columns(["a", "b"])
+    return verified.groupby("a").aggregate(
+        ray.data.aggregate.Min("b", alias_name="match_doc_id"),
+        ray.data.aggregate.Count(alias_name="n_matches"),
+    ).rename_columns({"a": "new_doc_id"})
+
+
+def q_readability(sf_dir: str):
+    """Flesch reading-ease signals per doc (words / sentences /
+    vowel-group syllables, score in integer milli-units) — a standard
+    cheap quality-gate feature (C4/Gopher-era filters). Embarrassingly
+    parallel single pass; integer-exact, so the oracle replicates the
+    score bit-for-bit including DuckDB's truncate-toward-zero
+    division."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tx.readability_batch, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -10029,6 +10161,10 @@ QUERIES = {
     "split_token_budget": q_split_token_budget,
     "redirects": q_redirects,
     "join_skewed": q_join_skewed,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_simhash_clusters": q_dedup_simhash_clusters,
+    "dedup_cross_corpus": q_dedup_cross_corpus,
+    "readability": q_readability,
 }
 
 
@@ -11061,10 +11197,14 @@ select term, df,
 from agg
 """
 
-ORACLES["dedup_simhash"] = f"""
-with tk as (select doc_id,
-                   unnest({dd.SQL_TOKENIZE.format(col="text")}) as t
-            from documents),
+def _simhash_cte_body() -> str:
+    """CTE chain (no leading `with`) computing sim(doc_id, simhash) —
+    the SQL replication of ``dd.simhash64`` over documents; shared by
+    the signature, pair and cluster oracles."""
+    return f"""
+tk as (select doc_id,
+              unnest({dd.SQL_TOKENIZE.format(col="text")}) as t
+       from documents),
 th as (select doc_id, ('0x' || substr(md5(t), 1, 16))::ubigint as h from tk),
 bitix(bit) as (select unnest(range(64))),
 bits as (
@@ -11076,12 +11216,93 @@ sim as (
          sum(case when acc > 0 then (1::hugeint << bit) else 0::hugeint end)
            ::ubigint as simhash
   from bits group by doc_id)
+"""
+
+
+ORACLES["dedup_simhash"] = "with " + _simhash_cte_body() + """
 select doc_id, simhash,
        ((simhash >> 0) & 65535)::bigint as band0,
        ((simhash >> 16) & 65535)::bigint as band1,
        ((simhash >> 32) & 65535)::bigint as band2,
        ((simhash >> 48) & 65535)::bigint as band3
 from sim
+"""
+
+# simhash pair CTE: band blocking + xor-popcount verify, replicating
+# _simhash_band_pairs exactly (band math over the same sim() signatures)
+_SIMHASH_PAIRS_TAIL = """,
+sbandix(band_id) as (select unnest(range(4))),
+sbands as (
+  select doc_id, simhash, band_id,
+         ((simhash >> (16 * band_id)) & 65535)::bigint as band_val
+  from sim cross join sbandix),
+spairs as (
+  select distinct x.doc_id as a, y.doc_id as b,
+         bit_count(xor(x.simhash, y.simhash))::bigint as hamming
+  from sbands x join sbands y
+    on x.band_id = y.band_id and x.band_val = y.band_val
+   and x.doc_id < y.doc_id)
+"""
+
+ORACLES["dedup_simhash_pairs"] = (
+    "with " + _simhash_cte_body() + _SIMHASH_PAIRS_TAIL
+    + "select a, b, hamming from spairs where hamming <= 3"
+)
+
+ORACLES["dedup_simhash_clusters"] = (
+    "with " + _simhash_cte_body() + _SIMHASH_PAIRS_TAIL + """,
+sedges as (select a as src, b as dst from spairs where hamming <= 3
+           union select b, a from spairs where hamming <= 3)
+select node as doc_id, rep_id from (
+  with recursive r(node, reached) as (
+    select src, src from sedges
+    union
+    select r.node, e.dst from r join sedges e on e.src = r.reached
+  )
+  select node, min(reached) as rep_id from r group by node
+)
+"""
+)
+
+# cross-corpus incremental near-dedup: the minhash CTE's band table,
+# cross-split candidate pairs, shingle-set Jaccard verify, per-new-doc
+# rollup — replicating q_dedup_cross_corpus end to end
+ORACLES["dedup_cross_corpus"] = _minhash_cte() + f""",
+xp as (
+  select distinct x.doc_id as a, y.doc_id as b
+  from bands x join bands y
+    on x.band_id = y.band_id and x.band_hash = y.band_hash
+  where x.doc_id % {CROSS_MOD} = 0 and y.doc_id % {CROSS_MOD} <> 0),
+xsd as (select doc_id, list_distinct(shingles) as sd from sh),
+xverified as (
+  select xp.a, xp.b
+  from xp
+  join xsd xa on xa.doc_id = xp.a
+  join xsd xb on xb.doc_id = xp.b
+  where round(len(list_intersect(xa.sd, xb.sd))::double /
+              (len(xa.sd) + len(xb.sd) - len(list_intersect(xa.sd, xb.sd))),
+              6) >= {CROSS_TAU})
+select a as new_doc_id, min(b) as match_doc_id,
+       count(*)::bigint as n_matches
+from xverified group by a
+"""
+
+ORACLES["readability"] = """
+with c as (
+  select doc_id,
+         len(regexp_extract_all(text, '\\S+'))::bigint as words,
+         len(regexp_extract_all(text, '[.!?]+'))::bigint as sents,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::bigint as syl
+  from documents),
+g as (select doc_id, words, sents, syl,
+             greatest(words, 1)::hugeint as w,
+             greatest(sents, 1)::hugeint as s
+      from c)
+select doc_id, words as n_words, sents as n_sentences,
+       syl as n_syllables,
+       ((206835*s*w - 1015*w*w - 84600*syl::hugeint*s) // (s*w))::bigint
+         as flesch_milli
+from g
 """
 
 ORACLES["decontaminate"] = f"""

@@ -396,18 +396,37 @@ def adaptive_partitions(n_rows: int, *, rows_per_part: int = 100_000,
     return max(2, min(cap, n_rows // rows_per_part + 2))
 
 
+# below this many candidate pairs, attach_pair_texts broadcasts the pair
+# list instead of hash-joining: a ray.put'd doc->pairs index is read once
+# per worker, docs stream past it emitting ONLY candidate texts, and a
+# bounded (a, b) groupby (<=2 rows per group) assembles the pair. Above
+# it, the join route's adaptive partitions hold >=100k rows each, so the
+# schemaless-empty-partition hazard (pyarrow join rejects an empty left
+# partition: "No match for FieldRef") cannot arise.
+PAIR_BROADCAST_MAX = 50_000
+
+
 def attach_pair_texts(pairs, docs, *, num_partitions: int | None = None):
     """Candidate-pair Dataset (a, b) + docs Dataset (doc_id, text) ->
-    (a, b, text_a, text_b) via two distributed hash joins on doc_id.
-    The dedup graph is orders of magnitude smaller than the corpus, so
-    both joins move only candidate rows plus their matched texts — never
-    the full documents table to the driver. With ``num_partitions=None``
-    the pair set is materialized once (also avoiding a double execution
-    of its lineage by the two joins) and the partition count adapts to
-    its size."""
+    (a, b, text_a, text_b), size-routed.
+
+    Small pair sets (<= PAIR_BROADCAST_MAX, the common case — the dedup
+    graph is orders of magnitude smaller than the corpus): broadcast a
+    doc_id -> [(a, b, side)] index via ray.put, stream the docs once
+    emitting only participating texts, and combine the two sides with a
+    bounded groupby. Only candidate texts ever move — the full documents
+    table is neither shuffled (the old join route moved it through the
+    hash aggregators) nor collected. Also immune to the empty-partition
+    join hazard that a rare-pair chain can trigger.
+
+    Large pair sets: two distributed hash joins on doc_id with
+    data-adaptive partition counts (>=100k rows per partition)."""
     if num_partitions is None:
         pairs = pairs.materialize()
-        num_partitions = adaptive_partitions(pairs.count())
+        n_pairs = pairs.count()
+        if n_pairs <= PAIR_BROADCAST_MAX:
+            return _attach_pair_texts_broadcast(pairs, docs)
+        num_partitions = adaptive_partitions(n_pairs)
     j1 = pairs.join(
         docs, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=("doc_id",),
@@ -416,6 +435,79 @@ def attach_pair_texts(pairs, docs, *, num_partitions: int | None = None):
         docs, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=("doc_id",),
     ).rename_columns({"text": "text_b"})
+
+
+def _attach_pair_texts_broadcast(pairs, docs):
+    """Broadcast route of attach_pair_texts (pairs already materialized
+    and small): doc->pairs index shipped once via ray.put, docs stream
+    past it, per-pair groupby (exactly the two sides) reassembles."""
+    import ray
+    import ray.data as rd
+
+    pt = pa.concat_tables(
+        [pa.table({"a": b["a"], "b": b["b"]})
+         for b in pairs.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})]
+    )
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "text_a": pa.array([], pa.string()),
+            "text_b": pa.array([], pa.string()),
+        }
+    )
+    if pt.num_rows == 0:
+        return rd.from_arrow(empty)
+    by_doc: dict[int, list[tuple[int, int, int]]] = {}
+    for aa, bb in zip(pt["a"].to_pylist(), pt["b"].to_pylist()):
+        by_doc.setdefault(aa, []).append((aa, bb, 0))
+        by_doc.setdefault(bb, []).append((aa, bb, 1))
+    idx_ref = ray.put(by_doc)
+
+    def expand(t: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        a_o: list[int] = []
+        b_o: list[int] = []
+        side_o: list[int] = []
+        txt_o: list[str] = []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            for aa, bb, s in idx.get(did, ()):
+                a_o.append(aa)
+                b_o.append(bb)
+                side_o.append(s)
+                txt_o.append(text)
+        return pa.table(
+            {
+                "a": pa.array(a_o, pa.int64()),
+                "b": pa.array(b_o, pa.int64()),
+                "side": pa.array(side_o, pa.int64()),
+                "text": pa.array(txt_o, pa.string()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        sides = g["side"].to_pylist()
+        try:
+            ia, ib = sides.index(0), sides.index(1)
+        except ValueError:  # a side's doc missing: inner-join parity
+            return empty
+        return pa.table(
+            {
+                "a": g["a"].slice(ia, 1),
+                "b": g["b"].slice(ia, 1),
+                "text_a": g["text"].slice(ia, 1).cast(pa.string()),
+                "text_b": g["text"].slice(ib, 1).cast(pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(expand, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 # size-routing threshold for connected_components: below this many edges
@@ -597,3 +689,202 @@ def connected_components(edges, *, num_partitions: int | None = None,
         stats["cc_rounds"] = rounds
         stats["cc_nodes"] = labels.count()
     return labels.rename_columns({"node": "doc_id", "rep": "rep_id"})
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance near-dup pairs (Manku, Jain & Das Sarma,
+# "Detecting Near-Duplicates for Web Crawling", WWW 2007). simhash_batch
+# already emits 4×16-bit band keys; by pigeonhole, any pair within
+# Hamming distance 3 of each other agrees EXACTLY on at least one band,
+# so band-equality blocking finds every qualifying pair and the popcount
+# verify inside the bucket discards the false positives.
+
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAM = 3
+
+
+def explode_simhash_bands(batch: pa.Table) -> pa.Table:
+    """simhash_batch output -> long form (doc_id, simhash, band_id,
+    band_val), one row per band: the blocking key for the band groupby."""
+    n = batch.num_rows
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sig = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    band_id = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+    sig_rep = np.repeat(sig, SIMHASH_BANDS)
+    band_val = (
+        (sig_rep >> (band_id.astype(np.uint64) * np.uint64(16)))
+        & np.uint64(0xFFFF)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc, SIMHASH_BANDS), pa.int64()),
+            "simhash": pa.array(sig_rep, pa.uint64()),
+            "band_id": pa.array(band_id, pa.int64()),
+            "band_val": pa.array(band_val, pa.int64()),
+        }
+    )
+
+
+def _hamming_matrix(x: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distances over a uint64 signature vector —
+    xor outer product, popcount via unpackbits (vectorized; n is
+    bounded by the bucket cap so the n×n×8 byte view stays small)."""
+    xor = x[:, None] ^ x[None, :]
+    n = len(x)
+    return np.unpackbits(
+        xor.view(np.uint8).reshape(n, n, 8), axis=2
+    ).sum(axis=2, dtype=np.int64)
+
+
+def simhash_bucket_pairs(
+    group: pa.Table,
+    max_ham: int = SIMHASH_MAX_HAM,
+    max_bucket: int = 1000,
+    rep_neighbors: int = 8,
+) -> pa.Table:
+    """One simhash band bucket -> verified near-dup pairs
+    (a, b, hamming), skew-proof.
+
+    Under ``max_bucket`` docs the semantics are exact (what the SQL
+    oracle replicates; fixture buckets never exceed the cap): all C(n,2)
+    popcounts, keep Hamming <= ``max_ham``. Real web corpora produce
+    giant buckets — every empty/boilerplate page simhashes to the same
+    constant, so one band value can hold millions of docs. Over-cap
+    buckets degrade the same way ``bucket_pairs`` does:
+
+    1. collapse identical signatures to their min-doc_id representative,
+       pairing members to it in a star (Hamming 0 by construction) —
+       O(members) pairs;
+    2. exact all-pairs over the representatives while they fit the cap;
+       beyond that each signature-sorted representative pairs with its
+       next ``rep_neighbors`` (sorted uint64 neighbors share high bits,
+       so near-Hamming pairs cluster under the sort). Dropped volume is
+       logged — no silent caps.
+    """
+    ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sims = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(ids)
+    ids, sims = ids[order], sims[order]
+    n = len(ids)
+
+    def _emit(ia: np.ndarray, ib: np.ndarray, ham: np.ndarray) -> pa.Table:
+        a, b = ids[ia], ids[ib]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table(
+            {
+                "a": pa.array(a2, pa.int64()),
+                "b": pa.array(b2, pa.int64()),
+                "hamming": pa.array(ham, pa.int64()),
+            }
+        )
+
+    if n <= max_bucket:
+        ham = _hamming_matrix(sims)
+        iu, ju = np.triu_indices(n, k=1)
+        keep = ham[iu, ju] <= max_ham
+        return _emit(iu[keep], ju[keep], ham[iu, ju][keep])
+
+    import logging
+
+    # star over identical signatures (exact: Hamming 0 <= max_ham)
+    a_idx: list[int] = []
+    b_idx: list[int] = []
+    h_out: list[int] = []
+    by_sig: dict[int, list[int]] = {}
+    for i in range(n):
+        by_sig.setdefault(int(sims[i]), []).append(i)
+    reps: list[int] = []
+    for members in by_sig.values():  # members already id-sorted
+        reps.append(members[0])
+        for m in members[1:]:
+            a_idx.append(members[0])
+            b_idx.append(m)
+            h_out.append(0)
+    reps_np = np.asarray(reps, dtype=np.int64)
+    rs = reps_np[np.argsort(sims[reps_np], kind="stable")]
+    if len(rs) <= max_bucket:
+        ham = _hamming_matrix(sims[rs])
+        iu, ju = np.triu_indices(len(rs), k=1)
+        keep = ham[iu, ju] <= max_ham
+        extra = _emit(rs[iu[keep]], rs[ju[keep]], ham[iu, ju][keep])
+    else:
+        ia_l: list[int] = []
+        ib_l: list[int] = []
+        for off in range(1, rep_neighbors + 1):
+            ia_l.extend(rs[:-off])
+            ib_l.extend(rs[off:])
+        ia = np.asarray(ia_l, dtype=np.int64)
+        ib = np.asarray(ib_l, dtype=np.int64)
+        x = sims[ia] ^ sims[ib]
+        ham = np.unpackbits(
+            x.view(np.uint8).reshape(len(x), 8), axis=1
+        ).sum(axis=1, dtype=np.int64)
+        keep = ham <= max_ham
+        extra = _emit(ia[keep], ib[keep], ham[keep])
+        dropped = len(rs) * (len(rs) - 1) // 2 - len(ia)
+        logging.getLogger(__name__).warning(
+            "simhash_bucket_pairs: bucket of %d reps over cap %d — "
+            "sorted-neighbor chain kept %d candidates, ~%d exact pairs "
+            "not examined", len(rs), max_bucket, len(ia), dropped,
+        )
+    head = pa.table(
+        {
+            "a": pa.array(ids[np.asarray(a_idx, dtype=np.int64)], pa.int64())
+            if a_idx else pa.array([], pa.int64()),
+            "b": pa.array(ids[np.asarray(b_idx, dtype=np.int64)], pa.int64())
+            if b_idx else pa.array([], pa.int64()),
+            "hamming": pa.array(h_out, pa.int64()),
+        }
+    )
+    return pa.concat_tables([head, extra])
+
+
+def cross_bucket_pairs(
+    group: pa.Table,
+    split_mod: int = 3,
+    max_side: int = 1000,
+    fan_k: int = 8,
+) -> pa.Table:
+    """One LSH band bucket -> cross-corpus candidate pairs (a=new doc,
+    b=base doc) for INCREMENTAL dedup: only new×base pairs are emitted —
+    never new×new or base×base — so a monthly crawl increment is checked
+    against the accumulated corpus without re-pairing the corpus with
+    itself. ``split_mod`` defines the deterministic fixture split
+    (doc_id % mod == 0 -> new crawl, else base corpus).
+
+    Under ``max_side`` docs per side the semantics are exact (the SQL
+    oracle's cross join). Over-cap buckets (boilerplate collisions) pair
+    each new doc with ``fan_k`` evenly-strided base docs instead of all
+    of them — bounded O(new × k), dropped volume logged.
+    """
+    ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    new = ids[ids % split_mod == 0]
+    base = ids[ids % split_mod != 0]
+    if len(new) == 0 or len(base) == 0:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    if len(new) <= max_side and len(base) <= max_side:
+        a = np.repeat(new, len(base))
+        b = np.tile(base, len(new))
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+    import logging
+
+    k = min(fan_k, len(base))
+    stride = max(1, len(base) // k)
+    picks = base[::stride][:k]
+    a = np.repeat(new, len(picks))
+    b = np.tile(picks, len(new))
+    logging.getLogger(__name__).warning(
+        "cross_bucket_pairs: bucket %d new × %d base over cap %d — "
+        "strided fan-out kept %d candidates, %d dropped",
+        len(new), len(base), max_side, len(a),
+        len(new) * len(base) - len(a),
+    )
+    return pa.table(
+        {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+    )

@@ -8,6 +8,7 @@ numpy kernels); each has an exactly-mirroring DuckDB SQL oracle in
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -1111,3 +1112,49 @@ class LmBigramScore:
                 "lm2_bits": pa.array(bits_out, pa.float64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading-ease family) — integer-exact so DuckDB can
+# value-verify it. Definitions are shared verbatim with the oracle:
+# words = '\S+' runs, sentences = '[.!?]+' runs, syllables = ASCII vowel
+# groups '[aeiouyAEIOUY]+' (the standard cheap heuristic). The score is
+# kept in milli-units with truncate-toward-zero division — DuckDB's `//`
+# truncates toward zero while Python's `//` floors, so _tdiv mirrors SQL.
+
+SENT_RE = re.compile(r"[.!?]+")
+VOWEL_RE = re.compile(r"[aeiouyAEIOUY]+")
+_WORD_RE = re.compile(TOKEN_PATTERN)
+
+
+def _tdiv(num: int, den: int) -> int:
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den >= 0) else -q
+
+
+def readability_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Per-doc Flesch reading-ease in milli-units:
+    1000 * (206.835 - 1.015*(W/S) - 84.6*(Syl/W)) computed exactly as
+    (206835*S*W - 1015*W*W - 84600*Syl*S) / (S*W) in integers, with W
+    and S floored at 1 so empty docs stay defined."""
+    n_words, n_sents, n_syl, flesch = [], [], [], []
+    for t in batch[col].to_pylist():
+        t = t or ""
+        words = len(_WORD_RE.findall(t))
+        sents = len(SENT_RE.findall(t))
+        syl = sum(1 for _ in VOWEL_RE.finditer(t))
+        w, s = max(words, 1), max(sents, 1)
+        num = 206835 * s * w - 1015 * w * w - 84600 * syl * s
+        n_words.append(words)
+        n_sents.append(sents)
+        n_syl.append(syl)
+        flesch.append(_tdiv(num, s * w))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_sentences": pa.array(n_sents, pa.int64()),
+            "n_syllables": pa.array(n_syl, pa.int64()),
+            "flesch_milli": pa.array(flesch, pa.int64()),
+        }
+    )

@@ -1,0 +1,196 @@
+"""Unit tests for the session-15 operators: SimHash Hamming near-dup
+pairs/clusters (Manku et al. WWW'07 banding), cross-corpus incremental
+near-dedup, integer-exact Flesch readability, and the size-routed
+attach_pair_texts broadcast path. Oracle value-parity is covered by the
+driver gate / check_oracles; these pin the semantics the SQL compare
+can't isolate (popcount verify, skew degradation bounds, route
+equivalence, truncating division parity).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import adaptive_pdf_extractor_ray.stages.dedup as dd
+import adaptive_pdf_extractor_ray.stages.text as tx
+from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ham(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+class TestSimhashBucketPairs:
+    def _group(self, ids, sims):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(sims, pa.uint64()),
+            }
+        )
+
+    def test_exact_under_cap_matches_bruteforce(self):
+        rng = np.random.RandomState(7)
+        base = int(rng.randint(0, 1 << 62))
+        # cluster of near signatures + distant noise
+        sims = [base, base ^ 0b1, base ^ 0b110, base ^ (1 << 40)]
+        sims += [int(x) for x in
+                 rng.randint(0, 1 << 62, size=20, dtype=np.int64)]
+        ids = list(range(len(sims)))
+        out = dd.simhash_bucket_pairs(self._group(ids, sims)).to_pydict()
+        got = {(a, b): h for a, b, h in
+               zip(out["a"], out["b"], out["hamming"])}
+        expect = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = _ham(sims[i], sims[j])
+                if h <= dd.SIMHASH_MAX_HAM:
+                    expect[(i, j)] = h
+        assert got == expect
+        assert expect, "fixture must produce at least one pair"
+
+    def test_overcap_identical_star_and_bounded_output(self):
+        # 50 identical + 50 identical (other value) + 10 noise, cap 20:
+        # stars cover the identical docs, output stays O(n), no C(n,2)
+        sims = [123456789] * 50 + [987654321] * 50
+        sims += [int(x) for x in
+                 np.random.RandomState(3).randint(1 << 30, 1 << 62, 10)]
+        ids = list(range(len(sims)))
+        out = dd.simhash_bucket_pairs(
+            self._group(ids, sims), max_bucket=20
+        ).to_pydict()
+        n_pairs = len(out["a"])
+        # 49 + 49 star pairs + <= reps*8 neighbor pairs, never ~C(110,2)
+        assert n_pairs < 49 + 49 + 12 * 8
+        star = [(a, b) for a, b, h in
+                zip(out["a"], out["b"], out["hamming"]) if h == 0]
+        assert (0, 1) in star and (50, 51) in star
+        assert len(star) >= 98
+        # every emitted pair is genuinely within the Hamming bound
+        for a, b, h in zip(out["a"], out["b"], out["hamming"]):
+            assert _ham(sims[a], sims[b]) == h <= dd.SIMHASH_MAX_HAM
+
+    def test_pigeonhole_blocking_finds_all_ham3_pairs(self, ray_session):
+        """End-to-end: band blocking + verify == full-corpus brute force
+        (banding is lossless for Hamming <= 3 by pigeonhole)."""
+        df = q.QUERIES["dedup_simhash_pairs"](SF).to_pandas()
+        sigs = q.QUERIES["dedup_simhash"](SF).to_pandas()
+        s = dict(zip(sigs["doc_id"], sigs["simhash"]))
+        expect = {}
+        ids = sorted(s)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = _ham(int(s[a]), int(s[b]))
+                if h <= dd.SIMHASH_MAX_HAM:
+                    expect[(a, b)] = h
+        got = {(int(r.a), int(r.b)): int(r.hamming)
+               for r in df.itertuples()}
+        assert got == expect
+        assert expect
+
+
+class TestCrossBucketPairs:
+    def test_exact_cross_only(self):
+        g = pa.table({"doc_id": pa.array([0, 1, 2, 3, 6, 9], pa.int64())})
+        out = dd.cross_bucket_pairs(g, split_mod=3).to_pydict()
+        pairs = set(zip(out["a"], out["b"]))
+        assert pairs == {(a, b) for a in (0, 3, 6, 9) for b in (1, 2)}
+
+    def test_one_sided_bucket_empty(self):
+        g = pa.table({"doc_id": pa.array([1, 2, 4, 5], pa.int64())})
+        out = dd.cross_bucket_pairs(g, split_mod=3)
+        assert out.num_rows == 0
+        assert out.column_names == ["a", "b"]
+
+    def test_overcap_fanout_bounded(self):
+        ids = list(range(3000))
+        g = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        out = dd.cross_bucket_pairs(g, split_mod=3, max_side=100, fan_k=8)
+        n_new = len([i for i in ids if i % 3 == 0])
+        assert out.num_rows == n_new * 8
+        assert set(np.asarray(out["a"]) % 3) == {0}
+        assert 0 not in set(np.asarray(out["b"]) % 3)
+
+    def test_query_outputs_new_docs_with_base_matches(self, ray_session):
+        df = q.QUERIES["dedup_cross_corpus"](SF).to_pandas()
+        assert len(df) > 0
+        assert (df["new_doc_id"] % q.CROSS_MOD == 0).all()
+        assert (df["match_doc_id"] % q.CROSS_MOD != 0).all()
+        assert (df["n_matches"] >= 1).all()
+
+
+class TestAttachPairTextsRoutes:
+    def test_broadcast_equals_join_route(self, ray_session):
+        import ray.data as rd
+
+        docs_tbl = pq.read_table(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+        docs = rd.from_arrow(docs_tbl)
+        ids = docs_tbl["doc_id"].to_pylist()
+        pairs_tbl = pa.table(
+            {
+                "a": pa.array(ids[0:40:2], pa.int64()),
+                "b": pa.array(ids[1:41:2], pa.int64()),
+            }
+        )
+        broadcast = dd.attach_pair_texts(
+            rd.from_arrow(pairs_tbl), docs
+        ).to_pandas()
+        joined = dd.attach_pair_texts(
+            rd.from_arrow(pairs_tbl), docs, num_partitions=2
+        ).to_pandas()
+        key = ["a", "b"]
+        b = broadcast.sort_values(key).reset_index(drop=True)
+        j = joined[b.columns].sort_values(key).reset_index(drop=True)
+        assert b.equals(j)
+        assert len(b) == 20
+
+    def test_empty_pairs_returns_typed_empty(self, ray_session):
+        import ray.data as rd
+
+        docs = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["x"], pa.string())})
+        )
+        pairs = rd.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+        )
+        out = dd.attach_pair_texts(pairs, docs)
+        assert out.count() == 0
+        assert set(out.schema().names) == {"a", "b", "text_a", "text_b"}
+
+
+class TestReadability:
+    def test_tdiv_matches_duckdb_truncation(self):
+        import duckdb
+
+        cases = [(7, 2), (-7, 2), (7, -2), (-7, -2), (0, 5), (123457, 7)]
+        con = duckdb.connect()
+        for num, den in cases:
+            sql = con.sql(
+                f"select ({num}::hugeint) // ({den}::hugeint)"
+            ).fetchone()[0]
+            assert tx._tdiv(num, den) == int(sql), (num, den)
+
+    def test_flesch_formula(self):
+        b = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": ["The cat sat on the mat. It was happy!"],
+            }
+        )
+        out = tx.readability_batch(b).to_pydict()
+        w, s, syl = out["n_words"][0], out["n_sentences"][0], \
+            out["n_syllables"][0]
+        assert (w, s) == (9, 2)
+        expect = tx._tdiv(206835 * s * w - 1015 * w * w - 84600 * syl * s,
+                          s * w)
+        assert out["flesch_milli"][0] == expect
+
+    def test_empty_doc_defined(self):
+        b = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [""]})
+        out = tx.readability_batch(b).to_pydict()
+        assert out["flesch_milli"][0] == 206835 - 1015  # W=S=1, Syl=0
