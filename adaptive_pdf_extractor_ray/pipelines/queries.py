@@ -9996,6 +9996,128 @@ def q_readability(sf_dir: str):
     )
 
 
+# deterministic multilingual page derivation for script_mix (the raw
+# fixture text is ASCII-only; the injection gives every script class
+# real mass, mirrored by the oracle's repeat())
+SCRIPT_CYR = "Привет мир "
+SCRIPT_CJK = "中文网页 "
+SCRIPT_CLASSES = [
+    ("latin", r"[A-Za-z]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ("digit", r"[0-9]"),
+]
+
+
+def q_script_mix(sf_dir: str):
+    """Unicode-script composition per page (the multilingual-curation
+    triage CCNet does before language ID: a page that is 40% CJK chars
+    with an 'en' label is a mislabel/mixed page). Counts per-script
+    chars with RE2 kernels (pyarrow count_substring_regex — the same
+    regex engine DuckDB uses, so the \\x{...} class patterns are shared
+    verbatim), emits the dominant script (first-wins preference order)
+    and the non-Latin share in integer parts-per-million via floor
+    division — no float anywhere. Stateless single pass, no shuffle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        pages = pa.array(
+            [
+                (txt or "") + " " + SCRIPT_CYR * (i % 3)
+                + SCRIPT_CJK * (i % 4) + "42 " * (i % 2)
+                for i, txt in zip(ids, t["text"].to_pylist())
+            ],
+            pa.string(),
+        )
+        counts = {
+            name: pc.cast(
+                pc.count_substring_regex(pages, pattern=pat), pa.int64()
+            ).to_numpy()
+            for name, pat in SCRIPT_CLASSES
+        }
+        C = np.stack([counts[n] for n, _ in SCRIPT_CLASSES])  # (4, n)
+        best = np.argmax(C, axis=0)  # first max wins = preference order
+        names = np.array([n for n, _ in SCRIPT_CLASSES])
+        dominant = np.where(C.sum(axis=0) > 0, names[best], "none")
+        total = np.maximum(C.sum(axis=0), 1)
+        nonlatin = counts["cyrillic"] + counts["cjk"]
+        ppm = nonlatin * 1_000_000 // total
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_latin": pa.array(counts["latin"], pa.int64()),
+                "n_cyrillic": pa.array(counts["cyrillic"], pa.int64()),
+                "n_cjk": pa.array(counts["cjk"], pa.int64()),
+                "n_digit": pa.array(counts["digit"], pa.int64()),
+                "dominant_script": pa.array(dominant.tolist(), pa.string()),
+                "nonlatin_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+DOM_TAG_RE = re.compile(r"<([a-z][a-z0-9]*)")
+
+
+def q_dom_templates(sf_dir: str):
+    """Structural template detection over raw HTML (the boilerplate
+    discovery step of a main-content extractor: pages sharing one DOM
+    skeleton come from one CMS template, and per-template extraction
+    rules beat per-page heuristics). Tag-sequence md5 per page — a
+    stateless map over the binary column — then ONE groupby on
+    (host, structure) whose groups are template clusters: counters and
+    a min-url exemplar move, never page bytes."""
+
+    def _host(u: str) -> str:
+        parts = u.split("://", 1)
+        rest = parts[1] if len(parts) == 2 else ""
+        return rest.split("/", 1)[0]
+
+    def f(t: pa.Table) -> pa.Table:
+        hosts, hashes = [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            tags = DOM_TAG_RE.findall(h.decode("utf-8"))
+            hosts.append(_host(u))
+            hashes.append(
+                hashlib.md5(">".join(tags).encode("utf-8")).hexdigest()
+            )
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "struct_md5": pa.array(hashes, pa.string()),
+                "url": t["url"],
+            }
+        )
+
+    return (
+        rd.read_parquet(link_corpus(), columns=["url", "html"])
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "struct_md5"])
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_pages"),
+            ray.data.aggregate.Min("url", alias_name="sample_url"),
+        )
+    )
+
+
+def dom_templates_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with tg as (
+  select url,
+         split_part(split_part(url, '://', 2), '/', 1) as host,
+         md5(array_to_string(
+           regexp_extract_all(decode(html), '<([a-z][a-z0-9]*)', 1),
+           '>')) as struct_md5
+  from ({_link_pages_sql(pages_dir)}))
+select host, struct_md5, count(*)::bigint as n_pages,
+       min(url) as sample_url
+from tg group by host, struct_md5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -10165,6 +10287,8 @@ QUERIES = {
     "dedup_simhash_clusters": q_dedup_simhash_clusters,
     "dedup_cross_corpus": q_dedup_cross_corpus,
     "readability": q_readability,
+    "script_mix": q_script_mix,
+    "dom_templates": q_dom_templates,
 }
 
 
@@ -11285,6 +11409,36 @@ xverified as (
 select a as new_doc_id, min(b) as match_doc_id,
        count(*)::bigint as n_matches
 from xverified group by a
+"""
+
+ORACLES["script_mix"] = """
+with pg as (
+  select doc_id,
+         text || ' ' || repeat('Привет мир ', doc_id % 3)
+              || repeat('中文网页 ', doc_id % 4)
+              || repeat('42 ', doc_id % 2) as page
+  from documents),
+c as (
+  select doc_id,
+         len(regexp_extract_all(page, '[A-Za-z]'))::bigint as n_latin,
+         len(regexp_extract_all(page, '[\\x{0400}-\\x{04FF}]'))::bigint
+           as n_cyrillic,
+         len(regexp_extract_all(page, '[\\x{4E00}-\\x{9FFF}]'))::bigint
+           as n_cjk,
+         len(regexp_extract_all(page, '[0-9]'))::bigint as n_digit
+  from pg)
+select doc_id, n_latin, n_cyrillic, n_cjk, n_digit,
+       case when n_latin + n_cyrillic + n_cjk + n_digit = 0 then 'none'
+            when n_latin >= n_cyrillic and n_latin >= n_cjk
+                 and n_latin >= n_digit then 'latin'
+            when n_cyrillic >= n_cjk and n_cyrillic >= n_digit
+                 then 'cyrillic'
+            when n_cjk >= n_digit then 'cjk'
+            else 'digit' end as dominant_script,
+       (n_cyrillic + n_cjk) * 1000000
+         // greatest(n_latin + n_cyrillic + n_cjk + n_digit, 1)
+         as nonlatin_ppm
+from c
 """
 
 ORACLES["readability"] = """
@@ -12438,6 +12592,7 @@ def all_oracles() -> dict[str, str]:
     out["external_link_ratio"] = external_link_ratio_oracle_sql(link_dir)
     out["crawl_frontier"] = crawl_frontier_oracle_sql(link_dir)
     out["html_meta"] = html_meta_oracle_sql(link_dir)
+    out["dom_templates"] = dom_templates_oracle_sql(link_dir)
     out["snapshot_latest"] = snapshot_latest_oracle_sql(recrawl_corpus())
     a_dir, b_dir = crawl_diff_corpus()
     out["snapshot_diff"] = snapshot_diff_oracle_sql(a_dir, b_dir)

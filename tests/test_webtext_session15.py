@@ -194,3 +194,63 @@ class TestReadability:
         b = pa.table({"doc_id": pa.array([1], pa.int64()), "text": [""]})
         out = tx.readability_batch(b).to_pydict()
         assert out["flesch_milli"][0] == 206835 - 1015  # W=S=1, Syl=0
+
+
+class TestScriptMix:
+    def test_counts_match_python_bruteforce(self, ray_session):
+        import re as _re
+
+        df = q.QUERIES["script_mix"](SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        got = df.set_index("doc_id")
+        pats = {
+            "n_latin": _re.compile(r"[A-Za-z]"),
+            "n_cyrillic": _re.compile("[Ѐ-ӿ]"),
+            "n_cjk": _re.compile("[一-鿿]"),
+            "n_digit": _re.compile(r"[0-9]"),
+        }
+        for r in docs.itertuples():
+            page = (r.text + " " + q.SCRIPT_CYR * (r.doc_id % 3)
+                    + q.SCRIPT_CJK * (r.doc_id % 4) + "42 " * (r.doc_id % 2))
+            row = got.loc[r.doc_id]
+            counts = {k: len(p.findall(page)) for k, p in pats.items()}
+            for k, v in counts.items():
+                assert row[k] == v, (r.doc_id, k)
+            total = max(sum(counts.values()), 1)
+            assert row["nonlatin_ppm"] == (
+                (counts["n_cyrillic"] + counts["n_cjk"]) * 1_000_000 // total
+            )
+        # the injection must exercise every script class somewhere
+        assert (df["n_cyrillic"] > 0).any()
+        assert (df["n_cjk"] > 0).any()
+        assert set(df["dominant_script"]) >= {"latin"}
+
+
+class TestDomTemplates:
+    def test_groups_match_bruteforce(self, ray_session):
+        import hashlib
+
+        df = q.QUERIES["dom_templates"](SF).to_pandas()
+        import glob
+
+        pages = pq.read_table(
+            next(iter(glob.glob(q.link_corpus() + "/*.parquet"))),
+            columns=["url", "html"],
+        )
+        expect: dict = {}
+        for u, h in zip(pages["url"].to_pylist(),
+                        pages["html"].to_pylist()):
+            tags = q.DOM_TAG_RE.findall(h.decode())
+            host = u.split("://", 1)[1].split("/", 1)[0]
+            k = (host, hashlib.md5(">".join(tags).encode()).hexdigest())
+            ent = expect.setdefault(k, [0, u])
+            ent[0] += 1
+            ent[1] = min(ent[1], u)
+        got = {
+            (r.host, r.struct_md5): [int(r.n_pages), r.sample_url]
+            for r in df.itertuples()
+        }
+        assert got == expect
+        # template clustering is non-trivial: some template repeats
+        assert any(v[0] > 1 for v in expect.values())
