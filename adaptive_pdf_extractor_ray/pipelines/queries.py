@@ -6163,22 +6163,10 @@ limit {BPE_TOPK}
 BPE_MERGES = 8  # learned merge rounds
 
 
-def q_bpe_train(sf_dir: str):
-    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative
-    merge loop on top of ``bpe_pairs``'s statistics: learn the first
-    ``BPE_MERGES`` merges over the corpus. Scale shape: pass 1 collapses
-    the corpus to the word-frequency table (per-batch dict combiners,
-    one groupby — bounded by VOCABULARY, never corpus size; this is why
-    classic BPE training scales); each merge round is then pair-count
-    partials + groupby + a top-1 partial/final reduce over that word
-    table, and a stateless merge-apply map. Only the single winning pair
-    per round (O(1)) ever reaches the driver. Ties break by (count desc,
-    pair asc) in both engines; merge application is the standard
-    left-to-right non-overlapping scan, replayed in SQL via a
-    wrapped-symbol string replace (``(a)(b) -> (ab)`` — per-symbol
-    wrappers make leftmost non-overlapping replace identical to the
-    scan). Restricted to ``^[a-z]+$`` words like the published BPE
-    demos; ``</w>`` is the end-of-word symbol."""
+def _bpe_learn(sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """The BPE merge-learning loop shared by q_bpe_train (which emits
+    the merge table) and q_bpe_encode (which applies the merges):
+    returns [(merge_idx, left, right, count)]."""
     docs = _read(sf_dir, "documents", ["text"])
 
     def word_partials(t: pa.Table) -> pa.Table:
@@ -6278,6 +6266,26 @@ def q_bpe_train(sf_dir: str):
             apply_merge, batch_format="pyarrow"
         ).materialize()
 
+    return merges
+
+
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the iterative
+    merge loop on top of ``bpe_pairs``'s statistics: learn the first
+    ``BPE_MERGES`` merges over the corpus. Scale shape: pass 1 collapses
+    the corpus to the word-frequency table (per-batch dict combiners,
+    one groupby — bounded by VOCABULARY, never corpus size; this is why
+    classic BPE training scales); each merge round is then pair-count
+    partials + groupby + a top-1 partial/final reduce over that word
+    table, and a stateless merge-apply map. Only the single winning pair
+    per round (O(1)) ever reaches the driver. Ties break by (count desc,
+    pair asc) in both engines; merge application is the standard
+    left-to-right non-overlapping scan, replayed in SQL via a
+    wrapped-symbol string replace (``(a)(b) -> (ab)`` — per-symbol
+    wrappers make leftmost non-overlapping replace identical to the
+    scan). Restricted to ``^[a-z]+$`` words like the published BPE
+    demos; ``</w>`` is the end-of-word symbol."""
+    merges = _bpe_learn(sf_dir)
     return rd.from_arrow(
         pa.table(
             {
@@ -6290,6 +6298,71 @@ def q_bpe_train(sf_dir: str):
                 "n": pa.array([m[3] for m in merges], pa.int64()),
             }
         )
+    )
+
+
+def q_bpe_encode(sf_dir: str):
+    """BPE tokenizer APPLICATION — the encode half of the train/apply
+    loop (q_bpe_train learns the merges; this tokenizes the corpus with
+    them and emits per-doc token counts, the number every packing /
+    budget / fertility stage downstream consumes). The merge list is
+    O(BPE_MERGES) driver state broadcast into a stateless map; encoding
+    replays the learned merges in rank order with the same left-to-right
+    non-overlapping scan as training, memoized per distinct word per
+    batch (Zipf: a batch re-sees few distinct words). Words outside the
+    trained ``^[a-z]+$`` class count one token each (byte-fallback
+    analog). No shuffle at all — the expensive part (learning) is shared
+    via _bpe_learn; the oracle replays learning AND encoding in SQL,
+    carrying each word through the unrolled merge rounds."""
+    merges = [(m[1], m[2]) for m in _bpe_learn(sf_dir)]
+
+    def encode_doc_batch(t: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+
+        def n_sym(w: str) -> int:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            s = list(w) + ["</w>"]
+            for a, b in merges:
+                r: list[str] = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        r.append(a + b)
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                s = r
+            memo[w] = len(s)
+            return memo[w]
+
+        ids, n_words, n_tok = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+            words = [w for w in (txt or "").split(" ") if w]
+            if not words:  # oracle parity: no token rows -> no output row
+                continue
+            total = 0
+            for w in words:
+                if w.isascii() and w.isalpha() and w.islower():
+                    total += n_sym(w)
+                else:
+                    total += 1
+            ids.append(did)
+            n_words.append(len(words))
+            n_tok.append(total)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        encode_doc_batch, batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -10118,6 +10191,103 @@ from tg group by host, struct_md5
 """
 
 
+PREFIX_K = 16  # tokens hashed for truncation-duplicate detection
+
+
+def q_dedup_prefix(sf_dir: str):
+    """Truncation-duplicate detection: documents sharing their first
+    PREFIX_K tokens (the same article cut at different lengths — a
+    near-dup class MinHash under-weights, because the shared prefix is
+    a small fraction of the longer doc's shingles). One md5 per doc, ONE
+    groupby on the 32-hex key moving counters only; groups with >= 2
+    members surface with their keep representative (min doc_id)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        hashes = []
+        for txt in t["text"].to_pylist():
+            toks = [w for w in (txt or "").split(" ") if w][:PREFIX_K]
+            hashes.append(
+                hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "prefix_md5": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("prefix_md5")
+        .aggregate(
+            ray.data.aggregate.Count(alias_name="n_docs"),
+            ray.data.aggregate.Min("doc_id", alias_name="keep_doc_id"),
+        )
+        .filter(expr="n_docs >= 2")
+    )
+
+
+def bpe_encode_oracle_sql() -> str:
+    """Replay of _bpe_learn + q_bpe_encode in SQL: the bpe_train oracle's
+    unrolled merge rounds with the WORD carried through each round, a
+    final per-word symbol count, and the per-doc rollup (left join: a
+    word outside the trained ^[a-z]+$ class counts one token)."""
+    rounds = []
+    prev = "w0"
+    for k in range(1, BPE_MERGES + 1):
+        rounds.append(f"""
+p{k} as materialized (
+  select s[i] || ' ' || s[i + 1] as pair, n
+  from (
+    select s, n, unnest(generate_series(1, len(s) - 1)) as i
+    from (select string_split(substr(spaced, 2, length(spaced) - 2),
+                              ')(') as s, n
+          from {prev}))),
+b{k} as materialized (
+  select split_part(pair, ' ', 1) as left_sym,
+         split_part(pair, ' ', 2) as right_sym
+  from (select pair, sum(n)::bigint as n from p{k} group by pair
+        order by n desc, pair limit 1)),
+w{k} as materialized (
+  select word,
+         replace(spaced,
+                 '(' || (select left_sym from b{k}) || ')(' ||
+                 (select right_sym from b{k}) || ')',
+                 '(' || (select left_sym from b{k}) ||
+                 (select right_sym from b{k}) || ')') as spaced, n
+  from {prev})""")
+        prev = f"w{k}"
+    return f"""
+with words as (
+  select w as word, count(*)::bigint as n
+  from (select unnest(string_split(text, ' ')) as w from documents)
+  where regexp_matches(w, '^[a-z]+$')
+  group by w),
+w0 as materialized (
+  select word, '(' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)), ')(')
+         || ')(</w>)' as spaced, n
+  from words),{",".join(rounds)},
+enc as (
+  select word,
+         len(string_split(substr(spaced, 2, length(spaced) - 2),
+                          ')('))::bigint as n_sym
+  from {prev}),
+tok as (
+  select doc_id, w
+  from (select doc_id, unnest(string_split(text, ' ')) as w
+        from documents)
+  where w <> '')
+select t.doc_id, count(*)::bigint as n_words,
+       sum(case when e.word is not null then e.n_sym else 1 end)::bigint
+         as n_bpe_tokens
+from tok t left join enc e on e.word = t.w
+group by t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -10289,6 +10459,8 @@ QUERIES = {
     "readability": q_readability,
     "script_mix": q_script_mix,
     "dom_templates": q_dom_templates,
+    "bpe_encode": q_bpe_encode,
+    "dedup_prefix": q_dedup_prefix,
 }
 
 
@@ -11441,6 +11613,19 @@ select doc_id, n_latin, n_cyrillic, n_cjk, n_digit,
 from c
 """
 
+ORACLES["dedup_prefix"] = f"""
+with p as (
+  select doc_id,
+         md5(array_to_string(
+           list_slice(list_filter(string_split(text, ' '),
+                                  w -> w <> ''), 1, {PREFIX_K}),
+           ' ')) as prefix_md5
+  from documents)
+select prefix_md5, count(*)::bigint as n_docs,
+       min(doc_id) as keep_doc_id
+from p group by prefix_md5 having count(*) >= 2
+"""
+
 ORACLES["readability"] = """
 with c as (
   select doc_id,
@@ -12574,6 +12759,7 @@ def all_oracles() -> dict[str, str]:
     out["ccnet_buckets"] = ccnet_oracle_sql()
     out["bpe_pairs"] = BPE_PAIRS_SQL
     out["bpe_train"] = bpe_train_oracle_sql()
+    out["bpe_encode"] = bpe_encode_oracle_sql()
     out["extract_synthetic"] = _flagship_oracle_sql()
     out["extract_grid_cards"] = _card_oracle_sql()
     link_dir = link_corpus()  # idempotent fixture write

@@ -143,6 +143,13 @@ BENCH_QUERIES = [
     "mirror_domains",
     "xlang_mine",
     "topic_tag",
+    "dedup_simhash_pairs",
+    "dedup_cross_corpus",
+    "readability",
+    "script_mix",
+    "dom_templates",
+    "bpe_encode",
+    "dedup_prefix",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

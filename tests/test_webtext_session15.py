@@ -254,3 +254,72 @@ class TestDomTemplates:
         assert got == expect
         # template clustering is non-trivial: some template repeats
         assert any(v[0] > 1 for v in expect.values())
+
+
+class TestBpeEncode:
+    def test_matches_bruteforce_encode(self, ray_session):
+        df = q.QUERIES["bpe_encode"](SF).to_pandas()
+        merges = [
+            (r.left_sym, r.right_sym)
+            for r in q.QUERIES["bpe_train"](SF).to_pandas()
+                      .sort_values("merge_idx").itertuples()
+        ]
+        assert len(merges) == q.BPE_MERGES
+
+        def enc_len(w: str) -> int:
+            s = list(w) + ["</w>"]
+            for a, b in merges:
+                r, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        r.append(a + b)
+                        i += 2
+                    else:
+                        r.append(s[i])
+                        i += 1
+                s = r
+            return len(s)
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        got = df.set_index("doc_id")
+        for r in docs.itertuples():
+            words = [w for w in r.text.split(" ") if w]
+            if not words:
+                assert r.doc_id not in got.index
+                continue
+            total = sum(
+                enc_len(w)
+                if (w.isascii() and w.isalpha() and w.islower()) else 1
+                for w in words
+            )
+            assert got.loc[r.doc_id, "n_words"] == len(words)
+            assert got.loc[r.doc_id, "n_bpe_tokens"] == total
+        # merges must actually compress: fewer symbols than raw chars+1
+        raw = sum(
+            len(w) + 1
+            for t in docs["text"] for w in t.split(" ")
+            if w and w.isascii() and w.isalpha() and w.islower()
+        )
+        assert df["n_bpe_tokens"].sum() < raw + len(docs)
+
+
+class TestDedupPrefix:
+    def test_groups_match_bruteforce(self, ray_session):
+        import hashlib
+
+        df = q.QUERIES["dedup_prefix"](SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        groups: dict = {}
+        for r in docs.itertuples():
+            toks = [w for w in r.text.split(" ") if w][:q.PREFIX_K]
+            h = hashlib.md5(" ".join(toks).encode()).hexdigest()
+            g = groups.setdefault(h, [0, r.doc_id])
+            g[0] += 1
+            g[1] = min(g[1], r.doc_id)
+        expect = {h: v for h, v in groups.items() if v[0] >= 2}
+        got = {r.prefix_md5: [int(r.n_docs), int(r.keep_doc_id)]
+               for r in df.itertuples()}
+        assert got == expect
+        assert expect, "fixture must contain truncation duplicates"
