@@ -3074,7 +3074,8 @@ def _grouped_sum_str(ds, key: str, val: str, out: str, n_parts: int):
     )
 
 
-def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
+def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS,
+                          seed_fn=None, out_col: str = "pagerank"):
     """PageRank as iterative join + groupby dataflow — the same
     per-round shape as the label-propagation connected components: each
     round joins the edge list to the current rank vector on src (hash
@@ -3082,7 +3083,13 @@ def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
     them. Zero-in-link nodes are kept alive by a ghost 0-weight row per
     node (a union, not a driver fixup), so no left-outer join is needed.
     Partitioning: edges shuffle on src (join) then dst (sum); ranks are
-    O(nodes) rows per round, materialized to cut lineage growth."""
+    O(nodes) rows per round, materialized to cut lineage growth.
+
+    ``seed_fn`` generalizes to PERSONALIZED PageRank (TrustRank): the
+    teleport mass goes only to urls where seed_fn(url) is true. The
+    seed indicator is a pure function of the url string, so each round
+    recomputes it in-batch — no seed-table join. seed_fn=None keeps the
+    uniform teleport (bit-identical to the original recurrence)."""
     edges_raw = _outlinks_ds(pages_dir)
     outdeg = edges_raw.groupby("src").aggregate(
         ray.data.aggregate.Count(alias_name="od")
@@ -3093,14 +3100,33 @@ def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
         on=("src",),
     ).materialize()
     nodes = rd.read_parquet(pages_dir, columns=["url"])
-    r0 = PR_SCALE // n
-    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    if seed_fn is None:
+        ns = n
+        _is_seed = None
+    else:
+        _is_seed = seed_fn
+        ns = int(
+            nodes.map_batches(
+                lambda t: pa.table(
+                    {"c": pa.array(
+                        [sum(1 for u in t["url"].to_pylist()
+                             if seed_fn(u))], pa.int64())}
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).sum("c")
+        )
+    r0 = PR_SCALE // ns
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * ns)
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        r = [r0 if (_is_seed is None or _is_seed(u)) else 0 for u in urls]
+        return pa.table(
+            {"url": t["url"], "r": pa.array(r, pa.int64())}
+        )
+
     ranks = nodes.map_batches(
-        lambda t: pa.table(
-            {"url": t["url"],
-             "r": pa.array([r0] * t.num_rows, pa.int64())}
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+        init_ranks, batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
     ghost = nodes.map_batches(
         lambda t: pa.table(
@@ -3124,17 +3150,22 @@ def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
         )
 
     def renorm(t: pa.Table) -> pa.Table:
-        r = pc.add(
-            pa.scalar(base, pa.int64()),
-            pc.divide(
-                pc.multiply(
-                    pa.scalar(PR_DAMP_NUM, pa.int64()),
-                    pc.cast(t["w_sum"], pa.int64()),
-                ),
-                pa.scalar(PR_DAMP_DEN, pa.int64()),
+        prop = pc.divide(
+            pc.multiply(
+                pa.scalar(PR_DAMP_NUM, pa.int64()),
+                pc.cast(t["w_sum"], pa.int64()),
             ),
+            pa.scalar(PR_DAMP_DEN, pa.int64()),
         )
-        return pa.table({"url": t["dst"], "r": r})
+        if _is_seed is None:
+            b = pa.scalar(base, pa.int64())
+        else:
+            b = pa.array(
+                [base if _is_seed(u) else 0
+                 for u in t["dst"].to_pylist()],
+                pa.int64(),
+            )
+        return pa.table({"url": t["dst"], "r": pc.add(b, prop)})
 
     for _ in range(iters):
         contribs = (
@@ -3159,7 +3190,7 @@ def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
             {
                 "url": t["url"],
                 # exact int -> one IEEE division: bit-identical everywhere
-                "pagerank": pc.divide(
+                out_col: pc.divide(
                     pc.cast(t["r"], pa.float64()),
                     pa.scalar(float(PR_SCALE)),
                 ),
@@ -3169,13 +3200,15 @@ def _pagerank_distributed(pages_dir: str, n: int, iters: int = PR_ITERS):
     )
 
 
-def _pagerank_driver(pages_dir: str, n: int, iters: int = PR_ITERS):
+def _pagerank_driver(pages_dir: str, n: int, iters: int = PR_ITERS,
+                     seed_fn=None, out_col: str = "pagerank"):
     """Small-graph route: edge list fits the driver (<= 1M edges), so
     the 5 rounds run as in-process dict arithmetic instead of paying 2
     shuffles of actor spinup per round. Bit-identical to the distributed
     route BY CONSTRUCTION: the same integer fixed-point recurrence
     (floor divisions + exact integer sums) — no float path at all until
-    the single final division (equivalence pytest-pinned)."""
+    the single final division (equivalence pytest-pinned). ``seed_fn``
+    restricts the teleport mass to seed urls (TrustRank)."""
     edges = _outlinks_ds(pages_dir)
     od: dict[str, int] = {}
     pairs: list[tuple[str, str]] = []
@@ -3190,17 +3223,23 @@ def _pagerank_driver(pages_dir: str, n: int, iters: int = PR_ITERS):
         )
         for u in b["url"].to_pylist()
     ]
-    r = {u: PR_SCALE // n for u in nodes}
-    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+    seed = {u: (seed_fn is None or seed_fn(u)) for u in nodes}
+    ns = sum(seed.values())
+    r = {u: (PR_SCALE // ns if seed[u] else 0) for u in nodes}
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * ns)
     for _ in range(iters):
         s = {u: 0 for u in nodes}
         for a, d in pairs:
             s[d] += r[a] // od[a]
-        r = {u: base + (PR_DAMP_NUM * s[u]) // PR_DAMP_DEN for u in nodes}
+        r = {
+            u: (base if seed[u] else 0)
+            + (PR_DAMP_NUM * s[u]) // PR_DAMP_DEN
+            for u in nodes
+        }
     return pa.table(
         {
             "url": pa.array(nodes, pa.string()),
-            "pagerank": pa.array(
+            out_col: pa.array(
                 [r[u] / float(PR_SCALE) for u in nodes], pa.float64()
             ),
         }
@@ -3223,6 +3262,74 @@ def q_pagerank(sf_dir: str):
     if LINK_N * 6 <= PR_DRIVER_EDGE_LIMIT:
         return _pagerank_driver(pages_dir, LINK_N)
     return _pagerank_distributed(pages_dir, LINK_N)
+
+
+TRUST_MOD = 7  # page-number % 7 == 0 -> trusted seed (deterministic)
+_TRUST_PAGE_RE = re.compile(r"p(\d+)$")
+
+
+def _trust_seed(url: str) -> bool:
+    m = _TRUST_PAGE_RE.search(url)
+    return bool(m) and int(m.group(1)) % TRUST_MOD == 0
+
+
+def q_trustrank(sf_dir: str):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the
+    link-spam demotion pass of a web-corpus curation pipeline —
+    PageRank with the teleport mass restricted to a trusted seed set,
+    so trust flows outward from seeds and isolated spam farms starve.
+    Seeds here are the deterministic page-number % TRUST_MOD urls (a
+    real run plugs in a human-audited list). Same integer fixed-point
+    recurrence and size-routing as q_pagerank (driver / distributed /
+    SQL oracle bit-identical); the seed indicator is a pure function of
+    the url, so the distributed route recomputes it in-batch instead of
+    joining a seed table."""
+    pages_dir = link_corpus()
+    if LINK_N * 6 <= PR_DRIVER_EDGE_LIMIT:
+        return _pagerank_driver(
+            pages_dir, LINK_N, seed_fn=_trust_seed, out_col="trustrank"
+        )
+    return _pagerank_distributed(
+        pages_dir, LINK_N, seed_fn=_trust_seed, out_col="trustrank"
+    )
+
+
+def trustrank_oracle_sql(pages_dir: str, n: int = LINK_N) -> str:
+    """Unrolled replay of q_trustrank: q_pagerank's oracle with the
+    teleport terms gated on the seed indicator (page-number regexp) and
+    normalized by the seed COUNT instead of n."""
+    ns = len(range(0, n, TRUST_MOD))
+    r0 = PR_SCALE // ns
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * ns)
+    iters = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{k} as (
+  select p.url,
+         case when p.s = 1 then {base} else 0 end
+           + ({PR_DAMP_NUM} * coalesce(sm.s, 0)) // {PR_DAMP_DEN} as r
+  from seeds p left join (
+    select e.dst as url, sum(rp.r // e.od)::bigint as s
+    from edges e join {prev} rp on e.src = rp.url
+    group by e.dst) sm using (url))""")
+        prev = f"r{k}"
+    return f"""
+with pages_raw as ({_link_pages_sql(pages_dir)}),
+links as ({outlinks_oracle_sql(pages_dir)}),
+outdeg as (select src, count(*)::bigint as od from links group by src),
+edges as (select l.src, l.dst, o.od from links l join outdeg o using (src)),
+pages as (select url from pages_raw),
+seeds as (
+  select url,
+         case when regexp_extract(url, 'p(\\d+)$', 1)::int
+                   % {TRUST_MOD} = 0
+              then 1 else 0 end as s
+  from pages),
+r0 as (select url, case when s = 1 then {r0}::bigint else 0::bigint end
+         as r from seeds),{",".join(iters)}
+select url, r / {PR_SCALE}.0 as trustrank from {prev}
+"""
 
 
 def q_char_entropy(sf_dir: str):
@@ -10461,6 +10568,7 @@ QUERIES = {
     "dom_templates": q_dom_templates,
     "bpe_encode": q_bpe_encode,
     "dedup_prefix": q_dedup_prefix,
+    "trustrank": q_trustrank,
 }
 
 
@@ -12766,6 +12874,7 @@ def all_oracles() -> dict[str, str]:
     out["outlinks"] = outlinks_oracle_sql(link_dir)
     out["link_indegree"] = indegree_oracle_sql(link_dir)
     out["pagerank"] = pagerank_oracle_sql(link_dir)
+    out["trustrank"] = trustrank_oracle_sql(link_dir)
     out["hits_rank"] = hits_oracle_sql(link_dir)
     out["link_components"] = link_components_oracle_sql(link_dir)
     out["graph_triangles"] = triangles_oracle_sql(link_dir)

@@ -323,3 +323,43 @@ class TestDedupPrefix:
                for r in df.itertuples()}
         assert got == expect
         assert expect, "fixture must contain truncation duplicates"
+
+
+class TestTrustRank:
+    def test_routes_value_identical_and_seeds_hold_trust(
+        self, ray_session
+    ):
+        pages_dir = q.link_corpus()
+        a = pa.table(
+            q._pagerank_driver(pages_dir, q.LINK_N, iters=2,
+                               seed_fn=q._trust_seed,
+                               out_col="trustrank")
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        b = q._pagerank_distributed(
+            pages_dir, q.LINK_N, iters=2,
+            seed_fn=q._trust_seed, out_col="trustrank",
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        assert a["url"].tolist() == b["url"].tolist()
+        assert a["trustrank"].tolist() == b["trustrank"].tolist()
+
+    def test_trust_concentrates_on_seed_neighborhood(self, ray_session):
+        df = q.QUERIES["trustrank"](SF).to_pandas()
+        assert len(df) == q.LINK_N
+        seeds = df[df["url"].map(q._trust_seed)]
+        others = df[~df["url"].map(q._trust_seed)]
+        # teleport goes only to seeds: their mean trust must exceed
+        # the non-seed mean (the fixture graph is well connected, so
+        # non-seeds still receive propagated trust > 0 via links)
+        assert seeds["trustrank"].mean() > others["trustrank"].mean()
+        assert (others["trustrank"] > 0).any()
+
+    def test_uniform_seed_equals_pagerank(self, ray_session):
+        pages_dir = q.link_corpus()
+        plain = pa.table(
+            q._pagerank_driver(pages_dir, q.LINK_N, iters=2)
+        ).to_pandas()
+        seeded = pa.table(
+            q._pagerank_driver(pages_dir, q.LINK_N, iters=2,
+                               seed_fn=lambda u: True)
+        ).to_pandas()
+        assert plain["pagerank"].tolist() == seeded["pagerank"].tolist()
