@@ -10298,6 +10298,100 @@ from tg group by host, struct_md5
 """
 
 
+def q_ann_recall(sf_dir: str):
+    """ANN quality evaluation IN-ENGINE: recall@K of the sign-LSH index
+    (knn_lsh) against the brute-force ground truth (knn_brute), per
+    query and in integer ppm. This is the measurement loop you run
+    before re-tuning LSH tables/planes on a new corpus — both inputs
+    are deterministic here, so even the evaluation is value-verified.
+    Shape: tagged union of the two bounded result sets (K rows per
+    query each) -> (query, neighbor) groupby marking hits -> per-query
+    rollup. Groupbys only — no join, so the rare-row empty-partition
+    join hazard can't arise; everything after the two ANN/brute passes
+    moves O(queries x K) rows."""
+    brute = q_knn_brute(sf_dir)
+    ann = q_knn_lsh(sf_dir).select_columns(["query_id", "neighbor_id"])
+
+    def tag(kind: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()),
+                     "neighbor_id": pa.array([], pa.int64()),
+                     "kind": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"query_id": t["query_id"],
+                 "neighbor_id": t["neighbor_id"],
+                 "kind": pa.array([kind] * t.num_rows, pa.int64())}
+            )
+
+        return f
+
+    both = brute.map_batches(tag(0), batch_format="pyarrow").union(
+        ann.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def pair_flags(g: pa.Table) -> pa.Table:
+        kinds = set(g["kind"].to_pylist())
+        return pa.table(
+            {
+                "query_id": g["query_id"].slice(0, 1),
+                "in_truth": pa.array([1 if 0 in kinds else 0], pa.int64()),
+                "hit": pa.array(
+                    [1 if kinds == {0, 1} else 0], pa.int64()
+                ),
+            }
+        )
+
+    per_pair = both.groupby(["query_id", "neighbor_id"]).map_groups(
+        pair_flags, batch_format="pyarrow"
+    )
+    agg = per_pair.groupby("query_id").aggregate(
+        ray.data.aggregate.Sum("in_truth", alias_name="k_truth"),
+        ray.data.aggregate.Sum("hit", alias_name="n_hits"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        kt = pc.cast(t["k_truth"], pa.int64())
+        nh = pc.cast(t["n_hits"], pa.int64())
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "k_truth": kt,
+                "n_hits": nh,
+                # nonnegative ints: Arrow truncation == floor == SQL //
+                "recall_ppm": pc.divide(
+                    pc.multiply(nh, pa.scalar(1_000_000, pa.int64())), kt
+                ),
+            }
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ann_recall_oracle_sql(sf_dir: str) -> str:
+    """Composes the two existing full replications (brute cosine top-K
+    and the plane-literal sign-LSH path) and computes the same per-query
+    hit rollup with a left join."""
+    return f"""
+with brute as ({ORACLES["knn_brute"]}),
+ann as ({lsh_oracle_sql(sf_dir)})
+select b.query_id,
+       count(*)::bigint as k_truth,
+       sum(case when a.neighbor_id is not null then 1 else 0 end)::bigint
+         as n_hits,
+       (sum(case when a.neighbor_id is not null then 1 else 0 end)
+          * 1000000 // count(*))::bigint as recall_ppm
+from brute b
+left join ann a
+  on a.query_id = b.query_id and a.neighbor_id = b.neighbor_id
+group by b.query_id
+"""
+
+
 PREFIX_K = 16  # tokens hashed for truncation-duplicate detection
 
 
@@ -10569,6 +10663,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "dedup_prefix": q_dedup_prefix,
     "trustrank": q_trustrank,
+    "ann_recall": q_ann_recall,
 }
 
 
@@ -12911,6 +13006,7 @@ from read_json_auto('{jsonl_corpus()}', format='newline_delimited')
         # knn_lsh's plane literals depend only on the embedding DIMENSION
         # (data-independent), read from the same gate tables
         out["knn_lsh"] = lsh_oracle_sql(ivf_sf)
+        out["ann_recall"] = ann_recall_oracle_sql(ivf_sf)
         # dedup_semantic shares knn_ivf's data-dependent centroid literals
         out["dedup_semantic"] = semdedup_oracle_sql(ivf_sf)
     return out

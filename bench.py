@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "dom_templates",
     "bpe_encode",
     "dedup_prefix",
+    "trustrank",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -363,3 +363,22 @@ class TestTrustRank:
                                seed_fn=lambda u: True)
         ).to_pandas()
         assert plain["pagerank"].tolist() == seeded["pagerank"].tolist()
+
+
+class TestAnnRecall:
+    def test_matches_set_intersection(self, ray_session):
+        df = q.QUERIES["ann_recall"](SF).to_pandas()
+        brute = q.QUERIES["knn_brute"](SF).to_pandas()
+        ann = q.QUERIES["knn_lsh"](SF).to_pandas()
+        truth = brute.groupby("query_id")["neighbor_id"].apply(set)
+        got_ann = ann.groupby("query_id")["neighbor_id"].apply(set)
+        assert len(df) == len(truth)
+        for r in df.itertuples():
+            t = truth[r.query_id]
+            a = got_ann.get(r.query_id, set())
+            hits = len(t & a)
+            assert r.k_truth == len(t)
+            assert r.n_hits == hits
+            assert r.recall_ppm == hits * 1_000_000 // len(t)
+        # the index must find SOMETHING but is lossy by design
+        assert df["n_hits"].sum() > 0
