@@ -218,9 +218,10 @@ class SignLshKnn:
     in every table, its own bucket plus every 1-bit flip (multiprobe);
     candidates are the union over tables; exact cosine, partial top-k
     per batch, final per-query reduce — identical dataflow shape to
-    BruteKnn/IvfIndexKnn. At 2 tables x 6 planes this scans ~21% of the
-    corpus for recall@5 ≈ 0.5 on the fixture embeddings (vs IVF's 25%
-    scan at the same recall bar)."""
+    BruteKnn/IvfIndexKnn. At 6 tables x 8 planes (re-tuned with the
+    in-engine q_ann_recall evaluator) this scans ~22% of the corpus for
+    recall@5 ≈ 0.74 on the fixture embeddings — same scan fraction the
+    old 2x6 config paid for 0.58 (vs IVF's 25% scan at recall ≈ 0.5)."""
 
     def __init__(self, queries, tables, k: int = 5, col: str = "embedding"):
         self.query_ids = np.asarray(queries["ids"], dtype=np.int64)

@@ -1065,9 +1065,13 @@ class TestSignLsh:
         assert sim.lsh_buckets(X, P).tolist() == [1, 0]
 
     def test_lsh_recall_vs_brute(self, ray_session):
-        """Sign-LSH at the query's config (LSH_TABLES=2 tables x
-        LSH_PLANES=6 planes, 1-bit multiprobe) must keep recall@5 >= 0.5
-        vs brute force on the sf0.001 embeddings (~21% corpus scan)."""
+        """Sign-LSH at the query's config (LSH_TABLES=6 tables x
+        LSH_PLANES=8 planes, 1-bit multiprobe — re-tuned via the
+        q_ann_recall sweep at sf0.01: 0.74 at ~22% scan) must keep
+        recall@5 >= 0.5 on the 500-vec sf0.001 embeddings — 8-plane
+        buckets are sparse at that tiny corpus (~2 vecs/bucket), so the
+        small-sf recall floor stays the old bar; the realistic-density
+        gain is pinned by TestAnnRecallTune in test_webtext_session15."""
         import importlib.util
         import sys
 

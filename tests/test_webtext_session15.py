@@ -382,3 +382,12 @@ class TestAnnRecall:
             assert r.recall_ppm == hits * 1_000_000 // len(t)
         # the index must find SOMETHING but is lossy by design
         assert df["n_hits"].sum() > 0
+
+
+class TestAnnRecallTune:
+    def test_retuned_index_recall_at_realistic_density(self, ray_session):
+        """The 6x8 re-tune (chosen with the q_ann_recall sweep) must
+        hold recall@5 >= 0.7 at sf0.01 density — the old 2x6 config
+        measured 0.58 at the same ~22% scan fraction."""
+        df = q.QUERIES["ann_recall"]("/root/testdata/sf0.01").to_pandas()
+        assert df["recall_ppm"].mean() / 1e6 >= 0.7
