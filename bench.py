@@ -255,7 +255,26 @@ def run_dedup_scale(n_docs: int) -> dict:
         "clusters": n_clusters,
         "lm_score": _webtext_scale(sf_dir),
         "setsim": _setsim_scale(sf_dir, n_docs),
+        "simhash": _simhash_scale(sf_dir, n_docs),
     }
+
+
+def _simhash_scale(sf_dir: str, n_docs: int) -> dict:
+    """SimHash Hamming-pair chain over the same ≥100k-doc adversarial
+    corpus — the 1% empty docs all simhash to the constant 0 signature
+    and share every band, so this times the identical-signature
+    star-collapse guard (simhash_bucket_pairs) under real skew."""
+    from adaptive_pdf_extractor_ray.pipelines.queries import (
+        _simhash_band_pairs,
+    )
+
+    t0 = time.time()
+    pairs = _simhash_band_pairs(sf_dir).materialize()
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    return {"docs": n_docs, "wall_s": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "hamming_pairs": n_pairs}
 
 
 def _setsim_scale(sf_dir: str, n_docs: int) -> dict:
