@@ -26,6 +26,7 @@ import functools
 import math
 import os
 import re
+from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -10508,6 +10509,293 @@ group by t.doc_id
 # registry + oracles
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# session 16: global-statistics + broadcast-search operators
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type Markov transition counts — the behavioral
+    bigram table behind next-event prediction and bot/anomaly triage.
+    Groupby user (bounded per-user history, same partitioning contract as
+    sessionize), per-group (ts, event_id) sort → consecutive-pair Counter
+    partials, then ONE global groupby sum over O(event_types²) keys: the
+    corpus shuffles once by user; only O(users × distinct transitions)
+    tiny partial rows reach the second groupby. Integer-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        types = g["event_type"].take(idx).to_pylist()
+        c = Counter(zip(types, types[1:]))
+        prev = [k[0] for k in c]
+        nxt = [k[1] for k in c]
+        return pa.table(
+            {
+                "prev_type": pa.array(prev, pa.string()),
+                "next_type": pa.array(nxt, pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+
+def q_embed_standardize(sf_dir: str):
+    """Global per-dimension z-score standardization of the embedding
+    column (the whitening step before k-means / outlier scoring / linear
+    probes). Pass 1 reduces the corpus to 64 (sum, sumsq, n) rows via
+    per-batch numpy partials + groupby(d) sums — O(dims × blocks) rows
+    ever move; pass 2 is a stateless vectorized map with the 64-value
+    mean/std captured in the closure (plain values, restart-safe). Both
+    sides compute sd = sqrt(max(avg(v²) − avg(v)², 0)) in float64 and
+    round the final z to 6 dp; zero-variance dims emit z = 0. Output is
+    long-form (vec_id, pos, z), pos 1-based to match SQL
+    ``generate_subscripts``."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            x = np.zeros((0, EMBED_DIMS), dtype=np.float64)
+        return pa.table(
+            {
+                "d": pa.array(range(EMBED_DIMS), pa.int64()),
+                "s1": pa.array(x.sum(axis=0), pa.float64()),
+                "s2": pa.array((x * x).sum(axis=0), pa.float64()),
+                "n": pa.array([len(x)] * EMBED_DIMS, pa.int64()),
+            }
+        )
+
+    rows = (
+        emb.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("d")
+        .aggregate(
+            ray.data.aggregate.Sum("s1", alias_name="s1"),
+            ray.data.aggregate.Sum("s2", alias_name="s2"),
+            ray.data.aggregate.Sum("n", alias_name="n"),
+        )
+        .take_all()  # bounded: exactly EMBED_DIMS rows
+    )
+    m = np.zeros(EMBED_DIMS, dtype=np.float64)
+    sd = np.zeros(EMBED_DIMS, dtype=np.float64)
+    for r in rows:
+        d = int(r["d"])
+        n = float(r["n"])
+        mu = float(r["s1"]) / n
+        m[d] = mu
+        sd[d] = math.sqrt(max(float(r["s2"]) / n - mu * mu, 0.0))
+
+    def zscore(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            x = np.zeros((0, EMBED_DIMS), dtype=np.float64)
+        safe = np.where(sd == 0.0, 1.0, sd)
+        z = np.round((x - m[None, :]) / safe[None, :], 6)
+        z = np.where(sd[None, :] == 0.0, 0.0, z)
+        ids = np.repeat(
+            np.asarray(t["vec_id"].to_pylist(), dtype=np.int64), EMBED_DIMS
+        )
+        pos = np.tile(np.arange(1, EMBED_DIMS + 1, dtype=np.int64), len(x))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "z": pa.array(z.ravel(), pa.float64()),
+            }
+        )
+
+    return emb.map_batches(zscore, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_embed_covariance(sf_dir: str):
+    """Exact covariance matrix of the embedding dimensions — the input
+    to distributed PCA. At 10^12 vectors the d×d Gram matrix is the ONLY
+    reduction that must see the corpus: each block contributes one d×d
+    XᵀX partial (a numpy matmul), a groupby sum reduces O(d²) keys, and
+    the final divide is driver-side on d(d+1)/2 + d rows — bounded by
+    the DIMENSION, independent of data size (the eigen step of PCA would
+    run on this 64×64 result). Emits the 1-based upper triangle with
+    cov = Σxy/n − mean_i·mean_j in float64, rounded to 6, exactly the
+    formula the oracle replays."""
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    iu, ju = np.triu_indices(EMBED_DIMS)
+
+    def partials(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            x = np.zeros((0, EMBED_DIMS), dtype=np.float64)
+        g = x.T @ x
+        i = np.concatenate([iu, np.arange(EMBED_DIMS)])
+        j = np.concatenate([ju, np.full(EMBED_DIMS, -1)])
+        v = np.concatenate([g[iu, ju], x.sum(axis=0)])
+        return pa.table(
+            {
+                "i": pa.array(i, pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "v": pa.array(v, pa.float64()),
+                "n": pa.array(np.full(len(i), len(x)), pa.int64()),
+            }
+        )
+
+    rows = (
+        emb.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .aggregate(
+            ray.data.aggregate.Sum("v", alias_name="v"),
+            ray.data.aggregate.Sum("n", alias_name="n"),
+        )
+        .take_all()  # bounded: d(d+1)/2 + d rows, data-size-independent
+    )
+    sums = np.zeros(EMBED_DIMS, dtype=np.float64)
+    n_total = 0
+    for r in rows:
+        if int(r["j"]) == -1:
+            sums[int(r["i"])] = float(r["v"])
+            n_total = int(r["n"])
+    means = sums / n_total
+    out_i, out_j, out_c = [], [], []
+    for r in rows:
+        j = int(r["j"])
+        if j == -1:
+            continue
+        i = int(r["i"])
+        cov = float(r["v"]) / n_total - means[i] * means[j]
+        out_i.append(i + 1)
+        out_j.append(j + 1)
+        out_c.append(float(np.round(cov, 6)))
+    return pa.table(
+        {
+            "i": pa.array(out_i, pa.int64()),
+            "j": pa.array(out_j, pa.int64()),
+            "cov": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+COPY_SEARCH_K = 10
+
+
+def q_copy_search(sf_dir: str):
+    """Broadcast-query containment scan: the 10 documents sharing the
+    most 3-token shingles with a query document (the min-doc_id doc) —
+    the 'find copies / derivatives of THIS doc' primitive behind
+    plagiarism and benchmark-contamination search. The query shingle set
+    is built from ONE row (distributed min + single-row filter take,
+    both bounded) and captured in the scoring closure (a few hundred
+    strings — plain values, restart-safe, no per-batch reshipping by
+    Ray's closure capture); each batch scores its docs with integer set
+    intersections, and the global top-K uses the per-block partial
+    top-K reduce (``stages/topk.py``) — no global sort, no shuffle of
+    the corpus. Ties break on doc_id ascending, deterministically."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    qid = int(docs.min("doc_id"))
+    qtext = docs.filter(expr=f"doc_id == {qid}").take(1)[0]["text"]
+    qset = set(dd._shingles(qtext or ""))
+    n_query = len(qset)
+
+    def score(t: pa.Table) -> pa.Table:
+        out_id, out_c = [], []
+        for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if i == qid:
+                continue
+            out_id.append(i)
+            out_c.append(len(qset.intersection(dd._shingles(txt or ""))))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_common": pa.array(out_c, pa.int64()),
+                "n_query": pa.array([n_query] * len(out_id), pa.int64()),
+            }
+        )
+
+    from ..stages.topk import dataset_topk
+
+    return dataset_topk(
+        docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        [("n_common", "descending"), ("doc_id", "ascending")],
+        COPY_SEARCH_K,
+    )
+
+
+def q_signal_correlation(sf_dir: str):
+    """Pearson correlation matrix over per-doc quality signals (chars,
+    whitespace tokens, distinct tokens a.k.a. types) — the redundancy
+    audit run before
+    wiring signals into a filter ensemble (two signals correlated at
+    0.98 double-count in a logit). One stateless pass emits ONE integer
+    moment row per batch (Σx, Σx², Σxy per pair, n — exact int64
+    arithmetic, values bounded by n·len²); a constant-key groupby sums
+    the partials, and the 3 output rows divide exact integer moments in
+    float64 — bit-identical to the oracle's replay of
+    (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²_sum) · √(n·Σy²−Σy²_sum)).
+    Zero-variance signals (undefined correlation) emit 0.0 on both
+    sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        c = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        tk = pc.cast(
+            pc.count_substring_regex(text, pattern=r"\S+"), pa.int64()
+        ).to_numpy()
+        ln = np.array(
+            [len(set(dd._tokens(s or ""))) for s in text.to_pylist()],
+            dtype=np.int64,
+        )
+        cols = {"n": len(c)}
+        for name, arr in (("c", c), ("t", tk), ("l", ln)):
+            cols[f"s_{name}"] = int(arr.sum())
+            cols[f"s_{name}{name}"] = int((arr.astype(object) * arr).sum())
+        for a, b in (("c", "t"), ("c", "l"), ("t", "l")):
+            x = {"c": c, "t": tk, "l": ln}[a].astype(object)
+            y = {"c": c, "t": tk, "l": ln}[b]
+            cols[f"s_{a}{b}"] = int((x * y).sum())
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in cols.items()})
+
+    agg_cols = [
+        "n", "s_c", "s_t", "s_l", "s_cc", "s_tt", "s_ll",
+        "s_ct", "s_cl", "s_tl",
+    ]
+    red = ds.map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        *[ray.data.aggregate.Sum(c, alias_name=c) for c in agg_cols]
+    )
+    n = int(red["n"])
+    s = {k: int(red[k]) for k in agg_cols}
+    names = {"c": "chars", "t": "tokens", "l": "types"}
+    out_a, out_b, out_r = [], [], []
+    for a, b in (("c", "t"), ("c", "l"), ("t", "l")):
+        num = n * s[f"s_{a}{b}"] - s[f"s_{a}"] * s[f"s_{b}"]
+        da = n * s[f"s_{a}{a}"] - s[f"s_{a}"] * s[f"s_{a}"]
+        db = n * s[f"s_{b}{b}"] - s[f"s_{b}"] * s[f"s_{b}"]
+        out_a.append(names[a])
+        out_b.append(names[b])
+        if da == 0 or db == 0:
+            out_r.append(0.0)
+        else:
+            out_r.append(
+                float(
+                    np.round(float(num) / (math.sqrt(da) * math.sqrt(db)), 6)
+                )
+            )
+    return pa.table(
+        {
+            "sig_a": pa.array(out_a, pa.string()),
+            "sig_b": pa.array(out_b, pa.string()),
+            "corr": pa.array(out_r, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
@@ -10679,6 +10967,11 @@ QUERIES = {
     "dedup_prefix": q_dedup_prefix,
     "trustrank": q_trustrank,
     "ann_recall": q_ann_recall,
+    "event_transitions": q_event_transitions,
+    "embed_standardize": q_embed_standardize,
+    "embed_covariance": q_embed_covariance,
+    "copy_search": q_copy_search,
+    "signal_correlation": q_signal_correlation,
 }
 
 
@@ -12955,6 +13248,115 @@ edges as (select l.src, l.dst, o.od from links l join outdeg o using (src)),
 pages as (select url from pages_raw),
 r0 as (select url, {r0}::bigint as r from pages),{",".join(iters)}
 select url, r / {PR_SCALE}.0 as pagerank from {prev}
+"""
+
+
+ORACLES["event_transitions"] = """
+with w as (
+  select user_id, event_type,
+         lag(event_type) over (
+           partition by user_id order by ts, event_id) as prev_type
+  from events)
+select prev_type, event_type as next_type, count(*)::bigint as n
+from w where prev_type is not null
+group by 1, 2
+"""
+
+ORACLES["embed_standardize"] = """
+with flat as (
+  select vec_id, unnest(embedding)::double as val,
+         generate_subscripts(embedding, 1) as pos
+  from embeddings),
+s as (
+  select pos, avg(val) as m,
+         sqrt(greatest(avg(val * val) - avg(val) * avg(val), 0)) as sd
+  from flat group by pos)
+select f.vec_id, f.pos::bigint as pos,
+       case when s.sd = 0 then 0.0
+            else round((f.val - s.m) / s.sd, 6) end as z
+from flat f join s using (pos)
+"""
+
+ORACLES["embed_covariance"] = """
+with flat as (
+  select vec_id, unnest(embedding)::double as val,
+         generate_subscripts(embedding, 1) as pos
+  from embeddings)
+select a.pos::bigint as i, b.pos::bigint as j,
+       round(sum(a.val * b.val) / count(*) - avg(a.val) * avg(b.val), 6)
+         as cov
+from flat a join flat b using (vec_id)
+where a.pos <= b.pos
+group by 1, 2
+"""
+
+
+def _shingle_cte_body(source: str = "documents") -> str:
+    """(doc_id, distinct 3-token shingle list) CTE chain, same tokenizer
+    and shingle construction as ``_minhash_cte_body`` without the
+    minhash/band tail."""
+    tokenize = dd.SQL_TOKENIZE.format(col="text")
+    return f"""
+toks as (
+  select doc_id, {tokenize} as toks from {source}),
+sh as (
+  select doc_id,
+         case when len(toks) >= 3 then
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         when len(toks) >= 1 then [array_to_string(toks, ' ')]
+         else [] end as shingles
+  from toks),
+sd as (select doc_id, list_distinct(shingles) as s from sh)
+"""
+
+
+ORACLES["copy_search"] = f"""
+with {_shingle_cte_body()},
+q as (select doc_id as qid, s as qs from sd
+      where doc_id = (select min(doc_id) from documents))
+select d.doc_id, len(list_intersect(d.s, q.qs))::bigint as n_common,
+       len(q.qs)::bigint as n_query
+from sd d cross join q
+where d.doc_id <> q.qid
+order by n_common desc, d.doc_id asc
+limit {COPY_SEARCH_K}
+"""
+
+ORACLES["signal_correlation"] = f"""
+with sig as (
+  select length(text)::bigint as c,
+         length(regexp_extract_all(text, '\\S+'))::bigint as t,
+         len(list_distinct({dd.SQL_TOKENIZE.format(col="text")}))::bigint as l
+  from documents),
+m as (
+  select count(*)::hugeint as n,
+         sum(c)::hugeint as sc, sum(t)::hugeint as st, sum(l)::hugeint as sl,
+         sum(c*c)::hugeint as scc, sum(t*t)::hugeint as stt,
+         sum(l*l)::hugeint as sll, sum(c*t)::hugeint as sct,
+         sum(c*l)::hugeint as scl, sum(t*l)::hugeint as stl
+  from sig)
+select * from (
+  select 'chars' as sig_a, 'tokens' as sig_b,
+         case when n*scc - sc*sc = 0 or n*stt - st*st = 0 then 0.0
+              else round((n*sct - sc*st)::double /
+                         (sqrt((n*scc - sc*sc)::double) *
+                          sqrt((n*stt - st*st)::double)), 6) end as corr
+  from m
+  union all
+  select 'chars', 'types',
+         case when n*scc - sc*sc = 0 or n*sll - sl*sl = 0 then 0.0
+              else round((n*scl - sc*sl)::double /
+                         (sqrt((n*scc - sc*sc)::double) *
+                          sqrt((n*sll - sl*sl)::double)), 6) end
+  from m
+  union all
+  select 'tokens', 'types',
+         case when n*stt - st*st = 0 or n*sll - sl*sl = 0 then 0.0
+              else round((n*stl - st*sl)::double /
+                         (sqrt((n*stt - st*st)::double) *
+                          sqrt((n*sll - sl*sl)::double)), 6) end
+  from m)
 """
 
 

@@ -152,6 +152,11 @@ BENCH_QUERIES = [
     "dedup_prefix",
     "trustrank",
     "ann_recall",
+    "event_transitions",
+    "embed_standardize",
+    "embed_covariance",
+    "copy_search",
+    "signal_correlation",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
