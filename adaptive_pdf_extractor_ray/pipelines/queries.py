@@ -10615,16 +10615,13 @@ def q_embed_standardize(sf_dir: str):
     return emb.map_batches(zscore, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def q_embed_covariance(sf_dir: str):
-    """Exact covariance matrix of the embedding dimensions — the input
-    to distributed PCA. At 10^12 vectors the d×d Gram matrix is the ONLY
-    reduction that must see the corpus: each block contributes one d×d
-    XᵀX partial (a numpy matmul), a groupby sum reduces O(d²) keys, and
-    the final divide is driver-side on d(d+1)/2 + d rows — bounded by
-    the DIMENSION, independent of data size (the eigen step of PCA would
-    run on this 64×64 result). Emits the 1-based upper triangle with
-    cov = Σxy/n − mean_i·mean_j in float64, rounded to 6, exactly the
-    formula the oracle replays."""
+def _embed_moment_sums(sf_dir: str):
+    """Distributed (XᵀX, Σx, n) reduction of the embedding table — the
+    bounded O(d²) statistic distributed PCA / covariance needs. Each
+    block contributes one d×d numpy-matmul partial as long rows; a
+    groupby sums O(d²) keys; d(d+1)/2 + d rows reach the driver —
+    bounded by the DIMENSION, independent of data size. Returns
+    (gram_sums (d,d) symmetric, col_sums (d,), n_rows)."""
     emb = _read(sf_dir, "embeddings", ["embedding"])
     iu, ju = np.triu_indices(EMBED_DIMS)
 
@@ -10654,28 +10651,351 @@ def q_embed_covariance(sf_dir: str):
         )
         .take_all()  # bounded: d(d+1)/2 + d rows, data-size-independent
     )
-    sums = np.zeros(EMBED_DIMS, dtype=np.float64)
+    G = np.zeros((EMBED_DIMS, EMBED_DIMS), dtype=np.float64)
+    S = np.zeros(EMBED_DIMS, dtype=np.float64)
     n_total = 0
     for r in rows:
-        if int(r["j"]) == -1:
-            sums[int(r["i"])] = float(r["v"])
-            n_total = int(r["n"])
-    means = sums / n_total
-    out_i, out_j, out_c = [], [], []
-    for r in rows:
-        j = int(r["j"])
+        i, j = int(r["i"]), int(r["j"])
         if j == -1:
-            continue
-        i = int(r["i"])
-        cov = float(r["v"]) / n_total - means[i] * means[j]
-        out_i.append(i + 1)
-        out_j.append(j + 1)
-        out_c.append(float(np.round(cov, 6)))
+            S[i] = float(r["v"])
+            n_total = int(r["n"])
+        else:
+            G[i, j] = float(r["v"])
+            G[j, i] = float(r["v"])
+    return G, S, n_total
+
+
+def q_embed_covariance(sf_dir: str):
+    """Exact covariance matrix of the embedding dimensions — the input
+    to distributed PCA (reduction in ``_embed_moment_sums``; the eigen
+    step of PCA runs on this 64×64 result, see q_embed_pca). Emits the
+    1-based upper triangle with cov = Σxy/n − mean_i·mean_j in float64,
+    rounded to 6, exactly the formula the oracle replays."""
+    G, S, n_total = _embed_moment_sums(sf_dir)
+    means = S / n_total
+    iu, ju = np.triu_indices(EMBED_DIMS)
+    cov = np.round(G[iu, ju] / n_total - means[iu] * means[ju], 6)
     return pa.table(
         {
-            "i": pa.array(out_i, pa.int64()),
-            "j": pa.array(out_j, pa.int64()),
-            "cov": pa.array(out_c, pa.float64()),
+            "i": pa.array(iu + 1, pa.int64()),
+            "j": pa.array(ju + 1, pa.int64()),
+            "cov": pa.array(cov, pa.float64()),
+        }
+    )
+
+
+def _pca_top_component(C: np.ndarray) -> np.ndarray:
+    """Dominant eigenvector of a symmetric matrix via np.linalg.eigh
+    (deterministic), sign-fixed so the largest-|coordinate| entry is
+    positive."""
+    w, V = np.linalg.eigh((C + C.T) / 2.0)
+    v = V[:, -1]
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v
+
+
+def q_embed_pca(sf_dir: str):
+    """Distributed PCA with the loop closed: the corpus reduces to the
+    d×d moment matrix (one numpy XᵀX partial per block — see
+    ``_embed_moment_sums``), the eigen step runs driver-side on the
+    64×64 covariance (data-size-independent), and the projection onto
+    the top principal component is a stateless vectorized second pass
+    over the corpus. Output: (vec_id, pc1 = v·(x − mean), rounded 6).
+    The oracle replays the PROJECTION with the eigenvector/mean embedded
+    as literals (the same data-dependent-literal composition knn_ivf's
+    centroids use); the eigen step itself is pytest-verified against
+    numpy on the raw table (tests/test_webtext_session16.py)."""
+    G, S, n_total = _embed_moment_sums(sf_dir)
+    m = S / n_total
+    C = G / n_total - np.outer(m, m)
+    v = _pca_top_component(C)
+
+    def project(t: pa.Table) -> pa.Table:
+        x = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            x = np.zeros((0, EMBED_DIMS), dtype=np.float64)
+        s = np.round((x - m[None, :]) @ v, 6)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "pc1": pa.array(s, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pca_oracle_sql(sf_dir: str) -> str:
+    """Composes the embed_pca oracle: recompute mean + top eigenvector
+    INDEPENDENTLY (one-shot numpy over the raw parquet — no shared code
+    path with the distributed reduction), embed them as 64 literal
+    (pos, v, m) rows, and replay the projection in SQL."""
+    import pyarrow.parquet as pq_
+
+    X = np.asarray(
+        pq_.read_table(_pq(sf_dir, "embeddings"), columns=["embedding"])[
+            "embedding"
+        ].to_pylist(),
+        dtype=np.float64,
+    )
+    n = len(X)
+    m = X.sum(axis=0) / n
+    C = (X.T @ X) / n - np.outer(m, m)
+    v = _pca_top_component(C)
+    vals = ", ".join(
+        f"({i + 1}, {v[i]!r}::double, {m[i]!r}::double)"
+        for i in range(EMBED_DIMS)
+    )
+    return f"""
+with w(pos, v, m) as (values {vals}),
+flat as (
+  select vec_id, unnest(embedding)::double as val,
+         generate_subscripts(embedding, 1) as pos
+  from embeddings)
+select f.vec_id, round(sum((f.val - w.m) * w.v), 6) as pc1
+from flat f join w using (pos)
+group by f.vec_id
+"""
+
+
+JSB_BUCKETS = 16
+
+
+def _bucketed_join_tables(sf_dir: str) -> str:
+    """One-time storage bucketing of orders + lineitem on
+    orderkey & (B−1) — the Hive/Iceberg bucketed-table maintenance job.
+    A distributed map writes each block's per-bucket slices as
+    independent parquet files under ``table/bucket=k/`` (each writer
+    owns its own uniquely-named files — no coordination, resumable by
+    re-running). After this amortized rewrite, EVERY join on the key is
+    shuffle-free: bucket k of one table can only match bucket k of the
+    other. Memoized per (sf_dir, mtime)."""
+    import tempfile
+    import uuid
+
+    lt = os.path.getmtime(_pq(sf_dir, "lineitem"))
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{lt}:{JSB_BUCKETS}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"aper_jsb_{key}")
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+
+    import pyarrow.parquet as pq_
+
+    # build under a process-unique staging dir, publish with ONE atomic
+    # rename: a crashed or concurrent builder can never leave a
+    # half-written (or double-written) root behind
+    tmp = f"{root}.tmp-{uuid.uuid4().hex}"
+    specs = (
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        ("lineitem", "l_orderkey",
+         ["l_orderkey", "l_extendedprice", "l_discount"]),
+    )
+    for table, keycol, cols in specs:
+        def bucket_write(t: pa.Table, table=table, keycol=keycol) -> pa.Table:
+            b = pc.cast(
+                pc.bit_wise_and(t[keycol], JSB_BUCKETS - 1), pa.int64()
+            ).to_numpy()
+            for k in np.unique(b):
+                sl = t.filter(pa.array(b == k))
+                d = os.path.join(tmp, table, f"bucket={int(k)}")
+                os.makedirs(d, exist_ok=True)
+                pq_.write_table(
+                    sl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+                )
+            return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+        _read(sf_dir, table, cols).map_batches(
+            bucket_write, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("rows")
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, root)
+    except OSError:  # another builder won the race — use theirs
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+def q_join_storage_bucketed(sf_dir: str):
+    """Shuffle-FREE join over storage-co-partitioned tables: after the
+    one-time bucketed rewrite (``_bucketed_join_tables`` — amortized
+    across every subsequent join on the key at 10^12 scale), the join
+    itself moves no input rows between workers. Task k reads bucket k
+    of BOTH tables directly (pyarrow reads inside the map — the
+    bucket-to-bucket locality a co-partitioned lakehouse layout gives
+    you), hash-joins in memory, and emits a per-priority partial
+    rollup; only O(buckets × priorities) partial rows reach the final
+    groupby. Result identical to join_large / join_bucketed (shared
+    oracle)."""
+    import pyarrow.parquet as pq_
+
+    root = _bucketed_join_tables(sf_dir)
+    ids = rd.from_items([{"bucket": k} for k in range(JSB_BUCKETS)])
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import glob
+
+        outs = []
+        for k in t["bucket"].to_pylist():
+            of = sorted(glob.glob(
+                os.path.join(root, "orders", f"bucket={k}", "*.parquet")))
+            lf = sorted(glob.glob(
+                os.path.join(root, "lineitem", f"bucket={k}", "*.parquet")))
+            if not of or not lf:
+                continue
+            od = pa.concat_tables([pq_.read_table(f) for f in of]).to_pandas()
+            li = pa.concat_tables([pq_.read_table(f) for f in lf]).to_pandas()
+            df = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+            df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+            g = (
+                df.groupby("o_orderpriority")["rev"]
+                .agg(["sum", "size"])
+                .reset_index()
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "o_orderpriority": pa.array(
+                            g["o_orderpriority"], pa.string()
+                        ),
+                        "rev": pa.array(g["sum"], pa.float64()),
+                        "n": pa.array(g["size"], pa.int64()),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "rev": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    agg = (
+        ids.map_batches(join_bucket, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            ray.data.aggregate.Sum("rev", alias_name="revenue"),
+            ray.data.aggregate.Sum("n", alias_name="n_lineitems"),
+        )
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def q_agg_incremental(sf_dir: str):
+    """Incremental aggregation by partial-state merge: 'yesterday's'
+    corpus (orderkey & 3 ≠ 0) reduces once to a tiny mergeable state
+    table of (group key, Σqty, Σrev, Σdisc, n) partials, persisted to
+    parquet — the reusable checkpoint; 'today's' delta (orderkey & 3 =
+    0) reduces to its own partials; the merge is a groupby-sum over
+    O(groups × partials) rows. At 10^12 scale this is the difference
+    between touching the day's arrivals and re-scanning all history.
+    The result provably equals the full recompute: the oracle
+    aggregates the WHOLE table in one SQL pass."""
+    import tempfile
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+
+    def partials(t: pa.Table, want_delta: bool) -> pa.Table:
+        sel = pc.equal(pc.bit_wise_and(t["l_orderkey"], 3), 0)
+        t = t.filter(sel if want_delta else pc.invert(sel))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        acc: dict[tuple, list] = {}
+        for f, s, q, r, d in zip(
+            t["l_returnflag"].to_pylist(),
+            t["l_linestatus"].to_pylist(),
+            t["l_quantity"].to_pylist(),
+            rev.to_pylist(),
+            t["l_discount"].to_pylist(),
+        ):
+            a = acc.setdefault((f, s), [0.0, 0.0, 0.0, 0])
+            a[0] += q
+            a[1] += r
+            a[2] += d
+            a[3] += 1
+        keys = list(acc.keys())
+        return pa.table(
+            {
+                "l_returnflag": pa.array([k[0] for k in keys], pa.string()),
+                "l_linestatus": pa.array([k[1] for k in keys], pa.string()),
+                "qty": pa.array([acc[k][0] for k in keys], pa.float64()),
+                "rev": pa.array([acc[k][1] for k in keys], pa.float64()),
+                "disc": pa.array([acc[k][2] for k in keys], pa.float64()),
+                "n": pa.array([acc[k][3] for k in keys], pa.int64()),
+            }
+        )
+
+    state_dir = tempfile.mkdtemp(prefix="aper_aggstate_")
+    li.map_batches(
+        lambda t: partials(t, want_delta=False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).write_parquet(state_dir)
+
+    base_state = rd.read_parquet(state_dir)  # the persisted checkpoint
+    delta = li.map_batches(
+        lambda t: partials(t, want_delta=True),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    merged = (
+        base_state.union(delta)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            ray.data.aggregate.Sum("qty", alias_name="sum_qty"),
+            ray.data.aggregate.Sum("rev", alias_name="sum_revenue"),
+            ray.data.aggregate.Sum("disc", alias_name="sum_disc"),
+            ray.data.aggregate.Sum("n", alias_name="n"),
+        )
+    )
+    df = merged.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    df["avg_disc"] = (df["sum_disc"] / df["n"]).round(6)
+    return df.drop(columns=["sum_disc"])
+
+
+def q_domain_entropy(sf_dir: str):
+    """Corpus concentration audit: Shannon entropy (nats) + top-source
+    share of the per-source document distribution — the one-row balance
+    check a training-mix pipeline runs before sampling (a corpus whose
+    entropy is far below ln(n_sources) is dominated by few crawl
+    sources). One groupby-count reduces the corpus to O(sources) exact
+    integer rows; the driver finish is H = ln(N) − (Σ c·ln c)/N from
+    those integers — the identical float64 formula the oracle runs."""
+    rows = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .count()
+        .take_all()  # bounded: one row per source
+    )
+    counts = [int(r["count()"]) for r in rows]
+    total = sum(counts)
+    ent = math.log(total) - sum(c * math.log(c) for c in counts) / total
+    return pa.table(
+        {
+            "n_sources": pa.array([len(counts)], pa.int64()),
+            "entropy_nats": pa.array([round(ent, 6)], pa.float64()),
+            "top_share": pa.array(
+                [round(max(counts) / total, 6)], pa.float64()
+            ),
         }
     )
 
@@ -10972,6 +11292,10 @@ QUERIES = {
     "embed_covariance": q_embed_covariance,
     "copy_search": q_copy_search,
     "signal_correlation": q_signal_correlation,
+    "embed_pca": q_embed_pca,
+    "join_storage_bucketed": q_join_storage_bucketed,
+    "agg_incremental": q_agg_incremental,
+    "domain_entropy": q_domain_entropy,
 }
 
 
@@ -13251,6 +13575,34 @@ select url, r / {PR_SCALE}.0 as pagerank from {prev}
 """
 
 
+ORACLES["join_storage_bucketed"] = (
+    "select o_orderpriority, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
+    "count(*) as n_lineitems from orders join lineitem "
+    "on o_orderkey = l_orderkey group by o_orderpriority"
+)
+
+ORACLES["agg_incremental"] = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_revenue,
+       round(sum(l_discount) / count(*), 6) as avg_disc,
+       count(*) as n
+from lineitem group by l_returnflag, l_linestatus
+"""
+
+ORACLES["domain_entropy"] = """
+with c as (select source, count(*)::bigint as n from documents
+           group by source),
+t as (select sum(n)::bigint as nn from c)
+select count(*)::bigint as n_sources,
+       round(ln(nn::double)
+             - sum(n::double * ln(n::double)) / nn::double, 6)
+         as entropy_nats,
+       round(max(n)::double / nn::double, 6) as top_share
+from c, t group by nn
+"""
+
 ORACLES["event_transitions"] = """
 with w as (
   select user_id, event_type,
@@ -13420,6 +13772,9 @@ from read_json_auto('{jsonl_corpus()}', format='newline_delimited')
     ivf_sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     if os.path.isfile(_pq(ivf_sf, "embeddings")):
         out["knn_ivf"] = ivf_oracle_sql(ivf_sf)
+        # embed_pca's eigenvector/mean literals are data-dependent in
+        # the same way (recomputed independently from the raw parquet)
+        out["embed_pca"] = pca_oracle_sql(ivf_sf)
         # knn_lsh's plane literals depend only on the embedding DIMENSION
         # (data-independent), read from the same gate tables
         out["knn_lsh"] = lsh_oracle_sql(ivf_sf)

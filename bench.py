@@ -157,6 +157,10 @@ BENCH_QUERIES = [
     "embed_covariance",
     "copy_search",
     "signal_correlation",
+    "embed_pca",
+    "join_storage_bucketed",
+    "agg_incremental",
+    "domain_entropy",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -104,6 +104,113 @@ class TestCopySearch:
         assert qid not in set(got["doc_id"])
 
 
+class TestEmbedPca:
+    def test_projection_matches_numpy_pca(self, ray_session):
+        got = q.q_embed_pca(SF).to_pandas().set_index("vec_id")["pc1"]
+        X = _emb_matrix()
+        n = len(X)
+        m = X.sum(axis=0) / n
+        C = (X.T @ X) / n - np.outer(m, m)
+        w, V = np.linalg.eigh((C + C.T) / 2.0)
+        v = V[:, -1]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        expect = (X - m) @ v
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        for row, vid in enumerate(t["vec_id"].to_pylist()):
+            assert abs(got[vid] - expect[row]) < 1e-5
+        # the projection captures the dominant eigenvalue's variance
+        assert abs(got.to_numpy().var() - w[-1]) < 1e-3
+        assert got.to_numpy().std() > 0.1, "PC1 must be non-degenerate"
+
+
+class TestJoinStorageBucketed:
+    def test_matches_plain_join(self, ray_session):
+        got = (
+            q.q_join_storage_bucketed(SF)
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        ref = (
+            q.q_join_large(SF)
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["o_orderpriority", "revenue", "n_lineitems"]],
+            ref[["o_orderpriority", "revenue", "n_lineitems"]],
+        )
+
+    def test_bucketed_rewrite_memoized_and_complete(self, ray_session):
+        import glob
+        import os
+
+        root = q._bucketed_join_tables(SF)
+        assert os.path.exists(os.path.join(root, "_DONE"))
+        assert root == q._bucketed_join_tables(SF)  # second call: memo hit
+        # every row landed in exactly one bucket
+        li = pq.read_table(f"{SF}/lineitem.parquet")
+        n_bucketed = sum(
+            pq.read_table(f).num_rows
+            for f in glob.glob(
+                os.path.join(root, "lineitem", "bucket=*", "*.parquet")
+            )
+        )
+        assert n_bucketed == li.num_rows
+        # bucket invariant: files under bucket=k hold only keys with
+        # key & (B-1) == k
+        for k in (0, q.JSB_BUCKETS - 1):
+            fs = glob.glob(
+                os.path.join(root, "lineitem", f"bucket={k}", "*.parquet")
+            )
+            for f in fs[:2]:
+                keys = pq.read_table(f)["l_orderkey"].to_numpy()
+                assert ((keys & (q.JSB_BUCKETS - 1)) == k).all()
+
+
+class TestAggIncremental:
+    def test_equals_full_recompute(self, ray_session):
+        got = (
+            q.q_agg_incremental(SF)
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+        truth = (
+            li.groupby(["l_returnflag", "l_linestatus"])
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_revenue=("rev", "sum"),
+                sum_disc=("l_discount", "sum"),
+                n=("rev", "size"),
+            )
+            .reset_index()
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True)
+        )
+        assert list(got["n"]) == list(truth["n"])
+        assert np.allclose(got["sum_qty"], truth["sum_qty"].round(2))
+        assert np.allclose(got["sum_revenue"], truth["sum_revenue"], atol=0.02)
+        assert np.allclose(
+            got["avg_disc"], truth["sum_disc"] / truth["n"], atol=1e-5
+        )
+
+
+class TestDomainEntropy:
+    def test_matches_direct_formula(self, ray_session):
+        got = q.q_domain_entropy(SF).to_pandas().iloc[0]
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        c = docs["source"].value_counts()
+        p = c / c.sum()
+        h = -(p * np.log(p)).sum()
+        assert got["n_sources"] == len(c)
+        assert abs(got["entropy_nats"] - h) < 1e-5
+        assert abs(got["top_share"] - p.max()) < 1e-6
+        # entropy bounded by uniform
+        assert got["entropy_nats"] <= math.log(len(c)) + 1e-9
+
+
 class TestSignalCorrelation:
     def test_matches_numpy_corrcoef(self, ray_session):
         got = q.q_signal_correlation(SF).to_pandas()
