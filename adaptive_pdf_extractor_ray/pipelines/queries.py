@@ -6274,6 +6274,50 @@ limit {BPE_TOPK}
 
 
 BPE_MERGES = 8  # learned merge rounds
+# size routing for the merge-learning loop: a distinct-WORD table at or
+# under this row count runs the 8 rounds on the driver (the table is the
+# vocabulary, not the corpus — pure Ray-op overhead dominates 8 tiny
+# shuffles otherwise: 148 s -> ~4 s at sf0.1); above it, the distributed
+# per-round groupby loop below handles open-web vocabularies
+BPE_DRIVER_VOCAB_CAP = 200_000
+
+
+def _bpe_learn_driver(
+    words: list[tuple[str, int]]
+) -> list[tuple[int, str, str, int]]:
+    """Driver-route merge learning over the (distinct word, count)
+    table: the IDENTICAL recurrence as the distributed loop — pair
+    counts weighted by word frequency, max by (n desc, pair asc),
+    left-to-right non-overlapping merge application — equivalence-tested
+    against the distributed route in tests/test_webtext_session16.py."""
+    wt = [(list(w) + ["</w>"], n) for w, n in words]
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, BPE_MERGES + 1):
+        agg: dict[tuple[str, str], int] = {}
+        for s, n in wt:
+            for a, b in zip(s, s[1:]):
+                agg[(a, b)] = agg.get((a, b), 0) + n
+        if not agg:
+            break
+        (left, right), best = min(
+            agg.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((k, left, right, best))
+        merged = left + right
+        nxt = []
+        for s, n in wt:
+            r: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    r.append(merged)
+                    i += 2
+                else:
+                    r.append(s[i])
+                    i += 1
+            nxt.append((r, n))
+        wt = nxt
+    return merges
 
 
 def _bpe_learn(sf_dir: str) -> list[tuple[int, str, str, int]]:
@@ -6313,15 +6357,24 @@ def _bpe_learn_cached(
             {"syms": pa.array(syms, pa.string()), "n": t["sum(n)"]}
         )
 
-    wt = (
+    counts_ds = (
         docs.map_batches(
             word_partials, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("word")
         .sum("n")
-        .map_batches(to_syms, batch_format="pyarrow")
         .materialize()
     )
+    if counts_ds.count() <= BPE_DRIVER_VOCAB_CAP:
+        # the distinct-word table IS the working set of all 8 rounds:
+        # under the cap, run them on the driver (same recurrence, same
+        # tie-break) instead of paying 8 tiny shuffles of fixed overhead
+        rows = counts_ds.take_all()
+        return _bpe_learn_driver(
+            [(r["word"], int(r["sum(n)"])) for r in rows]
+        )
+
+    wt = counts_ds.map_batches(to_syms, batch_format="pyarrow").materialize()
 
     from ..stages.topk import dataset_topk
 
@@ -11116,6 +11169,193 @@ def q_signal_correlation(sf_dir: str):
     )
 
 
+EDITDIST_CAP = 200  # chars compared per side (documented truncation)
+
+
+def _lev_bytes(a: bytes, b: bytes) -> int:
+    """Levenshtein distance over BYTE sequences (DuckDB's ``levenshtein``
+    is byte-based — 'café' vs 'cafe' is 2 — so the engine matches that
+    semantics exactly). Vectorized row-DP: the insertion running-min uses
+    the minimum.accumulate trick full[j] = j + min_k≤j(full[k] − k)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+    width = np.arange(len(b) + 1, dtype=np.int32)
+    prev = width.copy()
+    full = np.empty(len(b) + 1, dtype=np.int32)
+    for i, ca in enumerate(a):
+        full[0] = i + 1
+        np.minimum(prev[:-1] + (bb != ca), prev[1:] + 1, out=full[1:])
+        adj = full - width
+        np.minimum.accumulate(adj, out=adj)
+        full = adj + width
+        prev, full = full, prev
+    return int(prev[-1])
+
+
+def q_snapshot_editdist(sf_dir: str):
+    """Crawl-over-crawl change MAGNITUDE: for every url present in both
+    snapshots, the byte-level Levenshtein distance between the two
+    texts (first-{cap}-chars window — documented truncation, shared with
+    the oracle) — the refresh-priority signal an incremental crawler
+    feeds its scheduler (dist 0 = unchanged, small = tweak, large =
+    rewrite). Same bounded-group plan as snapshot_diff: union tagged by
+    side, ONE groupby(url) with ≤2 rows per group, DP inside the group
+    (vectorized numpy rows). Integer-exact."""
+    a_dir, b_dir = crawl_diff_corpus()
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array([side] * t.num_rows, pa.int32())
+            )
+
+        return f
+
+    a = rd.read_parquet(a_dir, columns=["url", "text"]).map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    b = rd.read_parquet(b_dir, columns=["url", "text"]).map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def dist(g: pa.Table) -> pa.Table:
+        sides = dict(zip(g["side"].to_pylist(), g["text"].to_pylist()))
+        if 0 not in sides or 1 not in sides:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "editdist": pa.array([], pa.int64()),
+                }
+            )
+        d = _lev_bytes(
+            (sides[0] or "")[:EDITDIST_CAP].encode("utf-8"),
+            (sides[1] or "")[:EDITDIST_CAP].encode("utf-8"),
+        )
+        return pa.table(
+            {
+                "url": pa.array([g["url"][0].as_py()], pa.string()),
+                "editdist": pa.array([d], pa.int64()),
+            }
+        )
+
+    return a.union(b).groupby("url").map_groups(
+        dist, batch_format="pyarrow"
+    )
+
+
+def q_domain_similarity(sf_dir: str):
+    """Pairwise vocabulary similarity BETWEEN sources via mergeable
+    per-domain MinHash: a domain's signature is the elementwise min of
+    its docs' signatures (= the signature of the union of their shingle
+    sets — a true mergeable sketch, so per-block partials compose by
+    min). Per-batch actor partials emit (source, p_idx, mh) rows
+    (sources × NUM_PERM per block), a groupby-min reduces them, and the
+    bounded sources × NUM_PERM final table drives the pairwise
+    signature-agreement estimate J ≈ agree/NUM_PERM on the driver. The
+    Broder estimator over domain-level sketches is how you compare
+    corpus slices (crawls, domains, languages) without pairing documents.
+    md5+mod-2⁶⁴ arithmetic replayed exactly in SQL; sources consisting
+    solely of token-free docs are absent on both sides (the empty
+    shingle set is the min-identity and is skipped —
+    ``dd.DomainMinHasher``)."""
+    rows = (
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(
+            dd.DomainMinHasher,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=_apool(),
+        )
+        .groupby(["source", "p_idx"])
+        .min("mh")
+        .take_all()  # bounded: n_sources × NUM_PERM rows
+    )
+    sigs: dict[str, np.ndarray] = {}
+    for r in rows:
+        sigs.setdefault(
+            r["source"], np.zeros(dd.NUM_PERM, dtype=np.uint64)
+        )[int(r["p_idx"])] = np.uint64(
+            int(r["min(mh)"]) + dd.DomainMinHasher.BIAS
+        )
+    srcs = sorted(sigs)
+    out_a, out_b, out_ag, out_j = [], [], [], []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            agree = int((sigs[srcs[i]] == sigs[srcs[j]]).sum())
+            out_a.append(srcs[i])
+            out_b.append(srcs[j])
+            out_ag.append(agree)
+            out_j.append(round(agree / dd.NUM_PERM, 6))
+    return pa.table(
+        {
+            "src_a": pa.array(out_a, pa.string()),
+            "src_b": pa.array(out_b, pa.string()),
+            "agree": pa.array(out_ag, pa.int64()),
+            "est_jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
+ZIPF_TOP_K = 50
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf log-log slope of the top-K term frequencies — the one-row
+    corpus-health audit (natural text sits near −1; a flat or cliffed
+    slope flags boilerplate floods or truncated vocabularies). The
+    count plan is vocab_top_terms' (partial counts → groupby sum →
+    per-block top-K; the billion-term vocabulary never materializes);
+    the driver regression runs on ≤K exact integer counts with
+    x = ln(rank), y = ln(n) and the same closed-form least-squares
+    formula the oracle replays — ranks tie-broken (n desc, term asc)
+    deterministically on both sides."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for w in (s or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ..stages.topk import dataset_topk
+
+    agg = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+    top = dataset_topk(
+        agg, [("n", "descending"), ("term", "ascending")], ZIPF_TOP_K
+    ).take_all()
+    k = len(top)
+    x = [math.log(r + 1) for r in range(k)]
+    y = [math.log(int(t["n"])) for t in top]
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    den = k * sxx - sx * sx
+    slope = 0.0 if den == 0 else round((k * sxy - sx * sy) / den, 6)
+    return pa.table(
+        {
+            "k_terms": pa.array([k], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
@@ -11296,6 +11536,9 @@ QUERIES = {
     "join_storage_bucketed": q_join_storage_bucketed,
     "agg_incremental": q_agg_incremental,
     "domain_entropy": q_domain_entropy,
+    "snapshot_editdist": q_snapshot_editdist,
+    "domain_similarity": q_domain_similarity,
+    "zipf_slope": q_zipf_slope,
 }
 
 
@@ -13575,6 +13818,72 @@ select url, r / {PR_SCALE}.0 as pagerank from {prev}
 """
 
 
+def _domain_similarity_oracle_sql() -> str:
+    perms = ", ".join(
+        f"({i}, {a}::hugeint, {b}::hugeint)"
+        for i, (a, b) in enumerate(zip(dd.PERM_A, dd.PERM_B))
+    )
+    tokenize = dd.SQL_TOKENIZE.format(col="text")
+    return f"""
+with toks as (
+  select source, {tokenize} as toks from documents),
+sh as (
+  select source,
+         case when len(toks) >= 3 then
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         when len(toks) >= 1 then [array_to_string(toks, ' ')]
+         else [] end as shingles
+  from toks),
+shu as (select source, unnest(shingles) as s from sh),
+hv as (select source,
+              ('0x' || substr(md5(s), 1, 16))::ubigint as h from shu),
+perms(p_idx, a, b) as (values {perms}),
+pv as (
+  select source, p_idx,
+         min(((a * h::hugeint + b) % 18446744073709551616::hugeint)::ubigint)
+           as mh
+  from hv cross join perms group by source, p_idx)
+select a.source as src_a, b.source as src_b,
+       sum(case when a.mh = b.mh then 1 else 0 end)::bigint as agree,
+       round(sum(case when a.mh = b.mh then 1 else 0 end)
+             / {dd.NUM_PERM}.0, 6) as est_jaccard
+from pv a join pv b on a.p_idx = b.p_idx and a.source < b.source
+group by 1, 2
+"""
+
+
+ORACLES["domain_similarity"] = _domain_similarity_oracle_sql()
+
+ORACLES["zipf_slope"] = f"""
+with t as (select unnest(string_split(text, ' ')) as term from documents),
+c as (select term, count(*)::bigint as n from t
+      where term <> '' group by term),
+top as (select n, row_number() over (order by n desc, term asc) as r
+        from c order by n desc, term asc limit {ZIPF_TOP_K}),
+m as (select count(*)::bigint as k,
+             sum(ln(r::double)) as sx, sum(ln(n::double)) as sy,
+             sum(ln(r::double) * ln(r::double)) as sxx,
+             sum(ln(r::double) * ln(n::double)) as sxy
+      from top)
+select k as k_terms,
+       case when k * sxx - sx * sx = 0 then 0.0
+            else round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+       end as slope
+from m
+"""
+
+
+def snapshot_editdist_oracle_sql(a_dir: str, b_dir: str) -> str:
+    return f"""
+select a.url,
+       levenshtein(substr(a.text, 1, {EDITDIST_CAP}),
+                   substr(b.text, 1, {EDITDIST_CAP}))::bigint as editdist
+from read_parquet('{a_dir}/*.parquet') a
+join read_parquet('{b_dir}/*.parquet') b using (url)
+"""
+
+
 ORACLES["join_storage_bucketed"] = (
     "select o_orderpriority, "
     "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
@@ -13755,6 +14064,7 @@ def all_oracles() -> dict[str, str]:
     out["snapshot_latest"] = snapshot_latest_oracle_sql(recrawl_corpus())
     a_dir, b_dir = crawl_diff_corpus()
     out["snapshot_diff"] = snapshot_diff_oracle_sql(a_dir, b_dir)
+    out["snapshot_editdist"] = snapshot_editdist_oracle_sql(a_dir, b_dir)
     out["snapshot_incremental"] = f"""
 with d as ({snapshot_diff_oracle_sql(a_dir, b_dir)})
 select d.url, d.status, b.text

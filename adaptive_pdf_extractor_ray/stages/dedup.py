@@ -888,3 +888,49 @@ def cross_bucket_pairs(
     return pa.table(
         {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
     )
+
+
+class DomainMinHasher:
+    """Actor stage for domain-level mergeable MinHash: per batch, the
+    elementwise min of each source's doc signatures (= the signature of
+    the union of their shingle sets, so per-block partials compose by a
+    further min). Docs with no shingles are SKIPPED — their all-max
+    sentinel is the min-identity, and skipping matches the SQL oracle
+    (no shingle rows ⇒ no contribution). The emitted ``mh`` carries the
+    ORDER-PRESERVING bias shift x − 2⁶³ into int64 (x ↦ x − 2⁶³ is
+    monotone from [0, 2⁶⁴) onto [−2⁶³, 2⁶³)), because Ray's groupby-min
+    block build converts through int64 and a genuine uint64 hash from a
+    1-shingle doc exceeds int64 max about half the time; the consumer
+    adds 2⁶³ back."""
+
+    BIAS = 1 << 63
+
+    def __init__(self, num_perm: int = NUM_PERM, shingle_k: int = 3,
+                 col: str = "text", key: str = "source"):
+        self._mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, col=col)
+        self.num_perm = num_perm
+        self.col = col
+        self.key = key
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        acc: dict[str, np.ndarray] = {}
+        for src, txt in zip(
+            t[self.key].to_pylist(), t[self.col].to_pylist()
+        ):
+            if not _tokens(txt or ""):
+                continue  # empty shingle set: min-identity, skip
+            sig = self._mh.signature(txt or "")
+            cur = acc.get(src)
+            acc[src] = sig if cur is None else np.minimum(cur, sig)
+        srcs, pidx, mhs = [], [], []
+        for src, sig in acc.items():
+            srcs.extend([src] * self.num_perm)
+            pidx.extend(range(self.num_perm))
+            mhs.extend(int(v) - self.BIAS for v in sig)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "p_idx": pa.array(pidx, pa.int64()),
+                "mh": pa.array(mhs, pa.int64()),
+            }
+        )

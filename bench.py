@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "join_storage_bucketed",
     "agg_incremental",
     "domain_entropy",
+    "snapshot_editdist",
+    "domain_similarity",
+    "zipf_slope",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

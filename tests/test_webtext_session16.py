@@ -211,6 +211,114 @@ class TestDomainEntropy:
         assert got["entropy_nats"] <= math.log(len(c)) + 1e-9
 
 
+class TestBpeRouteEquivalence:
+    def test_driver_route_equals_distributed(self, ray_session, monkeypatch):
+        q._bpe_learn_cached.cache_clear()
+        fast = q._bpe_learn(SF)
+        q._bpe_learn_cached.cache_clear()
+        monkeypatch.setattr(q, "BPE_DRIVER_VOCAB_CAP", 0)
+        slow = q._bpe_learn(SF)
+        q._bpe_learn_cached.cache_clear()
+        assert fast == slow
+        assert len(fast) == q.BPE_MERGES
+
+
+class TestSnapshotEditdist:
+    def test_matches_reference_dp(self, ray_session):
+        got = (
+            q.q_snapshot_editdist(SF)
+            .to_pandas()
+            .set_index("url")["editdist"]
+        )
+        a_dir, b_dir = q.crawl_diff_corpus()
+        a = pq.read_table(a_dir).to_pandas().set_index("url")["text"]
+        b = pq.read_table(b_dir).to_pandas().set_index("url")["text"]
+        common = sorted(set(a.index) & set(b.index))
+        assert sorted(got.index) == common
+
+        def ref_lev(x: bytes, y: bytes) -> int:
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x):
+                cur = [i + 1]
+                for j, cy in enumerate(y):
+                    cur.append(
+                        min(prev[j] + (cx != cy), prev[j + 1] + 1,
+                            cur[j] + 1)
+                    )
+                prev = cur
+            return prev[-1]
+
+        for url in common[:30]:
+            expect = ref_lev(
+                (a[url] or "")[: q.EDITDIST_CAP].encode(),
+                (b[url] or "")[: q.EDITDIST_CAP].encode(),
+            )
+            assert got[url] == expect
+        # unchanged pages exist and score 0; changed pages score > 0
+        assert (got == 0).any() and (got > 0).any()
+
+    def test_lev_bytes_properties(self):
+        assert q._lev_bytes(b"", b"") == 0
+        assert q._lev_bytes(b"abc", b"") == 3
+        assert q._lev_bytes(b"", b"xy") == 2
+        assert q._lev_bytes(b"kitten", b"sitting") == 3
+        assert q._lev_bytes(b"abc", b"abc") == 0
+        # symmetry + triangle-ish sanity
+        assert q._lev_bytes(b"abcd", b"bcde") == q._lev_bytes(
+            b"bcde", b"abcd"
+        )
+
+
+class TestDomainSimilarity:
+    def test_signatures_merge_and_bounds(self, ray_session):
+        got = q.q_domain_similarity(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        srcs = sorted(docs["source"].unique())
+        assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+        assert (got["agree"] >= 0).all()
+        assert (got["agree"] <= 32).all()
+        assert np.allclose(got["est_jaccard"], got["agree"] / 32.0)
+        # ground truth: domain signature == elementwise min over doc sigs
+        import adaptive_pdf_extractor_ray.stages.dedup as dd2
+
+        mh = dd2.MinHasher()
+        s0 = srcs[0]
+        texts = docs.loc[docs.source == s0, "text"]
+        sigs = [
+            mh.signature(t) for t in texts if dd2._tokens(t or "")
+        ]
+        expect_sig = np.minimum.reduce(sigs)
+        s1 = srcs[1]
+        sigs1 = [
+            mh.signature(t)
+            for t in docs.loc[docs.source == s1, "text"]
+            if dd2._tokens(t or "")
+        ]
+        expect_agree = int((expect_sig == np.minimum.reduce(sigs1)).sum())
+        row = got[(got.src_a == s0) & (got.src_b == s1)]
+        assert int(row["agree"].iloc[0]) == expect_agree
+
+
+class TestZipfSlope:
+    def test_matches_polyfit(self, ray_session):
+        got = q.q_zipf_slope(SF).to_pandas().iloc[0]
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        from collections import Counter as C
+
+        counts = C(
+            w for s in docs["text"] for w in (s or "").split(" ") if w
+        )
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : q.ZIPF_TOP_K
+        ]
+        x = np.log(np.arange(1, len(top) + 1))
+        y = np.log([n for _, n in top])
+        slope = np.polyfit(x, y, 1)[0]
+        assert got["k_terms"] == len(top)
+        assert abs(got["slope"] - slope) < 1e-4
+        assert got["slope"] < 0  # frequencies decay with rank
+
+
 class TestSignalCorrelation:
     def test_matches_numpy_corrcoef(self, ray_session):
         got = q.q_signal_correlation(SF).to_pandas()
