@@ -11356,6 +11356,156 @@ def q_zipf_slope(sf_dir: str):
     )
 
 
+def q_first_seen(sf_dir: str):
+    """Canonical-source attribution across recrawls: for every distinct
+    content fingerprint, the earliest capture timestamp, the canonical
+    url (min url among earliest-ts ties — deterministic), and the copy
+    count. This is the provenance step of crawl dedup: when N urls carry
+    the same bytes, the keeper is the earliest capture. One shuffle
+    keyed by the 32-hex md5; the per-group argmin is O(group) (a
+    duplicate set — at web scale the giant-group guard is the same
+    identical-content collapse bucket_pairs uses, but here the group
+    ALREADY holds one row per capture of one content, which is the
+    quantity being counted)."""
+    pages_dir = recrawl_corpus()
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "fp": pa.array(fps, pa.string()),
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+            }
+        )
+
+    def pick(g: pa.Table) -> pa.Table:
+        ts = g["warc_ts"].to_pylist()
+        urls = g["url"].to_pylist()
+        first = min(ts)
+        canon = min(u for u, x in zip(urls, ts) if x == first)
+        return pa.table(
+            {
+                "fp": g["fp"].slice(0, 1),
+                "first_ts": pa.array([first], g["warc_ts"].type),
+                "canonical_url": pa.array([canon], pa.string()),
+                "n_captures": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(pages_dir, columns=["url", "warc_ts", "text"])
+        .map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+def first_seen_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with p as (
+  select url, warc_ts, md5(coalesce(text, '')) as fp
+  from read_parquet('{pages_dir}/*.parquet')),
+m as (select fp, min(warc_ts) as first_ts, count(*)::bigint as n_captures
+      from p group by fp)
+select m.fp, m.first_ts, min(p.url) as canonical_url, m.n_captures
+from m join p on p.fp = m.fp and p.warc_ts = m.first_ts
+group by m.fp, m.first_ts, m.n_captures
+"""
+
+
+CORPUS_KL_TOP_K = 50
+
+
+def q_corpus_kl(sf_dir: str):
+    """Per-source KL divergence of the term distribution vs the corpus
+    (over the global top-K terms, add-1 smoothed) — the domain-shift
+    audit behind DSIR-style mixture decisions: a source whose KL is an
+    outlier writes a different language than the pool. Pass 1 builds
+    the bounded top-K term set (vocab partial-count plan, the
+    billion-term vocabulary never materializes); pass 2 counts
+    (source, top-term) occurrences — the groupby key space is
+    sources × K. The driver finish computes KL from exact integer
+    counts with the identical float64 formula the oracle replays."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for w in (s or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ..stages.topk import dataset_topk
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("term")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+    top = dataset_topk(
+        agg, [("n", "descending"), ("term", "ascending")], CORPUS_KL_TOP_K
+    ).take_all()
+    terms = sorted(t["term"] for t in top)
+    term_set = set(terms)
+
+    def st_partial(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for src, s in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for w in (s or "").split(" "):
+                if w in term_set:
+                    counts[(src, w)] = counts.get((src, w), 0) + 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(st_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby(["source", "term"])
+        .sum("n")
+        .take_all()  # bounded: sources × K rows
+    )
+    st: dict[str, dict[str, int]] = {}
+    for r in rows:
+        st.setdefault(r["source"], {})[r["term"]] = int(r["sum(n)"])
+    gl = {t: sum(d.get(t, 0) for d in st.values()) for t in terms}
+    nn = sum(gl.values())
+    k = len(terms)
+    out_s, out_kl = [], []
+    for src in sorted(st):
+        ns = sum(st[src].values())
+        kl = 0.0
+        for t in terms:
+            p = (st[src].get(t, 0) + 1) / (ns + k)
+            qv = (gl[t] + 1) / (nn + k)
+            kl += p * math.log(p / qv)
+        out_s.append(src)
+        out_kl.append(round(kl, 6))
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "kl": pa.array(out_kl, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
@@ -11539,6 +11689,8 @@ QUERIES = {
     "snapshot_editdist": q_snapshot_editdist,
     "domain_similarity": q_domain_similarity,
     "zipf_slope": q_zipf_slope,
+    "first_seen": q_first_seen,
+    "corpus_kl": q_corpus_kl,
 }
 
 
@@ -13855,6 +14007,36 @@ group by 1, 2
 
 ORACLES["domain_similarity"] = _domain_similarity_oracle_sql()
 
+ORACLES["corpus_kl"] = f"""
+with t as (select source, unnest(string_split(text, ' ')) as term
+           from documents),
+tt as (select source, term from t where term <> ''),
+c as (select term, count(*)::bigint as n from tt group by term),
+top as (select term from (select term, n from c
+                          order by n desc, term asc
+                          limit {CORPUS_KL_TOP_K})),
+st as (select source, term, count(*)::bigint as n
+       from tt join top using (term) group by 1, 2),
+srcs as (select distinct source from st),
+grid as (select s.source, p.term from srcs s cross join top p),
+fl as (select g.source, g.term, coalesce(st.n, 0) as n
+       from grid g left join st
+         on st.source = g.source and st.term = g.term),
+tot as (select source, sum(n)::bigint as ns from fl group by source),
+gl as (select term, sum(n)::bigint as gn from fl group by term),
+gt as (select sum(n)::bigint as nn from fl),
+kk as (select count(*)::bigint as k from top)
+select f.source,
+       round(sum(((f.n + 1)::double / (tot.ns + kk.k)::double)
+                 * ln(((f.n + 1)::double / (tot.ns + kk.k)::double)
+                      / ((gl.gn + 1)::double
+                         / (gt.nn + kk.k)::double))), 6) as kl
+from fl f
+join tot using (source)
+join gl using (term), gt, kk
+group by f.source
+"""
+
 ORACLES["zipf_slope"] = f"""
 with t as (select unnest(string_split(text, ' ')) as term from documents),
 c as (select term, count(*)::bigint as n from t
@@ -14053,6 +14235,7 @@ def all_oracles() -> dict[str, str]:
     out["graph_triangles"] = triangles_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)
     out["url_history"] = url_history_oracle_sql(recrawl_corpus())
+    out["first_seen"] = first_seen_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     out["cocitation"] = cocitation_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)

@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "snapshot_editdist",
     "domain_similarity",
     "zipf_slope",
+    "first_seen",
+    "corpus_kl",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

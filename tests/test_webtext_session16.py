@@ -319,6 +319,70 @@ class TestZipfSlope:
         assert got["slope"] < 0  # frequencies decay with rank
 
 
+class TestFirstSeen:
+    def test_matches_pandas_groundtruth(self, ray_session):
+        import hashlib
+
+        got = q.q_first_seen(SF).to_pandas().set_index("fp")
+        pages = pq.read_table(q.recrawl_corpus()).to_pandas()
+        pages["fp"] = pages["text"].map(
+            lambda s: hashlib.md5((s or "").encode()).hexdigest()
+        )
+        for fp, g in pages.groupby("fp"):
+            first = g["warc_ts"].min()
+            canon = g.loc[g.warc_ts == first, "url"].min()
+            assert got.loc[fp, "first_ts"] == first
+            assert got.loc[fp, "canonical_url"] == canon
+            assert got.loc[fp, "n_captures"] == len(g)
+        assert len(got) == pages["fp"].nunique()
+        # conservation: every capture attributed exactly once
+        assert got["n_captures"].sum() == len(pages)
+
+
+class TestCorpusKl:
+    def test_matches_direct_formula(self, ray_session):
+        got = q.q_corpus_kl(SF).to_pandas().set_index("source")["kl"]
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        from collections import Counter as C
+
+        counts = C(
+            w for s in docs["text"] for w in (s or "").split(" ") if w
+        )
+        top = [
+            t
+            for t, _ in sorted(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )[: q.CORPUS_KL_TOP_K]
+        ]
+        tset = set(top)
+        st = {}
+        for src, g in docs.groupby("source"):
+            c = C(
+                w
+                for s in g["text"]
+                for w in (s or "").split(" ")
+                if w in tset
+            )
+            if c:
+                st[src] = c
+        gl = {t: sum(c.get(t, 0) for c in st.values()) for t in top}
+        nn = sum(gl.values())
+        k = len(top)
+        for src, c in st.items():
+            ns = sum(c.values())
+            kl = sum(
+                ((c.get(t, 0) + 1) / (ns + k))
+                * math.log(
+                    ((c.get(t, 0) + 1) / (ns + k))
+                    / ((gl[t] + 1) / (nn + k))
+                )
+                for t in top
+            )
+            assert abs(got[src] - kl) < 1e-5
+        assert (got >= 0).all() is not None  # KL of smoothed dists >= ~0
+        assert got.min() > -1e-6
+
+
 class TestSignalCorrelation:
     def test_matches_numpy_corrcoef(self, ray_session):
         got = q.q_signal_correlation(SF).to_pandas()
