@@ -11506,6 +11506,160 @@ def q_corpus_kl(sf_dir: str):
     )
 
 
+SESSION_PATH_TOP_K = 20
+
+
+def q_session_paths(sf_dir: str):
+    """Session-path sequence mining: the top-K most frequent event-type
+    paths ('view>click>purchase') across all sessions — the behavioral
+    template table behind funnel design and bot-pattern triage. One
+    shuffle keyed by user (bounded per-user history, sessionize's
+    partitioning contract); inside the group, events sort by
+    (ts, event_id) — the deterministic tie order — sessions split on
+    gap > SESSION_GAP_S, and a per-group Counter emits (path, n)
+    partials; a groupby-sum over the path key space plus the per-block
+    partial top-K reduce finish it. Integer-exact."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def paths(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = pc.cast(
+            g["ts"].take(idx), pa.timestamp("us")
+        ).cast(pa.int64()).to_numpy()
+        types = g["event_type"].take(idx).to_pylist()
+        c: Counter = Counter()
+        cur: list[str] = []
+        for i, ty in enumerate(types):
+            if cur and ts[i] - ts[i - 1] > SESSION_GAP_S * 1_000_000:
+                c[">".join(cur)] += 1
+                cur = []
+            cur.append(ty)
+        if cur:
+            c[">".join(cur)] += 1
+        return pa.table(
+            {
+                "path": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ..stages.topk import dataset_topk
+
+    agg = (
+        ds.groupby("user_id")
+        .map_groups(paths, batch_format="pyarrow")
+        .groupby("path")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+    return dataset_topk(
+        agg, [("n", "descending"), ("path", "ascending")],
+        SESSION_PATH_TOP_K,
+    )
+
+
+def q_event_anomaly(sf_dir: str):
+    """Hourly-volume anomaly audit: flag hours whose event count
+    deviates from the median by more than 3× the median absolute
+    deviation — the robust ops check a streaming ingest runs per
+    partition-hour. The corpus reduces to one exact integer count per
+    hour (int64 epoch-hour keys, the repo-wide bucket convention);
+    median/MAD are a driver finish over the bounded hour table, and
+    every hour is emitted with its flag (deterministic, nonempty).
+    Both sides compute median as the even-count midpoint average in
+    float64."""
+    rows = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "hour": pc.divide(
+                        pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                pa.int64()),
+                        3_600_000_000,
+                    )
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("hour")
+        .count()
+        .take_all()  # bounded: one row per hour of corpus time span
+    )
+    import statistics
+
+    hours = sorted((int(r["hour"]), int(r["count()"])) for r in rows)
+    med = float(statistics.median([n for _, n in hours]))
+    mad = float(statistics.median([abs(n - med) for _, n in hours]))
+    return pa.table(
+        {
+            "hour": pa.array([h for h, _ in hours], pa.int64()),
+            "n": pa.array([n for _, n in hours], pa.int64()),
+            "is_outlier": pa.array(
+                [1 if abs(n - med) > 3 * mad else 0 for _, n in hours],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q_audience_overlap(sf_dir: str):
+    """User-audience Jaccard between event types ('what share of
+    clickers also purchase') — the overlap matrix behind cohort and
+    cannibalization analysis. One shuffle keyed by user; the per-user
+    group emits its distinct-type pairs and singletons (≤ types² tiny
+    rows per user), a groupby-sum reduces them to the bounded
+    types×types key space, and the driver divides exact integers:
+    J = n_both / (n_a + n_b − n_both), rounded 6."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        types = sorted(set(g["event_type"].to_pylist()))
+        a_out, b_out = [], []
+        for i, a in enumerate(types):
+            a_out.append(a)
+            b_out.append("")  # singleton marker: distinct-user total
+            for b in types[i + 1:]:
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.string()),
+                "b": pa.array(b_out, pa.string()),
+                "n": pa.array([1] * len(a_out), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .sum("n")
+        .take_all()  # bounded: event_types² keys
+    )
+    totals = {r["a"]: int(r["sum(n)"]) for r in rows if r["b"] == ""}
+    out_a, out_b, out_n, out_j = [], [], [], []
+    for r in sorted(
+        (r for r in rows if r["b"] != ""), key=lambda r: (r["a"], r["b"])
+    ):
+        a, b, nb = r["a"], r["b"], int(r["sum(n)"])
+        union = totals[a] + totals[b] - nb
+        out_a.append(a)
+        out_b.append(b)
+        out_n.append(nb)
+        out_j.append(round(nb / union, 6))
+    return pa.table(
+        {
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "n_both": pa.array(out_n, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
@@ -11691,6 +11845,9 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "first_seen": q_first_seen,
     "corpus_kl": q_corpus_kl,
+    "session_paths": q_session_paths,
+    "event_anomaly": q_event_anomaly,
+    "audience_overlap": q_audience_overlap,
 }
 
 
@@ -14006,6 +14163,56 @@ group by 1, 2
 
 
 ORACLES["domain_similarity"] = _domain_similarity_oracle_sql()
+
+ORACLES["session_paths"] = f"""
+with ordered as (
+  select user_id, ts, event_id, event_type,
+         case when ts - lag(ts) over w > interval {SESSION_GAP_S} seconds
+                   or lag(ts) over w is null
+              then 1 else 0 end as new_session
+  from events
+  window w as (partition by user_id order by ts, event_id)),
+ses as (
+  select user_id, ts, event_id, event_type,
+         sum(new_session) over (partition by user_id
+                                order by ts, event_id
+                                rows unbounded preceding) as sid
+  from ordered),
+p as (select string_agg(event_type, '>' order by ts, event_id) as path
+      from ses group by user_id, sid)
+select path, count(*)::bigint as n from p group by path
+order by n desc, path asc limit {SESSION_PATH_TOP_K}
+"""
+
+ORACLES["event_anomaly"] = """
+with h as (select epoch_us(ts) // 3600000000 as hour,
+                  count(*)::bigint as n
+           from events group by 1),
+m as (select median(n::double) as med from h),
+d as (select median(abs(h.n::double - m.med)) as mad from h, m)
+select h.hour, h.n,
+       (case when abs(h.n::double - m.med) > 3 * d.mad
+             then 1 else 0 end)::bigint as is_outlier
+from h, m, d
+"""
+
+ORACLES["audience_overlap"] = """
+with ut as (select distinct user_id, event_type from events),
+tot as (select event_type, count(*)::bigint as nu from ut
+        group by event_type),
+pairs as (
+  select a.event_type as type_a, b.event_type as type_b,
+         count(*)::bigint as n_both
+  from ut a join ut b
+    on a.user_id = b.user_id and a.event_type < b.event_type
+  group by 1, 2)
+select p.type_a, p.type_b, p.n_both,
+       round(p.n_both::double
+             / (ta.nu + tb.nu - p.n_both)::double, 6) as jaccard
+from pairs p
+join tot ta on ta.event_type = p.type_a
+join tot tb on tb.event_type = p.type_b
+"""
 
 ORACLES["corpus_kl"] = f"""
 with t as (select source, unnest(string_split(text, ' ')) as term

@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "zipf_slope",
     "first_seen",
     "corpus_kl",
+    "session_paths",
+    "event_anomaly",
+    "audience_overlap",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

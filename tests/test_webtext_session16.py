@@ -383,6 +383,66 @@ class TestCorpusKl:
         assert got.min() > -1e-6
 
 
+class TestSessionPaths:
+    def test_matches_pandas_groundtruth(self, ray_session):
+        got = q.q_session_paths(SF).to_pandas()
+        ev = (
+            pq.read_table(f"{SF}/events.parquet")
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        from collections import Counter as C
+
+        c: C = C()
+        for _, g in ev.groupby("user_id"):
+            ts = g["ts"].astype("int64").to_numpy()
+            cur = []
+            for i, ty in enumerate(g["event_type"]):
+                if cur and ts[i] - ts[i - 1] > q.SESSION_GAP_S * 1_000_000:
+                    c[">".join(cur)] += 1
+                    cur = []
+                cur.append(ty)
+            if cur:
+                c[">".join(cur)] += 1
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : q.SESSION_PATH_TOP_K
+        ]
+        assert list(zip(got["path"], got["n"])) == top
+        # total sessions conserved across the full path multiset
+        assert sum(c.values()) >= got["n"].sum()
+
+
+class TestEventAnomaly:
+    def test_flags_match_median_mad(self, ray_session):
+        import statistics
+
+        got = q.q_event_anomaly(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        hours = (ev["ts"].astype("int64") // 3_600_000_000).value_counts()
+        assert len(got) == len(hours)
+        med = statistics.median(hours.values.tolist())
+        mad = statistics.median([abs(n - med) for n in hours.values])
+        for r in got.itertuples():
+            assert r.n == hours[r.hour]
+            assert r.is_outlier == (1 if abs(r.n - med) > 3 * mad else 0)
+
+
+class TestAudienceOverlap:
+    def test_matches_set_jaccard(self, ray_session):
+        got = q.q_audience_overlap(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        users = {
+            t: set(g["user_id"]) for t, g in ev.groupby("event_type")
+        }
+        types = sorted(users)
+        assert len(got) == len(types) * (len(types) - 1) // 2
+        for r in got.itertuples():
+            inter = len(users[r.type_a] & users[r.type_b])
+            union = len(users[r.type_a] | users[r.type_b])
+            assert r.n_both == inter
+            assert abs(r.jaccard - inter / union) < 1e-6
+
+
 class TestSignalCorrelation:
     def test_matches_numpy_corrcoef(self, ray_session):
         got = q.q_signal_correlation(SF).to_pandas()
