@@ -11660,6 +11660,127 @@ def q_audience_overlap(sf_dir: str):
     )
 
 
+PROFILE_COLUMNS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+def q_profile_table(sf_dir: str):
+    """Data-profiling audit of the orders table: per column, row count,
+    null count and EXACT distinct count — the schema-drift check a
+    lakehouse maintenance job runs per partition before promoting it.
+    Null counts come from one streaming pass of integer partials; ALL
+    columns' exact distinct counts come from one further scan that
+    emits per-batch-distinct (column, md5-of-native-repr) pairs — the
+    hash is engine-internal (never compared against SQL-rendered
+    values, so no cross-engine float/timestamp formatting hazard) —
+    dedupped by one groupby and counted by a counter-sized second one.
+    At 10^12 rows the exact distinct is the documented heavy path; the
+    one-pass deterministic KMV estimate (approx_distinct_kmv) is the
+    scale alternative, and profile jobs run per-partition where
+    exactness is cheap. Integer-exact output."""
+    ds = _read(sf_dir, "orders", PROFILE_COLUMNS)
+    n_rows = ds.count()
+
+    def null_partials(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "column": pa.array(PROFILE_COLUMNS, pa.string()),
+                "n_null": pa.array(
+                    [t[c].null_count for c in PROFILE_COLUMNS], pa.int64()
+                ),
+            }
+        )
+
+    nulls = {
+        r["column"]: int(r["sum(n_null)"])
+        for r in ds.map_batches(
+            null_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("column")
+        .sum("n_null")
+        .take_all()
+    }
+    nulls = {c: nulls.get(c, 0) for c in PROFILE_COLUMNS}
+
+    # all columns' exact distinct counts from ONE table scan: each batch
+    # emits its distinct (column, md5-of-native-value) pairs (the hash
+    # is engine-internal — never compared against SQL-rendered values),
+    # one groupby dedups pairs globally, one counter-sized groupby
+    # counts per column
+    def value_hashes(t: pa.Table) -> pa.Table:
+        cols_out, hashes_out = [], []
+        for c in PROFILE_COLUMNS:
+            seen = {
+                hashlib.md5(repr(v).encode("utf-8")).hexdigest()
+                for v in t[c].to_pylist()
+                if v is not None
+            }
+            cols_out.extend([c] * len(seen))
+            hashes_out.extend(seen)
+        return pa.table(
+            {
+                "column": pa.array(cols_out, pa.string()),
+                "h": pa.array(hashes_out, pa.string()),
+            }
+        )
+
+    distinct = {
+        r["column"]: int(r["count()"])
+        for r in ds.map_batches(
+            value_hashes, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["column", "h"])
+        .count()
+        .groupby("column")
+        .count()
+        .take_all()
+    }
+    return pa.table(
+        {
+            "column": pa.array(PROFILE_COLUMNS, pa.string()),
+            "n_rows": pa.array([n_rows] * len(PROFILE_COLUMNS), pa.int64()),
+            "n_null": pa.array(
+                [nulls[c] for c in PROFILE_COLUMNS], pa.int64()
+            ),
+            "n_distinct": pa.array(
+                [distinct.get(c, 0) for c in PROFILE_COLUMNS], pa.int64()
+            ),
+        }
+    )
+
+
+K_ANON = 10
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (nation, market segment)
+    quasi-identifier pair of the customer table: every equivalence
+    class with its size and an at-risk flag (size < k) — the
+    re-identification check run before releasing a partition. One
+    groupby over the bounded quasi-identifier key space; exact
+    integers."""
+    return (
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                    "c_mktsegment": t["c_mktsegment"],
+                    "n": pc.cast(t["count()"], pa.int64()),
+                    "at_risk": pc.cast(
+                        pc.less(t["count()"], K_ANON), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
@@ -11848,6 +11969,8 @@ QUERIES = {
     "session_paths": q_session_paths,
     "event_anomaly": q_event_anomaly,
     "audience_overlap": q_audience_overlap,
+    "profile_table": q_profile_table,
+    "k_anonymity": q_k_anonymity,
 }
 
 
@@ -14163,6 +14286,20 @@ group by 1, 2
 
 
 ORACLES["domain_similarity"] = _domain_similarity_oracle_sql()
+
+ORACLES["profile_table"] = " union all ".join(
+    f"select '{c}' as \"column\", count(*)::bigint as n_rows, "
+    f"(count(*) - count({c}))::bigint as n_null, "
+    f"count(distinct {c})::bigint as n_distinct from orders"
+    for c in PROFILE_COLUMNS
+)
+
+ORACLES["k_anonymity"] = f"""
+select c_nationkey::bigint as c_nationkey, c_mktsegment,
+       count(*)::bigint as n,
+       (case when count(*) < {K_ANON} then 1 else 0 end)::bigint as at_risk
+from customer group by 1, 2
+"""
 
 ORACLES["session_paths"] = f"""
 with ordered as (

@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "session_paths",
     "event_anomaly",
     "audience_overlap",
+    "profile_table",
+    "k_anonymity",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

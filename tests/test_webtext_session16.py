@@ -443,6 +443,67 @@ class TestAudienceOverlap:
             assert abs(r.jaccard - inter / union) < 1e-6
 
 
+class TestProfileTable:
+    def test_matches_pandas_profile(self, ray_session):
+        got = (
+            q.q_profile_table(SF).to_pandas().set_index("column")
+        )
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        assert (got["n_rows"] == len(orders)).all()
+        for c in q.PROFILE_COLUMNS:
+            assert got.loc[c, "n_null"] == orders[c].isna().sum()
+            assert got.loc[c, "n_distinct"] == orders[c].nunique()
+
+    def test_null_column_profiled(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq_
+
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, None, 2], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+                "o_orderstatus": pa.array(["A", None, None, "B"]),
+                "o_totalprice": pa.array([1.0, 2.0, 2.0, None]),
+                "o_orderdate": pa.array(
+                    [None, None, None, None], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["x", "x", "y", "z"]),
+            }
+        )
+        pq_.write_table(t, str(tmp_path / "orders.parquet"))
+        got = (
+            q.q_profile_table(str(tmp_path))
+            .to_pandas()
+            .set_index("column")
+        )
+        assert got.loc["o_orderkey", "n_null"] == 1
+        assert got.loc["o_orderkey", "n_distinct"] == 2
+        assert got.loc["o_orderstatus", "n_null"] == 2
+        assert got.loc["o_orderstatus", "n_distinct"] == 2
+        assert got.loc["o_orderdate", "n_null"] == 4
+        assert got.loc["o_orderdate", "n_distinct"] == 0
+        assert got.loc["o_totalprice", "n_distinct"] == 2
+
+
+class TestKAnonymity:
+    def test_matches_pandas_groups(self, ray_session):
+        got = q.q_k_anonymity(SF).to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        truth = (
+            cust.groupby(["c_nationkey", "c_mktsegment"])
+            .size()
+            .reset_index(name="n")
+        )
+        assert len(got) == len(truth)
+        gm = {
+            (r.c_nationkey, r.c_mktsegment): (r.n, r.at_risk)
+            for r in got.itertuples()
+        }
+        for r in truth.itertuples():
+            n, flag = gm[(r.c_nationkey, r.c_mktsegment)]
+            assert n == r.n
+            assert flag == (1 if r.n < q.K_ANON else 0)
+
+
 class TestSignalCorrelation:
     def test_matches_numpy_corrcoef(self, ray_session):
         got = q.q_signal_correlation(SF).to_pandas()
