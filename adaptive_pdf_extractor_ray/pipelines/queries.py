@@ -664,6 +664,42 @@ def q_dedup_jaccard(sf_dir: str):
     )
 
 
+def q_dedup_editdist(sf_dir: str):
+    """Edit-similarity verification over the LSH candidate pairs — the
+    character-level companion to the n-gram Jaccard verify (catches
+    small in-place edits that shift every overlapping shingle: a
+    one-token change kills k shingles but costs ~one edit). Same
+    distributed shape (pair texts attach via the size-routed
+    broadcast/joins, verification per batch, no driver materialization);
+    the distance is byte-Levenshtein over the first EDITDIST_CAP (200)
+    chars (vectorized numpy row-DP, DuckDB ``levenshtein`` semantics)
+    and the similarity is integer ppm: (maxlen − d)·10⁶ // maxlen."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _lsh_distinct_pairs(sf_dir)
+
+    def verify(t: pa.Table) -> pa.Table:
+        dists, ppms = [], []
+        for ta, tb in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist()):
+            xa = (ta or "")[:EDITDIST_CAP].encode("utf-8")
+            xb = (tb or "")[:EDITDIST_CAP].encode("utf-8")
+            d = _lev_bytes(xa, xb)
+            m = max(len(xa), len(xb))
+            dists.append(d)
+            ppms.append((m - d) * 1_000_000 // m if m else 1_000_000)
+        return pa.table(
+            {
+                "a": pc.cast(t["a"], pa.int64()),
+                "b": pc.cast(t["b"], pa.int64()),
+                "editdist": pa.array(dists, pa.int64()),
+                "sim_ppm": pa.array(ppms, pa.int64()),
+            }
+        )
+
+    return dd.attach_pair_texts(pairs, docs).map_batches(
+        verify, batch_format="pyarrow"
+    )
+
+
 def q_dedup_containment(sf_dir: str):
     """Directional n-gram containment over the LSH candidate pairs —
     the asymmetric companion to ``dedup_ngram_jaccard``. A syndicated
@@ -11971,6 +12007,7 @@ QUERIES = {
     "audience_overlap": q_audience_overlap,
     "profile_table": q_profile_table,
     "k_anonymity": q_k_anonymity,
+    "dedup_editdist": q_dedup_editdist,
 }
 
 
@@ -14286,6 +14323,26 @@ group by 1, 2
 
 
 ORACLES["domain_similarity"] = _domain_similarity_oracle_sql()
+
+ORACLES["dedup_editdist"] = _minhash_cte() + f"""
+select p.a, p.b,
+       levenshtein(substr(xa.text, 1, {EDITDIST_CAP}),
+                   substr(xb.text, 1, {EDITDIST_CAP}))::bigint as editdist,
+       (case when greatest(strlen(substr(xa.text, 1, {EDITDIST_CAP})),
+                           strlen(substr(xb.text, 1, {EDITDIST_CAP}))) = 0
+             then 1000000
+             else (greatest(strlen(substr(xa.text, 1, {EDITDIST_CAP})),
+                            strlen(substr(xb.text, 1, {EDITDIST_CAP})))
+                   - levenshtein(substr(xa.text, 1, {EDITDIST_CAP}),
+                                 substr(xb.text, 1, {EDITDIST_CAP})))
+                  * 1000000
+                  // greatest(strlen(substr(xa.text, 1, {EDITDIST_CAP})),
+                              strlen(substr(xb.text, 1, {EDITDIST_CAP})))
+        end)::bigint as sim_ppm
+from pairs p
+join documents xa on xa.doc_id = p.a
+join documents xb on xb.doc_id = p.b
+"""
 
 ORACLES["profile_table"] = " union all ".join(
     f"select '{c}' as \"column\", count(*)::bigint as n_rows, "

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "audience_overlap",
     "profile_table",
     "k_anonymity",
+    "dedup_editdist",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

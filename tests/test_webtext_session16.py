@@ -504,6 +504,26 @@ class TestKAnonymity:
             assert flag == (1 if r.n < q.K_ANON else 0)
 
 
+class TestDedupEditdist:
+    def test_pairs_match_direct_dp(self, ray_session):
+        got = q.q_dedup_editdist(SF).to_pandas()
+        docs = (
+            pq.read_table(f"{SF}/documents.parquet")
+            .to_pandas()
+            .set_index("doc_id")["text"]
+        )
+        assert len(got) > 0
+        for r in got.itertuples():
+            xa = (docs[r.a] or "")[: q.EDITDIST_CAP].encode()
+            xb = (docs[r.b] or "")[: q.EDITDIST_CAP].encode()
+            d = q._lev_bytes(xa, xb)
+            m = max(len(xa), len(xb))
+            assert r.editdist == d
+            assert r.sim_ppm == ((m - d) * 1_000_000 // m if m else 1_000_000)
+        # LSH candidates are near-dups: the verify scores should skew high
+        assert got["sim_ppm"].max() > 500_000
+
+
 class TestSignalCorrelation:
     def test_matches_numpy_corrcoef(self, ray_session):
         got = q.q_signal_correlation(SF).to_pandas()
