@@ -257,6 +257,27 @@ class TestSnapshotEditdist:
         # unchanged pages exist and score 0; changed pages score > 0
         assert (got == 0).any() and (got > 0).any()
 
+    def test_lev_bytes_random_vs_reference(self):
+        rng = np.random.RandomState(11)
+
+        def ref(x: bytes, y: bytes) -> int:
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x):
+                cur = [i + 1]
+                for j, cy in enumerate(y):
+                    cur.append(
+                        min(prev[j] + (cx != cy), prev[j + 1] + 1,
+                            cur[j] + 1)
+                    )
+                prev = cur
+            return prev[-1]
+
+        for _ in range(60):
+            la, lb = rng.randint(0, 24, size=2)
+            a = bytes(rng.randint(97, 101, size=la).tolist())
+            b = bytes(rng.randint(97, 101, size=lb).tolist())
+            assert q._lev_bytes(a, b) == ref(a, b)
+
     def test_lev_bytes_properties(self):
         assert q._lev_bytes(b"", b"") == 0
         assert q._lev_bytes(b"abc", b"") == 3
