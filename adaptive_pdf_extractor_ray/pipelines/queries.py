@@ -11397,12 +11397,14 @@ def q_first_seen(sf_dir: str):
     content fingerprint, the earliest capture timestamp, the canonical
     url (min url among earliest-ts ties — deterministic), and the copy
     count. This is the provenance step of crawl dedup: when N urls carry
-    the same bytes, the keeper is the earliest capture. One shuffle
-    keyed by the 32-hex md5; the per-group argmin is O(group) (a
-    duplicate set — at web scale the giant-group guard is the same
-    identical-content collapse bucket_pairs uses, but here the group
-    ALREADY holds one row per capture of one content, which is the
-    quantity being counted)."""
+    the same bytes, the keeper is the earliest capture. AGGREGATE-only
+    plan — no map_groups ever buffers a duplicate set (a boilerplate
+    page with 10⁹ captures is ONE group): pass 1 reduces each
+    fingerprint to (min ts, count) via combining aggregates; the
+    earliest-tie canonical url resolves by joining the tiny winners
+    table back on fp, filtering to ts == first, and taking Min(url) —
+    the join moves each capture row once, the aggregates combine
+    per-block."""
     pages_dir = recrawl_corpus()
 
     def fp(t: pa.Table) -> pa.Table:
@@ -11414,30 +11416,59 @@ def q_first_seen(sf_dir: str):
             {
                 "fp": pa.array(fps, pa.string()),
                 "url": t["url"],
-                "warc_ts": t["warc_ts"],
+                "ts_us": pc.cast(
+                    pc.cast(t["warc_ts"], pa.timestamp("us")), pa.int64()
+                ),
             }
         )
 
-    def pick(g: pa.Table) -> pa.Table:
-        ts = g["warc_ts"].to_pylist()
-        urls = g["url"].to_pylist()
-        first = min(ts)
-        canon = min(u for u, x in zip(urls, ts) if x == first)
+    rows = rd.read_parquet(
+        pages_dir, columns=["url", "warc_ts", "text"]
+    ).map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    winners = (
+        rows.groupby("fp")
+        .aggregate(
+            ray.data.aggregate.Min("ts_us", alias_name="first_us"),
+            ray.data.aggregate.Count(alias_name="n_captures"),
+        )
+    )
+    joined = rows.join(
+        winners, join_type="inner",
+        num_partitions=dd.adaptive_partitions(
+            max(rows.count(), 1)
+        ),
+        on=("fp",),
+    )
+
+    def earliest_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["ts_us"], t["first_us"]))
+
+    out = (
+        joined.map_batches(
+            earliest_only, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("fp")
+        .aggregate(
+            ray.data.aggregate.Min("url", alias_name="canonical_url"),
+            ray.data.aggregate.Min("first_us", alias_name="first_us"),
+            ray.data.aggregate.Min("n_captures", alias_name="n_captures"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "fp": g["fp"].slice(0, 1),
-                "first_ts": pa.array([first], g["warc_ts"].type),
-                "canonical_url": pa.array([canon], pa.string()),
-                "n_captures": pa.array([g.num_rows], pa.int64()),
+                "fp": t["fp"],
+                "first_ts": pc.cast(
+                    pc.cast(t["first_us"], pa.timestamp("us")),
+                    pa.timestamp("us"),
+                ),
+                "canonical_url": t["canonical_url"],
+                "n_captures": pc.cast(t["n_captures"], pa.int64()),
             }
         )
 
-    return (
-        rd.read_parquet(pages_dir, columns=["url", "warc_ts", "text"])
-        .map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("fp")
-        .map_groups(pick, batch_format="pyarrow")
-    )
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def first_seen_oracle_sql(pages_dir: str) -> str:
