@@ -11848,6 +11848,84 @@ def q_k_anonymity(sf_dir: str):
     )
 
 
+def q_dedup_phash_clusters(sf_dir: str):
+    """Image near-dup CLUSTERS: connected components over the verified
+    perceptual-hash pair graph (``media_phash_pairs``) — the grouping
+    step an image-dedup pipeline runs before keep-one-per-cluster.
+    Size-routed components (``stages/dedup.connected_components``):
+    union-find task under the edge cap, log-round min-label propagation
+    above; every endpoint labeled with its component's MIN doc_id."""
+    pairs = q_media_phash_pairs(sf_dir).select_columns(["a", "b"])
+    return dd.connected_components(pairs)
+
+
+def q_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth of orders — the seasonality /
+    drift audit of an ingest ledger. One groupby over the bounded
+    (year·100+month) key space with per-batch revenue partials; the
+    growth ratio is a driver finish over the bounded month table,
+    computed FROM THE 2-dp-ROUNDED monthly revenues (both engines round
+    the month sums first, so the ratio divides identical doubles —
+    no float-sum-order hazard reaches the output). Emits months that
+    HAVE a predecessor (inner-lag shape)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(t["o_orderdate"]), pa.int64()), 100),
+            pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+        )
+        return pa.table({"ym": ym, "rev": t["o_totalprice"]})
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("ym")
+        .sum("rev")
+        .take_all()  # bounded: one row per calendar month
+    )
+    months = sorted((int(r["ym"]), round(float(r["sum(rev)"]), 2))
+                    for r in rows)
+    out_ym, out_rev, out_g = [], [], []
+    for (pm, prev), (m, rev) in zip(months, months[1:]):
+        out_ym.append(m)
+        out_rev.append(rev)
+        out_g.append(round(rev / prev - 1.0, 6))
+    return pa.table(
+        {
+            "ym": pa.array(out_ym, pa.int64()),
+            "revenue": pa.array(out_rev, pa.float64()),
+            "growth": pa.array(out_g, pa.float64()),
+        }
+    )
+
+
+def q_lang_confusion(sf_dir: str):
+    """Declared-vs-predicted language agreement matrix — the label-noise
+    audit run before trusting crawl-provided lang tags (CCNet drops
+    pages whose header language disagrees with the classifier). Reuses
+    the lang_id heuristic per batch, carries the declared tag alongside
+    (same row order), and reduces to the bounded langs × predictions
+    key space. Integer-exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def pair(t: pa.Table) -> pa.Table:
+        pred = tx.lang_id_batch(t)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "predicted_lang": pred["predicted_lang"],
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pair, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "predicted_lang"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
@@ -12039,6 +12117,9 @@ QUERIES = {
     "profile_table": q_profile_table,
     "k_anonymity": q_k_anonymity,
     "dedup_editdist": q_dedup_editdist,
+    "dedup_phash_clusters": q_dedup_phash_clusters,
+    "monthly_growth": q_monthly_growth,
+    "lang_confusion": q_lang_confusion,
 }
 
 
@@ -13707,6 +13788,20 @@ join h hb on hb.doc_id = c.b
 where bit_count(xor(ha.phash, hb.phash)) <= {PHASH_HAM_T}
 """
 
+ORACLES["dedup_phash_clusters"] = f"""
+with pr as ({ORACLES["media_phash_pairs"]}),
+edges as (select a as src, b as dst from pr
+          union select b, a from pr)
+select node as doc_id, rep_id from (
+  with recursive r(node, reached) as (
+    select src, src from edges
+    union
+    select r.node, e.dst from r join edges e on e.src = r.reached
+  )
+  select node, min(reached) as rep_id from r group by node
+)
+"""
+
 ORACLES["robots_filter"] = f"""
 with u as (
   select doc_id, doc_id % 13 as k,
@@ -14374,6 +14469,23 @@ from pairs p
 join documents xa on xa.doc_id = p.a
 join documents xb on xb.doc_id = p.b
 """
+
+ORACLES["monthly_growth"] = """
+with m as (select (year(o_orderdate) * 100 + month(o_orderdate))::bigint
+                    as ym,
+                  round(sum(o_totalprice), 2) as revenue
+           from orders group by 1),
+w as (select ym, revenue, lag(revenue) over (order by ym) as prev from m)
+select ym, revenue, round(revenue / prev - 1.0, 6) as growth
+from w where prev is not null
+"""
+
+ORACLES["lang_confusion"] = (
+    f"select lang, case when ({_stop_count_sql()}) * 1.0 / "
+    "greatest(length(regexp_extract_all(text, '\\S+')), 1) > 0.05 "
+    "then 'en' else 'und' end as predicted_lang, count(*)::bigint as n "
+    "from documents group by 1, 2"
+)
 
 ORACLES["profile_table"] = " union all ".join(
     f"select '{c}' as \"column\", count(*)::bigint as n_rows, "

@@ -172,6 +172,9 @@ BENCH_QUERIES = [
     "profile_table",
     "k_anonymity",
     "dedup_editdist",
+    "dedup_phash_clusters",
+    "monthly_growth",
+    "lang_confusion",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

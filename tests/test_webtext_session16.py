@@ -545,6 +545,61 @@ class TestDedupEditdist:
         assert got["sim_ppm"].max() > 500_000
 
 
+class TestPhashClusters:
+    def test_components_cover_pair_graph(self, ray_session):
+        pairs = q.q_media_phash_pairs(SF).to_pandas()
+        got = q.q_dedup_phash_clusters(SF).to_pandas()
+        nodes = set(pairs["a"]) | set(pairs["b"])
+        assert set(got["doc_id"]) == nodes
+        lab = dict(zip(got["doc_id"], got["rep_id"]))
+        # edge endpoints share a label; labels are component minima
+        for r in pairs.itertuples():
+            assert lab[r.a] == lab[r.b]
+        for d, rep in lab.items():
+            assert rep <= d
+            assert lab[rep] == rep
+
+
+class TestMonthlyGrowth:
+    def test_matches_pandas_lag(self, ray_session):
+        got = q.q_monthly_growth(SF).to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        orders["ym"] = (
+            orders["o_orderdate"].dt.year * 100
+            + orders["o_orderdate"].dt.month
+        )
+        rev = (
+            orders.groupby("ym")["o_totalprice"].sum().round(2).sort_index()
+        )
+        assert len(got) == len(rev) - 1
+        for r in got.itertuples():
+            prev = rev[rev.index < r.ym].iloc[-1]
+            assert r.revenue == rev[r.ym]
+            assert abs(r.growth - (rev[r.ym] / prev - 1.0)) < 1e-6
+
+
+class TestLangConfusion:
+    def test_counts_conserve_and_match(self, ray_session):
+        got = q.q_lang_confusion(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        assert got["n"].sum() == len(docs)
+        pred = q.q_lang_id(SF).to_pandas().set_index("doc_id")[
+            "predicted_lang"
+        ]
+        docs = docs.set_index("doc_id")
+        truth = (
+            pd.DataFrame(
+                {"lang": docs["lang"], "predicted_lang": pred}
+            )
+            .groupby(["lang", "predicted_lang"])
+            .size()
+        )
+        gm = {
+            (r.lang, r.predicted_lang): r.n for r in got.itertuples()
+        }
+        assert gm == truth.to_dict()
+
+
 class TestSignalCorrelation:
     def test_matches_numpy_corrcoef(self, ray_session):
         got = q.q_signal_correlation(SF).to_pandas()
