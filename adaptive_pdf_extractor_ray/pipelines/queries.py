@@ -11926,6 +11926,71 @@ def q_lang_confusion(sf_dir: str):
     )
 
 
+def q_dedup_funnel(sf_dir: str):
+    """Curation-funnel audit: survivor counts after each stage of the
+    curate chain (input → quality gate → language gate → exact dedup) —
+    the per-stage accounting a 100 TB curation run reports so a
+    mis-tuned filter is visible BEFORE the expensive downstream stages
+    run. Stages 0–2 reduce to three integer counters in one streaming
+    pass (per-batch partials, constant-key sum); stage 3 is the
+    distinct-fingerprint count of the survivors (one groupby on the
+    16-byte md5). Integer-exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def staged(t: pa.Table) -> pa.Table:
+        q = tx.quality_batch(t)
+        lang = tx.lang_id_batch(t)
+        ok_q = pc.greater_equal(q["n_tokens"], 20)
+        ok_l = pc.and_(ok_q, pc.equal(lang["predicted_lang"], "en"))
+        return pa.table(
+            {
+                "n0": pa.array([t.num_rows], pa.int64()),
+                "n1": pa.array([pc.sum(pc.cast(ok_q, pa.int64())).as_py()
+                                or 0], pa.int64()),
+                "n2": pa.array([pc.sum(pc.cast(ok_l, pa.int64())).as_py()
+                                or 0], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(
+        staged, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        ray.data.aggregate.Sum("n0", alias_name="n0"),
+        ray.data.aggregate.Sum("n1", alias_name="n1"),
+        ray.data.aggregate.Sum("n2", alias_name="n2"),
+    )
+
+    def survivors(t: pa.Table) -> pa.Table:
+        q = tx.quality_batch(t)
+        lang = tx.lang_id_batch(t)
+        h = tx.content_hash_batch(t)
+        keep = pc.and_(
+            pc.greater_equal(q["n_tokens"], 20),
+            pc.equal(lang["predicted_lang"], "en"),
+        )
+        return pa.table({"content_md5": h["content_md5"]}).filter(keep)
+
+    n3 = (
+        ds.map_batches(survivors, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("content_md5")
+        .count()
+        .count()
+    )
+    return pa.table(
+        {
+            "stage": pa.array(
+                ["input", "quality", "lang", "exact_dedup"], pa.string()
+            ),
+            "stage_idx": pa.array([0, 1, 2, 3], pa.int64()),
+            "n": pa.array(
+                [int(agg["n0"]), int(agg["n1"]), int(agg["n2"]), n3],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
@@ -12120,6 +12185,7 @@ QUERIES = {
     "dedup_phash_clusters": q_dedup_phash_clusters,
     "monthly_growth": q_monthly_growth,
     "lang_confusion": q_lang_confusion,
+    "dedup_funnel": q_dedup_funnel,
 }
 
 
@@ -14468,6 +14534,28 @@ select p.a, p.b,
 from pairs p
 join documents xa on xa.doc_id = p.a
 join documents xb on xb.doc_id = p.b
+"""
+
+ORACLES["dedup_funnel"] = f"""
+with f as (
+  select doc_id,
+         length(regexp_extract_all(text, '\\S+'))::bigint as n_tokens,
+         case when ({_stop_count_sql()}) * 1.0 /
+                   greatest(length(regexp_extract_all(text, '\\S+')), 1)
+                   > 0.05
+              then 'en' else 'und' end as predicted_lang,
+         md5(text) as content_md5
+  from documents)
+select 'input' as stage, 0::bigint as stage_idx, count(*)::bigint as n
+from f
+union all
+select 'quality', 1, count(*)::bigint from f where n_tokens >= 20
+union all
+select 'lang', 2, count(*)::bigint from f
+where n_tokens >= 20 and predicted_lang = 'en'
+union all
+select 'exact_dedup', 3, count(distinct content_md5)::bigint from f
+where n_tokens >= 20 and predicted_lang = 'en'
 """
 
 ORACLES["monthly_growth"] = """

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "dedup_phash_clusters",
     "monthly_growth",
     "lang_confusion",
+    "dedup_funnel",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -600,6 +600,25 @@ class TestLangConfusion:
         assert gm == truth.to_dict()
 
 
+class TestDedupFunnel:
+    def test_monotone_and_consistent_with_curate(self, ray_session):
+        got = (
+            q.q_dedup_funnel(SF)
+            .to_pandas()
+            .sort_values("stage_idx")
+            .reset_index(drop=True)
+        )
+        assert list(got["stage"]) == [
+            "input", "quality", "lang", "exact_dedup",
+        ]
+        ns = list(got["n"])
+        assert ns == sorted(ns, reverse=True)  # survivors only shrink
+        docs = pq.read_table(f"{SF}/documents.parquet")
+        assert ns[0] == docs.num_rows
+        # final stage equals the curate chain's kept-row count
+        assert ns[3] == q.q_curate(SF).count()
+
+
 class TestSignalCorrelation:
     def test_matches_numpy_corrcoef(self, ray_session):
         got = q.q_signal_correlation(SF).to_pandas()
