@@ -3453,6 +3453,327 @@ def q_reciprocal_links(sf_dir: str):
     return dirs.filter(expr="dmin != dmax").select_columns(["a", "b"])
 
 
+# k-core: keep peeling nodes of degree < K until fixpoint. K=7 on the
+# fixture graph leaves a non-trivial core (190 of 200 pages, 2 peel
+# rounds); the oracle unrolls KCORE_ROUNDS rounds — peeling is monotone,
+# so rounds past the fixpoint are no-ops and any unroll >= the true peel
+# depth replays the engine exactly (pytest asserts depth < KCORE_ROUNDS).
+KCORE_K = 7
+KCORE_ROUNDS = 8
+KCORE_DRIVER_EDGE_LIMIT = 1_000_000
+
+
+def _und_edges_ds(pages_dir: str):
+    """Distinct undirected simple edges (a < b) of the link multigraph:
+    per-batch Arrow group_by collapses duplicates BEFORE the shuffle,
+    one groupby dedups globally."""
+
+    def orient(t: pa.Table) -> pa.Table:
+        src, dst = t["src"], t["dst"]
+        keep = pc.not_equal(src, dst)
+        src, dst = src.filter(keep), dst.filter(keep)
+        return (
+            pa.table(
+                {
+                    "a": pc.min_element_wise(src, dst),
+                    "b": pc.max_element_wise(src, dst),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+
+    return (
+        _outlinks_ds(pages_dir)
+        .map_batches(orient, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def _kcore_peel_batch(t: pa.Table) -> pa.Table:
+    """Whole-graph peel in one task (the union-find-task idiom): the
+    dedup'd edge list is orders of magnitude smaller than the corpus,
+    so at fixture scale it lives in one object-store batch."""
+    adj: dict[str, set[str]] = {}
+    for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive
+                if sum(1 for v in adj[u] if v in alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    urls = sorted(alive)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "degree": pa.array(
+                [sum(1 for v in adj[u] if v in alive) for u in urls],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _kcore_distributed(und, nparts: int):
+    """Iterative distributed peel: per round one groupby-count (degree)
+    and two hash semi-joins (drop edges touching a dead endpoint). The
+    label table is O(alive nodes) and each round's edge set shrinks
+    monotonically; rounds are bounded by the peel depth (the graph's
+    degeneracy ordering length), small on web graphs. Each round
+    materializes the shrunken edge set so iteration doesn't replay
+    prior rounds' lineage (the connected_components pattern,
+    stages/dedup.py)."""
+    sym = und.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_nodes = None
+    for _ in range(KCORE_ROUNDS):
+        deg = sym.groupby("u").aggregate(
+            ray.data.aggregate.Count(alias_name="deg")
+        )
+        alive = deg.filter(
+            expr=f"deg >= {KCORE_K}"
+        ).select_columns(["u"]).materialize()
+        n_alive = alive.count()
+        if n_alive == n_nodes:
+            break
+        n_nodes = n_alive
+        sym = (
+            sym.join(alive, join_type="inner", num_partitions=nparts,
+                     on=("u",))
+            .join(alive.map_batches(
+                lambda t: pa.table({"v": t["u"]}),
+                batch_format="pyarrow"),
+                join_type="inner", num_partitions=nparts, on=("v",))
+            .materialize()
+        )
+    return sym.groupby("u").aggregate(
+        ray.data.aggregate.Count(alias_name="degree")
+    ).map_batches(
+        lambda t: pa.table(
+            {"url": t["u"], "degree": pc.cast(t["degree"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_link_kcore(sf_dir: str):
+    """K-core of the undirected simple link graph (K=7): the classic
+    dense-subgraph gate — link farms and genuine navigational cores
+    survive, sparsely-linked leaf pages peel away. Size-routed like
+    q_pagerank: small graphs peel in ONE task over the dedup'd edge
+    list (the union-find-task idiom); beyond KCORE_DRIVER_EDGE_LIMIT
+    the iterative distributed peel runs (round = groupby-count + two
+    semi-joins over a monotonically shrinking edge set). Both routes
+    emit (url, degree-within-core) and are equivalence-tested."""
+    pages_dir = link_corpus()
+    und = _und_edges_ds(pages_dir)
+    if LINK_N * 6 <= KCORE_DRIVER_EDGE_LIMIT:
+        n = und.materialize().count()
+        return und.repartition(1).map_batches(
+            _kcore_peel_batch, batch_format="pyarrow",
+            batch_size=max(2 * n, 1),
+        )
+    return _kcore_distributed(und, dd.adaptive_partitions(LINK_N))
+
+
+def kcore_oracle_sql(pages_dir: str) -> str:
+    """Unrolled replay of the peel: s_{k+1} keeps edges whose BOTH
+    endpoints have degree >= K in s_k; KCORE_ROUNDS rounds, no-ops
+    after the fixpoint. Every round CTE is MATERIALIZED — each
+    references the previous one twice, so DuckDB's default inline
+    expansion re-evaluates the chain exponentially (3^rounds)."""
+    rounds = []
+    prev = "s0"
+    for k in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+a{k} as materialized (
+  select u from {prev} group by u having count(*) >= {KCORE_K}),
+s{k} as materialized (
+  select s.u, s.v from {prev} s
+  join a{k} x on s.u = x.u join a{k} y on s.v = y.u)""")
+        prev = f"s{k}"
+    return f"""
+with links as ({outlinks_oracle_sql(pages_dir)}),
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from links where src <> dst),
+s0 as (select a as u, b as v from und
+       union all select b as u, a as v from und),{",".join(rounds)}
+select u as url, count(*)::bigint as degree from {prev} group by u
+"""
+
+
+# multi-source BFS from the trust seed set (page-number % TRUST_MOD),
+# capped at LINKDIST_MAX hops: "how many clicks from a trusted page" —
+# the crawl-depth / spam-distance signal TrustRank thresholds harden.
+LINKDIST_MAX = 6
+LINKDIST_DRIVER_EDGE_LIMIT = 1_000_000
+
+
+def _dir_edges_ds(pages_dir: str):
+    """Distinct directed simple edges of the link graph."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["src"], t["dst"])
+        return (
+            pa.table({"src": t["src"].filter(keep),
+                      "dst": t["dst"].filter(keep)})
+            .group_by(["src", "dst"])
+            .aggregate([])
+        )
+
+    return (
+        _outlinks_ds(pages_dir)
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def _linkdist_bfs_batch(t: pa.Table) -> pa.Table:
+    """Whole-graph BFS in one task (small route). Seeds are a pure
+    function of the url (the TrustRank indicator), so no seed table
+    ships — recomputed in-task, exactly like _pagerank_distributed's
+    in-batch seed recompute."""
+    out: dict[str, set[str]] = {}
+    nodes: set[str] = set()
+    for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+        out.setdefault(s, set()).add(d)
+        nodes.add(s)
+        nodes.add(d)
+    dist = {u: 0 for u in nodes if _trust_seed(u)}
+    frontier = set(dist)
+    for k in range(1, LINKDIST_MAX + 1):
+        nxt: set[str] = set()
+        for u in frontier:
+            nxt |= out.get(u, set())
+        frontier = {v for v in nxt if v not in dist}
+        if not frontier:
+            break
+        for v in frontier:
+            dist[v] = k
+    urls = sorted(dist)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "dist": pa.array([dist[u] for u in urls], pa.int64()),
+        }
+    )
+
+
+def _linkdist_distributed(edges, pages, nparts: int):
+    """Pruned frontier BFS: per round one hash join (frontier -> next
+    hop), one distinct, one left_anti against the visited set. The
+    frontier and visited tables are O(nodes) — tiny vs the corpus —
+    and every join is keyed on src, the same partitioning key each
+    round. Identical output to the walk-expansion oracle because a
+    node at distance d first appears at level d either way."""
+
+    def seed(t: pa.Table) -> pa.Table:
+        keep = [u for u in t["url"].to_pylist() if _trust_seed(u)]
+        return pa.table(
+            {
+                "url": pa.array(keep, pa.string()),
+                "dist": pa.array([0] * len(keep), pa.int64()),
+            }
+        )
+
+    known = pages.map_batches(
+        seed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    frontier = known.select_columns(["url"]).materialize()
+    for k in range(1, LINKDIST_MAX + 1):
+        hop = (
+            edges.join(frontier, join_type="inner",
+                       num_partitions=nparts, on=("src",),
+                       right_on=("url",))
+            .select_columns(["dst"])
+            .groupby("dst")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        )
+        new = hop.join(
+            known.select_columns(["url"]), join_type="left_anti",
+            num_partitions=nparts, on=("dst",), right_on=("url",),
+        ).map_batches(
+            lambda t, _k=k: pa.table(
+                {
+                    "url": t["dst"],
+                    "dist": pa.array([_k] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if new.count() == 0:
+            break
+        known = known.union(new).materialize()
+        frontier = new.select_columns(["url"]).materialize()
+    return known
+
+
+def q_link_distance(sf_dir: str):
+    """Hop distance from the trusted seed set over directed links,
+    capped at LINKDIST_MAX — the crawl-scheduling / spam-demotion
+    companion to q_trustrank (pages many clicks from any trusted hub
+    are crawl-frontier losers). Size-routed: one-task BFS under
+    LINKDIST_DRIVER_EDGE_LIMIT edges, else pruned distributed frontier
+    BFS (join + distinct + left_anti per round, frontier tables
+    O(nodes)). Routes are equivalence-tested."""
+    pages_dir = link_corpus()
+    edges = _dir_edges_ds(pages_dir)
+    if LINK_N * 6 <= LINKDIST_DRIVER_EDGE_LIMIT:
+        n = edges.materialize().count()
+        return edges.repartition(1).map_batches(
+            _linkdist_bfs_batch, batch_format="pyarrow",
+            batch_size=max(2 * n, 1),
+        )
+    pages = rd.read_parquet(pages_dir, columns=["url"])
+    return _linkdist_distributed(
+        edges, pages, dd.adaptive_partitions(LINK_N)
+    )
+
+
+def linkdist_oracle_sql(pages_dir: str, n: int = LINK_N) -> str:
+    """Walk-expansion replay: f_k = nodes reachable in exactly k steps
+    (distinct per level); min level per node = BFS distance. Equivalent
+    to the engine's pruned BFS because a node at distance d first
+    appears at level d in both formulations. Level CTEs MATERIALIZED
+    (each is referenced by the next level AND the final union — inline
+    expansion would re-walk the whole chain per reference)."""
+    levels = []
+    union = ["select url, 0 as d from f0"]
+    prev = "f0"
+    for k in range(1, LINKDIST_MAX + 1):
+        levels.append(f"""
+f{k} as materialized (select distinct e.dst as url from e
+         join {prev} on e.src = {prev}.url)""")
+        union.append(f"select url, {k} as d from f{k}")
+        prev = f"f{k}"
+    return f"""
+with links as ({outlinks_oracle_sql(pages_dir)}),
+e as (select distinct src, dst from links where src <> dst),
+pages as (select url from ({_link_pages_sql(pages_dir)})),
+f0 as (select url from pages
+       where regexp_extract(url, 'p(\\d+)$', 1)::int
+             % {TRUST_MOD} = 0),{",".join(levels)},
+lv as ({" union all ".join(union)})
+select url, min(d)::bigint as dist from lv group by url
+"""
+
+
 LINK_ANCHOR_RE = re.compile(r'<a href="([^"]*)">([^<]*)</a>')
 
 
@@ -12120,6 +12441,8 @@ QUERIES = {
     "topic_tag": q_topic_tag,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "graph_triangles": q_graph_triangles,
+    "link_kcore": q_link_kcore,
+    "link_distance": q_link_distance,
     "collocations": q_collocations,
     "posting_gaps": q_posting_gaps,
     "quantiles_by_domain": q_quantiles_by_domain,
@@ -14865,6 +15188,8 @@ def all_oracles() -> dict[str, str]:
     out["hits_rank"] = hits_oracle_sql(link_dir)
     out["link_components"] = link_components_oracle_sql(link_dir)
     out["graph_triangles"] = triangles_oracle_sql(link_dir)
+    out["link_kcore"] = kcore_oracle_sql(link_dir)
+    out["link_distance"] = linkdist_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)
     out["url_history"] = url_history_oracle_sql(recrawl_corpus())
     out["first_seen"] = first_seen_oracle_sql(recrawl_corpus())

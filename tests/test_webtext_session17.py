@@ -1,0 +1,156 @@
+"""Unit tests for the session-17 graph operators: K-core peel and
+multi-source BFS hop distance over the link fixture. Oracle value-parity
+is covered by the driver gate / check_oracles; these pin (a) the numeric
+semantics against independent python ground truth and (b) the
+small-task / distributed route equivalence, plus the unroll-depth
+invariant the SQL oracles rely on (peel depth / BFS eccentricity must
+stay under the unrolled round count).
+"""
+
+import collections
+
+import duckdb
+import pandas as pd
+
+from adaptive_pdf_extractor_ray.pipelines import queries as q
+from adaptive_pdf_extractor_ray.stages import dedup as dd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _und_adj() -> dict[str, set[str]]:
+    d = q.link_corpus()
+    edges = duckdb.sql(
+        f"select distinct least(src,dst) a, greatest(src,dst) b "
+        f"from ({q.outlinks_oracle_sql(d)}) where src<>dst"
+    ).fetchall()
+    adj: dict[str, set[str]] = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    return adj
+
+
+def _dir_out() -> dict[str, set[str]]:
+    d = q.link_corpus()
+    edges = duckdb.sql(
+        f"select distinct src, dst from ({q.outlinks_oracle_sql(d)}) "
+        f"where src<>dst"
+    ).fetchall()
+    out: dict[str, set[str]] = collections.defaultdict(set)
+    nodes = set()
+    for s, t in edges:
+        out[s].add(t)
+        nodes.add(s)
+        nodes.add(t)
+    out["__nodes__"] = nodes
+    return out
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+class TestLinkKcore:
+    def test_matches_python_peel(self, ray_session):
+        got = q.q_link_kcore(SF).to_pandas()
+        adj = _und_adj()
+        alive = set(adj)
+        while True:
+            drop = {
+                u for u in alive
+                if sum(1 for v in adj[u] if v in alive) < q.KCORE_K
+            }
+            if not drop:
+                break
+            alive -= drop
+        want = {
+            u: sum(1 for v in adj[u] if v in alive) for u in sorted(alive)
+        }
+        assert dict(zip(got["url"], got["degree"])) == want
+        assert len(got) == len(alive) > 0
+
+    def test_peel_depth_under_oracle_unroll(self):
+        """The SQL oracle unrolls KCORE_ROUNDS rounds; rounds past the
+        fixpoint are no-ops, so correctness needs true peel depth <
+        KCORE_ROUNDS on the fixture."""
+        adj = _und_adj()
+        alive = set(adj)
+        depth = 0
+        while True:
+            drop = {
+                u for u in alive
+                if sum(1 for v in adj[u] if v in alive) < q.KCORE_K
+            }
+            if not drop:
+                break
+            alive -= drop
+            depth += 1
+        assert depth < q.KCORE_ROUNDS
+
+    def test_distributed_route_equals_task_route(self, ray_session):
+        und = q._und_edges_ds(q.link_corpus())
+        dist = _canon(
+            q._kcore_distributed(und, dd.adaptive_partitions(q.LINK_N))
+            .to_pandas()
+        )
+        task = _canon(q.q_link_kcore(SF).to_pandas())
+        pd.testing.assert_frame_equal(dist, task)
+
+
+class TestLinkDistance:
+    def _truth(self) -> dict[str, int]:
+        out = _dir_out()
+        nodes = out.pop("__nodes__")
+        dist = {u: 0 for u in nodes if q._trust_seed(u)}
+        frontier = set(dist)
+        for k in range(1, q.LINKDIST_MAX + 1):
+            nxt: set[str] = set()
+            for u in frontier:
+                nxt |= out.get(u, set())
+            frontier = {v for v in nxt if v not in dist}
+            for v in frontier:
+                dist[v] = k
+            if not frontier:
+                break
+        return dist
+
+    def test_matches_python_bfs(self, ray_session):
+        got = q.q_link_distance(SF).to_pandas()
+        want = self._truth()
+        assert dict(zip(got["url"], got["dist"])) == want
+        assert (got["dist"] == 0).sum() > 0  # seeds present
+
+    def test_eccentricity_under_cap(self):
+        """All reachable nodes must be found within LINKDIST_MAX hops on
+        the fixture, otherwise the capped engine/oracle would silently
+        truncate (the no-silent-caps rule)."""
+        out = _dir_out()
+        nodes = out.pop("__nodes__")
+        dist = {u: 0 for u in nodes if q._trust_seed(u)}
+        frontier = set(dist)
+        k = 0
+        while frontier:
+            k += 1
+            nxt: set[str] = set()
+            for u in frontier:
+                nxt |= out.get(u, set())
+            frontier = {v for v in nxt if v not in dist}
+            for v in frontier:
+                dist[v] = k
+        assert max(dist.values()) < q.LINKDIST_MAX
+
+    def test_distributed_route_equals_task_route(self, ray_session):
+        import ray.data as rd
+
+        pages_dir = q.link_corpus()
+        edges = q._dir_edges_ds(pages_dir)
+        pages = rd.read_parquet(pages_dir, columns=["url"])
+        dist = _canon(
+            q._linkdist_distributed(
+                edges, pages, dd.adaptive_partitions(q.LINK_N)
+            ).to_pandas()
+        )
+        task = _canon(q.q_link_distance(SF).to_pandas())
+        pd.testing.assert_frame_equal(dist, task)
