@@ -1215,6 +1215,216 @@ def q_knn_brute(sf_dir: str):
     ).select_columns(["query_id", "neighbor_id"])
 
 
+KNNG_K = 5
+
+
+def _knng_final(g: pa.Table) -> pa.Table:
+    """Final per-node reduce for the kNN graph: drop the self edge (sim
+    exactly 1.0 but NOT guaranteed inside the top-(k+1) partial when >k
+    other vectors also score 1.0 with smaller ids — hence the explicit
+    filter + re-slice), keep k best by (sim desc, neighbor_id asc)."""
+    qid = g["query_id"][0].as_py()
+    rows = sorted(
+        (
+            (n, s)
+            for n, s in zip(
+                g["neighbor_id"].to_pylist(), g["sim"].to_pylist()
+            )
+            if n != qid
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:KNNG_K]
+    return pa.table(
+        {
+            "vec_id": pa.array([qid] * len(rows), pa.int64()),
+            "neighbor_id": pa.array([r[0] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact cosine kNN GRAPH over the whole embedding column (every
+    vector's top-k neighbors among all others) — the input to graph-based
+    semantic dedup / connectivity-based curation (SemDeDup-style cluster
+    audits). Reuses the BruteKnn partial+final shape with queries = ALL
+    vectors: the query matrix is broadcast once per actor, each batch does
+    one (n x batch) matmul and emits partial top-(k+1); the final groupby
+    drops the self edge and keeps k. Exact kNN-graph is inherently O(n^2)
+    compute — at 10^12-doc scale you build the APPROXIMATE graph instead
+    (q_knn_lsh / q_knn_ivf are the scale path; this operator is the exact
+    counterpart they're measured against via q_ann_recall)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    q = {"ids": t["vec_id"].to_pylist(), "vecs": t["embedding"].to_pylist()}
+    # max_restarts=0 DELIBERATELY: unlike q_knn_brute's 10-vector arg,
+    # the all-vectors query matrix is big enough that Ray spills it to
+    # the object store — a lost ref then fails fast into lineage
+    # re-execution instead of a doomed actor restart (ray#53727; the
+    # BroadcastPrefixer precedent above)
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        sim.BruteKnn, fn_constructor_args=(q, KNNG_K + 1),
+        batch_format="pyarrow", concurrency=_apool(), max_restarts=0,
+    )
+    return partials.groupby("query_id").map_groups(
+        _knng_final, batch_format="pyarrow"
+    )
+
+
+KNNG_ORACLE_SQL = f"""
+with scored as (
+  select a.vec_id as qid, b.vec_id as nid,
+         round(list_cosine_similarity(a.embedding::double[],
+               b.embedding::double[]), 4) as sim
+  from embeddings a join embeddings b on a.vec_id <> b.vec_id),
+ranked as (select *, row_number() over
+             (partition by qid order by sim desc, nid asc) as rn
+           from scored)
+select qid as vec_id, nid as neighbor_id from ranked where rn <= {KNNG_K}
+"""
+
+
+# greedy k-center (farthest-point / Gonzalez) coreset selection: the
+# diversity-maximizing data-selection pass (pick K exemplars so every
+# point is near some exemplar). Cosine geometry; sims ranked at
+# 4 dp with vec_id tie-breaks so numpy-vs-DuckDB float noise can't
+# flip a pick (the knn_brute precedent).
+KC_K = 8
+
+
+def _kc_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return ids, M
+
+
+def q_kcenter_sample(sf_dir: str):
+    """Greedy k-center selection + assignment over the embedding column.
+    Round 0 seeds with the min vec_id; each later round picks the point
+    whose max-similarity to the chosen centers is LOWEST (farthest-first,
+    tie-break vec_id asc). Per round: one map_batches scan emits ONE
+    winner row per batch (per-batch partial argmin) and the driver
+    reduces those O(num_blocks) winners — the centers themselves are a
+    K-row broadcast, so K rounds cost K column scans and no shuffle.
+    Output: every vector labeled with its nearest center (sim desc,
+    center_id asc tie-break) — the cluster-balanced sampling frame.
+    The SQL oracle replays every round with materialized CTEs."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    import pyarrow.parquet as pq_
+
+    first = pq_.read_table(
+        _pq(sf_dir, "embeddings"), columns=["vec_id"]
+    )["vec_id"]
+    c_ids = [int(pc.min(first).as_py())]
+
+    def center_vec(cid: int) -> np.ndarray:
+        t = pq_.read_table(
+            _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", cid)],
+        )
+        v = np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+        return v / max(np.linalg.norm(v), 1e-12)
+
+    C = [center_vec(c_ids[0])]
+    for _ in range(1, KC_K):
+        Cm = np.stack(C)
+        chosen = frozenset(c_ids)
+
+        def winners(t: pa.Table, _Cm=Cm, _chosen=chosen) -> pa.Table:
+            ids, M = _kc_matrix(t)
+            # already-chosen centers are out of the running (their
+            # self-sim 1.0 can't win argmin anyway EXCEPT in the
+            # all-identical-vectors corner, where keeping them would
+            # re-pick c0 forever — the oracle excludes them too)
+            keep = np.asarray([i not in _chosen for i in ids], bool)
+            if not keep.any():
+                return pa.table(
+                    {"vec_id": pa.array([], pa.int64()),
+                     "msim": pa.array([], pa.float64())}
+                )
+            ids, M = ids[keep], M[keep]
+            msim = np.round(M @ _Cm.T, 4).max(axis=1)
+            j = np.lexsort((ids, msim))[0]  # min msim, then min vec_id
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[j])], pa.int64()),
+                    "msim": pa.array([float(msim[j])], pa.float64()),
+                }
+            )
+
+        part = ds.map_batches(winners, batch_format="pyarrow").take_all()
+        if not part:  # fewer points than KC_K
+            break
+        best = min(part, key=lambda r: (r["msim"], r["vec_id"]))
+        c_ids.append(int(best["vec_id"]))
+        C.append(center_vec(c_ids[-1]))
+
+    Cm = np.stack(C)
+    cid_arr = np.asarray(c_ids, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids, M = _kc_matrix(t)
+        sims = np.round(M @ Cm.T, 4)
+        # argmax by (sim desc, center vec_id asc): order center columns
+        # by center id first, then a stable argmax over the id-sorted
+        # columns returns the smallest id among ties
+        order = np.argsort(cid_arr)
+        sims_o = sims[:, order]
+        pick = sims_o.argmax(axis=1)  # first (=min center id) max
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "center_id": pa.array(cid_arr[order][pick], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kcenter_oracle_sql() -> str:
+    """Unrolled replay of the greedy selection: c0 = min vec_id; round k
+    recomputes every point's max 4-dp cosine to centers c0..c(k-1) and
+    picks the (msim asc, vec_id asc) minimum. All round CTEs are
+    MATERIALIZED (each is referenced by every later round). The final
+    select assigns each vector to its (sim desc, center id asc) nearest
+    center."""
+    rounds = []
+    centers_union = "select * from c0"
+    for k in range(1, KC_K):
+        rounds.append(f"""
+m{k} as materialized (
+  select e.vec_id,
+         max(round(list_cosine_similarity(e.embedding::double[],
+             c.emb), 4)) as msim
+  from embeddings e join ({centers_union}) c on e.vec_id <> -1
+  where e.vec_id not in (select cid from ({centers_union}))
+  group by e.vec_id),
+c{k} as materialized (
+  select m.vec_id as cid, e.embedding::double[] as emb
+  from m{k} m join embeddings e using (vec_id)
+  order by m.msim asc, m.vec_id asc limit 1)""")
+        centers_union += f" union all select * from c{k}"
+    return f"""
+with c0 as materialized (
+  select vec_id as cid, embedding::double[] as emb from embeddings
+  order by vec_id limit 1),{",".join(rounds)},
+centers as materialized ({centers_union}),
+scored as (
+  select e.vec_id, c.cid,
+         round(list_cosine_similarity(e.embedding::double[], c.emb), 4)
+           as sim
+  from embeddings e cross join centers c),
+ranked as (select *, row_number() over
+             (partition by vec_id order by sim desc, cid asc) as rn
+           from scored)
+select vec_id, cid as center_id from ranked where rn = 1
+"""
+
+
 def _gate_centroids(sf_dir: str) -> np.ndarray:
     """The engine's deterministic centroid build (first 512 rows,
     k-means-lite) — shared by knn_ivf and dedup_semantic so both oracles
@@ -12443,6 +12653,8 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "link_kcore": q_link_kcore,
     "link_distance": q_link_distance,
+    "knn_graph": q_knn_graph,
+    "kcenter_sample": q_kcenter_sample,
     "collocations": q_collocations,
     "posting_gaps": q_posting_gaps,
     "quantiles_by_domain": q_quantiles_by_domain,
@@ -12661,6 +12873,8 @@ ORACLES: dict[str, str] = {
         from ranked where rn <= {KNN_K}
         """
     ),
+    "knn_graph": KNNG_ORACLE_SQL,
+    "kcenter_sample": kcenter_oracle_sql(),
     "agg_lineitem": (
         "select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as sum_qty, "
         "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_revenue, "

@@ -154,3 +154,59 @@ class TestLinkDistance:
         )
         task = _canon(q.q_link_distance(SF).to_pandas())
         pd.testing.assert_frame_equal(dist, task)
+
+
+class TestKnnGraph:
+    def test_matches_numpy_groundtruth(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = q.q_knn_graph(SF).to_pandas()
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = np.round(M @ M.T, 4)
+        want = set()
+        for i in range(len(ids)):
+            order = sorted(
+                (j for j in range(len(ids)) if j != i),
+                key=lambda j: (-sims[i, j], ids[j]),
+            )[: q.KNNG_K]
+            for j in order:
+                want.add((int(ids[i]), int(ids[j])))
+        assert set(zip(got["vec_id"], got["neighbor_id"])) == want
+        assert len(got) == len(ids) * q.KNNG_K
+
+
+class TestKcenterSample:
+    def test_matches_numpy_greedy(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = q.q_kcenter_sample(SF).to_pandas()
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        centers = [0]  # index of min vec_id
+        for _ in range(1, q.KC_K):
+            msim = np.round(M @ M[centers].T, 4).max(axis=1)
+            cand = [
+                (msim[i], ids[i], i)
+                for i in range(len(ids)) if i not in centers
+            ]
+            centers.append(min(cand)[2])
+        sims = np.round(M @ M[centers].T, 4)
+        cids = ids[centers]
+        corder = np.argsort(cids)
+        pick = sims[:, corder].argmax(axis=1)
+        want = dict(zip(ids.tolist(), cids[corder][pick].tolist()))
+        assert dict(zip(got["vec_id"], got["center_id"])) == want
+        # the 8 centers assign to themselves
+        for c in cids:
+            assert want[int(c)] == int(c)
