@@ -9503,6 +9503,257 @@ def q_winsorize(sf_dir: str):
     )
 
 
+RFM_DAY_US = 86_400_000_000  # integer day arithmetic, no date_diff semantics
+
+
+def _hist_order_stat(ds, col: str):
+    """The histogram-of-values order-statistic plan (q_global_quantiles)
+    packaged for reuse: returns (n, at(q_num, q_den)) where at() reads
+    the exact 0-based order statistic floor((n-1)q) from the tiny
+    (value, count) histogram. Shuffle volume = the value domain."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = t.group_by(col).aggregate([([], "count_all")])
+        return part.rename_columns([col, "n"])
+
+    hist = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(col)
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # O(distinct values) — the histogram, not the data
+        .sort_values(col)
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    vals = hist[col].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def at(q_num: int, q_den: int) -> int:
+        idx = ((n - 1) * q_num) // q_den
+        return int(vals[np.searchsorted(cum, idx + 1, side="left")])
+
+    return n, at
+
+
+def q_user_rfm(sf_dir: str):
+    """RFM segmentation over the event stream (recency / frequency /
+    monetary — the classic behavioral-cohort tiering): one groupby(user)
+    folds events into (last-seen, count, money) — integer day and cent
+    arithmetic throughout (epoch-us // day; floor(value*100 + 0.5), an
+    integer sum that no float accumulation order can perturb) — then the
+    exact quartile cut points of each metric come from three
+    histogram-of-values order-statistic plans over the USER table (the
+    q_global_quantiles shape; shuffle volume = value domains, never
+    rows), and a stateless map scores users 1-4 per metric. Quartile
+    convention: score = 1 + #thresholds strictly below the value, so
+    ties at a cut point share the lower tier on both engines."""
+    import datetime as _dtm
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    # exact integer epoch-us (timedelta floor-div; no float .timestamp())
+    ref_us = (
+        ev.max("ts") - _dtm.datetime(1970, 1, 1)
+    ) // _dtm.timedelta(microseconds=1)
+
+    def fold(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(t["value"], pa.scalar(100.0)),
+                       pa.scalar(0.5))
+            ),
+            pa.int64(),
+        )
+        part = pa.table(
+            {"user_id": t["user_id"], "us": us, "cents": cents}
+        ).group_by("user_id").aggregate(
+            [("us", "max"), ("cents", "sum"), ("us", "count")]
+        )
+        return part.rename_columns(["user_id", "us_max", "cents", "n"])
+
+    users = (
+        ev.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Max("us_max", alias_name="us_max"),
+            ray.data.aggregate.Sum("cents", alias_name="m_cents"),
+            ray.data.aggregate.Sum("n", alias_name="f_n"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "r_days": pc.divide(
+                        pc.subtract(pa.scalar(ref_us, pa.int64()),
+                                    t["us_max"]),
+                        pa.scalar(RFM_DAY_US, pa.int64()),
+                    ),
+                    "f_n": pc.cast(t["f_n"], pa.int64()),
+                    "m_cents": pc.cast(t["m_cents"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # three histogram plans + the score map read it
+    )
+    cuts: dict[str, tuple[int, int, int]] = {}
+    for col in ("r_days", "f_n", "m_cents"):
+        _, at = _hist_order_stat(users.select_columns([col]), col)
+        cuts[col] = (at(1, 4), at(2, 4), at(3, 4))
+
+    def score(t: pa.Table) -> pa.Table:
+        out = {c: t[c] for c in ("user_id", "r_days", "f_n", "m_cents")}
+        for col, short in (("r_days", "r"), ("f_n", "f"),
+                           ("m_cents", "m")):
+            v = t[col].to_numpy(zero_copy_only=False)
+            q1, q2, q3 = cuts[col]
+            s = 1 + (v > q1).astype(np.int64) + (v > q2) + (v > q3)
+            out[f"{short}_score"] = pa.array(s, pa.int64())
+        return pa.table(out)
+
+    return users.map_batches(score, batch_format="pyarrow")
+
+
+def user_rfm_oracle_sql() -> str:
+    """Replays the integer fold and the three exact-quartile cuts (the
+    winsorize row_number order-statistic idiom, 0-based floor((n-1)q))."""
+    stats = []
+    for col in ("r_days", "f_n", "m_cents"):
+        stats.append(f"""
+s_{col} as (select {col} as v, row_number() over (order by {col}) - 1
+              as r from u),
+q_{col} as (select
+  (select v from s_{col}, nn where r = ((nn.n - 1) * 1) // 4) as q1,
+  (select v from s_{col}, nn where r = ((nn.n - 1) * 2) // 4) as q2,
+  (select v from s_{col}, nn where r = ((nn.n - 1) * 3) // 4) as q3)""")
+    return f"""
+with ref as (select max(epoch_us(ts)) as us from events),
+u as (select user_id,
+             (ref.us - max(epoch_us(ts))) // {RFM_DAY_US} as r_days,
+             count(*)::bigint as f_n,
+             sum(floor(value * 100 + 0.5)::bigint)::bigint as m_cents
+      from events, ref group by user_id, ref.us),
+nn as (select count(*) as n from u),{",".join(stats)}
+select u.user_id, u.r_days, u.f_n, u.m_cents,
+       (1 + (u.r_days > q_r_days.q1)::int + (u.r_days > q_r_days.q2)::int
+          + (u.r_days > q_r_days.q3)::int)::bigint as r_score,
+       (1 + (u.f_n > q_f_n.q1)::int + (u.f_n > q_f_n.q2)::int
+          + (u.f_n > q_f_n.q3)::int)::bigint as f_score,
+       (1 + (u.m_cents > q_m_cents.q1)::int + (u.m_cents > q_m_cents.q2)::int
+          + (u.m_cents > q_m_cents.q3)::int)::bigint as m_score
+from u, q_r_days, q_f_n, q_m_cents
+"""
+
+
+# the \S+ runs of stages/text.TOKEN_PATTERN, compiled once at import
+_WS_TOKEN_RE = re.compile(tx.TOKEN_PATTERN)
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Type-token ratio per document (integer PPM) — the lexical-
+    diversity quality signal (word-salad spam and template boilerplate
+    both collapse TTR). Tokens are the \\S+ runs shared with the
+    token_count oracle; types are exact distinct tokens per doc.
+    Embarrassingly parallel — a document is one row, no shuffle."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids, n_t, n_y, ppm = [], [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(),
+                          t["text"].to_pylist()):
+            toks = _WS_TOKEN_RE.findall(s or "")
+            if not toks:
+                continue
+            ids.append(did)
+            n_t.append(len(toks))
+            n_y.append(len(set(toks)))
+            ppm.append(len(set(toks)) * 1_000_000 // len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_t, pa.int64()),
+                "n_types": pa.array(n_y, pa.int64()),
+                "ttr_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_hapax_rate(sf_dir: str):
+    """Hapax-legomenon rate per source (share of the source's vocabulary
+    that occurs exactly once — the vocabulary-freshness / OCR-noise
+    audit; Zipf predicts ~50% for natural text, template spam collapses
+    it). Two counter shuffles: per-batch (source, word) partial counts
+    -> groupby sum (the exact corpus term frequency), then per-batch
+    (source, is-hapax) partials -> groupby source. Word text never
+    leaves the first shuffle; the second moves two counters per
+    source."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        agg: Counter = Counter()
+        for src, s in zip(t["source"].to_pylist(),
+                          t["text"].to_pylist()):
+            for w in _WS_TOKEN_RE.findall(s or ""):
+                agg[(src, w)] += 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in agg], pa.string()),
+                "word": pa.array([k[1] for k in agg], pa.string()),
+                "n": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    tf = (
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["source", "word"])
+        .sum("n")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        part = pa.table(
+            {
+                "source": t["source"],
+                "v": pa.array(np.ones(t.num_rows, np.int64)),
+                "h": pc.cast(
+                    pc.equal(t["sum(n)"], pa.scalar(1, pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        ).group_by("source").aggregate([("v", "sum"), ("h", "sum")])
+        return part.rename_columns(["source", "v", "h"])
+
+    return (
+        tf.map_batches(fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("v", alias_name="n_vocab"),
+            ray.data.aggregate.Sum("h", alias_name="n_hapax"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "source": t["source"],
+                    "n_vocab": pc.cast(t["n_vocab"], pa.int64()),
+                    "n_hapax": pc.cast(t["n_hapax"], pa.int64()),
+                    "hapax_ppm": pc.divide(
+                        pc.multiply(
+                            pc.cast(t["n_hapax"], pa.int64()),
+                            pa.scalar(1_000_000, pa.int64()),
+                        ),
+                        pc.cast(t["n_vocab"], pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 HASH_FEATURE_BUCKETS = 64
 
 
@@ -12655,6 +12906,9 @@ QUERIES = {
     "link_distance": q_link_distance,
     "knn_graph": q_knn_graph,
     "kcenter_sample": q_kcenter_sample,
+    "user_rfm": q_user_rfm,
+    "lexical_diversity": q_lexical_diversity,
+    "hapax_rate": q_hapax_rate,
     "collocations": q_collocations,
     "posting_gaps": q_posting_gaps,
     "quantiles_by_domain": q_quantiles_by_domain,
@@ -12875,6 +13129,25 @@ ORACLES: dict[str, str] = {
     ),
     "knn_graph": KNNG_ORACLE_SQL,
     "kcenter_sample": kcenter_oracle_sql(),
+    "user_rfm": user_rfm_oracle_sql(),
+    "lexical_diversity": """
+with t as (select doc_id, regexp_extract_all(text, '\\S+') as toks
+           from documents)
+select doc_id, length(toks)::bigint as n_tokens,
+       length(list_distinct(toks))::bigint as n_types,
+       (length(list_distinct(toks)) * 1000000 // length(toks))::bigint
+         as ttr_ppm
+from t where length(toks) > 0
+""",
+    "hapax_rate": """
+with w as (select source, unnest(regexp_extract_all(text, '\\S+')) as word
+           from documents),
+tf as (select source, word, count(*) as n from w group by source, word)
+select source, count(*)::bigint as n_vocab,
+       sum((n = 1)::int)::bigint as n_hapax,
+       (sum((n = 1)::int) * 1000000 // count(*))::bigint as hapax_ppm
+from tf group by source
+""",
     "agg_lineitem": (
         "select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as sum_qty, "
         "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_revenue, "

@@ -210,3 +210,78 @@ class TestKcenterSample:
         # the 8 centers assign to themselves
         for c in cids:
             assert want[int(c)] == int(c)
+
+
+class TestUserRfm:
+    def test_matches_pandas_groundtruth(self, ray_session):
+        import math
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = q.q_user_rfm(SF).to_pandas().set_index("user_id")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts", "value"]).to_pandas()
+        us = ev["ts"].astype("datetime64[us]").astype("int64")
+        ref = int(us.max())
+        ev = ev.assign(
+            us=us, cents=np.floor(ev["value"] * 100 + 0.5).astype("int64")
+        )
+        u = ev.groupby("user_id").agg(
+            us_max=("us", "max"), f_n=("us", "size"),
+            m_cents=("cents", "sum"),
+        )
+        u["r_days"] = (ref - u["us_max"]) // q.RFM_DAY_US
+        for col, short in (("r_days", "r"), ("f_n", "f"),
+                           ("m_cents", "m")):
+            v = np.sort(u[col].to_numpy())
+            n = len(v)
+            cut = [v[((n - 1) * k) // 4] for k in (1, 2, 3)]
+            u[f"{short}_score"] = (
+                1 + (u[col] > cut[0]).astype(int)
+                + (u[col] > cut[1]) + (u[col] > cut[2])
+            )
+        for c in ("r_days", "f_n", "m_cents",
+                  "r_score", "f_score", "m_score"):
+            assert got[c].to_dict() == u[c].to_dict(), c
+        assert set(got["r_score"].unique()) <= {1, 2, 3, 4}
+
+
+class TestLexicalDiversity:
+    def test_matches_python_groundtruth(self, ray_session):
+        import pyarrow.parquet as pq
+
+        got = q.q_lexical_diversity(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        for r in docs.itertuples():
+            toks = (r.text or "").split()
+            if not toks:
+                assert r.doc_id not in got.index
+                continue
+            row = got.loc[r.doc_id]
+            assert row["n_tokens"] == len(toks)
+            assert row["n_types"] == len(set(toks))
+            assert row["ttr_ppm"] == len(set(toks)) * 10**6 // len(toks)
+
+
+class TestHapaxRate:
+    def test_matches_python_groundtruth(self, ray_session):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        got = q.q_hapax_rate(SF).to_pandas().set_index("source")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source", "text"]).to_pandas()
+        tf: dict[str, collections.Counter] = collections.defaultdict(
+            collections.Counter)
+        for r in docs.itertuples():
+            tf[r.source].update((r.text or "").split())
+        for src, c in tf.items():
+            row = got.loc[src]
+            hap = sum(1 for v in c.values() if v == 1)
+            assert row["n_vocab"] == len(c)
+            assert row["n_hapax"] == hap
+            assert row["hapax_ppm"] == hap * 10**6 // len(c)
+        assert len(got) == len(tf)
