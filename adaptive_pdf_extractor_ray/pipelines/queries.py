@@ -8517,6 +8517,111 @@ def q_url_history(sf_dir: str):
     )
 
 
+def q_scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension (type 2) build over the re-crawl
+    snapshots: per url, consecutive captures with IDENTICAL content are
+    compressed into one validity interval (content_md5, valid_from,
+    valid_to, n_captures), the open current interval carrying a NULL
+    valid_to — the lakehouse history-table shape a crawl archive serves
+    point-in-time queries from. One groupby(url) whose group is a url's
+    capture history (bounded by crawl frequency, never corpus-sized);
+    inside the group it's one sorted linear scan."""
+
+    def intervals(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("warc_ts", "ascending")])
+        g = g.take(idx)
+        url = g["url"][0].as_py()
+        tss = g["warc_ts"].to_pylist()
+        hs = [
+            hashlib.md5((t or "").encode()).hexdigest()
+            for t in g["text"].to_pylist()
+        ]
+        starts, counts = [], []
+        for i, h in enumerate(hs):
+            if i == 0 or h != hs[i - 1]:
+                starts.append(i)
+                counts.append(1)
+            else:
+                counts[-1] += 1
+        froms = [tss[s] for s in starts]
+        tos = froms[1:] + [None]
+        return pa.table(
+            {
+                "url": pa.array([url] * len(starts), pa.string()),
+                "content_md5": pa.array(
+                    [hs[s] for s in starts], pa.string()
+                ),
+                "valid_from": pa.array(froms, pa.timestamp("us")),
+                "valid_to": pa.array(tos, pa.timestamp("us")),
+                "n_captures": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(recrawl_corpus(), columns=["url", "warc_ts", "text"])
+        .groupby("url")
+        .map_groups(intervals, batch_format="pyarrow")
+    )
+
+
+def scd2_oracle_sql(pages_dir: str) -> str:
+    """Window replay: lag detects content changes, a running change-sum
+    numbers the intervals, lead chains valid_to to the next interval's
+    valid_from (NULL on the open one)."""
+    return f"""
+with s as (select url, warc_ts, md5(text) as h
+           from read_parquet('{pages_dir}/*.parquet')),
+c as (select *, case when lag(h) over
+        (partition by url order by warc_ts) is distinct from h
+        then 1 else 0 end as chg
+      from s),
+g as (select *, sum(chg) over (partition by url order by warc_ts
+        rows unbounded preceding) as grp from c),
+iv as (select url, grp, min(h) as content_md5,
+              min(warc_ts) as valid_from,
+              count(*)::bigint as n_captures
+       from g group by url, grp)
+select url, content_md5, valid_from,
+       lead(valid_from) over (partition by url order by valid_from)
+         as valid_to,
+       n_captures
+from iv
+"""
+
+
+def q_late_events(sf_dir: str):
+    """Watermark / late-arrival audit of the event stream: within each
+    user's ARRIVAL order (event_id — the ingestion sequence), an event
+    is late when its timestamp is behind the running max of all prior
+    events. Emits per user the late count and the worst lateness in
+    exact integer microseconds — the out-of-orderness profile that
+    sizes a streaming pipeline's watermark delay. One groupby(user);
+    inside the (bounded) group a numpy running-max scan."""
+
+    def audit(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("event_id", "ascending")])
+        g = g.take(idx)
+        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        runmax = np.maximum.accumulate(us)
+        wm = np.concatenate(([np.iinfo(np.int64).min], runmax[:-1]))
+        late = us < wm
+        worst = int((wm - us)[late].max()) if late.any() else 0
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_events": pa.array([len(us)], pa.int64()),
+                "n_late": pa.array([int(late.sum())], pa.int64()),
+                "max_lateness_us": pa.array([worst], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(audit, batch_format="pyarrow")
+    )
+
+
 def urltrap_corpus() -> str:
     """Lazily write the deterministic crawler-trap url fixture
     (sf-independent fixed path); both the Ray query and the oracle
@@ -12909,6 +13014,8 @@ QUERIES = {
     "user_rfm": q_user_rfm,
     "lexical_diversity": q_lexical_diversity,
     "hapax_rate": q_hapax_rate,
+    "scd2_intervals": q_scd2_intervals,
+    "late_events": q_late_events,
     "collocations": q_collocations,
     "posting_gaps": q_posting_gaps,
     "quantiles_by_domain": q_quantiles_by_domain,
@@ -13147,6 +13254,19 @@ select source, count(*)::bigint as n_vocab,
        sum((n = 1)::int)::bigint as n_hapax,
        (sum((n = 1)::int) * 1000000 // count(*))::bigint as hapax_ppm
 from tf group by source
+""",
+    "late_events": """
+with w as (select user_id, ts,
+                  max(ts) over (partition by user_id order by event_id
+                    rows between unbounded preceding and 1 preceding)
+                    as wm
+           from events)
+select user_id, count(*)::bigint as n_events,
+       coalesce(sum((ts < wm)::int), 0)::bigint as n_late,
+       coalesce(max(case when ts < wm
+                         then epoch_us(wm) - epoch_us(ts) end),
+                0)::bigint as max_lateness_us
+from w group by user_id
 """,
     "agg_lineitem": (
         "select l_returnflag, l_linestatus, round(sum(l_quantity), 2) as sum_qty, "
@@ -15680,6 +15800,7 @@ def all_oracles() -> dict[str, str]:
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)
     out["url_history"] = url_history_oracle_sql(recrawl_corpus())
     out["first_seen"] = first_seen_oracle_sql(recrawl_corpus())
+    out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     out["cocitation"] = cocitation_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)

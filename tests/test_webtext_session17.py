@@ -285,3 +285,67 @@ class TestHapaxRate:
             assert row["n_hapax"] == hap
             assert row["hapax_ppm"] == hap * 10**6 // len(c)
         assert len(got) == len(tf)
+
+
+class TestScd2Intervals:
+    def test_matches_python_groundtruth(self, ray_session):
+        import hashlib
+
+        import duckdb
+
+        got = q.q_scd2_intervals(SF).to_pandas()
+        rows = duckdb.sql(
+            f"select url, warc_ts, text from "
+            f"read_parquet('{q.recrawl_corpus()}/*.parquet') "
+            f"order by url, warc_ts"
+        ).fetchall()
+        want = []
+        hist: dict[str, list] = {}
+        for u, ts, tx_ in rows:
+            hist.setdefault(u, []).append(
+                (ts, hashlib.md5((tx_ or "").encode()).hexdigest())
+            )
+        for u, caps in hist.items():
+            ivs = []
+            for ts, h in caps:
+                if not ivs or ivs[-1][1] != h:
+                    ivs.append([ts, h, 1])
+                else:
+                    ivs[-1][2] += 1
+            for i, (ts, h, n) in enumerate(ivs):
+                to = ivs[i + 1][0] if i + 1 < len(ivs) else None
+                want.append((u, h, ts, to, n))
+        got_t = sorted(
+            (r.url, r.content_md5, r.valid_from.to_pydatetime(),
+             None if pd.isna(r.valid_to) else r.valid_to.to_pydatetime(),
+             r.n_captures)
+            for r in got.itertuples()
+        )
+        assert got_t == sorted(want)
+        # every url ends with one open interval
+        assert got["valid_to"].isna().sum() == got["url"].nunique()
+
+
+class TestLateEvents:
+    def test_matches_pandas_groundtruth(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        got = q.q_late_events(SF).to_pandas().set_index("user_id")
+        ev = (
+            pq.read_table(f"{SF}/events.parquet",
+                          columns=["user_id", "event_id", "ts"])
+            .to_pandas()
+            .sort_values(["user_id", "event_id"])
+        )
+        ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        for uid, g in ev.groupby("user_id"):
+            us = g["us"].to_numpy()
+            run = np.maximum.accumulate(us)
+            wm = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+            late = us < wm
+            row = got.loc[uid]
+            assert row["n_events"] == len(us)
+            assert row["n_late"] == late.sum()
+            worst = int((wm - us)[late].max()) if late.any() else 0
+            assert row["max_lateness_us"] == worst
