@@ -1425,6 +1425,113 @@ select vec_id, cid as center_id from ranked where rn = 1
 """
 
 
+MRL_HALF = 32  # EMBED_DIMS // 2; literal so the oracle slice is static
+
+
+def q_embed_matryoshka(sf_dir: str):
+    """Matryoshka truncation audit: for the standard query set, how many
+    of the full-dimension cosine top-k survive when both sides are
+    truncated to the first MRL_HALF dims — the retrieval-quality check
+    before shipping truncated embeddings to cut index cost 2x (Kusupati
+    et al., NeurIPS'22). One stateless pass computes BOTH similarity
+    matrices per batch (the query matrices live in the task closure —
+    20 tiny vectors) and emits per-mode partial top-k; the final
+    groupby(query) reduces partials and counts the intersection. Same
+    4-dp + neighbor-id tie-break discipline as every knn oracle."""
+    q = _query_vectors(sf_dir)
+    qids = np.asarray(q["ids"], dtype=np.int64)
+    Qf = np.asarray(q["vecs"], dtype=np.float64)
+    Qf = Qf / np.maximum(np.linalg.norm(Qf, axis=1, keepdims=True), 1e-12)
+    Qh = np.asarray(q["vecs"], dtype=np.float64)[:, :MRL_HALF]
+    Qh = Qh / np.maximum(np.linalg.norm(Qh, axis=1, keepdims=True), 1e-12)
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        out_q, out_n, out_s, out_m = [], [], [], []
+        for mode, Q, X in (("full", Qf, M), ("half", Qh, M[:, :MRL_HALF])):
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            )
+            sims = np.round(Q @ Xn.T, 4)
+            k = min(KNN_K, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                order = sorted(
+                    range(sims.shape[1]),
+                    key=lambda j: (-sims[qi, j], ids[j]),
+                )[:k]
+                for j in order:
+                    out_q.append(int(qids[qi]))
+                    out_n.append(int(ids[j]))
+                    out_s.append(float(sims[qi, j]))
+                    out_m.append(mode)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+                "mode": pa.array(out_m, pa.string()),
+            }
+        )
+
+    def overlap(g: pa.Table) -> pa.Table:
+        tops: dict[str, set[int]] = {}
+        for mode in ("full", "half"):
+            sub = g.filter(pc.equal(g["mode"], mode))
+            rows = sorted(
+                zip(sub["neighbor_id"].to_pylist(),
+                    sub["sim"].to_pylist()),
+                key=lambda r: (-r[1], r[0]),
+            )[:KNN_K]
+            tops[mode] = {r[0] for r in rows}
+        return pa.table(
+            {
+                "query_id": pa.array([g["query_id"][0].as_py()],
+                                     pa.int64()),
+                "n_overlap": pa.array(
+                    [len(tops["full"] & tops["half"])], pa.int64()
+                ),
+                "k": pa.array([KNN_K], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("query_id")
+        .map_groups(overlap, batch_format="pyarrow")
+    )
+
+
+EMBED_MATRYOSHKA_SQL = f"""
+with q as (select vec_id as qid, embedding as qe from embeddings
+           order by vec_id limit {N_QUERIES}),
+sf as (select q.qid, e.vec_id as nid,
+              round(list_cosine_similarity(q.qe::double[],
+                    e.embedding::double[]), 4) as sim
+       from q cross join embeddings e),
+tf as (select qid, nid from (
+         select *, row_number() over
+           (partition by qid order by sim desc, nid asc) as rn from sf)
+       where rn <= {KNN_K}),
+sh as (select q.qid, e.vec_id as nid,
+              round(list_cosine_similarity(
+                    (q.qe[1:{MRL_HALF}])::double[],
+                    (e.embedding[1:{MRL_HALF}])::double[]), 4) as sim
+       from q cross join embeddings e),
+th as (select qid, nid from (
+         select *, row_number() over
+           (partition by qid order by sim desc, nid asc) as rn from sh)
+       where rn <= {KNN_K})
+select f.qid as query_id,
+       coalesce(sum((h.nid is not null)::int), 0)::bigint as n_overlap,
+       {KNN_K}::bigint as k
+from tf f left join th h on f.qid = h.qid and f.nid = h.nid
+group by f.qid
+"""
+
+
 def _gate_centroids(sf_dir: str) -> np.ndarray:
     """The engine's deterministic centroid build (first 512 rows,
     k-means-lite) — shared by knn_ivf and dedup_semantic so both oracles
@@ -11524,6 +11631,79 @@ def q_event_transitions(sf_dir: str):
     )
 
 
+EV_STAT_SCALE = 10 ** 12
+EV_STAT_ITERS = 8
+
+
+def q_event_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain (power
+    iteration on the transition matrix, EV_STAT_ITERS synchronous
+    rounds, integer fixed-point at 10^12 like PageRank so driver and
+    SQL replay bit-identically): the behavioral steady-state — where a
+    user's session settles regardless of entry point. The transition
+    TABLE is built distributed (q_event_transitions: corpus shuffles
+    once by user, O(types²) counter rows out); the iteration itself
+    runs on the driver because the state space is SCHEMA-bounded
+    (event-type cardinality), never corpus-sized — the justified
+    small-side reduce, same argument as the PR_DRIVER_EDGE_LIMIT route.
+    Mass at types with no outgoing transitions is dropped each round
+    (dangling, PageRank-style); the oracle replays the identical
+    floor-division recurrence."""
+    tr = q_event_transitions(sf_dir).take_all()
+    states = sorted(
+        {r["prev_type"] for r in tr} | {r["next_type"] for r in tr}
+    )
+    tot: dict[str, int] = {}
+    for r in tr:
+        tot[r["prev_type"]] = tot.get(r["prev_type"], 0) + r["n"]
+    p = {s: EV_STAT_SCALE // len(states) for s in states}
+    for _ in range(EV_STAT_ITERS):
+        nxt = {s: 0 for s in states}
+        for r in tr:
+            nxt[r["next_type"]] += (
+                p[r["prev_type"]] * r["n"]
+            ) // tot[r["prev_type"]]
+        p = nxt
+    return pa.table(
+        {
+            "event_type": pa.array(states, pa.string()),
+            "stationary_micro": pa.array(
+                [p[s] // 10 ** 6 for s in states], pa.int64()
+            ),
+        }
+    )
+
+
+def event_stationary_oracle_sql() -> str:
+    """Unrolled replay of the fixed-point power iteration (materialized
+    round CTEs; the correlated per-state subquery runs over the tiny
+    O(types²) transition table)."""
+    rounds = []
+    prev = "p0"
+    for k in range(1, EV_STAT_ITERS + 1):
+        rounds.append(f"""
+p{k} as materialized (
+  select s.t,
+         coalesce((select sum((pp.p * tr.n) // tt.tot)
+                   from tr join tot tt using (prev_type)
+                   join {prev} pp on pp.t = tr.prev_type
+                   where tr.next_type = s.t), 0)::bigint as p
+  from states s)""")
+        prev = f"p{k}"
+    return f"""
+with tr as materialized ({ORACLES["event_transitions"]}),
+states as materialized (
+  select prev_type as t from tr union select next_type from tr),
+tot as materialized (
+  select prev_type, sum(n)::bigint as tot from tr group by prev_type),
+ns as (select count(*) as n from states),
+p0 as (select t, ({EV_STAT_SCALE} // ns.n)::bigint as p
+       from states, ns),{",".join(rounds)}
+select t as event_type, (p // 1000000)::bigint as stationary_micro
+from {prev}
+"""
+
+
 def q_embed_standardize(sf_dir: str):
     """Global per-dimension z-score standardization of the embedding
     column (the whitening step before k-means / outlier scoring / linear
@@ -13082,6 +13262,8 @@ QUERIES = {
     "monthly_growth": q_monthly_growth,
     "lang_confusion": q_lang_confusion,
     "dedup_funnel": q_dedup_funnel,
+    "embed_matryoshka": q_embed_matryoshka,
+    "event_stationary": q_event_stationary,
 }
 
 
@@ -15771,6 +15953,8 @@ def all_oracles() -> dict[str, str]:
     import)."""
     out = dict(ORACLES)
     out["split_assign"] = SPLIT_ASSIGN_SQL
+    out["embed_matryoshka"] = EMBED_MATRYOSHKA_SQL
+    out["event_stationary"] = event_stationary_oracle_sql()
     out["approx_distinct_hll"] = _hll_oracle_sql()
     out["skew_f2"] = skew_f2_oracle_sql()
     out["bm25_search"] = bm25_oracle_sql()
