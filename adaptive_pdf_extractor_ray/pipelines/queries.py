@@ -1425,6 +1425,124 @@ select vec_id, cid as center_id from ranked where rn = 1
 """
 
 
+COVER_K = 8
+
+
+def q_coverage_sample(sf_dir: str):
+    """Greedy vocabulary set cover: COVER_K rounds, each selecting the
+    document adding the most NOT-yet-covered distinct tokens (tie →
+    doc_id asc) — the classic (1−1/e)-approximate corpus subset that
+    maximizes tokenizer/vocab exposure per training doc (greedy
+    set-cover, Nemhauser et al. '78). Per round: the covered set is a
+    small driver-held broadcast (it grows only by the chosen docs'
+    vocab), one map_batches scan emits ONE winner row per batch
+    (partial argmax) and the driver reduces those O(num_blocks)
+    winners — K rounds cost K column scans, no shuffle, nothing
+    corpus-sized on the driver. Output: (round, doc_id, n_new,
+    covered_total) — the selection ledger."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    import pyarrow.parquet as pq_
+
+    def doc_tokens(did: int) -> set[str]:
+        t = pq_.read_table(
+            _pq(sf_dir, "documents"), columns=["doc_id", "text"],
+            filters=[("doc_id", "==", did)],
+        )
+        return set(dd._tokens(t["text"][0].as_py()))
+
+    covered: set[str] = set()
+    chosen: list[tuple[int, int, int]] = []  # (doc_id, n_new, total)
+    for _ in range(COVER_K):
+        cov = frozenset(covered)
+        taken = frozenset(d for d, _, _ in chosen)
+
+        def winners(t: pa.Table, _cov=cov, _taken=taken) -> pa.Table:
+            best: tuple[int, int] | None = None  # (-n_new, doc_id)
+            for did, txt in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+                if did in _taken:
+                    continue
+                n_new = len(set(dd._tokens(txt)) - _cov)
+                key = (-n_new, did)
+                if best is None or key < best:
+                    best = key
+            if best is None:
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "n_new": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "doc_id": pa.array([best[1]], pa.int64()),
+                    "n_new": pa.array([-best[0]], pa.int64()),
+                }
+            )
+
+        part = ds.map_batches(winners, batch_format="pyarrow").take_all()
+        if not part:
+            break
+        best = min(part, key=lambda r: (-r["n_new"], r["doc_id"]))
+        if best["n_new"] == 0:
+            break  # remaining docs add nothing — greedy is done
+        covered |= doc_tokens(int(best["doc_id"]))
+        chosen.append((int(best["doc_id"]), int(best["n_new"]),
+                       len(covered)))
+
+    return pa.table(
+        {
+            "round": pa.array(range(len(chosen)), pa.int64()),
+            "doc_id": pa.array([c[0] for c in chosen], pa.int64()),
+            "n_new": pa.array([c[1] for c in chosen], pa.int64()),
+            "covered_total": pa.array([c[2] for c in chosen], pa.int64()),
+        }
+    )
+
+
+def coverage_oracle_sql() -> str:
+    """Unrolled replay of the greedy cover: round k scores every
+    not-yet-chosen doc by distinct tokens outside the covered set
+    (anti-join), picks (n_new desc, doc_id asc) limit 1, extends the
+    covered CTE. All rounds materialized; zero-gain rounds yield empty
+    winner CTEs, matching the engine's early stop."""
+    tokenize = dd.SQL_TOKENIZE.format(col="text")
+    rounds = []
+    taken_union = "select doc_id from w0"
+    cov_union = "select t from fl join w0 using (doc_id)"
+    for k in range(1, COVER_K):
+        rounds.append(f"""
+s{k} as materialized (
+  select f.doc_id, count(distinct f.t)::bigint as n_new
+  from fl f
+  where f.doc_id not in ({taken_union})
+    and f.t not in (select t from ({cov_union}))
+  group by f.doc_id),
+w{k} as materialized (
+  select doc_id, n_new from s{k}
+  order by n_new desc, doc_id asc limit 1)""")
+        taken_union += f" union all select doc_id from w{k}"
+        cov_union += f" union select t from fl join w{k} using (doc_id)"
+    winners = " union all ".join(
+        f"select {k} as round, doc_id, n_new from w{k}"
+        for k in range(COVER_K)
+    )
+    return f"""
+with toks as (select doc_id, list_distinct({tokenize}) as tk
+              from documents),
+fl as materialized (select doc_id, unnest(tk) as t from toks),
+w0 as materialized (
+  select doc_id, count(distinct t)::bigint as n_new from fl
+  group by doc_id order by n_new desc, doc_id asc limit 1),{",".join(rounds)},
+wins as ({winners}),
+cum as (
+  select w.round, w.doc_id, w.n_new,
+         sum(w.n_new) over (order by w.round
+                            rows unbounded preceding) as covered_total
+  from wins w)
+select round::bigint as round, doc_id, n_new,
+       covered_total::bigint as covered_total
+from cum
+"""
+
+
 MRL_HALF = 32  # EMBED_DIMS // 2; literal so the oracle slice is static
 
 
@@ -1529,6 +1647,127 @@ select f.qid as query_id,
        {KNN_K}::bigint as k
 from tf f left join th h on f.qid = h.qid and f.nid = h.nid
 group by f.qid
+"""
+
+
+PQ_M = 4              # subspaces
+PQ_SUB = 16           # dims per subspace (EMBED_DIMS // PQ_M)
+PQ_K = 8              # codebook entries per subspace
+
+
+def _pq_codebooks(sf_dir: str) -> np.ndarray:
+    """Deterministic PQ codebooks, shape (PQ_M, PQ_K, PQ_SUB): the same
+    first-512-row k-means-lite as the IVF index, run independently per
+    subspace. Memoized per (path, mtime) — the query and its oracle
+    composer share one build."""
+    path = _pq(sf_dir, "embeddings")
+    return _pq_codebooks_cached(path, os.path.getmtime(path))
+
+
+@functools.lru_cache(maxsize=32)
+def _pq_codebooks_cached(path: str, _mtime: float) -> np.ndarray:
+    import pyarrow.parquet as pq_
+
+    rows: list = []
+    for b in pq_.ParquetFile(path).iter_batches(
+        batch_size=512, columns=["embedding"]
+    ):
+        rows.extend(b["embedding"].to_pylist())
+        if len(rows) >= 512:
+            break
+    X = np.asarray(rows[:512], dtype=np.float64)
+    return np.stack(
+        [
+            sim.kmeans_lite(
+                np.ascontiguousarray(X[:, m * PQ_SUB:(m + 1) * PQ_SUB]),
+                n_clusters=min(PQ_K, len(X)),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def q_embed_pq(sf_dir: str):
+    """Product-quantization encoding of the embedding column (Jégou et
+    al., TPAMI'11 — the memory side of every billion-vector ANN index):
+    each vector is split into PQ_M subvectors, each assigned to its
+    nearest subspace-codebook entry (6-dp-rounded Euclidean distance,
+    centroid-id tie-break), and the per-vector output carries the PQ_M
+    codes plus the reconstruction error — 64 floats compress to 4 codes
+    (64x), and the recon_err column is the quality audit that decides
+    whether the compressed index is shippable. Codebooks are a tiny
+    broadcast (PQ_M x PQ_K x PQ_SUB floats) captured in the task
+    closure; encoding is one stateless vectorized pass, no shuffle.
+    recon_err sums the four squared rounded distances left-to-right so
+    the SQL oracle replays it bit-for-bit."""
+    CB = _pq_codebooks(sf_dir)  # (M, K, SUB)
+
+    def encode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        cols: dict[str, pa.Array] = {"vec_id": pa.array(ids, pa.int64())}
+        dist_r: list[np.ndarray] = []
+        for m in range(PQ_M):
+            S = X[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+            C = CB[m]
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            dr = np.round(np.sqrt(d2), 6)
+            code = dr.argmin(axis=1)  # first min = lowest centroid id
+            cols[f"c{m}"] = pa.array(code, pa.int64())
+            dist_r.append(dr[np.arange(len(dr)), code])
+        err = np.round(
+            ((dist_r[0] * dist_r[0] + dist_r[1] * dist_r[1])
+             + dist_r[2] * dist_r[2]) + dist_r[3] * dist_r[3],
+            4,
+        )
+        cols["recon_err"] = pa.array(err, pa.float64())
+        return pa.table(cols)
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pq_oracle_sql(sf_dir: str) -> str:
+    """DuckDB replication of the PQ encode: codebooks embedded as
+    literals (deterministic, data-dependent — same composition contract
+    as ivf_oracle_sql), assignment and reconstruction recomputed
+    independently with the identical 6-dp distance round, id tie-break
+    and left-to-right 4-dp error sum."""
+    CB = _pq_codebooks(sf_dir)
+    lits = ", ".join(
+        f"({m}, {ci}, [{', '.join(repr(float(v)) for v in CB[m][ci])}]"
+        f"::double[])"
+        for m in range(PQ_M)
+        for ci in range(CB.shape[1])
+    )
+    slices = ", ".join(
+        f"({m}, {m * PQ_SUB + 1}, {(m + 1) * PQ_SUB})" for m in range(PQ_M)
+    )
+    picks = ", ".join(
+        f"max(case when m = {m} then cid end)::bigint as c{m}"
+        for m in range(PQ_M)
+    )
+    dists = ", ".join(
+        f"max(case when m = {m} then dr end) as d{m}" for m in range(PQ_M)
+    )
+    return f"""
+with cb(m, cid, cvec) as (values {lits}),
+slices(m, lo, hi) as (values {slices}),
+v as (select vec_id, embedding::double[] as vec from embeddings),
+sub as (select v.vec_id, s.m, (v.vec[s.lo:s.hi])::double[] as sv
+        from v cross join slices s),
+d as (select sub.vec_id, sub.m, cb.cid,
+             round(list_distance(sub.sv, cb.cvec), 6) as dr
+      from sub join cb on cb.m = sub.m),
+best as (select vec_id, m, cid, dr from (
+    select *, row_number() over (partition by vec_id, m
+                                 order by dr asc, cid asc) as rn
+    from d) where rn = 1),
+p as (select vec_id, {picks}, {dists} from best group by vec_id)
+select vec_id, c0, c1, c2, c3,
+       round(((d0 * d0 + d1 * d1) + d2 * d2) + d3 * d3, 4) as recon_err
+from p
 """
 
 
@@ -4196,6 +4435,121 @@ def recrawl_corpus() -> str:
 
     root = os.path.join(tempfile.gettempdir(), "aper_recrawl_150")
     return write_recrawl_corpus(root, n_urls=150, seed=1)
+
+
+def q_temporal_novelty(sf_dir: str):
+    """Per-snapshot content novelty over the re-crawl corpus: a
+    3-token shingle is NOVEL in the snapshot where it first appears
+    (global min warc_ts — unique per capture in this corpus, asserted
+    by the fixture), and each capture reports its distinct-shingle
+    count, novel count and integer novelty_ppm — the crawl-scheduling
+    signal (a site whose captures stop producing novel shingles gets
+    demoted). One pass explodes distinct md5-hashed shingles (8-byte
+    shuffle keys, never the strings), groupby(shingle) Min finds the
+    owner capture, a count-by-owner and a tiny hash join on the capture
+    timestamp attach novel counts to per-capture totals. Shuffles scale
+    with distinct shingles, not corpus bytes."""
+    pages = rd.read_parquet(
+        recrawl_corpus(), columns=["url", "warc_ts", "text"]
+    )
+
+    def totals(t: pa.Table) -> pa.Table:
+        n = [
+            len(set(dd._shingles(txt)))
+            for txt in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": t["url"],
+                "us": pc.cast(t["warc_ts"], pa.int64()),
+                "n_shingles": pa.array(n, pa.int64()),
+            }
+        )
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["warc_ts"], pa.int64()).to_pylist()
+        hs, uss = [], []
+        for txt, u in zip(t["text"].to_pylist(), us):
+            for s in set(dd._shingles(txt)):
+                hs.append(dd._hash64(s) - 2 ** 63)
+                uss.append(u)
+        return pa.table(
+            {
+                "sh": pa.array(hs, pa.int64()),
+                "us": pa.array(uss, pa.int64()),
+            }
+        )
+
+    tot = pages.map_batches(totals, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    n_parts = dd.adaptive_partitions(450)  # captures in the fixture
+    nov = (
+        pages.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("sh")
+        .aggregate(ray.data.aggregate.Min("us", alias_name="us"))
+        .map_batches(
+            lambda t: pa.table(
+                {"us": t["us"],
+                 "one": pa.array([1] * len(t), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("us")
+        .aggregate(ray.data.aggregate.Sum("one", alias_name="n_novel"))
+    )
+    joined = tot.join(nov, join_type="left_outer", on=("us",),
+                      num_partitions=n_parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = np.asarray(t["n_shingles"].to_pylist(), dtype=np.int64)
+        nv = np.asarray(
+            [0 if v is None else v for v in t["n_novel"].to_pylist()],
+            dtype=np.int64,
+        )
+        ppm = np.where(ns > 0, (nv * 10 ** 6) // np.maximum(ns, 1), 0)
+        return pa.table(
+            {
+                "url": t["url"],
+                "ts_us": t["us"],
+                "n_shingles": pa.array(ns, pa.int64()),
+                "n_novel": pa.array(nv, pa.int64()),
+                "novelty_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def temporal_novelty_oracle_sql(pages_dir: str) -> str:
+    tokenize = dd.SQL_TOKENIZE.format(col="text")
+    return f"""
+with p as (select url, epoch_us(warc_ts) as us, text
+           from read_parquet('{pages_dir}/*.parquet')),
+toks as (select url, us, {tokenize} as toks from p),
+sh as (
+  select url, us,
+         case when len(toks) >= 3 then
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         when len(toks) >= 1 then [array_to_string(toks, ' ')]
+         else [] end as shingles
+  from toks),
+sd as (select url, us, list_distinct(shingles) as s from sh),
+fl as (select us,
+              (('0x' || substr(md5(unnest(s)), 1, 16))::ubigint::hugeint
+               - 9223372036854775808)::bigint as h
+       from sd),
+own as (select h, min(us) as us from fl group by h),
+nov as (select us, count(*)::bigint as n_novel from own group by us),
+tot as (select url, us, len(s)::bigint as n_shingles from sd)
+select t.url, t.us as ts_us, t.n_shingles,
+       coalesce(nov.n_novel, 0)::bigint as n_novel,
+       case when t.n_shingles > 0
+            then (coalesce(nov.n_novel, 0) * 1000000) // t.n_shingles
+            else 0 end::bigint as novelty_ppm
+from tot t left join nov using (us)
+"""
 
 
 def q_snapshot_latest(sf_dir: str):
@@ -11407,9 +11761,22 @@ def q_ann_recall(sf_dir: str):
     query each) -> (query, neighbor) groupby marking hits -> per-query
     rollup. Groupbys only — no join, so the rare-row empty-partition
     join hazard can't arise; everything after the two ANN/brute passes
-    moves O(queries x K) rows."""
-    brute = q_knn_brute(sf_dir)
-    ann = q_knn_lsh(sf_dir).select_columns(["query_id", "neighbor_id"])
+    moves O(queries x K) rows.
+
+    Both branch results are materialized BEFORE the union: each is a
+    bounded K x N_QUERIES table (50 rows), and running two autoscaling
+    actor pools under ONE streaming executor has a scale-down race in
+    ray 2.49 (a pool that "consumed all inputs" can be reaped while the
+    sibling branch's task is in flight; the stream then stalls forever
+    — observed as a 26-min hang in the 4-CPU test session). Sequential
+    bounded materialization removes the trigger and costs two tiny
+    blocks."""
+    brute = q_knn_brute(sf_dir).materialize()
+    ann = (
+        q_knn_lsh(sf_dir)
+        .select_columns(["query_id", "neighbor_id"])
+        .materialize()
+    )
 
     def tag(kind: int):
         def f(t: pa.Table) -> pa.Table:
@@ -11701,6 +12068,206 @@ p0 as (select t, ({EV_STAT_SCALE} // ns.n)::bigint as p
        from states, ns),{",".join(rounds)}
 select t as event_type, (p // 1000000)::bigint as stationary_micro
 from {prev}
+"""
+
+
+def q_event_entropy(sf_dir: str):
+    """Conditional entropy H(next | prev) of the event-type chain, per
+    prev_type — how predictable a user's next action is given the
+    current one (low entropy = funnel-like flows, high = browsing).
+    Rides on the transition table (one user shuffle, O(types²) rows
+    out); the per-prev reduce is a groupby over that tiny table. Uses
+    the same ln(tot) - Σ n·ln(n) / tot algebraic form as
+    ``domain_entropy`` so driver and DuckDB sum identical terms before
+    the 6-dp round."""
+    tr = q_event_transitions(sf_dir)
+
+    def per_prev(g: pa.Table) -> pa.Table:
+        n = np.asarray(g["n"].to_pylist(), dtype=np.float64)
+        tot = n.sum()
+        ent = float(np.log(tot) - float((n * np.log(n)).sum()) / tot)
+        return pa.table(
+            {
+                "prev_type": pa.array([g["prev_type"][0].as_py()],
+                                      pa.string()),
+                "n_out": pa.array([int(tot)], pa.int64()),
+                "entropy_nats": pa.array([round(ent, 6)], pa.float64()),
+            }
+        )
+
+    return tr.groupby("prev_type").map_groups(
+        per_prev, batch_format="pyarrow"
+    )
+
+
+SURV_MAX_D = 14
+DAY_US = 86_400_000_000
+
+
+def q_user_survival(sf_dir: str):
+    """Discrete user-lifetime survival curve S(d) = fraction of users
+    whose observed activity span (last ts − first ts, floor-days)
+    reaches at least d, for d = 0..SURV_MAX_D (capped) — the retention
+    decay shape behind churn triage. One groupby(user) Min/Max shuffle
+    → per-batch lifetime histogram partials → a ≤(cap+1)-row groupby;
+    the cumulative tail runs on that bounded table (driver reduce over
+    ≤16 rows, never corpus-sized)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    spans = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            ray.data.aggregate.Min("us", alias_name="min_us"),
+            ray.data.aggregate.Max("us", alias_name="max_us"),
+        )
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        lo = np.asarray(t["min_us"].to_pylist(), dtype=np.int64)
+        hi = np.asarray(t["max_us"].to_pylist(), dtype=np.int64)
+        d = np.minimum((hi - lo) // DAY_US, SURV_MAX_D)
+        c = Counter(d.tolist())
+        return pa.table(
+            {
+                "d": pa.array([int(k) for k in c], pa.int64()),
+                "n": pa.array([int(v) for v in c.values()], pa.int64()),
+            }
+        )
+
+    rows = (
+        spans.map_batches(hist, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .take_all()  # bounded: <= SURV_MAX_D + 1 rows by construction
+    )
+    by_d = {r["d"]: r["n"] for r in rows}
+    total = sum(by_d.values())
+    days = list(range(SURV_MAX_D + 1))
+    surv = [sum(n for d, n in by_d.items() if d >= day) for day in days]
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "n_surviving": pa.array(surv, pa.int64()),
+            "frac_surviving": pa.array(
+                [round(s / total, 6) if total else 0.0 for s in surv],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+USER_SURVIVAL_SQL = f"""
+with u as (select user_id,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // {DAY_US} as d
+           from events group by user_id),
+uc as (select least(d, {SURV_MAX_D})::bigint as d, count(*)::bigint as n
+       from u group by 1),
+t as (select sum(n)::bigint as nn from uc),
+days as (select unnest(range(0, {SURV_MAX_D + 1})) as day)
+select day::bigint as day,
+       coalesce((select sum(n) from uc where uc.d >= day), 0)::bigint
+         as n_surviving,
+       round(coalesce((select sum(n) from uc where uc.d >= day), 0)::double
+             / t.nn, 6) as frac_surviving
+from days, t
+"""
+
+
+def q_event_cusum(sf_dir: str):
+    """Integer-exact CUSUM changepoint scan over each event type's
+    daily volume: with observed-day counts n_i and per-type totals
+    (nd days, tot events), the residual walk S_k = Σ_{i≤k}
+    (n_i·nd − tot) removes the mean without division; the day of
+    max |S_k| (tie → earliest) is the level-shift candidate — the
+    crawl/traffic regime-change detector. Day grid = days with ≥1
+    event (sparse-day semantics, documented). Partial (type, day)
+    counts per batch → one groupby sum → per-type scan over a
+    calendar-bounded group."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["ts"], pa.int64()), pa.scalar(DAY_US, pa.int64())
+        )
+        c = Counter(zip(t["event_type"].to_pylist(), day.to_pylist()))
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in c], pa.string()),
+                "day": pa.array([k[1] for k in c], pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("day", "ascending")])
+        day = np.asarray(g["day"].take(idx).to_pylist(), dtype=np.int64)
+        n = np.asarray(g["n"].take(idx).to_pylist(), dtype=np.int64)
+        nd, tot = len(n), int(n.sum())
+        s = np.cumsum(n * nd - tot)
+        a = np.abs(s)
+        j = int(np.lexsort((day, -a))[0])  # max |S|, then earliest day
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"][0].as_py()],
+                                       pa.string()),
+                "n_days": pa.array([nd], pa.int64()),
+                "total": pa.array([tot], pa.int64()),
+                "cusum_max": pa.array([int(a[j])], pa.int64()),
+                "cp_day": pa.array([int(day[j])], pa.int64()),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(
+        scan, batch_format="pyarrow"
+    )
+
+
+EVENT_CUSUM_SQL = f"""
+with d as (select event_type, epoch_us(ts) // {DAY_US} as day,
+                  count(*)::bigint as n
+           from events group by 1, 2),
+m as (select event_type, count(*)::bigint as nd, sum(n)::bigint as tot
+      from d group by 1),
+c as (select d.event_type, d.day,
+             sum(d.n * m.nd - m.tot) over
+               (partition by d.event_type order by d.day
+                rows unbounded preceding) as s
+      from d join m using (event_type)),
+r as (select event_type, day, abs(s) as a,
+             row_number() over (partition by event_type
+                                order by abs(s) desc, day asc) as rn
+      from c)
+select r.event_type, m.nd as n_days, m.tot as total,
+       r.a::bigint as cusum_max, r.day::bigint as cp_day
+from r join m using (event_type) where rn = 1
+"""
+
+
+def event_entropy_oracle_sql() -> str:
+    return f"""
+with tr as ({ORACLES["event_transitions"]}),
+tot as (select prev_type, sum(n)::bigint as tot from tr group by 1)
+select t.prev_type, tot.tot as n_out,
+       round(ln(tot.tot::double)
+             - sum(t.n::double * ln(t.n::double)) / tot.tot::double, 6)
+         as entropy_nats
+from tr t join tot using (prev_type)
+group by t.prev_type, tot.tot
 """
 
 
@@ -13264,6 +13831,12 @@ QUERIES = {
     "dedup_funnel": q_dedup_funnel,
     "embed_matryoshka": q_embed_matryoshka,
     "event_stationary": q_event_stationary,
+    "event_entropy": q_event_entropy,
+    "user_survival_curve": q_user_survival,
+    "event_cusum": q_event_cusum,
+    "embed_pq": q_embed_pq,
+    "temporal_novelty": q_temporal_novelty,
+    "coverage_sample": q_coverage_sample,
 }
 
 
@@ -15955,6 +16528,10 @@ def all_oracles() -> dict[str, str]:
     out["split_assign"] = SPLIT_ASSIGN_SQL
     out["embed_matryoshka"] = EMBED_MATRYOSHKA_SQL
     out["event_stationary"] = event_stationary_oracle_sql()
+    out["event_entropy"] = event_entropy_oracle_sql()
+    out["user_survival_curve"] = USER_SURVIVAL_SQL
+    out["event_cusum"] = EVENT_CUSUM_SQL
+    out["coverage_sample"] = coverage_oracle_sql()
     out["approx_distinct_hll"] = _hll_oracle_sql()
     out["skew_f2"] = skew_f2_oracle_sql()
     out["bm25_search"] = bm25_oracle_sql()
@@ -15983,6 +16560,7 @@ def all_oracles() -> dict[str, str]:
     out["link_distance"] = linkdist_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)
     out["url_history"] = url_history_oracle_sql(recrawl_corpus())
+    out["temporal_novelty"] = temporal_novelty_oracle_sql(recrawl_corpus())
     out["first_seen"] = first_seen_oracle_sql(recrawl_corpus())
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
@@ -16023,4 +16601,6 @@ from read_json_auto('{jsonl_corpus()}', format='newline_delimited')
         out["ann_recall"] = ann_recall_oracle_sql(ivf_sf)
         # dedup_semantic shares knn_ivf's data-dependent centroid literals
         out["dedup_semantic"] = semdedup_oracle_sql(ivf_sf)
+        # embed_pq's subspace codebooks follow the same contract
+        out["embed_pq"] = pq_oracle_sql(ivf_sf)
     return out

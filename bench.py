@@ -176,6 +176,23 @@ BENCH_QUERIES = [
     "monthly_growth",
     "lang_confusion",
     "dedup_funnel",
+    "link_kcore",
+    "link_distance",
+    "knn_graph",
+    "kcenter_sample",
+    "user_rfm",
+    "lexical_diversity",
+    "hapax_rate",
+    "scd2_intervals",
+    "late_events",
+    "embed_matryoshka",
+    "event_stationary",
+    "event_entropy",
+    "user_survival_curve",
+    "event_cusum",
+    "embed_pq",
+    "temporal_novelty",
+    "coverage_sample",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -86,6 +86,25 @@ class TestEventStationary:
         for s in states:
             assert got[s] == p[s] // 10**6
 
+    def test_entropy_matches_python_groundtruth(self, ray_session):
+        tr = q.q_event_transitions(SF).take_all()
+        tot: dict[str, int] = {}
+        for r in tr:
+            tot[r["prev_type"]] = tot.get(r["prev_type"], 0) + r["n"]
+        got = (
+            q.q_event_entropy(SF)
+            .to_pandas()
+            .set_index("prev_type")
+        )
+        for a, t in tot.items():
+            ns = np.array([r["n"] for r in tr if r["prev_type"] == a],
+                          dtype=np.float64)
+            want = round(float(np.log(t) - (ns * np.log(ns)).sum() / t), 6)
+            assert got.loc[a, "n_out"] == t
+            assert got.loc[a, "entropy_nats"] == want
+            # bounded by ln(branching factor)
+            assert -1e-9 <= got.loc[a, "entropy_nats"] <= np.log(len(ns)) + 1e-9
+
     def test_mass_conserved_up_to_floor_dust(self, ray_session):
         # each round loses < 1 unit per (state, edge) to floor division
         # and the full mass of dangling states; with every event type
@@ -97,3 +116,177 @@ class TestEventStationary:
         slack = q.EV_STAT_ITERS * (n * n + n) * 10**6 + n * 10**6
         assert q.EV_STAT_SCALE - total < q.EV_STAT_SCALE * 0.05 + slack
         assert total <= q.EV_STAT_SCALE
+
+
+class TestUserSurvival:
+    def test_matches_pandas_groundtruth(self, ray_session):
+        import pandas as pd
+
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        span = ev.groupby("user_id")["us"].agg(["min", "max"])
+        d = np.minimum((span["max"] - span["min"]) // q.DAY_US,
+                       q.SURV_MAX_D)
+        got = q.q_user_survival(SF).to_pandas().set_index("day")
+        total = len(span)
+        assert len(got) == q.SURV_MAX_D + 1
+        for day in range(q.SURV_MAX_D + 1):
+            n = int((d >= day).sum())
+            assert got.loc[day, "n_surviving"] == n
+            assert got.loc[day, "frac_surviving"] == round(n / total, 6)
+        # day 0 covers everyone; curve is monotone non-increasing
+        assert got.loc[0, "n_surviving"] == total
+        assert (np.diff(got["n_surviving"].to_numpy()) <= 0).all()
+
+
+class TestEventCusum:
+    def test_matches_python_groundtruth(self, ray_session):
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas()
+        ev["day"] = ev["ts"].astype("datetime64[us]").astype("int64") \
+            // q.DAY_US
+        got = q.q_event_cusum(SF).to_pandas().set_index("event_type")
+        for et, g in ev.groupby("event_type"):
+            daily = g.groupby("day").size().sort_index()
+            n = daily.to_numpy(dtype=np.int64)
+            days = daily.index.to_numpy(dtype=np.int64)
+            nd, tot = len(n), int(n.sum())
+            s = np.cumsum(n * nd - tot)
+            a = np.abs(s)
+            j = int(np.lexsort((days, -a))[0])
+            row = got.loc[et]
+            assert row["n_days"] == nd
+            assert row["total"] == tot
+            assert row["cusum_max"] == a[j]
+            assert row["cp_day"] == days[j]
+        # the residual walk always returns to zero at the last day
+        # (sum of n_i*nd - tot over all days is exactly 0)
+
+
+class TestEmbedPQ:
+    def test_matches_numpy_groundtruth(self, ray_session):
+        got = q.q_embed_pq(SF).to_pandas().set_index("vec_id").sort_index()
+        t = pq.read_table(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        CB = q._pq_codebooks(SF)
+        assert CB.shape == (q.PQ_M, q.PQ_K, q.PQ_SUB)
+        dr_all = []
+        for m in range(q.PQ_M):
+            S = X[:, m * q.PQ_SUB:(m + 1) * q.PQ_SUB]
+            d2 = ((S[:, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
+            dr = np.round(np.sqrt(d2), 6)
+            code = dr.argmin(axis=1)
+            assert (got.loc[ids, f"c{m}"].to_numpy() == code).all()
+            dr_all.append(dr[np.arange(len(dr)), code])
+        err = np.round(
+            ((dr_all[0] * dr_all[0] + dr_all[1] * dr_all[1])
+             + dr_all[2] * dr_all[2]) + dr_all[3] * dr_all[3], 4)
+        assert (got.loc[ids, "recon_err"].to_numpy() == err).all()
+
+    def test_codebook_rows_encode_to_low_error(self, ray_session):
+        # vectors used to seed the codebooks reconstruct no worse than
+        # the corpus average (the quantizer fits its own training rows)
+        got = q.q_embed_pq(SF).to_pandas().sort_values("vec_id")
+        n_train = min(512, len(got))
+        assert got["recon_err"].head(n_train).mean() \
+            <= got["recon_err"].mean() + 1e-9
+        for m in range(q.PQ_M):
+            assert got[f"c{m}"].between(0, q.PQ_K - 1).all()
+
+
+class TestTemporalNovelty:
+    def test_matches_python_groundtruth(self, ray_session):
+        from adaptive_pdf_extractor_ray.stages import dedup as dd
+
+        pages = pq.read_table(q.recrawl_corpus()).to_pandas()
+        pages["us"] = pages["warc_ts"].astype("datetime64[us]") \
+            .astype("int64")
+        first: dict[int, int] = {}
+        per_snap: list[tuple[str, int, set]] = []
+        for r in pages.itertuples():
+            hs = {dd._hash64(s) - 2**63 for s in set(dd._shingles(r.text))}
+            per_snap.append((r.url, r.us, hs))
+            for h in hs:
+                if h not in first or r.us < first[h]:
+                    first[h] = r.us
+        got = q.q_temporal_novelty(SF).to_pandas() \
+            .set_index(["url", "ts_us"])
+        assert len(got) == len(pages)
+        for url, us, hs in per_snap:
+            row = got.loc[(url, us)]
+            novel = sum(1 for h in hs if first[h] == us)
+            assert row["n_shingles"] == len(hs)
+            assert row["n_novel"] == novel
+            assert row["novelty_ppm"] == novel * 10**6 // max(len(hs), 1)
+
+    def test_first_capture_is_fully_novel_sometimes(self, ray_session):
+        # revision-0 captures at the earliest timestamps must contain
+        # novel content; later revisions of the same doc share tokens
+        got = q.q_temporal_novelty(SF).to_pandas()
+        assert (got["n_novel"] > 0).any()
+        assert (got["novelty_ppm"] <= 10**6).all()
+
+
+class TestCoverageSample:
+    def _fixture(self, tmp_path):
+        # controlled vocab so the greedy runs multiple rounds: doc i
+        # holds tokens [5i .. 5i+9] (10 tokens, overlapping the next
+        # doc by 5) plus doc 99 holding a strict subset of doc 0
+        import pyarrow as pa
+        import pyarrow.parquet as pqw
+
+        docs, ids = [], []
+        for i in range(12):
+            ids.append(i)
+            docs.append(" ".join(f"tok{j}" for j in range(5 * i, 5 * i + 10)))
+        ids.append(99)
+        docs.append("tok0 tok1")
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        pqw.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_multi_round_matches_python_greedy(self, ray_session, tmp_path):
+        from adaptive_pdf_extractor_ray.stages import dedup as dd
+
+        d = self._fixture(tmp_path)
+        toks = {}
+        import pyarrow.parquet as pqr
+        t = pqr.read_table(f"{d}/documents.parquet")
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks[did] = set(dd._tokens(txt))
+        covered: set = set()
+        want = []
+        for r in range(q.COVER_K):
+            best = min(
+                ((did, len(tk - covered)) for did, tk in toks.items()
+                 if did not in {w[1] for w in want}),
+                key=lambda x: (-x[1], x[0]),
+            )
+            if best[1] == 0:
+                break
+            covered |= toks[best[0]]
+            want.append((r, best[0], best[1], len(covered)))
+        got = q.q_coverage_sample(d).to_pandas()
+        assert len(got) == len(want) > 1
+        for (r, did, n_new, tot), row in zip(want, got.itertuples()):
+            assert (row.round, row.doc_id, row.n_new,
+                    row.covered_total) == (r, did, n_new, tot)
+        # the subset doc (99) must never be selected
+        assert 99 not in set(got["doc_id"])
+
+    def test_oracle_parity_on_multi_round_fixture(self, ray_session,
+                                                  tmp_path):
+        import duckdb
+
+        d = self._fixture(tmp_path)
+        con = duckdb.connect()
+        con.sql(f"create view documents as "
+                f"select * from read_parquet('{d}/documents.parquet')")
+        want = con.sql(q.coverage_oracle_sql()).fetchall()
+        got = [tuple(r) for r in
+               q.q_coverage_sample(d).to_pandas().itertuples(index=False)]
+        assert got == [tuple(r) for r in want]
