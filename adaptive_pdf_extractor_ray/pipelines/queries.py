@@ -13482,6 +13482,199 @@ def q_k_anonymity(sf_dir: str):
     )
 
 
+L_DIV = 3
+LDIV_BUCKET = 500
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit over the (source, lang) quasi-identifier of
+    the documents table with the length bucket (n_chars // 500) as the
+    sensitive attribute: a class that is k-anonymous but where every
+    member shares one sensitive value still leaks (Machanavajjhala et
+    al., ICDE'06) — at_risk flags classes with < L_DIV distinct
+    buckets. Two bounded groupbys: distinct (QI, bucket) triples
+    first, then per-QI rollup; class sizes ride along from the same
+    scan. Pure integers, no row leaves as more than a counter."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        b = pc.divide(pc.cast(t["n_chars"], pa.int64()),
+                      pa.scalar(LDIV_BUCKET, pa.int64()))
+        return pa.table(
+            {"source": t["source"], "lang": t["lang"], "sb": b}
+        )
+
+    triples = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang", "sb"])
+        .count()
+    )
+
+    def rollup(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(pc.cast(g["count()"], pa.int64())).as_py())
+        ndist = g.num_rows
+        return pa.table(
+            {
+                "source": g["source"].slice(0, 1),
+                "lang": g["lang"].slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "n_sensitive": pa.array([ndist], pa.int64()),
+                "at_risk": pa.array([1 if ndist < L_DIV else 0],
+                                    pa.int64()),
+            }
+        )
+
+    return triples.groupby(["source", "lang"]).map_groups(
+        rollup, batch_format="pyarrow"
+    )
+
+
+L_DIVERSITY_SQL = f"""
+with b as (select source, lang, n_chars // {LDIV_BUCKET} as sb
+           from documents),
+d as (select source, lang, sb, count(*)::bigint as c from b
+      group by 1, 2, 3)
+select source, lang, sum(c)::bigint as n,
+       count(*)::bigint as n_sensitive,
+       (count(*) < {L_DIV})::bigint as at_risk
+from d group by source, lang
+"""
+
+
+def q_markov_perplexity(sf_dir: str):
+    """Per-user sequence negative log-likelihood under the corpus
+    event-type bigram chain — the behavioral anomaly score (a session
+    that the crowd's transition model finds surprising is bot-like or
+    broken instrumentation). The transition table is the distributed
+    part (one user shuffle, O(types²) rows); its probabilities become
+    a tiny broadcast closure, and a second user-partitioned pass
+    scores each history in place: nll = Σ c_ab·(ln tot_a − ln n_ab).
+    Every observed pair exists in the corpus table by construction, so
+    no smoothing term is needed."""
+    tr = q_event_transitions(sf_dir).take_all()  # O(types²), bounded
+    n_ab = {(r["prev_type"], r["next_type"]): r["n"] for r in tr}
+    tot: dict[str, int] = {}
+    for (a, _), n in n_ab.items():
+        tot[a] = tot.get(a, 0) + n
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        types = g["event_type"].take(idx).to_pylist()
+        c = Counter(zip(types, types[1:]))
+        n_tr = sum(c.values())
+        nll = float(
+            sum(
+                k * (math.log(tot[a]) - math.log(n_ab[(a, b)]))
+                for (a, b), k in c.items()
+            )
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "n_transitions": pa.array([n_tr], pa.int64()),
+                "nll_nats": pa.array([round(nll, 6)], pa.float64()),
+                "avg_nll": pa.array(
+                    [round(nll / n_tr, 6) if n_tr else 0.0], pa.float64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
+
+
+def markov_perplexity_oracle_sql() -> str:
+    return f"""
+with tr as ({ORACLES["event_transitions"]}),
+tot as (select prev_type, sum(n)::bigint as tot from tr group by 1),
+w as (select user_id, event_type as b,
+             lag(event_type) over (partition by user_id
+                                   order by ts, event_id) as a
+      from events),
+p as (select user_id, a, b, count(*)::bigint as c from w
+      where a is not null group by 1, 2, 3),
+j as (select p.user_id, p.c,
+             ln(tot.tot::double) - ln(tr.n::double) as term
+      from p join tr on tr.prev_type = p.a and tr.next_type = p.b
+      join tot on tot.prev_type = p.a)
+select user_id, sum(c)::bigint as n_transitions,
+       round(sum(c * term), 6) as nll_nats,
+       round(sum(c * term) / sum(c), 6) as avg_nll
+from j group by user_id
+"""
+
+
+def csv_corpus(sf_dir: str) -> str:
+    """Lazily write the CSV mirror of the documents table's metadata
+    columns (doc_id, source, lang, n_chars — no free text, so no
+    dialect/quoting ambiguity): the fixture for the CSV source path.
+    Keyed by the parquet's mtime; both the query and the oracle
+    composer call this, so either side can run first."""
+    import tempfile
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq_
+
+    src = _pq(sf_dir, "documents")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"aper_csv_{key}")
+    path = os.path.join(out, "documents.csv")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out, exist_ok=True)
+    t = pq_.read_table(src, columns=["doc_id", "source", "lang",
+                                     "n_chars"])
+    tmp = path + ".tmp"
+    pacsv.write_csv(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source coverage: `ray.data.read_csv` over the metadata
+    mirror, one vectorized pass deriving the length bucket — proves
+    the engine ingests the third major interchange format (parquet and
+    JSONL already covered) through the same Dataset pipeline. CSV
+    blocks split at the reader like any other source; downstream
+    stages are format-blind."""
+    path = csv_corpus(sf_dir)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "lang": t["lang"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "len_bucket": pc.divide(
+                    pc.cast(t["n_chars"], pa.int64()),
+                    pa.scalar(100, pa.int64()),
+                ),
+            }
+        )
+
+    return rd.read_csv(path).map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def csv_roundtrip_oracle_sql(path: str) -> str:
+    return f"""
+select doc_id::bigint as doc_id, source, lang,
+       n_chars::bigint as n_chars,
+       (n_chars // 100)::bigint as len_bucket
+from read_csv_auto('{path}', header=true)
+"""
+
+
 def q_dedup_phash_clusters(sf_dir: str):
     """Image near-dup CLUSTERS: connected components over the verified
     perceptual-hash pair graph (``media_phash_pairs``) — the grouping
@@ -13837,6 +14030,9 @@ QUERIES = {
     "embed_pq": q_embed_pq,
     "temporal_novelty": q_temporal_novelty,
     "coverage_sample": q_coverage_sample,
+    "l_diversity": q_l_diversity,
+    "markov_perplexity": q_markov_perplexity,
+    "csv_roundtrip": q_csv_roundtrip,
 }
 
 
@@ -16532,6 +16728,15 @@ def all_oracles() -> dict[str, str]:
     out["user_survival_curve"] = USER_SURVIVAL_SQL
     out["event_cusum"] = EVENT_CUSUM_SQL
     out["coverage_sample"] = coverage_oracle_sql()
+    out["l_diversity"] = L_DIVERSITY_SQL
+    out["markov_perplexity"] = markov_perplexity_oracle_sql()
+    sf_for_csv = os.environ.get(
+        "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if os.path.isfile(_pq(sf_for_csv, "documents")):
+        out["csv_roundtrip"] = csv_roundtrip_oracle_sql(
+            csv_corpus(sf_for_csv)
+        )
     out["approx_distinct_hll"] = _hll_oracle_sql()
     out["skew_f2"] = skew_f2_oracle_sql()
     out["bm25_search"] = bm25_oracle_sql()

@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "embed_pq",
     "temporal_novelty",
     "coverage_sample",
+    "l_diversity",
+    "markov_perplexity",
+    "csv_roundtrip",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -290,3 +290,65 @@ class TestCoverageSample:
         got = [tuple(r) for r in
                q.q_coverage_sample(d).to_pandas().itertuples(index=False)]
         assert got == [tuple(r) for r in want]
+
+
+class TestLDiversity:
+    def test_matches_pandas_groundtruth(self, ray_session):
+        docs = pq.read_table(
+            f"{SF}/documents.parquet",
+            columns=["source", "lang", "n_chars"]).to_pandas()
+        docs["sb"] = docs["n_chars"] // q.LDIV_BUCKET
+        got = q.q_l_diversity(SF).to_pandas() \
+            .set_index(["source", "lang"]).sort_index()
+        grp = docs.groupby(["source", "lang"])
+        assert len(got) == grp.ngroups
+        for key, g in grp:
+            row = got.loc[key]
+            assert row["n"] == len(g)
+            assert row["n_sensitive"] == g["sb"].nunique()
+            assert row["at_risk"] == int(g["sb"].nunique() < q.L_DIV)
+
+
+class TestMarkovPerplexity:
+    def test_matches_python_groundtruth(self, ray_session):
+        import collections
+        import math
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_id", "ts", "event_type"],
+        ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        n_ab: dict = collections.Counter()
+        for _, g in ev.groupby("user_id"):
+            t = g["event_type"].tolist()
+            n_ab.update(zip(t, t[1:]))
+        tot: dict = collections.Counter()
+        for (a, _), n in n_ab.items():
+            tot[a] += n
+        got = q.q_markov_perplexity(SF).to_pandas().set_index("user_id")
+        for uid, g in ev.groupby("user_id"):
+            t = g["event_type"].tolist()
+            pairs = list(zip(t, t[1:]))
+            nll = sum(math.log(tot[a]) - math.log(n_ab[(a, b)])
+                      for a, b in pairs)
+            row = got.loc[uid]
+            assert row["n_transitions"] == len(pairs)
+            assert abs(row["nll_nats"] - nll) < 1e-5
+            assert abs(row["avg_nll"] - nll / len(pairs)) < 1e-5
+        # nll is non-negative (every probability <= 1)
+        assert (got["nll_nats"] >= 0).all()
+
+
+class TestCsvRoundtrip:
+    def test_matches_parquet_source(self, ray_session):
+        got = q.q_csv_roundtrip(SF).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = pq.read_table(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "source", "lang", "n_chars"],
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["doc_id"] == want["doc_id"]).all()
+        assert (got["source"] == want["source"]).all()
+        assert (got["n_chars"] == want["n_chars"]).all()
+        assert (got["len_bucket"] == want["n_chars"] // 100).all()
