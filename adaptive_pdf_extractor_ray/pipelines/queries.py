@@ -12271,6 +12271,98 @@ group by t.prev_type, tot.tot
 """
 
 
+def q_event_gaps_hist(sf_dir: str):
+    """Log2 histogram of per-user inter-event gaps (whole seconds;
+    bucket k covers [2^(k-1), 2^k) s, bucket 0 = sub-second) — the
+    arrival-process shape that picks the sessionize gap threshold and
+    exposes bot cadences (a spike in one narrow bucket). Same
+    partitioning contract as sessionize: one user shuffle, per-group
+    integer bucket Counter partials, then a groupby over ≤64 bucket
+    keys. bit_length == the SQL length(format('{:b}', g)) idiom, so
+    both sides bucket identically with no float log."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        us = np.asarray(
+            pc.cast(g["ts"].take(idx), pa.int64()).to_pylist(),
+            dtype=np.int64,
+        )
+        gs = np.diff(us) // 1_000_000
+        c = Counter(int(v).bit_length() for v in gs)
+        return pa.table(
+            {
+                "bucket": pa.array(list(c.keys()), pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+
+EVENT_GAPS_HIST_SQL = """
+with w as (select user_id, epoch_us(ts) as us, ts, event_id from events),
+g as (select user_id,
+             (us - lag(us) over (partition by user_id
+                                 order by ts, event_id)) // 1000000 as gs
+      from w),
+b as (select case when gs = 0 then 0
+             else length(format('{:b}', gs)) end as bucket
+      from g where gs is not null)
+select bucket::bigint as bucket, count(*)::bigint as n
+from b group by bucket
+"""
+
+
+def q_domain_gini(sf_dir: str):
+    """Gini coefficient of the per-source document concentration — the
+    single-number mixture-skew audit next to domain_entropy (a corpus
+    where one crawl host contributes half the docs trains a lopsided
+    model even if entropy looks tolerable). One counter-sized groupby;
+    the closed-form Gini (2·Σ i·nᵢ − (K+1)·T) / (K·T) over the
+    (n asc, source asc)-ranked counts is a driver finish on the
+    bounded source table with an exact integer numerator — one float
+    division total, identical in SQL."""
+    rows = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .count()
+        .take_all()  # bounded: one row per source
+    )
+    counts = sorted((int(r["count()"]), r["source"]) for r in rows)
+    k = len(counts)
+    t = sum(n for n, _ in counts)
+    s = sum(i * n for i, (n, _) in enumerate(counts, start=1))
+    gini = round((2 * s - (k + 1) * t) / (k * t), 6) if k and t else 0.0
+    return pa.table(
+        {
+            "n_sources": pa.array([k], pa.int64()),
+            "n_docs": pa.array([t], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+DOMAIN_GINI_SQL = """
+with c as (select source, count(*)::bigint as n from documents
+           group by source),
+r as (select n, row_number() over (order by n asc, source asc) as i
+      from c),
+m as (select count(*)::bigint as k, sum(n)::bigint as t,
+             sum(i * n)::bigint as s from r)
+select k as n_sources, t as n_docs,
+       round((2 * s - (k + 1) * t)::double / (k * t)::double, 6) as gini
+from m
+"""
+
+
 def q_embed_standardize(sf_dir: str):
     """Global per-dimension z-score standardization of the embedding
     column (the whitening step before k-means / outlier scoring / linear
@@ -14033,6 +14125,8 @@ QUERIES = {
     "l_diversity": q_l_diversity,
     "markov_perplexity": q_markov_perplexity,
     "csv_roundtrip": q_csv_roundtrip,
+    "event_gaps_hist": q_event_gaps_hist,
+    "domain_gini": q_domain_gini,
 }
 
 
@@ -16729,6 +16823,8 @@ def all_oracles() -> dict[str, str]:
     out["event_cusum"] = EVENT_CUSUM_SQL
     out["coverage_sample"] = coverage_oracle_sql()
     out["l_diversity"] = L_DIVERSITY_SQL
+    out["event_gaps_hist"] = EVENT_GAPS_HIST_SQL
+    out["domain_gini"] = DOMAIN_GINI_SQL
     out["markov_perplexity"] = markov_perplexity_oracle_sql()
     sf_for_csv = os.environ.get(
         "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"

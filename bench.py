@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "l_diversity",
     "markov_perplexity",
     "csv_roundtrip",
+    "event_gaps_hist",
+    "domain_gini",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

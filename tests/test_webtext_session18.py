@@ -352,3 +352,40 @@ class TestCsvRoundtrip:
         assert (got["source"] == want["source"]).all()
         assert (got["n_chars"] == want["n_chars"]).all()
         assert (got["len_bucket"] == want["n_chars"] // 100).all()
+
+
+class TestEventGapsHist:
+    def test_matches_pandas_groundtruth(self, ray_session):
+        import collections
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "event_id", "ts"],
+        ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        want: collections.Counter = collections.Counter()
+        for _, g in ev.groupby("user_id"):
+            gs = np.diff(g["us"].to_numpy()) // 1_000_000
+            want.update(int(v).bit_length() for v in gs)
+        got = q.q_event_gaps_hist(SF).to_pandas().set_index("bucket")
+        assert len(got) == len(want)
+        for b, n in want.items():
+            assert got.loc[b, "n"] == n
+        # total gaps = total events - n_users
+        assert got["n"].sum() == len(ev) - ev["user_id"].nunique()
+
+
+class TestDomainGini:
+    def test_matches_python_groundtruth(self, ray_session):
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source"]).to_pandas()
+        counts = sorted(
+            (int(n), s) for s, n in docs["source"].value_counts().items()
+        )
+        k, t = len(counts), sum(n for n, _ in counts)
+        s = sum(i * n for i, (n, _) in enumerate(counts, start=1))
+        got = q.q_domain_gini(SF).to_pandas().iloc[0]
+        assert got["n_sources"] == k
+        assert got["n_docs"] == t
+        assert got["gini"] == round((2 * s - (k + 1) * t) / (k * t), 6)
+        assert 0.0 <= got["gini"] < 1.0
