@@ -12271,6 +12271,142 @@ group by t.prev_type, tot.tot
 """
 
 
+AB_CONV_WINDOW_US = 3_600_000_000  # click->purchase attribution window
+
+
+def q_ab_lift(sf_dir: str):
+    """Two-sample conversion lift with the pooled z-statistic: users
+    are deterministically split into arms by md5(user_id) parity (the
+    split_assign discipline — reproducible across reruns and engines,
+    no RNG state); conversion = a 'purchase' within AB_CONV_WINDOW_US
+    after a 'click' by the same user (the attribution-window funnel —
+    plain "ever purchased" saturates on any engaged population). One
+    groupby(user) shuffle (the sessionize partitioning contract) scores
+    each bounded history with a sorted-array window probe; arm counts
+    reduce via batch partials to a 2-row table and the z-score is a
+    driver finish on four exact integers (one float expression total,
+    replayed verbatim in SQL)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(g["ts"], pa.int64()).to_pylist(), dtype=np.int64
+        )
+        types = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        clicks = np.sort(us[types == "click"])
+        purch = np.sort(us[types == "purchase"])
+        conv = 0
+        if len(clicks) and len(purch):
+            # latest click at-or-before each purchase must fall inside
+            # the attribution window
+            j = np.searchsorted(clicks, purch, side="right") - 1
+            ok = j >= 0
+            conv = int(
+                (purch[ok] - clicks[j[ok]] <= AB_CONV_WINDOW_US).any()
+            )
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "conv": pa.array([conv], pa.int64()),
+            }
+        )
+
+    users = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        uids = t["user_id"].to_pylist()
+        conv = np.asarray(t["conv"].to_pylist(), dtype=np.int64)
+        arm = np.asarray(
+            [dd._hash64(str(u)) % 2 for u in uids], dtype=np.int64
+        )
+        out_arm, out_n, out_c = [], [], []
+        for a in (0, 1):
+            m = arm == a
+            if m.any():
+                out_arm.append("A" if a == 0 else "B")
+                out_n.append(int(m.sum()))
+                out_c.append(int(conv[m].sum()))
+        return pa.table(
+            {
+                "arm": pa.array(out_arm, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "conv": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    rows = (
+        users.map_batches(partials, batch_format="pyarrow")
+        .groupby("arm")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("conv", alias_name="conv"),
+        )
+        .take_all()  # exactly two rows
+    )
+    by = {r["arm"]: (int(r["n"]), int(r["conv"])) for r in rows}
+    na, ca = by.get("A", (0, 0))
+    nb, cb = by.get("B", (0, 0))
+    if na and nb and (ca + cb) and (ca + cb) < (na + nb):
+        pa_, pb_ = ca / na, cb / nb
+        pp = (ca + cb) / (na + nb)
+        z = round(
+            (pa_ - pb_) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb)), 6
+        )
+    else:
+        z = 0.0
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "conv_a": pa.array([ca], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "conv_b": pa.array([cb], pa.int64()),
+            "lift_ppm": pa.array(
+                [
+                    int(ca * 10 ** 6 // na - cb * 10 ** 6 // nb)
+                    if na and nb else 0
+                ],
+                pa.int64(),
+            ),
+            "z_score": pa.array([z], pa.float64()),
+        }
+    )
+
+
+AB_LIFT_SQL = f"""
+with c as (select user_id, epoch_us(ts) as cus from events
+           where event_type = 'click'),
+p as (select user_id, epoch_us(ts) as pus from events
+      where event_type = 'purchase'),
+cu as (select distinct c.user_id from c join p using (user_id)
+       where p.pus - c.cus between 0 and {AB_CONV_WINDOW_US}),
+u as (select user_id,
+             (user_id in (select user_id from cu))::int as conv
+      from (select distinct user_id from events)),
+a as (select case when ('0x' || substr(md5(user_id::varchar), 1, 16))
+                      ::ubigint % 2 = 0
+             then 'A' else 'B' end as arm, conv
+      from u),
+m as (select
+        sum(case when arm = 'A' then 1 else 0 end)::bigint as na,
+        sum(case when arm = 'A' then conv else 0 end)::bigint as ca,
+        sum(case when arm = 'B' then 1 else 0 end)::bigint as nb,
+        sum(case when arm = 'B' then conv else 0 end)::bigint as cb
+      from a)
+select na as n_a, ca as conv_a, nb as n_b, cb as conv_b,
+       (ca * 1000000 // na - cb * 1000000 // nb)::bigint as lift_ppm,
+       case when na > 0 and nb > 0 and (ca + cb) > 0
+                 and (ca + cb) < (na + nb)
+            then round((ca::double / na - cb::double / nb)
+                       / sqrt(((ca + cb)::double / (na + nb))
+                              * (1 - (ca + cb)::double / (na + nb))
+                              * (1.0 / na + 1.0 / nb)), 6)
+            else 0.0 end as z_score
+from m
+"""
+
+
 def q_event_gaps_hist(sf_dir: str):
     """Log2 histogram of per-user inter-event gaps (whole seconds;
     bucket k covers [2^(k-1), 2^k) s, bucket 0 = sub-second) — the
@@ -14127,6 +14263,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "event_gaps_hist": q_event_gaps_hist,
     "domain_gini": q_domain_gini,
+    "ab_lift": q_ab_lift,
 }
 
 
@@ -16825,6 +16962,7 @@ def all_oracles() -> dict[str, str]:
     out["l_diversity"] = L_DIVERSITY_SQL
     out["event_gaps_hist"] = EVENT_GAPS_HIST_SQL
     out["domain_gini"] = DOMAIN_GINI_SQL
+    out["ab_lift"] = AB_LIFT_SQL
     out["markov_perplexity"] = markov_perplexity_oracle_sql()
     sf_for_csv = os.environ.get(
         "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"

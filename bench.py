@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "csv_roundtrip",
     "event_gaps_hist",
     "domain_gini",
+    "ab_lift",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

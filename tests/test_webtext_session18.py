@@ -389,3 +389,47 @@ class TestDomainGini:
         assert got["n_docs"] == t
         assert got["gini"] == round((2 * s - (k + 1) * t) / (k * t), 6)
         assert 0.0 <= got["gini"] < 1.0
+
+class TestAbLift:
+    def test_matches_python_groundtruth(self, ray_session):
+        import math
+
+        from adaptive_pdf_extractor_ray.stages import dedup as dd
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        ).to_pandas()
+        ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        conv = {}
+        for u, g in ev.groupby("user_id"):
+            clicks = np.sort(g.loc[g["event_type"] == "click",
+                                   "us"].to_numpy())
+            purch = np.sort(g.loc[g["event_type"] == "purchase",
+                                  "us"].to_numpy())
+            c = 0
+            for pp_ in purch:
+                j = np.searchsorted(clicks, pp_, side="right") - 1
+                if j >= 0 and pp_ - clicks[j] <= q.AB_CONV_WINDOW_US:
+                    c = 1
+                    break
+            conv[u] = c
+        arms = {u: "A" if dd._hash64(str(u)) % 2 == 0 else "B"
+                for u in conv}
+        na = sum(1 for u in conv if arms[u] == "A")
+        nb = len(conv) - na
+        ca = sum(conv[u] for u in conv if arms[u] == "A")
+        cb = sum(conv.values()) - ca
+        got = q.q_ab_lift(SF).to_pandas().iloc[0]
+        assert (got["n_a"], got["conv_a"], got["n_b"], got["conv_b"]) \
+            == (na, ca, nb, cb)
+        assert got["lift_ppm"] == ca * 10**6 // na - cb * 10**6 // nb
+        if na and nb and (ca + cb) and (ca + cb) < (na + nb):
+            pp = (ca + cb) / (na + nb)
+            z = round((ca / na - cb / nb)
+                      / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb)), 6)
+        else:
+            z = 0.0
+        assert got["z_score"] == z
+        # the windowed definition must actually discriminate
+        assert 0 < ca + cb < na + nb
