@@ -12271,6 +12271,156 @@ group by t.prev_type, tot.tot
 """
 
 
+def q_weekday_seasonality(sf_dir: str):
+    """Day-of-week seasonality per event type: volume, traffic share
+    and the ×7-scaled seasonality index in ppm (10^6 = flat; the
+    crawl-scheduler/capacity signal — a Sunday-quiet event stream gets
+    its batch windows there). dow derives from the integer epoch day
+    ((d+4) mod 7, 0 = Sunday — 1970-01-01 was a Thursday), so both
+    sides bucket identically with no calendar library. Batch partial
+    counters → one groupby over ≤ types×7 keys → per-type finish on
+    the bounded counter table."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(t["ts"], pa.int64()).to_pylist(), dtype=np.int64
+        )
+        dow = (us // DAY_US + 4) % 7
+        c = Counter(zip(t["event_type"].to_pylist(), dow.tolist()))
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in c], pa.string()),
+                "dow": pa.array([k[1] for k in c], pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counters = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "dow"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        n = np.asarray(g["n"].to_pylist(), dtype=np.int64)
+        tot = int(n.sum())
+        return pa.table(
+            {
+                "event_type": pc.cast(g["event_type"], pa.string()),
+                "dow": pc.cast(g["dow"], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "share_ppm": pa.array(n * 10 ** 6 // tot, pa.int64()),
+                "index_ppm": pa.array(n * 7 * 10 ** 6 // tot, pa.int64()),
+            }
+        )
+
+    return counters.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+WEEKDAY_SEASONALITY_SQL = f"""
+with d as (select event_type,
+                  (epoch_us(ts) // {DAY_US} + 4) % 7 as dow,
+                  count(*)::bigint as n
+           from events group by 1, 2),
+t as (select event_type, sum(n)::bigint as tot from d group by 1)
+select d.event_type, d.dow::bigint as dow, d.n,
+       (d.n * 1000000 // t.tot)::bigint as share_ppm,
+       (d.n * 7 * 1000000 // t.tot)::bigint as index_ppm
+from d join t using (event_type)
+"""
+
+
+def q_graph_assortativity(sf_dir: str):
+    """Degree assortativity (Newman, PRL'02) of the undirected simple
+    link graph: the Pearson correlation of endpoint degrees over all
+    edges — hub-to-hub wiring (r > 0, syndication rings) vs
+    hub-to-leaf (r < 0, the organic web's signature). Undirected
+    distinct edges (the triangles idiom) → degree table via one
+    endpoint groupby → two hash joins attach (deg_a, deg_b) → integer
+    partial sums per batch (symmetrized, so ΣX = ΣY and one pass
+    suffices) → ONE float division of exact ints at the finish,
+    replayed verbatim in hugeint SQL."""
+    und = _und_edges_ds(link_corpus()).materialize()
+    nparts = dd.adaptive_partitions(LINK_N)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [t["a"].combine_chunks(), t["b"].combine_chunks()]
+            )}
+        )
+
+    deg = (
+        und.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(ray.data.aggregate.Count(alias_name="deg"))
+    )
+    ja = und.join(deg, join_type="inner", num_partitions=nparts,
+                  on=("a",), right_on=("node",))
+    jb = ja.join(deg, join_type="inner", num_partitions=nparts,
+                 on=("b",), right_on=("node",), right_suffix="_b")
+
+    def sums(t: pa.Table) -> pa.Table:
+        da = np.asarray(pc.cast(t["deg"], pa.int64()).to_pylist(),
+                        dtype=object)
+        db = np.asarray(pc.cast(t["deg_b"], pa.int64()).to_pylist(),
+                        dtype=object)
+        # python ints: the sums are exact at any scale
+        sx = int(sum(da) + sum(db))
+        sxx = int(sum(x * x for x in da) + sum(x * x for x in db))
+        sxy = int(2 * sum(x * y for x, y in zip(da, db)))
+        return pa.table(
+            {
+                "m": pa.array([2 * len(t)], pa.int64()),
+                "sx": pa.array([sx], pa.int64()),
+                "sxx": pa.array([sxx], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+            }
+        )
+
+    rows = jb.map_batches(sums, batch_format="pyarrow").take_all()
+    m = sum(r["m"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
+    den = m * sxx - sx * sx
+    r_ = round((m * sxy - sx * sx) / den, 6) if den else 0.0
+    return pa.table(
+        {
+            "n_edges": pa.array([m // 2], pa.int64()),
+            "assortativity": pa.array([r_], pa.float64()),
+        }
+    )
+
+
+def assortativity_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with e as ({outlinks_oracle_sql(pages_dir)}),
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from e where src <> dst),
+deg as (select node, count(*)::bigint as deg from (
+          select a as node from und union all select b from und)
+        group by node),
+j as (select da.deg as x, db.deg as y
+      from und join deg da on da.node = und.a
+      join deg db on db.node = und.b),
+m as (select (2 * count(*))::hugeint as m,
+             (sum(x) + sum(y))::hugeint as sx,
+             (sum(x * x) + sum(y * y))::hugeint as sxx,
+             (2 * sum(x * y))::hugeint as sxy
+      from j)
+select (m // 2)::bigint as n_edges,
+       case when m * sxx - sx * sx = 0 then 0.0
+            else round((m * sxy - sx * sx)::double
+                       / (m * sxx - sx * sx)::double, 6) end
+         as assortativity
+from m
+"""
+
+
 AB_CONV_WINDOW_US = 3_600_000_000  # click->purchase attribution window
 
 
@@ -14264,6 +14414,8 @@ QUERIES = {
     "event_gaps_hist": q_event_gaps_hist,
     "domain_gini": q_domain_gini,
     "ab_lift": q_ab_lift,
+    "weekday_seasonality": q_weekday_seasonality,
+    "graph_assortativity": q_graph_assortativity,
 }
 
 
@@ -16995,6 +17147,8 @@ def all_oracles() -> dict[str, str]:
     out["hits_rank"] = hits_oracle_sql(link_dir)
     out["link_components"] = link_components_oracle_sql(link_dir)
     out["graph_triangles"] = triangles_oracle_sql(link_dir)
+    out["graph_assortativity"] = assortativity_oracle_sql(link_dir)
+    out["weekday_seasonality"] = WEEKDAY_SEASONALITY_SQL
     out["link_kcore"] = kcore_oracle_sql(link_dir)
     out["link_distance"] = linkdist_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)

@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "event_gaps_hist",
     "domain_gini",
     "ab_lift",
+    "weekday_seasonality",
+    "graph_assortativity",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

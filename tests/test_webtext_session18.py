@@ -433,3 +433,55 @@ class TestAbLift:
         assert got["z_score"] == z
         # the windowed definition must actually discriminate
         assert 0 < ca + cb < na + nb
+
+
+class TestWeekdaySeasonality:
+    def test_matches_pandas_groundtruth(self, ray_session):
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas()
+        us = ev["ts"].astype("datetime64[us]").astype("int64")
+        ev["dow"] = (us // q.DAY_US + 4) % 7
+        got = q.q_weekday_seasonality(SF).to_pandas() \
+            .set_index(["event_type", "dow"])
+        grp = ev.groupby(["event_type", "dow"]).size()
+        tot = ev.groupby("event_type").size()
+        assert len(got) == len(grp)
+        for (et, dow), n in grp.items():
+            row = got.loc[(et, dow)]
+            assert row["n"] == n
+            assert row["share_ppm"] == n * 10**6 // tot[et]
+            assert row["index_ppm"] == n * 7 * 10**6 // tot[et]
+        # dow convention: 1970-01-01 (day 0) must map to Thursday
+        assert (0 + 4) % 7 == 4
+        # shares per type sum to <= 1e6 (floor dust only)
+        s = got.groupby(level=0)["share_ppm"].sum()
+        assert ((10**6 - s) < 7).all() and (s <= 10**6).all()
+
+
+class TestGraphAssortativity:
+    def test_matches_networkx_free_groundtruth(self, ray_session):
+        import collections
+        import duckdb
+
+        d = q.link_corpus()
+        edges = duckdb.sql(
+            f"select distinct least(src,dst), greatest(src,dst) "
+            f"from ({q.outlinks_oracle_sql(d)}) where src<>dst"
+        ).fetchall()
+        deg: collections.Counter = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        xs, ys = [], []
+        for a, b in edges:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        m = len(xs)
+        sx, sxx = sum(xs), sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = m * sxx - sx * sx
+        want = round((m * sxy - sx * sx) / den, 6) if den else 0.0
+        got = q.q_graph_assortativity(SF).to_pandas().iloc[0]
+        assert got["n_edges"] == len(edges)
+        assert got["assortativity"] == want
+        assert -1.0 <= got["assortativity"] <= 1.0
