@@ -8624,6 +8624,99 @@ from comp join h hu on hu.hid = comp.node
 """
 
 
+LP_ITERS = 4
+
+
+def q_label_prop(sf_dir: str):
+    """Synchronous label-propagation community detection (Raghavan et
+    al., PRE'07) over the undirected simple link graph, LP_ITERS
+    rounds: a node adopts the most frequent label among its neighbors
+    (tie → lexicographically smallest label), all nodes updating from
+    the previous round's labels — deterministic, unlike the classic
+    async/random-order variant, so the unrolled SQL oracle replays it
+    exactly. Communities differ from link_components: min-label CC
+    merges everything reachable; mode-propagation stops at sparse cuts
+    (the intra-site cluster boundary signal). Each round is one hash
+    join (directed edges ⋈ labels on the source endpoint) + one
+    groupby(node) mode — the PageRank dataflow shape; labels stay
+    (node, label) pairs, nothing corpus-sized on the driver."""
+    und = _und_edges_ds(link_corpus()).materialize()
+    nparts = dd.adaptive_partitions(LINK_N)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                ),
+                "u": pa.concat_arrays(
+                    [t["b"].combine_chunks(), t["a"].combine_chunks()]
+                ),
+            }
+        )
+
+    dire = und.map_batches(both_dirs, batch_format="pyarrow") \
+        .materialize()
+    labels = dire.map_batches(
+        lambda t: pa.table({"node": t["v"], "lab": t["v"]}),
+        batch_format="pyarrow",
+    ).groupby("node").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    ).materialize()
+
+    def mode_pick(g: pa.Table) -> pa.Table:
+        labs = g["lab"].to_pylist()
+        c = Counter(labs)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return pa.table(
+            {
+                "node": g["v"].slice(0, 1),
+                "lab": pa.array([best], pa.string()),
+            }
+        )
+
+    for _ in range(LP_ITERS):
+        nbr = dire.join(labels, join_type="inner",
+                        num_partitions=nparts,
+                        on=("u",), right_on=("node",))
+        labels = nbr.groupby("v").map_groups(
+            mode_pick, batch_format="pyarrow"
+        ).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({"url": t["node"], "community": t["lab"]}),
+        batch_format="pyarrow",
+    )
+
+
+def label_prop_oracle_sql(pages_dir: str) -> str:
+    """Unrolled synchronous replay: round k joins the directed edge
+    list with round k-1's labels and picks (count desc, label asc)
+    per node. All rounds materialized."""
+    rounds = []
+    prev = "l0"
+    for k in range(1, LP_ITERS + 1):
+        rounds.append(f"""
+l{k} as materialized (
+  select v as node, lab from (
+    select e.v, l.lab, count(*) as c,
+           row_number() over (partition by e.v
+                              order by count(*) desc, l.lab asc) as rn
+    from dire e join {prev} l on l.node = e.u
+    group by e.v, l.lab)
+  where rn = 1)""")
+        prev = f"l{k}"
+    return f"""
+with e as ({outlinks_oracle_sql(pages_dir)}),
+und as (select distinct least(src, dst) as a, greatest(src, dst) as b
+        from e where src <> dst),
+dire as (select a as v, b as u from und
+         union all select b, a from und),
+l0 as materialized (select distinct v as node, v as lab from dire),{",".join(rounds)}
+select node as url, lab as community from {prev}
+"""
+
+
 def q_link_components(sf_dir: str):
     """Weakly-connected components of the INTRA-domain link subgraph
     (site-section segmentation: cross-domain edges cut, so components =
@@ -12424,6 +12517,93 @@ from m
 AB_CONV_WINDOW_US = 3_600_000_000  # click->purchase attribution window
 
 
+def q_attribution_delay(sf_dir: str):
+    """Exact percentiles (type-1/lower quantile: smallest value whose
+    cumulative count reaches ceil(q·N)) of the click→purchase
+    attribution delay, in whole seconds — the latency distribution
+    that sets the attribution window itself (ab_lift's 1 h is exactly
+    a p~99 choice). Every purchase with a prior click contributes its
+    delay to the LATEST click (same searchsorted probe as ab_lift,
+    uncapped); whole-second delays land in a bounded counter keyspace,
+    so the quantile runs on a tiny table after one user shuffle +
+    one counter groupby — the value-histogram plan, no global sort."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(g["ts"], pa.int64()).to_pylist(), dtype=np.int64
+        )
+        types = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        clicks = np.sort(us[types == "click"])
+        purch = np.sort(us[types == "purchase"])
+        if not (len(clicks) and len(purch)):
+            return pa.table({"delay_s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        j = np.searchsorted(clicks, purch, side="right") - 1
+        ok = j >= 0
+        d = (purch[ok] - clicks[j[ok]]) // 1_000_000
+        c = Counter(d.tolist())
+        return pa.table(
+            {
+                "delay_s": pa.array(list(c.keys()), pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("delay_s")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .take_all()  # bounded: one row per distinct whole-second delay
+    )
+    hist = sorted((r["delay_s"], r["n"]) for r in rows)
+    total = sum(n for _, n in hist)
+
+    def pct(q100: int) -> int:
+        need = -(-q100 * total // 100)  # ceil(q*N) in integers
+        cum = 0
+        for v, n in hist:
+            cum += n
+            if cum >= need:
+                return int(v)
+        return int(hist[-1][0]) if hist else 0
+
+    return pa.table(
+        {
+            "n_delays": pa.array([total], pa.int64()),
+            "p50_s": pa.array([pct(50)], pa.int64()),
+            "p90_s": pa.array([pct(90)], pa.int64()),
+            "p99_s": pa.array([pct(99)], pa.int64()),
+        }
+    )
+
+
+ATTRIBUTION_DELAY_SQL = """
+with c as (select user_id, epoch_us(ts) as cus from events
+           where event_type = 'click'),
+p as (select user_id, event_id, epoch_us(ts) as pus from events
+      where event_type = 'purchase'),
+lastc as (select p.event_id, p.pus, max(c.cus) as cus
+          from p join c on c.user_id = p.user_id and c.cus <= p.pus
+          group by p.event_id, p.pus),
+d as (select (pus - cus) // 1000000 as delay_s from lastc),
+h as (select delay_s, count(*)::bigint as n from d group by delay_s),
+t as (select sum(n)::bigint as total from h),
+cum as (select delay_s, sum(n) over (order by delay_s
+                                     rows unbounded preceding) as c
+        from h)
+select t.total as n_delays,
+       (select min(delay_s) from cum
+        where c >= (50 * t.total + 99) // 100)::bigint as p50_s,
+       (select min(delay_s) from cum
+        where c >= (90 * t.total + 99) // 100)::bigint as p90_s,
+       (select min(delay_s) from cum
+        where c >= (99 * t.total + 99) // 100)::bigint as p99_s
+from t
+"""
+
+
 def q_ab_lift(sf_dir: str):
     """Two-sample conversion lift with the pooled z-statistic: users
     are deterministically split into arms by md5(user_id) parity (the
@@ -14416,6 +14596,8 @@ QUERIES = {
     "ab_lift": q_ab_lift,
     "weekday_seasonality": q_weekday_seasonality,
     "graph_assortativity": q_graph_assortativity,
+    "attribution_delay": q_attribution_delay,
+    "label_prop": q_label_prop,
 }
 
 
@@ -17148,7 +17330,9 @@ def all_oracles() -> dict[str, str]:
     out["link_components"] = link_components_oracle_sql(link_dir)
     out["graph_triangles"] = triangles_oracle_sql(link_dir)
     out["graph_assortativity"] = assortativity_oracle_sql(link_dir)
+    out["label_prop"] = label_prop_oracle_sql(link_dir)
     out["weekday_seasonality"] = WEEKDAY_SEASONALITY_SQL
+    out["attribution_delay"] = ATTRIBUTION_DELAY_SQL
     out["link_kcore"] = kcore_oracle_sql(link_dir)
     out["link_distance"] = linkdist_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)

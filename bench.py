@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "ab_lift",
     "weekday_seasonality",
     "graph_assortativity",
+    "attribution_delay",
+    "label_prop",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -485,3 +485,68 @@ class TestGraphAssortativity:
         assert got["n_edges"] == len(edges)
         assert got["assortativity"] == want
         assert -1.0 <= got["assortativity"] <= 1.0
+
+
+class TestAttributionDelay:
+    def test_matches_python_groundtruth(self, ray_session):
+        import collections
+
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        ).to_pandas()
+        ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        delays: list[int] = []
+        for _, g in ev.groupby("user_id"):
+            clicks = np.sort(
+                g.loc[g["event_type"] == "click", "us"].to_numpy())
+            for pp_ in g.loc[g["event_type"] == "purchase",
+                             "us"].to_numpy():
+                j = np.searchsorted(clicks, pp_, side="right") - 1
+                if j >= 0:
+                    delays.append(int((pp_ - clicks[j]) // 1_000_000))
+        delays.sort()
+        got = q.q_attribution_delay(SF).to_pandas().iloc[0]
+        assert got["n_delays"] == len(delays)
+
+        def pct(q100):
+            need = -(-q100 * len(delays) // 100)
+            return delays[need - 1]
+
+        assert got["p50_s"] == pct(50)
+        assert got["p90_s"] == pct(90)
+        assert got["p99_s"] == pct(99)
+        assert got["p50_s"] <= got["p90_s"] <= got["p99_s"]
+
+
+class TestLabelProp:
+    def _ground_truth(self):
+        import collections
+        import duckdb
+
+        d = q.link_corpus()
+        edges = duckdb.sql(
+            f"select distinct least(src,dst), greatest(src,dst) "
+            f"from ({q.outlinks_oracle_sql(d)}) where src<>dst"
+        ).fetchall()
+        adj: dict = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        lab = {v: v for v in adj}
+        for _ in range(q.LP_ITERS):
+            nxt = {}
+            for v, nbrs in adj.items():
+                c = collections.Counter(lab[u] for u in nbrs)
+                nxt[v] = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            lab = nxt
+        return lab
+
+    def test_matches_python_groundtruth(self, ray_session):
+        want = self._ground_truth()
+        got = q.q_label_prop(SF).to_pandas().set_index("url")["community"]
+        assert len(got) == len(want)
+        for v, l in want.items():
+            assert got[v] == l
+        # propagation must coarsen: fewer communities than nodes
+        assert got.nunique() < len(got)
