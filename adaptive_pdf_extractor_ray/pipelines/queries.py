@@ -14168,6 +14168,87 @@ from j group by user_id
 """
 
 
+PRUNE_NCHARS = 300  # predicate: n_chars > PRUNE_NCHARS
+PRUNE_RG_ROWS = 64  # row-group size of the audit mirror
+
+
+def rowgroup_corpus(sf_dir: str) -> str:
+    """Multi-row-group mirror of the documents table (row groups of
+    PRUNE_RG_ROWS rows, CLUSTERED on n_chars so min/max stats are
+    tight windows — the layout a lake actually ships when it sorts on
+    its pruning key) — the fixture for the pruning audit; the sf
+    tables ship as one row group, which makes the audit trivially
+    1 row. mtime-keyed, either side can write it first."""
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    src = _pq(sf_dir, "documents")
+    key = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}:{PRUNE_RG_ROWS}:v2".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"aper_rg_{key}")
+    path = os.path.join(out, "documents.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out, exist_ok=True)
+    t = pq_.read_table(src, columns=["doc_id", "n_chars"])
+    t = t.sort_by([("n_chars", "ascending"), ("doc_id", "ascending")])
+    tmp = path + ".tmp"
+    pq_.write_table(t, tmp, row_group_size=PRUNE_RG_ROWS)
+    os.replace(tmp, path)
+    return path
+
+
+def q_rowgroup_prune(sf_dir: str):
+    """Row-group pruning audit — METADATA ONLY, zero data scan: for
+    the predicate n_chars > PRUNE_NCHARS, a row group whose column
+    max ≤ threshold is skippable at the reader, and this query reports
+    each group's stats and prunability from the parquet footer alone.
+    This is the measurement behind 'prune at the read': on a 100 TB
+    lake the same footers-only pass (one tiny read per file, fanned
+    out in map_batches over the file LIST) predicts scan savings
+    before any scan runs. The oracle replays it from DuckDB's
+    parquet_metadata() over the same mirror."""
+    path = rowgroup_corpus(sf_dir)
+    import pyarrow.parquet as pq_
+
+    md = pq_.ParquetFile(path).metadata
+    rg_ids, n_rows, mins, maxs, prun = [], [], [], [], []
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            if col.path_in_schema == "n_chars":
+                st = col.statistics
+                rg_ids.append(g)
+                n_rows.append(rg.num_rows)
+                mins.append(int(st.min))
+                maxs.append(int(st.max))
+                prun.append(1 if st.max <= PRUNE_NCHARS else 0)
+    return pa.table(
+        {
+            "row_group_id": pa.array(rg_ids, pa.int64()),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            "min_n_chars": pa.array(mins, pa.int64()),
+            "max_n_chars": pa.array(maxs, pa.int64()),
+            "prunable": pa.array(prun, pa.int64()),
+        }
+    )
+
+
+def rowgroup_prune_oracle_sql(path: str) -> str:
+    return f"""
+select row_group_id::bigint as row_group_id,
+       row_group_num_rows::bigint as n_rows,
+       stats_min_value::bigint as min_n_chars,
+       stats_max_value::bigint as max_n_chars,
+       (stats_max_value::bigint <= {PRUNE_NCHARS})::bigint as prunable
+from parquet_metadata('{path}')
+where path_in_schema = 'n_chars'
+"""
+
+
 def csv_corpus(sf_dir: str) -> str:
     """Lazily write the CSV mirror of the documents table's metadata
     columns (doc_id, source, lang, n_chars — no free text, so no
@@ -14598,6 +14679,7 @@ QUERIES = {
     "graph_assortativity": q_graph_assortativity,
     "attribution_delay": q_attribution_delay,
     "label_prop": q_label_prop,
+    "rowgroup_prune": q_rowgroup_prune,
 }
 
 
@@ -17304,6 +17386,9 @@ def all_oracles() -> dict[str, str]:
     if os.path.isfile(_pq(sf_for_csv, "documents")):
         out["csv_roundtrip"] = csv_roundtrip_oracle_sql(
             csv_corpus(sf_for_csv)
+        )
+        out["rowgroup_prune"] = rowgroup_prune_oracle_sql(
+            rowgroup_corpus(sf_for_csv)
         )
     out["approx_distinct_hll"] = _hll_oracle_sql()
     out["skew_f2"] = skew_f2_oracle_sql()

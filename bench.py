@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "graph_assortativity",
     "attribution_delay",
     "label_prop",
+    "rowgroup_prune",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

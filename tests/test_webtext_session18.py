@@ -550,3 +550,31 @@ class TestLabelProp:
             assert got[v] == l
         # propagation must coarsen: fewer communities than nodes
         assert got.nunique() < len(got)
+
+
+class TestRowgroupPrune:
+    def test_matches_footer_and_data(self, ray_session):
+        import pyarrow.parquet as pqr
+
+        path = q.rowgroup_corpus(SF)
+        got = q.q_rowgroup_prune(SF).to_pandas()
+        pf = pqr.ParquetFile(path)
+        assert len(got) == pf.num_row_groups
+        # stats must be TRUE bounds of the actual data per group, and
+        # prunable groups must contain no row matching the predicate
+        for g in range(pf.num_row_groups):
+            rows = pf.read_row_group(g, columns=["n_chars"]) \
+                .to_pandas()["n_chars"]
+            r = got.iloc[g]
+            assert r["row_group_id"] == g
+            assert r["n_rows"] == len(rows)
+            assert r["min_n_chars"] == rows.min()
+            assert r["max_n_chars"] == rows.max()
+            assert r["prunable"] == int(rows.max() <= q.PRUNE_NCHARS)
+            if r["prunable"]:
+                assert not (rows > q.PRUNE_NCHARS).any()
+
+    def test_pruning_actually_saves(self, ray_session):
+        # the sorted mirror must make SOME groups prunable and SOME not
+        got = q.q_rowgroup_prune(SF).to_pandas()
+        assert 0 < got["prunable"].sum() < len(got)
