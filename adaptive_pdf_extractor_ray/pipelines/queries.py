@@ -12364,6 +12364,208 @@ group by t.prev_type, tot.tot
 """
 
 
+def q_event_burstiness(sf_dir: str):
+    """Fano factor (index of dispersion) of each event type's daily
+    volume, in ppm: F = sample-variance / mean over observed days —
+    F ≈ 1e6 is Poisson-like organic traffic, F >> 1e6 is bursty
+    (campaigns, incidents, bots). Same (type, day) partial-counter
+    plan as event_cusum; the finish is the integer closed form
+    (nd·Σn² − (Σn)²)·10⁶ // ((nd−1)·Σn), floor-exact on both sides —
+    no float variance ever computed."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(t["ts"], pa.int64()).to_pylist(), dtype=np.int64
+        )
+        c = Counter(zip(t["event_type"].to_pylist(),
+                        (us // DAY_US).tolist()))
+        return pa.table(
+            {
+                "event_type": pa.array([k[0] for k in c], pa.string()),
+                "day": pa.array([k[1] for k in c], pa.int64()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    daily = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        n = [int(v) for v in g["n"].to_pylist()]
+        nd, s1 = len(n), sum(n)
+        s2 = sum(v * v for v in n)
+        fano = (
+            (nd * s2 - s1 * s1) * 10 ** 6 // ((nd - 1) * s1)
+            if nd > 1 and s1 else 0
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"].slice(0, 1),
+                "n_days": pa.array([nd], pa.int64()),
+                "total": pa.array([s1], pa.int64()),
+                "fano_ppm": pa.array([fano], pa.int64()),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+EVENT_BURSTINESS_SQL = f"""
+with d as (select event_type, epoch_us(ts) // {DAY_US} as day,
+                  count(*)::bigint as n
+           from events group by 1, 2),
+m as (select event_type, count(*)::hugeint as nd,
+             sum(n)::hugeint as s1, sum(n * n)::hugeint as s2
+      from d group by 1)
+select event_type, nd::bigint as n_days, s1::bigint as total,
+       (case when nd > 1 and s1 > 0
+             then (nd * s2 - s1 * s1) * 1000000 // ((nd - 1) * s1)
+             else 0 end)::bigint as fano_ppm
+from m
+"""
+
+
+CRAWL_BUDGET_TOTAL = 1_000_000  # fetches to allocate per cycle
+
+
+def q_crawl_budget(sf_dir: str):
+    """Proportional-fair crawl-budget allocation: each source gets
+    budget ∝ isqrt(doc count) — the sublinear politeness curve (a
+    10000-page site gets 100× the budget of a 1-page site, not
+    10000×). Exact integer arithmetic end to end: isqrt on the engine
+    side, floor(sqrt) on the IEEE-exact SQL side (exact for counts
+    < 2^52); one counter-sized groupby then the allocation on the
+    bounded source table."""
+    rows = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .count()
+        .take_all()  # bounded: one row per source
+    )
+    counts = sorted((r["source"], int(r["count()"])) for r in rows)
+    w = {s: math.isqrt(n) for s, n in counts}
+    tw = sum(w.values())
+    return pa.table(
+        {
+            "source": pa.array([s for s, _ in counts], pa.string()),
+            "n_docs": pa.array([n for _, n in counts], pa.int64()),
+            "weight": pa.array([w[s] for s, _ in counts], pa.int64()),
+            "budget": pa.array(
+                [CRAWL_BUDGET_TOTAL * w[s] // tw for s, _ in counts],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+CRAWL_BUDGET_SQL = f"""
+with c as (select source, count(*)::bigint as n from documents
+           group by source),
+w as (select source, n, floor(sqrt(n))::bigint as weight from c),
+t as (select sum(weight)::bigint as tw from w)
+select source, n as n_docs, weight,
+       ({CRAWL_BUDGET_TOTAL} * weight // t.tw)::bigint as budget
+from w, t
+"""
+
+
+def q_length_lognormal(sf_dir: str):
+    """Method-of-moments log-normal fit of the document length
+    distribution per source: μ = mean(ln n_chars), σ² from the same
+    one-pass partials — the parametric summary behind length-outlier
+    thresholds and synthetic-corpus generators (web doc lengths are
+    canonically log-normal, Mitzenmacher'04). Per-element ln is
+    quantized to integer NANO units before any summation (float sums
+    across blocks are order-dependent; integer sums are exact in any
+    order — the corpus_kl discipline), so partials combine
+    deterministically at every scale. One pass of (Σln, Σln², n)
+    integer partials per batch, one groupby over the bounded source
+    key space; the two finished floats divide exact integers."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        ln = np.log(
+            np.maximum(
+                np.asarray(t["n_chars"].to_pylist(), dtype=np.float64),
+                1.0,
+            )
+        )
+        # micro-ln: li ~ 6e6, li² ~ 4e13 — exact int64 sums through
+        # ~10^5-row blocks and a 10^5-source reduce; at larger scales
+        # widen to a two-column (hi, lo) split, same plan
+        li = np.round(ln * 1e6).astype(np.int64)
+        out_s, out_n, out_l, out_ll = [], [], [], []
+        for s in np.unique(src):
+            m = src == s
+            out_s.append(str(s))
+            out_n.append(int(m.sum()))
+            out_l.append(int(li[m].sum()))
+            out_ll.append(int((li[m] * li[m]).sum()))
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "sl": pa.array(out_l, pa.int64()),
+                "sll": pa.array(out_ll, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("sl", alias_name="sl"),
+            ray.data.aggregate.Sum("sll", alias_name="sll"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mus, sigmas = [], []
+        for n, sl, sll in zip(t["n"].to_pylist(), t["sl"].to_pylist(),
+                              t["sll"].to_pylist()):
+            mu = sl / (n * 1_000_000)
+            ex2 = sll / (n * 1_000_000_000_000)
+            var = max(ex2 - mu * mu, 0.0)
+            mus.append(round(mu, 6))
+            sigmas.append(round(math.sqrt(var), 6))
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pc.cast(t["n"], pa.int64()),
+                "mu": pa.array(mus, pa.float64()),
+                "sigma": pa.array(sigmas, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+LENGTH_LOGNORMAL_SQL = """
+with p as (select source,
+                  round(ln(greatest(n_chars, 1)::double) * 1000000)
+                    ::bigint as li
+           from documents),
+m as (select source, count(*)::bigint as n,
+             sum(li)::bigint as sl, sum(li * li)::bigint as sll
+      from p group by source),
+f as (select source, n, sl::double / (n * 1000000) as mu,
+             sll::double / (n * 1000000000000) as ex2
+      from m)
+select source, n as n_docs, round(mu, 6) as mu,
+       round(sqrt(greatest(ex2 - mu * mu, 0)), 6) as sigma
+from f
+"""
+
+
 def q_weekday_seasonality(sf_dir: str):
     """Day-of-week seasonality per event type: volume, traffic share
     and the ×7-scaled seasonality index in ppm (10^6 = flat; the
@@ -14680,6 +14882,9 @@ QUERIES = {
     "attribution_delay": q_attribution_delay,
     "label_prop": q_label_prop,
     "rowgroup_prune": q_rowgroup_prune,
+    "event_burstiness": q_event_burstiness,
+    "crawl_budget": q_crawl_budget,
+    "length_lognormal": q_length_lognormal,
 }
 
 
@@ -17418,6 +17623,9 @@ def all_oracles() -> dict[str, str]:
     out["label_prop"] = label_prop_oracle_sql(link_dir)
     out["weekday_seasonality"] = WEEKDAY_SEASONALITY_SQL
     out["attribution_delay"] = ATTRIBUTION_DELAY_SQL
+    out["event_burstiness"] = EVENT_BURSTINESS_SQL
+    out["crawl_budget"] = CRAWL_BUDGET_SQL
+    out["length_lognormal"] = LENGTH_LOGNORMAL_SQL
     out["link_kcore"] = kcore_oracle_sql(link_dir)
     out["link_distance"] = linkdist_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)

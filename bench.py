@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "attribution_delay",
     "label_prop",
     "rowgroup_prune",
+    "event_burstiness",
+    "crawl_budget",
+    "length_lognormal",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

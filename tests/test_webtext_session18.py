@@ -578,3 +578,73 @@ class TestRowgroupPrune:
         # the sorted mirror must make SOME groups prunable and SOME not
         got = q.q_rowgroup_prune(SF).to_pandas()
         assert 0 < got["prunable"].sum() < len(got)
+
+
+class TestEventBurstiness:
+    def test_matches_python_groundtruth(self, ray_session):
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas()
+        ev["day"] = ev["ts"].astype("datetime64[us]").astype("int64") \
+            // q.DAY_US
+        got = q.q_event_burstiness(SF).to_pandas() \
+            .set_index("event_type")
+        for et, g in ev.groupby("event_type"):
+            n = [int(v) for v in g.groupby("day").size()]
+            nd, s1 = len(n), sum(n)
+            s2 = sum(v * v for v in n)
+            want = ((nd * s2 - s1 * s1) * 10**6 // ((nd - 1) * s1)
+                    if nd > 1 and s1 else 0)
+            row = got.loc[et]
+            assert row["n_days"] == nd
+            assert row["total"] == s1
+            assert row["fano_ppm"] == want
+            assert row["fano_ppm"] >= 0
+
+
+class TestCrawlBudget:
+    def test_matches_python_groundtruth(self, ray_session):
+        import math
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source"]).to_pandas()
+        counts = docs["source"].value_counts().to_dict()
+        w = {s: math.isqrt(int(n)) for s, n in counts.items()}
+        tw = sum(w.values())
+        got = q.q_crawl_budget(SF).to_pandas().set_index("source")
+        assert len(got) == len(counts)
+        for s, n in counts.items():
+            row = got.loc[s]
+            assert row["n_docs"] == n
+            assert row["weight"] == w[s]
+            assert row["budget"] == q.CRAWL_BUDGET_TOTAL * w[s] // tw
+        # allocation never exceeds the cycle budget (floor dust only)
+        assert got["budget"].sum() <= q.CRAWL_BUDGET_TOTAL
+        # sublinear: budget ratio < doc ratio for any dominant source
+        big = got["n_docs"].idxmax()
+        small = got["n_docs"].idxmin()
+        if got.loc[big, "n_docs"] > got.loc[small, "n_docs"]:
+            assert (got.loc[big, "budget"] / max(got.loc[small, "budget"], 1)
+                    <= got.loc[big, "n_docs"] / got.loc[small, "n_docs"])
+
+
+class TestLengthLognormal:
+    def test_matches_python_groundtruth(self, ray_session):
+        import math
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source", "n_chars"]).to_pandas()
+        got = q.q_length_lognormal(SF).to_pandas().set_index("source")
+        for s, g in docs.groupby("source"):
+            li = np.round(
+                np.log(np.maximum(g["n_chars"].to_numpy(dtype=float),
+                                  1.0)) * 1e6
+            ).astype(np.int64)
+            n, sl, sll = len(li), int(li.sum()), int((li * li).sum())
+            mu = sl / (n * 1_000_000)
+            ex2 = sll / (n * 1_000_000_000_000)
+            var = max(ex2 - mu * mu, 0.0)
+            row = got.loc[s]
+            assert row["n_docs"] == n
+            assert row["mu"] == round(mu, 6)
+            assert row["sigma"] == round(math.sqrt(var), 6)
+            assert row["sigma"] >= 0
