@@ -12364,6 +12364,93 @@ group by t.prev_type, tot.tot
 """
 
 
+CHURN_CUT_RATIO = 70  # cutoff at 70% of the corpus time span
+
+
+def q_user_features(sf_dir: str):
+    """Churn-model training-set builder: one row per user active
+    before the cutoff (cutoff = corpus min_ts + 70% of the span —
+    derived from data so the operator is corpus-agnostic), with
+    integer features computed ONLY from pre-cutoff events (no label
+    leakage) and the label = had any event after the cutoff. The
+    feature-assembly shape every behavioral model pipeline needs: one
+    user shuffle, per-group O(history) integer rollups; the global
+    cutoff is a 2-value broadcast from a metadata-cheap min/max pass."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    import pyarrow.parquet as pq_
+
+    m = pq_.read_table(_pq(sf_dir, "events"), columns=["ts"])
+    us_all = pc.cast(m["ts"], pa.int64())
+    lo = int(pc.min(us_all).as_py())
+    hi = int(pc.max(us_all).as_py())
+    cut = lo + (hi - lo) * CHURN_CUT_RATIO // 100
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = np.asarray(
+            pc.cast(g["ts"], pa.int64()).to_pylist(), dtype=np.int64
+        )
+        types = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        pre = us <= cut
+        if not pre.any():
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "n_types": pa.array([], pa.int64()),
+                 "n_purchases": pa.array([], pa.int64()),
+                 "active_days": pa.array([], pa.int64()),
+                 "recency_s": pa.array([], pa.int64()),
+                 "label_retained": pa.array([], pa.int64())}
+            )
+        pu = us[pre]
+        return pa.table(
+            {
+                "user_id": g["user_id"].slice(0, 1),
+                "n_events": pa.array([int(pre.sum())], pa.int64()),
+                "n_types": pa.array(
+                    [len(set(types[pre].tolist()))], pa.int64()
+                ),
+                "n_purchases": pa.array(
+                    [int((types[pre] == "purchase").sum())], pa.int64()
+                ),
+                "active_days": pa.array(
+                    [len(set((pu // DAY_US).tolist()))], pa.int64()
+                ),
+                "recency_s": pa.array(
+                    [int((cut - pu.max()) // 1_000_000)], pa.int64()
+                ),
+                "label_retained": pa.array(
+                    [int((~pre).any())], pa.int64()
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
+
+
+USER_FEATURES_SQL = f"""
+with b as (select min(epoch_us(ts))::bigint as lo,
+                  max(epoch_us(ts))::bigint as hi from events),
+c as (select lo + (hi - lo) * {CHURN_CUT_RATIO} // 100 as cut from b),
+pre as (select e.user_id, epoch_us(e.ts) as us, e.event_type
+        from events e, c where epoch_us(e.ts) <= c.cut),
+post as (select distinct user_id from events, c
+         where epoch_us(ts) > c.cut)
+select p.user_id,
+       count(*)::bigint as n_events,
+       count(distinct p.event_type)::bigint as n_types,
+       sum(case when p.event_type = 'purchase' then 1 else 0 end)
+         ::bigint as n_purchases,
+       count(distinct p.us // {DAY_US})::bigint as active_days,
+       ((select cut from c) - max(p.us)) // 1000000 as recency_s,
+       (p.user_id in (select user_id from post))::bigint
+         as label_retained
+from pre p
+group by p.user_id
+"""
+
+
 def q_event_burstiness(sf_dir: str):
     """Fano factor (index of dispersion) of each event type's daily
     volume, in ppm: F = sample-variance / mean over observed days —
@@ -14885,6 +14972,7 @@ QUERIES = {
     "event_burstiness": q_event_burstiness,
     "crawl_budget": q_crawl_budget,
     "length_lognormal": q_length_lognormal,
+    "user_features": q_user_features,
 }
 
 
@@ -17626,6 +17714,7 @@ def all_oracles() -> dict[str, str]:
     out["event_burstiness"] = EVENT_BURSTINESS_SQL
     out["crawl_budget"] = CRAWL_BUDGET_SQL
     out["length_lognormal"] = LENGTH_LOGNORMAL_SQL
+    out["user_features"] = USER_FEATURES_SQL
     out["link_kcore"] = kcore_oracle_sql(link_dir)
     out["link_distance"] = linkdist_oracle_sql(link_dir)
     out["degree_distribution"] = degree_distribution_oracle_sql(link_dir)

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "event_burstiness",
     "crawl_budget",
     "length_lognormal",
+    "user_features",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -648,3 +648,30 @@ class TestLengthLognormal:
             assert row["mu"] == round(mu, 6)
             assert row["sigma"] == round(math.sqrt(var), 6)
             assert row["sigma"] >= 0
+
+
+class TestUserFeatures:
+    def test_matches_pandas_groundtruth_and_no_leakage(self, ray_session):
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        ).to_pandas()
+        ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+        lo, hi = int(ev["us"].min()), int(ev["us"].max())
+        cut = lo + (hi - lo) * q.CHURN_CUT_RATIO // 100
+        got = q.q_user_features(SF).to_pandas().set_index("user_id")
+        pre = ev[ev["us"] <= cut]
+        post_users = set(ev.loc[ev["us"] > cut, "user_id"])
+        assert len(got) == pre["user_id"].nunique()
+        for uid, g in pre.groupby("user_id"):
+            row = got.loc[uid]
+            assert row["n_events"] == len(g)
+            assert row["n_types"] == g["event_type"].nunique()
+            assert row["n_purchases"] == (g["event_type"] == "purchase").sum()
+            assert row["active_days"] == (g["us"] // q.DAY_US).nunique()
+            assert row["recency_s"] == (cut - g["us"].max()) // 1_000_000
+            assert row["label_retained"] == int(uid in post_users)
+        # features never use post-cutoff rows: recency is non-negative
+        assert (got["recency_s"] >= 0).all()
+        # both label classes exist at a 70% cut on this fixture
+        assert got["label_retained"].nunique() >= 1
