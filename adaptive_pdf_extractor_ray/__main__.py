@@ -302,7 +302,18 @@ def cmd_curate(args: argparse.Namespace) -> int:
     from .stages import dedup as dd
 
     chain = "curate_neardup" if args.near_dup else "curate_documents"
-    survivors = QUERIES[chain](args.input)
+    if getattr(args, "work_dir", None) and args.near_dup:
+        # stage-boundary checkpoints + _done-marker resume: a rerun
+        # with the same --work-dir skips completed stages (the
+        # multi-day-run protocol; pipelines/curate.py)
+        from .pipelines.curate import curate_neardup_checkpointed
+
+        survivors = curate_neardup_checkpointed(
+            args.input, args.work_dir
+        )
+        chain = "curate_neardup[ckpt]"
+    else:
+        survivors = QUERIES[chain](args.input)
     docs = rd.read_parquet(os.path.join(args.input, "documents.parquet"))
     n_in = _table_rows(args.input, "documents")
     out = survivors.join(
@@ -446,6 +457,9 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--lm-max-bits", type=float, default=None,
                      help="drop docs whose unigram-LM mean code length "
                           "exceeds this budget (CCNet-style gate)")
+    pc_.add_argument("--work-dir", default=None,
+                     help="with --near-dup: checkpoint each chain stage "
+                          "here and resume completed stages on rerun")
     pc_.add_argument("--num-cpus", type=int, default=None)
     pc_.set_defaults(fn=cmd_curate)
 

@@ -65,6 +65,54 @@ class BruteKnn:
         )
 
 
+class BlockedKnnGraph:
+    """Actor stage for the EXACT kNN graph without any corpus-sized
+    allocation: the query side is a list of bounded plasma blocks
+    (ids, pre-normalized matrix) put by bounded driver streaming —
+    never the whole table on the driver, never the whole matrix in an
+    actor heap. Per data batch the actor loops over the block refs;
+    ``ray.get`` of a numpy block is plasma zero-copy, so per-loop heap
+    cost is one (block x batch) score matrix. Compute stays O(n^2) —
+    inherent to exact kNN-graph; q_knn_lsh / q_knn_ivf are the
+    approximate scale path measured against this via q_ann_recall."""
+
+    def __init__(self, block_refs, k: int = 5, col: str = "embedding"):
+        self.refs = list(block_refs)
+        self.k = k
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        M = _normalize(embeddings_matrix(batch, self.col))
+        k = min(self.k, M.shape[0])
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        for ref in self.refs:
+            q_ids, Qn = ray.get(ref)  # zero-copy plasma view
+            sims = np.round(Qn @ M.T, 4)
+            # vectorized partial top-k by (sim desc, neighbor_id asc):
+            # lexsort on (ids asc) then stable argsort on -sim keeps
+            # the id tie-break without a per-query Python sort
+            id_order = np.argsort(ids, kind="stable")
+            sims_o = sims[:, id_order]
+            top = np.argsort(-sims_o, axis=1, kind="stable")[:, :k]
+            for qi in range(sims_o.shape[0]):
+                cols = top[qi]
+                out_q.extend([int(q_ids[qi])] * len(cols))
+                out_n.extend(int(ids[id_order[j]]) for j in cols)
+                out_s.extend(float(sims_o[qi, j]) for j in cols)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
 def topk_per_query(group: pa.Table, k: int = 5) -> pa.Table:
     """Final reduce: keep k best (sim desc, neighbor_id asc) per query."""
     rows = sorted(

@@ -329,6 +329,10 @@ class TestMarkovPerplexity:
         for uid, g in ev.groupby("user_id"):
             t = g["event_type"].tolist()
             pairs = list(zip(t, t[1:]))
+            if not pairs:
+                # single-event users are dropped (oracle parity)
+                assert uid not in got.index
+                continue
             nll = sum(math.log(tot[a]) - math.log(n_ab[(a, b)])
                       for a, b in pairs)
             row = got.loc[uid]
