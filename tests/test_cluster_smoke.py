@@ -1,0 +1,168 @@
+"""Multi-node smoke (round-4 VERDICT item 7): stand up a genuine
+2-raylet pseudo-cluster (`ray start --head` + a second `ray start
+--address` worker process — two raylets, two plasma stores, real GCS
+wire protocol between them), attach the flagship CLI via the
+``RAY_ADDRESS`` path that `ray job submit` would use, and assert green
+extraction output.
+
+Why not `ray job submit` itself: the Jobs CLI/SDK requires the
+``ray[default]`` dashboard modules, which are not in this container and
+cannot be installed (no network, no pip) — running it raises
+``RuntimeError: The Ray jobs CLI & SDK require the ray[default]
+installation``. The job runtime's ONLY interaction with application
+code is exporting ``RAY_ADDRESS`` and exec'ing the entrypoint, which is
+exactly what this test does by hand; SCALING.md records the blocker.
+
+The cluster lives in its own ``--temp-dir`` and its own process groups,
+so the pytest session's local Ray (conftest fixture) is untouched; no
+``ray stop`` (which would kill every Ray on the machine) is ever run.
+"""
+
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def _spawn(cmd: list[str], env: dict, log: str) -> subprocess.Popen:
+    f = open(log, "w")
+    return subprocess.Popen(
+        cmd, env=env, stdout=f, stderr=subprocess.STDOUT,
+        start_new_session=True,
+    )
+
+
+def _kill_group(p: subprocess.Popen) -> None:
+    try:
+        os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+    except (ProcessLookupError, PermissionError):
+        return
+    try:
+        p.wait(timeout=15)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+
+def test_two_raylet_cluster_runs_flagship(tmp_path):
+    from ray._private.services import get_node_ip_address
+
+    import tempfile
+
+    ip = get_node_ip_address()  # GCS binds the node IP, not loopback
+    port = _free_port()
+    # NOT under pytest's deep tmp_path: the session dir hosts AF_UNIX
+    # sockets (plasma/raylet) whose path must stay under ~107 chars
+    tdir = tempfile.mkdtemp(prefix="aper_clu_")
+    env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
+    head = worker = None
+    try:
+        head = _spawn(
+            ["ray", "start", "--head", "--block", "--port", str(port),
+             "--num-cpus", "3", "--include-dashboard=false",
+             "--disable-usage-stats", "--temp-dir", tdir],
+            env, str(tmp_path / "head.log"),
+        )
+        addr = f"{ip}:{port}"
+        # wait for GCS to accept connections
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                socket.create_connection((ip, port), timeout=1).close()
+                break
+            except OSError:
+                time.sleep(0.5)
+        else:
+            log = (tmp_path / "head.log").read_text()[-2000:]
+            pytest.fail(f"head never opened its GCS port; log: {log}")
+        worker = _spawn(
+            ["ray", "start", "--block", "--address", addr,
+             "--num-cpus", "3", "--disable-usage-stats"],
+            env, str(tmp_path / "worker.log"),
+        )
+
+        # both raylets registered and alive before any work is sent
+        cluster_env = dict(env, RAY_ADDRESS=addr)
+        probe = (
+            "import ray, json, time\n"
+            f"ray.init(address='{addr}', logging_level='ERROR')\n"
+            "for _ in range(60):\n"
+            "    n = sum(x['Alive'] for x in ray.nodes())\n"
+            "    if n >= 2: break\n"
+            "    time.sleep(1)\n"
+            "print(json.dumps(sum(x['Alive'] for x in ray.nodes())))\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", probe], env=cluster_env,
+            capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert json.loads(r.stdout.strip().splitlines()[-1]) == 2, (
+            "worker raylet never joined; worker log: "
+            + (tmp_path / "worker.log").read_text()[-2000:]
+        )
+
+        # corpus written by the CLI in a plain local session
+        corpus = str(tmp_path / "corpus")
+        r = subprocess.run(
+            [sys.executable, "-m", "adaptive_pdf_extractor_ray",
+             "synth", "--out", corpus, "--docs", "400", "--seed", "7",
+             "--num-cpus", "2"],
+            env=env, capture_output=True, text=True, timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        # the ray-job-submit contract by hand: RAY_ADDRESS + entrypoint
+        r = subprocess.run(
+            [sys.executable, "-m", "adaptive_pdf_extractor_ray",
+             "extract", "--input", os.path.join(corpus, "pages"),
+             "--work-dir", str(tmp_path / "work"),
+             "--concurrency", "4"],
+            env=cluster_env, capture_output=True, text=True,
+            timeout=180,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["rows"] == 400
+        assert out["metrics"]["errors"] == 0
+        assert out["metrics"]["miss_rows"] == 0
+
+        # both nodes still alive after the job (the worker did not die
+        # under load)
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import ray, json; ray.init(address='" + addr + "', "
+             "logging_level='ERROR'); "
+             "print(json.dumps([n['Alive'] for n in ray.nodes()]))"],
+            env=cluster_env, capture_output=True, text=True,
+            timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        alive = json.loads(r.stdout.strip().splitlines()[-1])
+        assert alive.count(True) == 2, (
+            "a raylet died during the run; worker log: "
+            + (tmp_path / "worker.log").read_text()[-2000:]
+        )
+    finally:
+        for p in (worker, head):
+            if p is not None:
+                _kill_group(p)
+        # belt-and-braces: anything still holding our private temp-dir
+        subprocess.run(
+            ["pkill", "-9", "-f", tdir], capture_output=True
+        )
