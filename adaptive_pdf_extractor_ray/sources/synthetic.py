@@ -689,3 +689,70 @@ def write_urltrap_corpus(out_dir: str, n: int = 600, seed: int = 1) -> str:
     with open(manifest, "w") as f:
         json.dump(want, f)
     return pages_dir
+
+
+def write_pii_corpus(out_dir: str, n: int = 400, seed: int = 1) -> str:
+    """Deterministic PII-bearing web-text fixture for the scan/redact/
+    gate operators: word-soup bodies with emails, phone numbers, IPv4
+    addresses and SSN-like ids injected by residue classes of the doc
+    index (``i % 3`` email, ``% 5`` phone, ``% 7`` ip, ``% 11`` ssn,
+    ``% 13`` a SECOND email — multi-match coverage), so expected counts
+    are pure arithmetic and a third of docs stay clean. Injected shapes
+    are crafted to be non-overlapping across the four pattern classes
+    (a phone can never partially match the ssn regex and vice versa).
+    Pure arithmetic on (i, seed); idempotent (manifest-keyed). Returns
+    the docs dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs_dir = os.path.join(out_dir, "docs")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"kind": "pii", "n": n, "seed": seed, "v": 1}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return docs_dir
+    import shutil
+
+    if os.path.isdir(docs_dir):
+        shutil.rmtree(docs_dir)
+    os.makedirs(docs_dir, exist_ok=True)
+
+    texts = []
+    for i in range(n):
+        parts = [
+            " ".join(f"w{(i * 17 + k * seed) % 211}" for k in range(20))
+        ]
+        if i % 3 == 0:
+            parts.append(f"contact user{i}@mail{i % 7}.example.com")
+        if i % 5 == 0:
+            parts.append(
+                f"call {200 + i % 700:03d}-{200 + (i * 3) % 700:03d}-"
+                f"{1000 + i % 9000:04d}"
+            )
+        if i % 7 == 0:
+            parts.append(
+                f"host 10.{i % 200}.{(i * 3) % 200}.{i % 250}"
+            )
+        if i % 11 == 0:
+            parts.append(
+                f"id {100 + i % 899:03d}-{10 + i % 89:02d}-"
+                f"{1000 + i % 8999:04d}"
+            )
+        if i % 13 == 0:
+            parts.append(f"cc ops{i}@corp{i % 5}.example.org")
+        texts.append(" ".join(parts))
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(docs_dir, "part-00000.parquet"),
+    )
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return docs_dir

@@ -1,0 +1,147 @@
+"""Session-19 (round 4) operators: PII scan / redact / gate over the
+injected deterministic fixture. Ground truth is re-derived here with
+Python `re` (a third regex engine vs Arrow-RE2 and DuckDB-RE2), and the
+fixture's residue-class construction is asserted directly."""
+
+import re
+
+import pyarrow.parquet as pq
+
+from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"  # unused by the fixture ops; API surface
+
+
+class TestPiiScan:
+    def test_counts_match_python_re(self, ray_session):
+        got = (
+            q.q_pii_scan(SF)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        docs = pq.read_table(q.pii_corpus()).to_pandas()
+        pats = {
+            "n_email": re.compile(q.PII_EMAIL_RE),
+            "n_phone": re.compile(q.PII_PHONE_RE),
+            "n_ipv4": re.compile(q.PII_IPV4_RE),
+            "n_ssn": re.compile(q.PII_SSN_RE),
+        }
+        for _, row in docs.iterrows():
+            g = got.loc[row["doc_id"]]
+            tot = 0
+            for col, pat in pats.items():
+                want = len(pat.findall(row["text"]))
+                assert g[col] == want, (row["doc_id"], col)
+                tot += want
+            assert g["n_pii"] == tot
+
+    def test_residue_class_construction(self, ray_session):
+        got = q.q_pii_scan(SF).to_pandas().set_index("doc_id")
+        for i in range(400):
+            g = got.loc[i]
+            # email per %3, second email per %13
+            assert g["n_email"] == (i % 3 == 0) + (i % 13 == 0)
+            assert g["n_phone"] == (i % 5 == 0)
+            assert g["n_ipv4"] == (i % 7 == 0)
+            assert g["n_ssn"] == (i % 11 == 0)
+
+    def test_clean_docs_exist(self, ray_session):
+        got = q.q_pii_scan(SF).to_pandas()
+        assert (got["n_pii"] == 0).sum() > 100  # a real clean cohort
+
+
+class TestPiiRedact:
+    def test_no_pii_survives_redaction(self, ray_session):
+        got = q.q_pii_redact(SF).to_pandas()
+        for pat in (q.PII_EMAIL_RE, q.PII_PHONE_RE,
+                    q.PII_IPV4_RE, q.PII_SSN_RE):
+            assert not got["text_redacted"].str.contains(
+                pat, regex=True
+            ).any()
+
+    def test_placeholders_inserted(self, ray_session):
+        got = q.q_pii_redact(SF).to_pandas().set_index("doc_id")
+        assert "[EMAIL]" in got.loc[0, "text_redacted"]  # 0%3==0
+        assert "[PHONE]" in got.loc[5, "text_redacted"]
+        assert "[IP]" in got.loc[7, "text_redacted"]
+        assert "[SSN]" in got.loc[11, "text_redacted"]
+        # clean doc untouched
+        docs = pq.read_table(q.pii_corpus()).to_pandas() \
+            .set_index("doc_id")
+        clean = next(
+            i for i in range(400)
+            if all(i % m for m in (3, 5, 7, 11, 13))
+        )
+        assert got.loc[clean, "text_redacted"] == docs.loc[clean, "text"]
+
+
+class TestPiiGate:
+    def test_gate_equals_zero_count_set(self, ray_session):
+        scan = q.q_pii_scan(SF).to_pandas()
+        want = set(scan.loc[scan["n_pii"] == 0, "doc_id"])
+        got = set(q.q_pii_gate(SF).to_pandas()["doc_id"])
+        assert got == want
+
+
+class TestBitextMine:
+    def test_matches_numpy_replay(self, ray_session):
+        import numpy as np
+
+        got = (
+            q.q_bitext_mine(SF)
+            .to_pandas()
+            .sort_values("src_id")
+            .reset_index(drop=True)
+        )
+        t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+        lab = t["label"].to_numpy() % 2
+        ids = t["vec_id"].to_numpy()
+        M = np.asarray(t["embedding"].tolist(), dtype=np.float64)
+        M = M / np.maximum(
+            np.linalg.norm(M, axis=1, keepdims=True), 1e-12
+        )
+        A_ids, A = ids[lab == 0], M[lab == 0]
+        B_ids, B = ids[lab == 1], M[lab == 1]
+        k = q.BITEXT_K
+        s4 = np.rint(np.round(A @ B.T, 4) * 10000).astype(np.int64)
+        # order columns by id so stable sorts tie-break on id asc
+        bo = np.argsort(B_ids)
+        ao = np.argsort(A_ids)
+        sAB = s4[:, bo][np.argsort(A_ids, kind="stable")]
+        # per-y denominator: top-k of column y over A
+        sBA = s4[ao][:, bo]
+        mysum = {}
+        for yi, y in enumerate(B_ids[bo]):
+            col = np.sort(sBA[:, yi], kind="stable")[::-1][:k]
+            mysum[int(y)] = int(col.sum())
+        want = {}
+        for xi, x in enumerate(np.sort(A_ids)):
+            row = sAB[xi]
+            top = np.argsort(-row, kind="stable")[:k]
+            mxsum = int(row[top].sum())
+            best = None
+            for j in top:
+                num = int(row[j])
+                den = mxsum + mysum[int(B_ids[bo][j])]
+                if best is None or num * best[1] > best[0] * den or (
+                    num * best[1] == best[0] * den
+                    and int(B_ids[bo][j]) < best[2]
+                ):
+                    best = (num, den, int(B_ids[bo][j]))
+            if 2 * k * best[0] > best[1]:
+                want[int(x)] = best
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            num, den, y = want[r["src_id"]]
+            assert (r["dst_id"], r["sim_e4"], r["den_e4"]) == (
+                y, num, den
+            )
+
+    def test_margin_filter_excludes_some(self, ray_session):
+        got = q.q_bitext_mine(SF).to_pandas()
+        t = pq.read_table(SF + "/embeddings.parquet").to_pandas()
+        n_a = int(((t["label"] % 2) == 0).sum())
+        assert 0 < len(got) < n_a  # filter is active, not degenerate
+        # every kept pair really clears margin > 1
+        assert (2 * q.BITEXT_K * got["sim_e4"] > got["den_e4"]).all()
