@@ -14983,13 +14983,15 @@ def _merge_topk(
 
 
 def q_bitext_mine(sf_dir: str):
-    """Margin-based bitext mining (Artetxe & Schwenk, ACL'19 margin
-    criterion — the CCMatrix/LASER parallel-corpus recipe): side A =
-    even-label vectors, side B = odd-label (the two-"language" split of
-    the fixture); for each x in A, among its BITEXT_K cosine-nearest
-    candidates y in B, pick the one maximizing margin(x,y) = cos(x,y) /
-    ((mean_k cos(x, NN_B(x)) + mean_k cos(y, NN_A(y)))/2), keep pairs
-    with margin > 1 — the published recipe's candidate restriction.
+    """Margin-based bitext mining, RATIO criterion with BOTH-side
+    neighborhoods (Artetxe & Schwenk, ACL'19 eq. 4 — the CCMatrix
+    recipe; `q_xlang_mine` is the simpler forward-difference variant
+    against a bounded target side): side A = even-label vectors, side
+    B = odd-label (the two-"language" split of the fixture); for each
+    x in A, among its BITEXT_K cosine-nearest candidates y in B, pick
+    the one maximizing margin(x,y) = cos(x,y) / ((mean_k cos(x,
+    NN_B(x)) + mean_k cos(y, NN_A(y)))/2), keep pairs with margin > 1
+    — the published recipe's candidate restriction.
     ENTIRELY integer-exact once cosines are rounded at 4 dp (the
     knn_brute precedent): sims become int e4, denominators are top-k
     SUMS (no float means), the per-x argmax and the >1 filter are
@@ -15129,6 +15131,101 @@ from best where 2 * {BITEXT_K} * sim4 > den4
 """
 
 
+def q_leakage_free_split(sf_dir: str):
+    """Leakage-free train/test split: the deterministic md5 split
+    (`split_assign`) hardened by NEAR-DUP leakage removal — any
+    non-test document that is an exact-verified near-duplicate
+    (`setsim_join`, complete at threshold by the prefix-filter
+    guarantee) of a test document is re-labeled 'dropped', because
+    training on a near-copy of an eval item is contamination that
+    id-level splitting cannot see. The published eval-hygiene step
+    (GPT-3 appendix C / PaLM dedup-against-eval discipline) as one
+    dataflow: split pass (stateless) -> verified pair edges (both
+    directions) -> hash-join edges against the test side -> distinct
+    flagged neighbors (per-batch Arrow unique + grouped count, never a
+    per-node Python group) -> one semi-join to mark, one anti-join to
+    keep. Everything keyed by doc_id — well-spread at 10^12 docs."""
+    nparts = dd.adaptive_partitions(_table_rows(sf_dir, "documents"))
+    split = q_split_assign(sf_dir).select_columns(
+        ["doc_id", "split"]
+    ).materialize()
+    pairs = q_setsim_join(sf_dir).select_columns(["a", "b"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [
+                        pc.cast(t["a"], pa.int64()).combine_chunks(),
+                        pc.cast(t["b"], pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "v": pa.concat_arrays(
+                    [
+                        pc.cast(t["b"], pa.int64()).combine_chunks(),
+                        pc.cast(t["a"], pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    test_side = split.filter(expr="split == 'test'").map_batches(
+        lambda t: pa.table({"v": t["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    flagged = (
+        edges.join(test_side, join_type="inner",
+                   num_partitions=nparts, on=("v",))
+        .map_batches(
+            lambda t: pa.table(
+                {"doc_id": pc.unique(t["u"].combine_chunks())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc_id")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_adj"))
+        .select_columns(["doc_id"])
+    )
+    dropped = (
+        split.filter(expr="split != 'test'")
+        .join(flagged, join_type="inner",
+              num_partitions=nparts, on=("doc_id",))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "split": pa.array(
+                        ["dropped"] * t.num_rows, pa.string()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    kept = split.join(
+        dropped.select_columns(["doc_id"]), join_type="left_anti",
+        num_partitions=nparts, on=("doc_id",),
+    )
+    return kept.union(dropped)
+
+
+def leakage_free_split_oracle_sql() -> str:
+    return f"""
+with pr as ({_setsim_oracle_sql()}),
+sall as ({SPLIT_ASSIGN_SQL}),
+s as (select doc_id, split from sall),
+e as (select a as u, b as v from pr union select b, a from pr),
+flag as (select distinct e.u as doc_id
+         from e join s sv on sv.doc_id = e.v and sv.split = 'test')
+select s.doc_id,
+       case when s.split <> 'test' and f.doc_id is not null
+            then 'dropped' else s.split end as split
+from s left join flag f using (doc_id)
+"""
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
@@ -15137,6 +15234,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "pii_gate": q_pii_gate,
     "bitext_mine": q_bitext_mine,
+    "leakage_free_split": q_leakage_free_split,
     "content_fingerprint": q_fingerprint,
     "token_count": q_token_count,
     "quality_score": q_quality,
@@ -18133,6 +18231,7 @@ def all_oracles() -> dict[str, str]:
     out["pii_redact"] = pii_redact_oracle_sql(pii_dir)
     out["pii_gate"] = pii_gate_oracle_sql(pii_dir)
     out["bitext_mine"] = BITEXT_ORACLE_SQL
+    out["leakage_free_split"] = leakage_free_split_oracle_sql()
     out["cocitation"] = cocitation_oracle_sql(link_dir)
     out["reciprocal_links"] = reciprocal_oracle_sql(link_dir)
     out["anchor_text"] = anchor_text_oracle_sql(link_dir)

@@ -145,3 +145,36 @@ class TestBitextMine:
         assert 0 < len(got) < n_a  # filter is active, not degenerate
         # every kept pair really clears margin > 1
         assert (2 * q.BITEXT_K * got["sim_e4"] > got["den_e4"]).all()
+
+
+class TestLeakageFreeSplit:
+    def test_dropped_iff_nontest_neardup_of_test(self, ray_session):
+        got = (
+            q.q_leakage_free_split(SF)
+            .to_pandas()
+            .set_index("doc_id")["split"]
+        )
+        base = (
+            q.q_split_assign(SF).to_pandas().set_index("doc_id")["split"]
+        )
+        pairs = q.q_setsim_join(SF).to_pandas()[["a", "b"]]
+        test_ids = set(base[base == "test"].index)
+        flagged = set()
+        for a, b in pairs.itertuples(index=False):
+            if b in test_ids:
+                flagged.add(a)
+            if a in test_ids:
+                flagged.add(b)
+        assert len(got) == len(base)  # every doc still labeled
+        for doc, orig in base.items():
+            if orig != "test" and doc in flagged:
+                assert got[doc] == "dropped", doc
+            else:
+                assert got[doc] == orig, doc
+
+    def test_test_side_never_dropped(self, ray_session):
+        got = q.q_leakage_free_split(SF).to_pandas()
+        base = q.q_split_assign(SF).to_pandas().set_index("doc_id")
+        test_ids = base[base["split"] == "test"].index
+        sub = got.set_index("doc_id").loc[test_ids, "split"]
+        assert (sub == "test").all()
