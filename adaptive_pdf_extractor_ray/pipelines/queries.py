@@ -14857,7 +14857,7 @@ from read_parquet('{docs_dir}/*.parquet')
 """
 
 
-def q_pii_redact(sf_dir: str):
+def q_pii_scrub(sf_dir: str):
     """PII redaction: every match replaced by a typed placeholder
     ([EMAIL]/[SSN]/[PHONE]/[IP]) in a FIXED class order (placeholders
     contain no digits, so later passes can never re-match earlier
@@ -14884,7 +14884,7 @@ def q_pii_redact(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def pii_redact_oracle_sql(docs_dir: str) -> str:
+def pii_scrub_oracle_sql(docs_dir: str) -> str:
     return f"""
 select doc_id,
        regexp_replace(
@@ -15231,7 +15231,7 @@ QUERIES = {
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
     "pii_scan": q_pii_scan,
-    "pii_redact": q_pii_redact,
+    "pii_scrub": q_pii_scrub,
     "pii_gate": q_pii_gate,
     "bitext_mine": q_bitext_mine,
     "leakage_free_split": q_leakage_free_split,
@@ -18228,7 +18228,7 @@ def all_oracles() -> dict[str, str]:
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     pii_dir = pii_corpus()  # idempotent fixture write
     out["pii_scan"] = pii_scan_oracle_sql(pii_dir)
-    out["pii_redact"] = pii_redact_oracle_sql(pii_dir)
+    out["pii_scrub"] = pii_scrub_oracle_sql(pii_dir)
     out["pii_gate"] = pii_gate_oracle_sql(pii_dir)
     out["bitext_mine"] = BITEXT_ORACLE_SQL
     out["leakage_free_split"] = leakage_free_split_oracle_sql()

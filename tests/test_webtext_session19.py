@@ -51,9 +51,9 @@ class TestPiiScan:
         assert (got["n_pii"] == 0).sum() > 100  # a real clean cohort
 
 
-class TestPiiRedact:
+class TestPiiScrub:
     def test_no_pii_survives_redaction(self, ray_session):
-        got = q.q_pii_redact(SF).to_pandas()
+        got = q.q_pii_scrub(SF).to_pandas()
         for pat in (q.PII_EMAIL_RE, q.PII_PHONE_RE,
                     q.PII_IPV4_RE, q.PII_SSN_RE):
             assert not got["text_redacted"].str.contains(
@@ -61,7 +61,7 @@ class TestPiiRedact:
             ).any()
 
     def test_placeholders_inserted(self, ray_session):
-        got = q.q_pii_redact(SF).to_pandas().set_index("doc_id")
+        got = q.q_pii_scrub(SF).to_pandas().set_index("doc_id")
         assert "[EMAIL]" in got.loc[0, "text_redacted"]  # 0%3==0
         assert "[PHONE]" in got.loc[5, "text_redacted"]
         assert "[IP]" in got.loc[7, "text_redacted"]
