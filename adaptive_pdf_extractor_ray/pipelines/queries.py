@@ -4031,7 +4031,8 @@ def _und_edges_ds(pages_dir: str):
         _outlinks_ds(pages_dir)
         .map_batches(orient, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(ray.data.aggregate.Count(alias_name="_n"))
+        .select_columns(["a", "b"])
     )
 
 
@@ -4184,7 +4185,8 @@ def _dir_edges_ds(pages_dir: str):
         _outlinks_ds(pages_dir)
         .map_batches(pairs, batch_format="pyarrow")
         .groupby(["src", "dst"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(ray.data.aggregate.Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
     )
 
 
@@ -4247,7 +4249,8 @@ def _linkdist_distributed(edges, pages, nparts: int):
                        right_on=("url",))
             .select_columns(["dst"])
             .groupby("dst")
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .aggregate(ray.data.aggregate.Count(alias_name="_n"))
+            .select_columns(["dst"])
         )
         new = hop.join(
             known.select_columns(["url"]), join_type="left_anti",
@@ -8837,7 +8840,8 @@ def q_graph_triangles(sf_dir: str):
     und = (
         e.map_batches(orient, batch_format="pyarrow")
         .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(ray.data.aggregate.Count(alias_name="_n"))
+        .select_columns(["a", "b"])
         .materialize()
     )
     wedges = und.join(und, join_type="inner", num_partitions=nparts,
@@ -10909,7 +10913,8 @@ def q_cocitation(sf_dir: str):
     d = (
         e.map_batches(dedup_batch, batch_format="pyarrow")
         .groupby(["src", "dst"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .aggregate(ray.data.aggregate.Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
         .materialize()
     )
 

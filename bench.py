@@ -211,6 +211,10 @@ BENCH_QUERIES = [
     "crawl_budget",
     "length_lognormal",
     "user_features",
+    "pii_scan",
+    "pii_scrub",
+    "bitext_mine",
+    "leakage_free_split",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

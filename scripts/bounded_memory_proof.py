@@ -216,18 +216,25 @@ def main() -> None:
                          "constrained store")
     args = ap.parse_args()
 
-    # corpus (written once, unconstrained session not needed: writer is
-    # plain pyarrow via sources.synthetic)
+    # corpus (written once; a throwaway Ray session parallelizes the
+    # order-free shard generation — sequential writing of an 800k-doc
+    # corpus is minutes of single-core work)
+    import ray
+
     from adaptive_pdf_extractor_ray.sources.synthetic import write_corpus
 
     corpus_dir = os.path.join(
         tempfile.gettempdir(),
         f"aper_bmem_corpus_{args.docs}_{args.filler_words}",
     )
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
     pages_dir, _ = write_corpus(
         corpus_dir, n=args.docs, seed=1, shard_rows=5000,
         filler_words=args.filler_words,
     )
+    ray.shutdown()
     input_bytes = sum(
         os.path.getsize(os.path.join(pages_dir, f))
         for f in os.listdir(pages_dir)
