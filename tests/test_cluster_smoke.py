@@ -65,57 +65,86 @@ def test_two_raylet_cluster_runs_flagship(tmp_path):
     import tempfile
 
     ip = get_node_ip_address()  # GCS binds the node IP, not loopback
-    port = _free_port()
-    # NOT under pytest's deep tmp_path: the session dir hosts AF_UNIX
-    # sockets (plasma/raylet) whose path must stay under ~107 chars
-    tdir = tempfile.mkdtemp(prefix="aper_clu_")
+    # ray's node-startup register window is a hardcoded 30 s; under a
+    # loaded host one slow GCS RPC (default deadline 60 s) eats the
+    # whole window, so fail the inner RPC fast and retry the ENTIRE
+    # bring-up (fresh port + temp dir) a few times
     env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
+    env["RAY_gcs_server_request_timeout_seconds"] = "5"
     head = worker = None
+    addr = None
+    cluster_env: dict = {}
     try:
-        head = _spawn(
-            ["ray", "start", "--head", "--block", "--port", str(port),
-             "--num-cpus", "3", "--include-dashboard=false",
-             "--disable-usage-stats", "--temp-dir", tdir],
-            env, str(tmp_path / "head.log"),
-        )
-        addr = f"{ip}:{port}"
-        # wait for GCS to accept connections
-        deadline = time.time() + 60
-        while time.time() < deadline:
+        last_err = ""
+        for attempt in range(3):
+            for p in (worker, head):
+                if p is not None:
+                    _kill_group(p)
+            head = worker = None
+            port = _free_port()
+            tdir = tempfile.mkdtemp(prefix="aper_clu_")
+            hlog = tmp_path / f"head{attempt}.log"
+            wlog = tmp_path / f"worker{attempt}.log"
+            head = _spawn(
+                ["ray", "start", "--head", "--block", "--port",
+                 str(port), "--num-cpus", "3",
+                 "--include-dashboard=false", "--disable-usage-stats",
+                 "--temp-dir", tdir],
+                env, str(hlog),
+            )
+            addr = f"{ip}:{port}"
+            # wait for GCS to accept connections
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if head.poll() is not None:
+                    break  # head died; next attempt
+                try:
+                    socket.create_connection(
+                        (ip, port), timeout=1
+                    ).close()
+                    break
+                except OSError:
+                    time.sleep(0.5)
+            if head.poll() is not None:
+                last_err = f"head exited: {hlog.read_text()[-1500:]}"
+                continue
+            worker = _spawn(
+                ["ray", "start", "--block", "--address", addr,
+                 "--num-cpus", "3", "--disable-usage-stats"],
+                env, str(wlog),
+            )
+            # both raylets registered and alive before any work is
+            # sent (the GCS port accepts TCP before registration)
+            cluster_env = dict(env, RAY_ADDRESS=addr)
+            probe = (
+                "import ray, json, time\n"
+                f"ray.init(address='{addr}', logging_level='ERROR')\n"
+                "for _ in range(60):\n"
+                "    n = sum(x['Alive'] for x in ray.nodes())\n"
+                "    if n >= 2: break\n"
+                "    time.sleep(1)\n"
+                "print(json.dumps("
+                "sum(x['Alive'] for x in ray.nodes())))\n"
+            )
             try:
-                socket.create_connection((ip, port), timeout=1).close()
-                break
-            except OSError:
-                time.sleep(0.5)
+                r = subprocess.run(
+                    [sys.executable, "-c", probe], env=cluster_env,
+                    capture_output=True, text=True, timeout=150,
+                )
+            except subprocess.TimeoutExpired:
+                last_err = "probe timed out"
+                continue
+            if r.returncode != 0:
+                last_err = r.stderr[-1500:]
+                continue
+            if json.loads(r.stdout.strip().splitlines()[-1]) == 2:
+                break  # cluster is up with both raylets
+            last_err = (
+                "worker raylet never joined: "
+                + wlog.read_text()[-1500:]
+            )
         else:
-            log = (tmp_path / "head.log").read_text()[-2000:]
-            pytest.fail(f"head never opened its GCS port; log: {log}")
-        worker = _spawn(
-            ["ray", "start", "--block", "--address", addr,
-             "--num-cpus", "3", "--disable-usage-stats"],
-            env, str(tmp_path / "worker.log"),
-        )
-
-        # both raylets registered and alive before any work is sent
-        cluster_env = dict(env, RAY_ADDRESS=addr)
-        probe = (
-            "import ray, json, time\n"
-            f"ray.init(address='{addr}', logging_level='ERROR')\n"
-            "for _ in range(60):\n"
-            "    n = sum(x['Alive'] for x in ray.nodes())\n"
-            "    if n >= 2: break\n"
-            "    time.sleep(1)\n"
-            "print(json.dumps(sum(x['Alive'] for x in ray.nodes())))\n"
-        )
-        r = subprocess.run(
-            [sys.executable, "-c", probe], env=cluster_env,
-            capture_output=True, text=True, timeout=120,
-        )
-        assert r.returncode == 0, r.stderr[-2000:]
-        assert json.loads(r.stdout.strip().splitlines()[-1]) == 2, (
-            "worker raylet never joined; worker log: "
-            + (tmp_path / "worker.log").read_text()[-2000:]
-        )
+            pytest.fail(f"cluster bring-up failed 3x; last: {last_err}")
 
         # corpus written by the CLI in a plain local session
         corpus = str(tmp_path / "corpus")
@@ -155,14 +184,20 @@ def test_two_raylet_cluster_runs_flagship(tmp_path):
         assert r.returncode == 0, r.stderr[-2000:]
         alive = json.loads(r.stdout.strip().splitlines()[-1])
         assert alive.count(True) == 2, (
-            "a raylet died during the run; worker log: "
-            + (tmp_path / "worker.log").read_text()[-2000:]
+            "a raylet died during the run"
         )
     finally:
         for p in (worker, head):
             if p is not None:
                 _kill_group(p)
         # belt-and-braces: anything still holding our private temp-dir
+        # (head-side daemons) or joined to our GCS address (the worker
+        # node runs under the default temp dir, so match its --address)
         subprocess.run(
             ["pkill", "-9", "-f", tdir], capture_output=True
         )
+        if addr:
+            subprocess.run(
+                ["pkill", "-9", "-f", f"gcs-address={addr}"],
+                capture_output=True,
+            )
