@@ -308,8 +308,9 @@ def cmd_curate(args: argparse.Namespace) -> int:
         # multi-day-run protocol; pipelines/curate.py)
         from .pipelines.curate import curate_neardup_checkpointed
 
+        _ck_stats: dict = {}
         survivors = curate_neardup_checkpointed(
-            args.input, args.work_dir
+            args.input, args.work_dir, stats_out=_ck_stats
         )
         chain = "curate_neardup[ckpt]"
     else:
@@ -338,10 +339,14 @@ def cmd_curate(args: argparse.Namespace) -> int:
         chain += "+lm"
     out.write_parquet(args.out, compression="zstd")
     n_kept = rd.read_parquet(args.out).count()
-    print(json.dumps({
+    rec = {
         "chain": chain, "rows_in": n_in, "rows_kept": n_kept,
         "out": args.out,
-    }))
+    }
+    if getattr(args, "work_dir", None) and args.near_dup:
+        # per-stage lineage (rows + completion ts) from the markers
+        rec["lineage"] = _ck_stats.get("lineage", [])
+    print(json.dumps(rec))
     if owns_session:
         ray.shutdown()
     return 0

@@ -108,12 +108,38 @@ class StageCheckpointer:
                 ),
                 os.path.join(out_dir, "empty.parquet"),
             )
+        # per-stage lineage: row count from parquet footers (no data
+        # read) recorded in the marker — `lineage()` reassembles the
+        # chain's audit trail
+        n_rows = 0
+        for f_ in os.listdir(out_dir):
+            if f_.endswith(".parquet"):
+                n_rows += pq.ParquetFile(
+                    os.path.join(out_dir, f_)
+                ).metadata.num_rows
         with open(marker, "w") as f:
             json.dump(
-                {"ts": time.time(), "input_key": self.input_key}, f
+                {
+                    "ts": time.time(),
+                    "input_key": self.input_key,
+                    "rows": n_rows,
+                },
+                f,
             )
         self.ran.append(name)
         return rd.read_parquet(out_dir)
+
+    def lineage(self) -> list[dict]:
+        """Audit trail of completed stages in this work_dir: name, row
+        count, completion time — the per-partition lineage record the
+        north rule asks the long-running chain to carry."""
+        out = []
+        for f_ in sorted(os.listdir(self.work_dir)):
+            if f_.endswith("._done"):
+                with open(os.path.join(self.work_dir, f_)) as fh:
+                    meta = json.load(fh)
+                out.append({"stage": f_[: -len("._done")], **meta})
+        return out
 
 
 def input_key(sf_dir: str, table: str = "documents") -> dict:
@@ -327,6 +353,8 @@ def curate_neardup_checkpointed(
                         "survivors",
                         lambda: keep_best_survivors(surv, cc, sf_dir),
                     )
+    if stats_out is not None:
+        stats_out["lineage"] = ck.lineage()
     return out
 
 
