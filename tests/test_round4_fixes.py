@@ -74,6 +74,13 @@ class TestCurateResume:
         assert len(stats3["skipped"]) == 5
         assert _sorted_ids(out) == want
 
+        # lineage audit trail: every stage recorded with a row count
+        lin = {r["stage"]: r for r in stats3["lineage"]}
+        assert set(lin) == {"gate", "sigs", "pairs", "components",
+                            "survivors"}
+        assert lin["survivors"]["rows"] == len(want)
+        assert all(r["rows"] >= 0 and "ts" in r for r in lin.values())
+
     def test_stale_input_recomputes(self, ray_session, tmp_path):
         import shutil
 
