@@ -381,6 +381,79 @@ def _eval_exact_scale(sf_dir: str, n_docs: int) -> dict:
             "docs_per_sec": round(n_docs / wall, 1), **row}
 
 
+ANN_DOCS = int(os.environ.get("BENCH_ANN_DOCS", "100000"))
+ANN_DIM = 64
+
+
+def _write_ann_corpus(out_dir: str, n: int, seed: int = 1) -> str:
+    """Deterministic embedding corpus for the ANN-at-scale section:
+    n unit-ish vectors drawn around 32 cluster directions (the shape
+    IVF/LSH bucketing exploits), labels = cluster id."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(32, ANN_DIM)
+    lab = rng.randint(0, 32, size=n)
+    X = centers[lab] + 0.3 * rng.randn(n, ANN_DIM)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype("float32") for row in X],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(lab.astype("int32"), pa.int32()),
+        }),
+        path,
+    )
+    return out_dir
+
+
+def run_ann_scale(n: int) -> dict:
+    """Similarity family at >=100k vectors: sign-LSH and IVF ANN over a
+    clustered synthetic embedding corpus (the scale paths), plus the
+    streamed-block exact kNN graph at a deliberately smaller n (its
+    O(n^2) compute is the documented trade — the number to watch is
+    that the blocked design holds wall-time linear in blocks x n)."""
+    import ray  # noqa: F401  (session owned by run_bench)
+
+    from adaptive_pdf_extractor_ray.pipelines.queries import (
+        q_knn_graph,
+        q_knn_ivf,
+        q_knn_lsh,
+    )
+
+    sf = _write_ann_corpus(
+        os.path.join(tempfile.gettempdir(), f"aper_ann_{n}"), n
+    )
+    out: dict = {"vectors": n, "dim": ANN_DIM}
+    for name, fn in (("knn_lsh", q_knn_lsh), ("knn_ivf", q_knn_ivf)):
+        t0 = time.time()
+        rows = fn(sf).materialize().count()
+        w = time.time() - t0
+        out[name] = {"wall_s": round(w, 3),
+                     "vectors_per_sec": round(n / w, 1),
+                     "result_rows": rows}
+    ng = min(n // 5, 20_000)
+    sfg = _write_ann_corpus(
+        os.path.join(tempfile.gettempdir(), f"aper_ann_{ng}"), ng
+    )
+    t0 = time.time()
+    rows = q_knn_graph(sfg).materialize().count()
+    w = time.time() - t0
+    out["knn_graph_exact"] = {
+        "vectors": ng, "wall_s": round(w, 3),
+        "vectors_per_sec": round(ng / w, 1), "result_rows": rows,
+    }
+    return out
+
+
 def _webtext_scale(sf_dir: str) -> dict:
     """Unigram-LM scoring over the same ≥100k-doc corpus — times the
     two-pass (fit model, score docs) design at a scale where the model
@@ -552,6 +625,7 @@ def run_bench() -> dict:
             dedup_scale["eval_exact_big"] = _eval_exact_scale(
                 big_dir, SETSIM_BIG_DOCS
             )
+        dedup_scale["ann_scale"] = run_ann_scale(ANN_DOCS)
 
     ray.shutdown()
     return {
