@@ -408,6 +408,8 @@ def build_training_set_checkpointed(
 
     uniq = ck.stage("uniq", _uniq)
     if stop_after == "uniq":
+        if stats_out is not None:
+            stats_out["lineage"] = ck.lineage()
         return None
 
     def _chunks() -> rd.Dataset:
@@ -417,6 +419,8 @@ def build_training_set_checkpointed(
 
     chunks = ck.stage("chunks", _chunks)
     if stop_after == "chunks":
+        if stats_out is not None:
+            stats_out["lineage"] = ck.lineage()
         return None
 
     def _packed() -> rd.Dataset:
@@ -469,4 +473,7 @@ def build_training_set_checkpointed(
             pack_group, batch_format="pyarrow"
         )
 
-    return ck.stage("packed", _packed)
+    out = ck.stage("packed", _packed)
+    if stats_out is not None:
+        stats_out["lineage"] = ck.lineage()
+    return out
