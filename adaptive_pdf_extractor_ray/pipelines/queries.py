@@ -15231,10 +15231,205 @@ from s left join flag f using (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# session 20: time-travel snapshot read, politeness scheduling, quality
+# rule ensemble
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_ASOF_TS = "2024-01-02 12:00:00"  # between revision 0 and 1
+
+
+def q_snapshot_asof(sf_dir: str):
+    """Time-travel read over the re-crawl corpus: for each url, the
+    LATEST capture at-or-before a fixed reference instant — the
+    "corpus as of T" view every reproducible-dataset release needs
+    (the Wayback/lakehouse as-of semantics, sibling of
+    `snapshot_latest`'s freshest-capture and `scd2_intervals`'
+    interval form). Urls first captured after T drop out entirely. One
+    groupby(url) whose group is a url's revision history — bounded by
+    crawl frequency, never corpus-sized."""
+    import calendar
+    import datetime as _dtm
+
+    d = _dtm.datetime.fromisoformat(SNAPSHOT_ASOF_TS)
+    cutoff = calendar.timegm(d.utctimetuple()) * 1_000_000
+    pages = rd.read_parquet(
+        recrawl_corpus(), columns=["url", "warc_ts", "text"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["warc_ts"], pa.int64())
+        return t.filter(pc.less_equal(us, pa.scalar(cutoff, pa.int64())))
+
+    def asof(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("warc_ts", "descending")]
+        )
+        return g.take(idx.slice(0, 1))
+
+    return (
+        pages.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("url")
+        .map_groups(asof, batch_format="pyarrow")
+    )
+
+
+def snapshot_asof_oracle_sql(pages_dir: str) -> str:
+    return f"""
+select url, warc_ts, text from (
+  select url, warc_ts, text,
+         row_number() over (partition by url
+                            order by warc_ts desc) as rn
+  from read_parquet('{pages_dir}/*.parquet')
+  where warc_ts <= timestamp '{SNAPSHOT_ASOF_TS}')
+where rn = 1
+"""
+
+
+CRAWL_DELAY_S = 5  # per-host politeness delay between fetches
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Per-host politeness schedule: within each host, urls are ranked
+    (longer text first — the value-ordered fetch queue — tie by url)
+    and fetch_offset_s = (rank-1) × CRAWL_DELAY_S, the earliest time a
+    single-connection polite crawler may issue the fetch. The
+    partitioning unit is the HOST QUEUE — its length is bounded
+    upstream by the per-host budget (`crawl_budget`'s sublinear
+    allocation), which is what makes the per-group ranking safe at
+    10^12 urls; hosts shard independently. One host-keyed shuffle."""
+    pages = rd.read_parquet(link_corpus(), columns=["url", "text"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        hosts = pc.replace_substring_regex(
+            t["url"], pattern=r"^https?://([^/]+)/.*$",
+            replacement=r"\1",
+        )
+        return pa.table(
+            {
+                "host": hosts,
+                "url": t["url"],
+                "n_chars": pc.cast(
+                    pc.utf8_length(t["text"]), pa.int64()
+                ),
+            }
+        )
+
+    def rank(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("n_chars", "descending"), ("url", "ascending")]
+        )
+        g = g.take(idx)
+        n = g.num_rows
+        return pa.table(
+            {
+                "host": g["host"],
+                "url": g["url"],
+                "fetch_rank": pa.array(range(1, n + 1), pa.int64()),
+                "fetch_offset_s": pa.array(
+                    [i * CRAWL_DELAY_S for i in range(n)], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        pages.map_batches(feats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("host")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
+def crawl_schedule_oracle_sql(pages_dir: str) -> str:
+    return f"""
+select host, url, rn as fetch_rank,
+       (rn - 1) * {CRAWL_DELAY_S} as fetch_offset_s
+from (
+  select regexp_replace(url, '^https?://([^/]+)/.*$', '\\1') as host,
+         url,
+         row_number() over (
+           partition by regexp_replace(url, '^https?://([^/]+)/.*$',
+                                       '\\1')
+           order by length(text) desc, url asc) as rn
+  from read_parquet('{pages_dir}/*.parquet'))
+"""
+
+
+def q_quality_composite(sf_dir: str):
+    """Gopher-style rule ENSEMBLE: each document scored by how many of
+    five independent quality rules it passes (length floor, stopword
+    floor, punctuation ceiling, mean-token-length band, char floor),
+    keep = score >= 4 — the explainable composite gate a curation
+    pipeline tunes rule-by-rule (each rule's pass bit is emitted, so a
+    failing cohort is attributable). One stateless vectorized pass over
+    `quality_batch`'s 6-dp-rounded features; comparisons run on the
+    same rounded values as the SQL replay, so the gate cannot flip."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        q = tx.quality_batch(t)
+        b = [
+            pc.greater_equal(q["n_tokens"], pa.scalar(20, pa.int64())),
+            pc.greater_equal(q["stop_ratio"], pa.scalar(0.02)),
+            pc.less_equal(q["punct_ratio"], pa.scalar(0.2)),
+            pc.and_(
+                pc.greater_equal(q["mean_tok_len"], pa.scalar(3.0)),
+                pc.less_equal(q["mean_tok_len"], pa.scalar(12.0)),
+            ),
+            pc.greater_equal(q["n_chars"], pa.scalar(100, pa.int64())),
+        ]
+        ints = [pc.cast(x, pa.int64()) for x in b]
+        score = ints[0]
+        for x in ints[1:]:
+            score = pc.add(score, x)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "r_len": ints[0],
+                "r_stop": ints[1],
+                "r_punct": ints[2],
+                "r_toklen": ints[3],
+                "r_chars": ints[4],
+                "score": score,
+                "keep": pc.cast(
+                    pc.greater_equal(score, pa.scalar(4, pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUALITY_COMPOSITE_SQL = f"""
+with q as ({{QSCORE}})
+select doc_id,
+       (n_tokens >= 20)::bigint as r_len,
+       (stop_ratio >= 0.02)::bigint as r_stop,
+       (punct_ratio <= 0.2)::bigint as r_punct,
+       (mean_tok_len >= 3.0 and mean_tok_len <= 12.0)::bigint
+         as r_toklen,
+       (n_chars >= 100)::bigint as r_chars,
+       ((n_tokens >= 20)::bigint + (stop_ratio >= 0.02)::bigint
+        + (punct_ratio <= 0.2)::bigint
+        + (mean_tok_len >= 3.0 and mean_tok_len <= 12.0)::bigint
+        + (n_chars >= 100)::bigint) as score,
+       (((n_tokens >= 20)::bigint + (stop_ratio >= 0.02)::bigint
+        + (punct_ratio <= 0.2)::bigint
+        + (mean_tok_len >= 3.0 and mean_tok_len <= 12.0)::bigint
+        + (n_chars >= 100)::bigint) >= 4)::bigint as keep
+from q
+"""
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "snapshot_asof": q_snapshot_asof,
+    "crawl_schedule": q_crawl_schedule,
+    "quality_composite": q_quality_composite,
     "pii_scan": q_pii_scan,
     "pii_scrub": q_pii_scrub,
     "pii_gate": q_pii_gate,
@@ -18231,6 +18426,11 @@ def all_oracles() -> dict[str, str]:
     out["first_seen"] = first_seen_oracle_sql(recrawl_corpus())
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
+    out["snapshot_asof"] = snapshot_asof_oracle_sql(recrawl_corpus())
+    out["crawl_schedule"] = crawl_schedule_oracle_sql(link_corpus())
+    out["quality_composite"] = QUALITY_COMPOSITE_SQL.format(
+        QSCORE=ORACLES["quality_score"]
+    )
     pii_dir = pii_corpus()  # idempotent fixture write
     out["pii_scan"] = pii_scan_oracle_sql(pii_dir)
     out["pii_scrub"] = pii_scrub_oracle_sql(pii_dir)

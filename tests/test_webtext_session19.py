@@ -178,3 +178,64 @@ class TestLeakageFreeSplit:
         test_ids = base[base["split"] == "test"].index
         sub = got.set_index("doc_id").loc[test_ids, "split"]
         assert (sub == "test").all()
+
+
+class TestSnapshotAsof:
+    def test_asof_semantics_vs_python_replay(self, ray_session):
+        import pandas as pd
+
+        got = q.q_snapshot_asof(SF).to_pandas().set_index("url")
+        allc = pq.read_table(q.recrawl_corpus()).to_pandas()
+        cutoff = pd.Timestamp(q.SNAPSHOT_ASOF_TS)
+        want = (
+            allc[allc["warc_ts"] <= cutoff]
+            .sort_values("warc_ts")
+            .groupby("url")
+            .tail(1)
+            .set_index("url")
+        )
+        assert set(got.index) == set(want.index)
+        for u in want.index:
+            assert got.loc[u, "warc_ts"] == want.loc[u, "warc_ts"]
+            assert got.loc[u, "text"] == want.loc[u, "text"]
+
+    def test_later_first_capture_excluded(self, ray_session):
+        # every url in the fixture has revision 0 at EPOCH + seconds,
+        # before the cutoff — so all 150 urls appear, each at rev <= 1
+        got = q.q_snapshot_asof(SF).to_pandas()
+        assert len(got) == 150
+        assert (got["text"].str.startswith(("revision 0", "revision 1"))).all()
+
+
+class TestCrawlSchedule:
+    def test_per_host_offsets_are_politeness_spaced(self, ray_session):
+        got = q.q_crawl_schedule(SF).to_pandas()
+        for host, g in got.groupby("host"):
+            g = g.sort_values("fetch_rank")
+            assert list(g["fetch_rank"]) == list(range(1, len(g) + 1))
+            assert list(g["fetch_offset_s"]) == [
+                (r - 1) * q.CRAWL_DELAY_S for r in g["fetch_rank"]
+            ]
+
+    def test_longer_pages_fetched_first(self, ray_session):
+        got = q.q_crawl_schedule(SF).to_pandas()
+        pages = pq.read_table(q.link_corpus()).to_pandas()
+        n = pages.set_index("url")["text"].str.len().fillna(-1)
+        for _, g in got.groupby("host"):
+            g = g.sort_values("fetch_rank")
+            lens = [int(n[u]) for u in g["url"]]
+            assert lens == sorted(lens, reverse=True)
+
+
+class TestQualityComposite:
+    def test_score_is_sum_of_rule_bits(self, ray_session):
+        got = q.q_quality_composite(SF).to_pandas()
+        bits = got[["r_len", "r_stop", "r_punct", "r_toklen",
+                    "r_chars"]].sum(axis=1)
+        assert (got["score"] == bits).all()
+        assert (got["keep"] == (got["score"] >= 4).astype(int)).all()
+
+    def test_rules_discriminate(self, ray_session):
+        got = q.q_quality_composite(SF).to_pandas()
+        assert got["keep"].sum() > 0
+        assert 0 < got["score"].min() <= got["score"].max() == 5
