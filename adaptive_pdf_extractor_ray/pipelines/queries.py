@@ -15046,7 +15046,7 @@ def q_bitext_mine(sf_dir: str):
                     "den_e4": pa.array([], pa.int64()),
                 }
             )
-            if not keep.any():
+            if not keep.any() or not self.b_refs:
                 return empty
             x_ids = np.asarray(
                 batch["vec_id"].to_pylist(), dtype=np.int64

@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "bitext_mine",
     "leakage_free_split",
+    "snapshot_asof",
+    "crawl_schedule",
+    "quality_composite",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces
