@@ -15423,10 +15423,104 @@ from q
 """
 
 
+POSTINGS_CAP = 64  # terms with df above this carry no postings list
+
+
+def q_build_postings(sf_dir: str):
+    """Inverted-index build (the search-engine construction step):
+    term -> (df, sorted postings list). Two phases: (1) exact document
+    frequency per term via the salted Arrow C++ grouped count; (2)
+    postings lists materialize ONLY for terms with df <= POSTINGS_CAP
+    — the rare/discriminative tail a phrase lookup actually probes.
+    High-df terms (the stopword class) keep their df but an empty
+    postings string: their lists are corpus-sized, and a real index
+    stores them as bitmap/skip structures, never row explosions — the
+    cap is the skew guard (same stance as LINE_DROP_CAP), and the
+    dropped volume is exactly the df > cap rows, visible in the
+    output. Per-term groups in phase 2 are bounded by the cap, so the
+    map_groups is safe at 10^12 docs; shuffles are keyed by term."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        d_out: list[int] = []
+        t_out: list[str] = []
+        for did, s in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            seen = set()
+            for w in (s or "").split(" "):
+                if w and w not in seen:
+                    seen.add(w)
+                    d_out.append(did)
+                    t_out.append(w)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "term": pa.array(t_out, pa.string()),
+            }
+        )
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+    df = _grouped_count(pairs, "term", "df").materialize()
+    nparts = dd.adaptive_partitions(_table_rows(sf_dir, "documents") * 60)
+    # join against the FULL df table (the tfidf-proven join shape),
+    # filter to the under-cap tail AFTER: a pre-filtered right side can
+    # be near-empty on dense corpora, and ray 2.49's hash-shuffle join
+    # intermittently loses the schema of all-empty right partitions
+    under = pairs.join(
+        df, join_type="inner", num_partitions=nparts, on=("term",),
+    ).filter(expr=f"df <= {POSTINGS_CAP}")
+
+    def plist(g: pa.Table) -> pa.Table:
+        ids = sorted(g["doc_id"].to_pylist())
+        return pa.table(
+            {
+                "term": g["term"].slice(0, 1),
+                "df": g["df"].slice(0, 1),
+                "postings": pa.array(
+                    [",".join(str(i) for i in ids)], pa.string()
+                ),
+            }
+        )
+
+    post = under.groupby("term").map_groups(
+        plist, batch_format="pyarrow"
+    )
+    over = df.filter(expr=f"df > {POSTINGS_CAP}").map_batches(
+        lambda t: pa.table(
+            {
+                "term": t["term"],
+                "df": t["df"],
+                "postings": pa.array([""] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return post.union(over)
+
+
+BUILD_POSTINGS_SQL = f"""
+with pairs as (
+  select distinct doc_id, term from (
+    select doc_id, unnest(string_split(text, ' ')) as term
+    from documents)
+  where term <> ''),
+d as (select term, count(*)::bigint as df from pairs group by term)
+select p.term, d.df,
+       case when d.df <= {POSTINGS_CAP}
+            then string_agg(p.doc_id::varchar, ','
+                            order by p.doc_id)
+            else '' end as postings
+from pairs p join d using (term)
+group by p.term, d.df
+"""
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "build_postings": q_build_postings,
     "snapshot_asof": q_snapshot_asof,
     "crawl_schedule": q_crawl_schedule,
     "quality_composite": q_quality_composite,
@@ -18426,6 +18520,7 @@ def all_oracles() -> dict[str, str]:
     out["first_seen"] = first_seen_oracle_sql(recrawl_corpus())
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
+    out["build_postings"] = BUILD_POSTINGS_SQL
     out["snapshot_asof"] = snapshot_asof_oracle_sql(recrawl_corpus())
     out["crawl_schedule"] = crawl_schedule_oracle_sql(link_corpus())
     out["quality_composite"] = QUALITY_COMPOSITE_SQL.format(

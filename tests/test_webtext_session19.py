@@ -239,3 +239,31 @@ class TestQualityComposite:
         got = q.q_quality_composite(SF).to_pandas()
         assert got["keep"].sum() > 0
         assert 0 < got["score"].min() <= got["score"].max() == 5
+
+
+class TestBuildPostings:
+    def test_postings_match_python_replay(self, ray_session):
+        got = q.q_build_postings(SF).to_pandas().set_index("term")
+        docs = pq.read_table(
+            SF + "/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        inv: dict = {}
+        for did, s in zip(docs["doc_id"], docs["text"]):
+            for w in set((s or "").split(" ")) - {""}:
+                inv.setdefault(w, []).append(did)
+        assert set(got.index) == set(inv)
+        for term, ids in inv.items():
+            assert got.loc[term, "df"] == len(ids)
+            want = (
+                ",".join(str(i) for i in sorted(ids))
+                if len(ids) <= q.POSTINGS_CAP else ""
+            )
+            assert got.loc[term, "postings"] == want
+
+    def test_cap_guards_stopword_class(self, ray_session):
+        got = q.q_build_postings(SF).to_pandas()
+        over = got[got["df"] > q.POSTINGS_CAP]
+        assert len(over) > 0  # the corpus has a stopword class
+        assert (over["postings"] == "").all()
+        under = got[got["df"] <= q.POSTINGS_CAP]
+        assert (under["postings"].str.len() > 0).all()
