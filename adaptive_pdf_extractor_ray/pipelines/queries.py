@@ -15516,11 +15516,88 @@ group by p.term, d.df
 """
 
 
+LINKDENS_BOILER_PPM = 500_000  # anchor-majority pages are boilerplate
+
+
+def q_link_density(sf_dir: str):
+    """Per-page link-density — the core boilerplate heuristic of the
+    main-content stripper (`sources/htmlio.py`'s text-density/
+    link-density pass, reference src/data.py's HTML path) exposed as a
+    value-verified table: content chars (inside <p> blocks), anchor
+    chars (inside <a> text), and density_ppm = anchor/(content+anchor)
+    in integer ppm; pages past LINKDENS_BOILER_PPM are flagged
+    boilerplate (nav/listing pages, the crawl's non-content mass). One
+    stateless compiled-regex pass over the html binary column, no
+    shuffle — read-bound at 10^12 pages."""
+    pages = rd.read_parquet(link_corpus(), columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        cc: list[int] = []
+        ac: list[int] = []
+        for h in t["html"].to_pylist():
+            s = h.decode("utf-8")
+            cc.append(sum(len(m) for m in HTML_P_RE.findall(s)))
+            ac.append(
+                sum(len(m[1]) for m in LINK_ANCHOR_RE.findall(s))
+            )
+        dens = [
+            (a * 1_000_000) // (c + a) if (c + a) else 0
+            for c, a in zip(cc, ac)
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "content_chars": pa.array(cc, pa.int64()),
+                "anchor_chars": pa.array(ac, pa.int64()),
+                "link_density_ppm": pa.array(dens, pa.int64()),
+                "is_boilerplate": pa.array(
+                    [int(d >= LINKDENS_BOILER_PPM) for d in dens],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return pages.map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+HTML_P_RE = re.compile(r"<p>([^<]*)</p>")
+
+
+def link_density_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with m as (
+  select url,
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(decode(html), '<p>([^<]*)</p>', 1),
+           x -> length(x))), 0)::bigint as content_chars,
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(decode(html),
+                              '<a href="[^"]*">([^<]*)</a>', 1),
+           x -> length(x))), 0)::bigint as anchor_chars
+  from read_parquet('{pages_dir}/*.parquet'))
+select url, content_chars, anchor_chars,
+       case when content_chars + anchor_chars > 0
+            then anchor_chars * 1000000
+                 // (content_chars + anchor_chars)
+            else 0 end as link_density_ppm,
+       (case when content_chars + anchor_chars > 0
+             then anchor_chars * 1000000
+                  // (content_chars + anchor_chars)
+             else 0 end >= {LINKDENS_BOILER_PPM})::bigint
+         as is_boilerplate
+from m
+"""
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
     "build_postings": q_build_postings,
+    "link_density": q_link_density,
     "snapshot_asof": q_snapshot_asof,
     "crawl_schedule": q_crawl_schedule,
     "quality_composite": q_quality_composite,
@@ -18521,6 +18598,7 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     out["build_postings"] = BUILD_POSTINGS_SQL
+    out["link_density"] = link_density_oracle_sql(link_corpus())
     out["snapshot_asof"] = snapshot_asof_oracle_sql(recrawl_corpus())
     out["crawl_schedule"] = crawl_schedule_oracle_sql(link_corpus())
     out["quality_composite"] = QUALITY_COMPOSITE_SQL.format(

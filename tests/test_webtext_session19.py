@@ -267,3 +267,31 @@ class TestBuildPostings:
         assert (over["postings"] == "").all()
         under = got[got["df"] <= q.POSTINGS_CAP]
         assert (under["postings"].str.len() > 0).all()
+
+
+class TestLinkDensity:
+    def test_matches_python_replay(self, ray_session):
+        import re as _re
+
+        got = q.q_link_density(SF).to_pandas().set_index("url")
+        pages = pq.read_table(
+            q.link_corpus(), columns=["url", "html"]
+        ).to_pandas()
+        p_re = _re.compile(r"<p>([^<]*)</p>")
+        a_re = _re.compile(r'<a href="[^"]*">([^<]*)</a>')
+        for u, h in zip(pages["url"], pages["html"]):
+            s = h.decode()
+            c = sum(len(m) for m in p_re.findall(s))
+            a = sum(len(m) for m in a_re.findall(s))
+            g = got.loc[u]
+            assert g["content_chars"] == c
+            assert g["anchor_chars"] == a
+            want = (a * 1_000_000) // (c + a) if c + a else 0
+            assert g["link_density_ppm"] == want
+            assert g["is_boilerplate"] == int(
+                want >= q.LINKDENS_BOILER_PPM
+            )
+
+    def test_flags_split_is_nontrivial(self, ray_session):
+        got = q.q_link_density(SF).to_pandas()
+        assert 0 < got["is_boilerplate"].sum() < len(got)
