@@ -15,8 +15,9 @@ crash-safe marker-after-write protocol, and a rerun with the same
 The UN-checkpointed single-lineage forms (`q_curate_neardup`,
 `q_build_training_set` in pipelines/queries.py) stay as the
 driver-gate/oracle surface; this module shares their stage builders so
-the two forms cannot diverge, and `tests/test_curate_resume.py` asserts
-byte-identical survivor sets between them.
+the two forms cannot diverge, and
+`tests/test_round4_fixes.py::TestCurateResume` asserts byte-identical
+survivor sets between them.
 
 Reference behavioral parity: the keep-best semantics mirror the
 reference's best-variant selection (reference `src/data.py` dedupe

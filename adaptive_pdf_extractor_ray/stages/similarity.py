@@ -90,13 +90,13 @@ class BlockedKnnGraph:
         out_q: list[int] = []
         out_n: list[int] = []
         out_s: list[float] = []
+        # vectorized partial top-k by (sim desc, neighbor_id asc):
+        # columns pre-ordered by id asc, then stable argsort on -sim
+        # keeps the id tie-break without a per-query Python sort
+        id_order = np.argsort(ids, kind="stable")
         for ref in self.refs:
             q_ids, Qn = ray.get(ref)  # zero-copy plasma view
             sims = np.round(Qn @ M.T, 4)
-            # vectorized partial top-k by (sim desc, neighbor_id asc):
-            # lexsort on (ids asc) then stable argsort on -sim keeps
-            # the id tie-break without a per-query Python sort
-            id_order = np.argsort(ids, kind="stable")
             sims_o = sims[:, id_order]
             top = np.argsort(-sims_o, axis=1, kind="stable")[:, :k]
             for qi in range(sims_o.shape[0]):
