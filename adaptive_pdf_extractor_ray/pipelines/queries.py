@@ -15592,10 +15592,517 @@ from m
 """
 
 
+# ---------------------------------------------------------------------------
+# session 22: outer join / pattern mining / sampled quantiles /
+# record linkage (blocking + sorted-neighborhood)
+# ---------------------------------------------------------------------------
+
+
+def q_join_outer(sf_dir: str):
+    """Distributed FULL OUTER join of two aggregated fact sides —
+    per-user event counts ⟗ per-customer order totals — expressed
+    without an outer-join primitive: each side pre-aggregates to one row
+    per key (combiner shape, so the shuffle carries keys not facts),
+    tags itself with ZERO-filled measure columns for the other side, and
+    a single groupby(key) Sum re-combines them; a key present on one
+    side only keeps that side's measures and zeros elsewhere, which IS
+    the outer semantics (COALESCE(x, 0) on both engine and oracle keeps
+    the value-hash null-free). Three int-keyed shuffles total, all on
+    pre-aggregated rows — the 100 TB plan for outer-joining two fact
+    tables whose key universes only partially overlap."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        part = t.group_by("user_id").aggregate([([], "count_all")])
+        part = part.rename_columns(["key", "n_events"])
+        z = pa.nulls(len(part), pa.int64()).fill_null(0)
+        return pa.table(
+            {
+                "key": pc.cast(part["key"], pa.int64()),
+                "n_events": pc.cast(part["n_events"], pa.int64()),
+                "n_orders": z,
+                "total_price": pc.cast(z, pa.float64()),
+            }
+        )
+
+    def od_partial(t: pa.Table) -> pa.Table:
+        part = t.group_by("o_custkey").aggregate(
+            [("o_totalprice", "count"), ("o_totalprice", "sum")]
+        )
+        part = part.rename_columns(["key", "n_orders", "total_price"])
+        z = pa.nulls(len(part), pa.int64()).fill_null(0)
+        return pa.table(
+            {
+                "key": pc.cast(part["key"], pa.int64()),
+                "n_events": z,
+                "n_orders": pc.cast(part["n_orders"], pa.int64()),
+                "total_price": pc.cast(part["total_price"], pa.float64()),
+            }
+        )
+
+    both = ev.map_batches(
+        ev_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        od.map_batches(od_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    agg = both.groupby("key").aggregate(
+        ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+        ray.data.aggregate.Sum("n_orders", alias_name="n_orders"),
+        ray.data.aggregate.Sum("total_price", alias_name="total_price"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ne = pc.cast(t["n_events"], pa.int64())
+        no = pc.cast(t["n_orders"], pa.int64())
+        side = pc.if_else(
+            pc.and_(pc.greater(ne, 0), pc.greater(no, 0)),
+            pa.scalar("both"),
+            pc.if_else(
+                pc.greater(ne, 0),
+                pa.scalar("events_only"),
+                pa.scalar("orders_only"),
+            ),
+        )
+        return pa.table(
+            {
+                "key": pc.cast(t["key"], pa.int64()),
+                "n_events": ne,
+                "n_orders": no,
+                "total_price": pc.round(t["total_price"], 2),
+                "side": side,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+JOIN_OUTER_SQL = """
+with e as (
+  select user_id as key, count(*)::bigint as n_events
+  from events group by 1),
+o as (
+  select o_custkey as key, count(*)::bigint as n_orders,
+         sum(o_totalprice) as total_price
+  from orders group by 1)
+select coalesce(e.key, o.key) as key,
+       coalesce(e.n_events, 0)::bigint as n_events,
+       coalesce(o.n_orders, 0)::bigint as n_orders,
+       round(coalesce(o.total_price, 0.0), 2) as total_price,
+       case when e.key is not null and o.key is not null then 'both'
+            when e.key is null then 'orders_only'
+            else 'events_only' end as side
+from e full outer join o on e.key = o.key
+"""
+
+
+# minimum co-occurrence count for a part pair to be a frequent itemset
+FREQ_MIN_SUPPORT = 3
+# power-of-two bucket count for the itemset self-join (same role as
+# JOIN_BUCKETS in q_join_bucketed)
+FREQ_BUCKETS = 64
+
+
+def q_freq_itemsets(sf_dir: str):
+    """Frequent 2-itemset mining (co-purchased part pairs with support
+    >= FREQ_MIN_SUPPORT) — the market-basket / co-occurrence primitive
+    (Apriori's first real level). Pair generation is a bucketed SELF-join
+    on the basket key: lineitems co-locate by hash(orderkey) % B, each
+    bucket self-merges vectorized in pandas (fan-out bounded by the
+    per-order line cap, so a bucket's pair count is ~linear in its
+    rows), dedups (order, a, b), and pre-counts pairs LOCALLY — the
+    combiner — so the global groupby((a, b)).Sum shuffles one row per
+    distinct pair per bucket, never the pair instances. Skewed baskets
+    (one order with 10^5 items) would need the same star-collapse cap
+    the LSH bucket pairing uses; TPC-H baskets are bounded by
+    construction."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["l_orderkey"], FREQ_BUCKETS - 1)
+        return pa.table(
+            {
+                "bucket": pc.cast(b, pa.int64()),
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "part": pc.cast(t["l_partkey"], pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="okey")
+        m = m[m["part_x"] < m["part_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"part_a": pd.Series([], dtype="int64"),
+                 "part_b": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        m = m.drop_duplicates(["okey", "part_x", "part_y"])
+        out = (
+            m.groupby(["part_x", "part_y"], as_index=False)
+            .size()
+            .rename(columns={"part_x": "part_a", "part_y": "part_b",
+                             "size": "n"})
+        )
+        return out
+
+    partials = (
+        li.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    # final pair-count reduce via salted partitions + Arrow C++ group_by
+    # (the _grouped_sum_str shape for an INT-PAIR key):
+    # Dataset.groupby().aggregate(Sum) combines at Python speed and took
+    # 170 s on the ~2M sf0.1 partial pair rows; this pass takes ~2 s.
+    n_parts = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["part_a"], pa.int64())
+        p = pc.bit_wise_and(
+            pc.add(pc.multiply(a, 2654435761), t["part_b"]), n_parts - 1
+        )
+        return t.append_column("p", pc.cast(p, pa.int64()))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # empty salt partition: keep the schema typed
+            return pa.table(
+                {
+                    "part_a": pa.array([], pa.int64()),
+                    "part_b": pa.array([], pa.int64()),
+                    "support": pa.array([], pa.int64()),
+                }
+            )
+        r = (
+            g.select(["part_a", "part_b", "n"])
+            .group_by(["part_a", "part_b"])
+            .aggregate([("n", "sum")])
+        )
+        r = r.rename_columns(["part_a", "part_b", "support"])
+        r = r.filter(pc.greater_equal(r["support"], FREQ_MIN_SUPPORT))
+        return pa.table(
+            {
+                "part_a": pc.cast(r["part_a"], pa.int64()),
+                "part_b": pc.cast(r["part_b"], pa.int64()),
+                "support": pc.cast(r["support"], pa.int64()),
+            }
+        )
+
+    return (
+        partials.map_batches(salt, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+
+
+FREQ_ITEMSETS_SQL = f"""
+with p as (
+  select distinct l1.l_orderkey, l1.l_partkey as a, l2.l_partkey as b
+  from lineitem l1
+  join lineitem l2
+    on l1.l_orderkey = l2.l_orderkey and l1.l_partkey < l2.l_partkey)
+select a as part_a, b as part_b, count(*)::bigint as support
+from p group by 1, 2
+having count(*) >= {FREQ_MIN_SUPPORT}
+"""
+
+
+# keep-rate numerator out of 1000 for the quantile estimation sample
+APPROXQ_RATE = 125
+
+
+def q_approx_quantiles(sf_dir: str):
+    """APPROXIMATE global quantiles from a deterministic hash sample —
+    the bounded-cost alternative to q_global_quantiles when even the
+    value histogram is too wide (high-cardinality doubles, 10^12 rows):
+    keep rows with md5(doc_id) mod 1000 < APPROXQ_RATE (reproducible
+    across runs/workers — no RNG state), then read EXACT order
+    statistics of the sample via the same histogram-of-values plan.
+    Sampling error is the standard order-statistic bound (±O(1/√m)
+    quantile rank error for sample size m) while shuffle volume drops by
+    the sampling factor and stays O(distinct sampled values). The md5
+    keep-decision matches the SQL oracle bit-for-bit, so the estimate
+    itself is value-verified, not just plausible."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def sample_hist(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        mask = [
+            int.from_bytes(_hl.md5(str(i).encode()).digest()[:4], "big")
+            % 1000 < APPROXQ_RATE
+            for i in ids
+        ]
+        kept = t.filter(pa.array(mask, pa.bool_()))
+        part = kept.select(["n_chars"]).group_by("n_chars").aggregate(
+            [([], "count_all")]
+        )
+        return part.rename_columns(["n_chars", "n"])
+
+    hist = (
+        ds.map_batches(sample_hist, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # O(distinct sampled values)
+        .sort_values("n_chars")
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    vals = hist["n_chars"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def at(q_num: int, q_den: int) -> int:
+        idx = ((n - 1) * q_num) // q_den
+        return int(vals[np.searchsorted(cum, idx + 1, side="left")])
+
+    return pa.table(
+        {
+            "n_sample": pa.array([n], pa.int64()),
+            "p50_chars": pa.array([at(1, 2)], pa.int64()),
+            "p90_chars": pa.array([at(9, 10)], pa.int64()),
+            "p99_chars": pa.array([at(99, 100)], pa.int64()),
+        }
+    )
+
+
+APPROX_QUANTILES_SQL = f"""
+with s as (
+  select n_chars from documents
+  where ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::uinteger
+        % 1000 < {APPROXQ_RATE}),
+o as (
+  select n_chars, row_number() over (order by n_chars) - 1 as r from s),
+n as (select count(*)::bigint as c from s)
+select (select c from n) as n_sample,
+       (select n_chars from o where r = ((select c - 1 from n) * 1) // 2)
+         ::bigint as p50_chars,
+       (select n_chars from o where r = ((select c - 1 from n) * 9) // 10)
+         ::bigint as p90_chars,
+       (select n_chars from o where r = ((select c - 1 from n) * 99) // 100)
+         ::bigint as p99_chars
+"""
+
+
+def er_corpus() -> str:
+    """Lazily write the deterministic record-linkage fixture (fixed
+    sf-independent path); both the Ray queries and the oracle composers
+    call this, so either side can run first."""
+    import tempfile
+
+    from ..sources.synthetic import write_er_corpus
+
+    root = os.path.join(tempfile.gettempdir(), "aper_er_300")
+    return write_er_corpus(root, n_entities=300, seed=1)
+
+
+# max edit distance for a blocked record pair to count as a match
+ER_MAX_DIST = 2
+# blocking-skew guard: a (city, prefix) block past this size logs and
+# star-collapses exact-duplicate names before pairing (common-name hot
+# blocks are the levenshtein analog of the LSH hot bucket)
+ER_MAX_BLOCK = 10_000
+
+
+def q_entity_resolve(sf_dir: str):
+    """Record linkage by BLOCKING + edit-distance verification — the
+    classic Fellegi-Sunter pipeline shape: normalize (lower), block on
+    (city, 2-char name prefix) so candidate generation is a bounded
+    per-block self-pairing instead of the O(n²) cross product, verify
+    each candidate with byte-Levenshtein (DuckDB semantics, same
+    ``_lev_bytes`` DP as the dedup verifiers), and emit pairs with
+    dist <= ER_MAX_DIST plus the phone-agreement flag a downstream
+    scorer would weight. ONE groupby on the block key; per-block pair
+    loops are quadratic only in the block size, and a hot block (one
+    city's most common name prefix) past ER_MAX_BLOCK logs — the
+    production refinement is a second blocking key (phone prefix), the
+    same salting story as the LSH hot-bucket cap."""
+    rec = rd.read_parquet(er_corpus())
+
+    def prep(t: pa.Table) -> pa.Table:
+        nn = pc.utf8_lower(t["name"])
+        bk = pc.binary_join_element_wise(
+            t["city"], pc.utf8_slice_codeunits(nn, 0, 2), "|"
+        )
+        return pa.table(
+            {
+                "rec_id": pc.cast(t["rec_id"], pa.int64()),
+                "nn": nn,
+                "phone": t["phone"],
+                "bk": bk,
+            }
+        )
+
+    def pair_block(g: pa.Table) -> pa.Table:
+        if len(g) > ER_MAX_BLOCK:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "entity_resolve: hot block %s (%d rows) — add a second "
+                "blocking key", g["bk"][0].as_py(), len(g)
+            )
+        order = pc.sort_indices(g["rec_id"])
+        g = g.take(order)
+        ids = g["rec_id"].to_pylist()
+        nns = g["nn"].to_pylist()
+        phones = g["phone"].to_pylist()
+        a, b, dist, same = [], [], [], []
+        for i in range(len(ids)):
+            bi = nns[i].encode("utf-8")
+            for j in range(i + 1, len(ids)):
+                d = _lev_bytes(bi, nns[j].encode("utf-8"))
+                if d <= ER_MAX_DIST:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    dist.append(d)
+                    same.append(1 if phones[i] == phones[j] else 0)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+                "same_phone": pa.array(same, pa.int64()),
+            }
+        )
+
+    return (
+        rec.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bk")
+        .map_groups(pair_block, batch_format="pyarrow")
+    )
+
+
+def entity_resolve_oracle_sql(rec_dir: str) -> str:
+    return f"""
+with r as (
+  select rec_id, lower(name) as nn, city, phone
+  from read_parquet('{rec_dir}/*.parquet')),
+b as (
+  select rec_id, nn, phone, city || '|' || substr(nn, 1, 2) as bk from r)
+select x.rec_id as a, y.rec_id as b,
+       levenshtein(x.nn, y.nn)::bigint as dist,
+       (x.phone = y.phone)::bigint as same_phone
+from b x join b y on x.bk = y.bk and x.rec_id < y.rec_id
+where levenshtein(x.nn, y.nn) <= {ER_MAX_DIST}
+"""
+
+
+# sorted-neighborhood window size (pairs with rank gap < SNM_WINDOW)
+SNM_WINDOW = 4
+
+
+def q_snm_pairs(sf_dir: str):
+    """Sorted-Neighborhood Method candidate pairs (Hernández-Stolfo):
+    rank every record in the GLOBAL (lower(name), rec_id) order, then
+    emit all pairs within a rank window of SNM_WINDOW — the complement
+    of key blocking that survives first-character typos, since near
+    spellings sort near each other regardless of any block key. The
+    global rank reuses q_global_rank's no-global-sort decomposition
+    (per-key counts -> driver cumsum of base offsets -> per-group
+    enumeration; the offset table is O(distinct names) — past driver
+    scale the same shape runs as a bucketed distributed prefix sum, cf.
+    pack_sequences). Windowing without overlap primitives: each ranked
+    row lands in window buckets r//w and r//w + 1, and a pair (ri < rj,
+    rj - ri < w) is generated exactly once, in bucket ri//w + 1 — both
+    rows are always co-located there, group size is bounded by 2w."""
+    rec = rd.read_parquet(er_corpus())
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rec_id": pc.cast(t["rec_id"], pa.int64()),
+                "nn": pc.utf8_lower(t["name"]),
+            }
+        )
+
+    prepped = rec.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = (
+        prepped.groupby("nn")
+        .aggregate(ray.data.aggregate.Count(alias_name="n"))
+        .take_all()
+    )  # O(distinct names)
+    base: dict[str, int] = {}
+    cum = 0
+    for r in sorted(counts, key=lambda r: r["nn"]):
+        base[r["nn"]] = cum
+        cum += r["n"]
+    bref = ray.put(base)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        offsets = ray.get(bref)
+        g = g.take(pc.sort_indices(g["rec_id"]))
+        start = offsets[g["nn"][0].as_py()]
+        rnk = pa.array(range(start, start + len(g)), pa.int64())
+        w1 = pc.divide(rnk, pa.scalar(SNM_WINDOW, pa.int64()))
+        out = pa.table({"rec_id": g["rec_id"], "rnk": rnk, "wb": w1})
+        out2 = out.set_column(
+            2, "wb", pc.add(w1, pa.scalar(1, pa.int64()))
+        )
+        return pa.concat_tables([out, out2])
+
+    ranked = prepped.groupby("nn").map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+    def window_pairs(g: pa.Table) -> pa.Table:
+        wb = g["wb"][0].as_py()
+        g = g.take(pc.sort_indices(g["rnk"]))
+        ids = g["rec_id"].to_pylist()
+        rnks = g["rnk"].to_pylist()
+        a, b, gap = [], [], []
+        for i in range(len(ids)):
+            if rnks[i] // SNM_WINDOW + 1 != wb:
+                continue  # this pair belongs to the other bucket copy
+            for j in range(i + 1, len(ids)):
+                d = rnks[j] - rnks[i]
+                if d >= SNM_WINDOW:
+                    break
+                a.append(ids[i])
+                b.append(ids[j])
+                gap.append(d)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "gap": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return ranked.groupby("wb").map_groups(
+        window_pairs, batch_format="pyarrow"
+    )
+
+
+def snm_pairs_oracle_sql(rec_dir: str) -> str:
+    return f"""
+with r as (
+  select rec_id, lower(name) as nn from read_parquet('{rec_dir}/*.parquet')),
+o as (
+  select rec_id,
+         row_number() over (order by nn, rec_id) - 1 as rnk
+  from r)
+select x.rec_id as a, y.rec_id as b, (y.rnk - x.rnk)::bigint as gap
+from o x join o y
+  on y.rnk - x.rnk between 1 and {SNM_WINDOW - 1}
+"""
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "join_outer": q_join_outer,
+    "freq_itemsets": q_freq_itemsets,
+    "approx_quantiles": q_approx_quantiles,
+    "entity_resolve": q_entity_resolve,
+    "snm_pairs": q_snm_pairs,
     "build_postings": q_build_postings,
     "link_density": q_link_density,
     "snapshot_asof": q_snapshot_asof,
@@ -18597,6 +19104,12 @@ def all_oracles() -> dict[str, str]:
     out["first_seen"] = first_seen_oracle_sql(recrawl_corpus())
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
+    out["join_outer"] = JOIN_OUTER_SQL
+    out["freq_itemsets"] = FREQ_ITEMSETS_SQL
+    out["approx_quantiles"] = APPROX_QUANTILES_SQL
+    er_dir = er_corpus()  # idempotent fixture write
+    out["entity_resolve"] = entity_resolve_oracle_sql(er_dir)
+    out["snm_pairs"] = snm_pairs_oracle_sql(er_dir)
     out["build_postings"] = BUILD_POSTINGS_SQL
     out["link_density"] = link_density_oracle_sql(link_corpus())
     out["snapshot_asof"] = snapshot_asof_oracle_sql(recrawl_corpus())

@@ -756,3 +756,98 @@ def write_pii_corpus(out_dir: str, n: int = 400, seed: int = 1) -> str:
     with open(manifest, "w") as f:
         json.dump(want, f)
     return docs_dir
+
+
+def write_er_corpus(out_dir: str, n_entities: int = 300, seed: int = 1) -> str:
+    """Deterministic noisy-records fixture for the record-linkage
+    operators (``entity_resolve`` / ``snm_pairs``): ``n_entities``
+    ground-truth entities, each emitted as 1-3 records (``i % 3`` picks
+    the copy count) whose later copies carry typo perturbations fixed by
+    pure arithmetic on ``(i, copy, seed)`` — copy 1 drops one name
+    character, copy 2 swaps an adjacent pair AND bumps the last phone
+    digit (so phone agreement alone cannot identify it). Perturbation
+    positions are always >= 2, so the (city, 2-char-name-prefix)
+    blocking key is stable by construction — blocking recall is exactly
+    100% here, which is what lets the SQL oracle state the full ground
+    truth; real-world first-character typos are the case the
+    sorted-neighborhood operator covers instead. ASCII-only names and
+    cities (drawn from the ASCII subset of the corpus pools) so
+    byte-level Levenshtein == DuckDB's character ``levenshtein``.
+    The entity -> name mapping is injective (mixed-radix over the three
+    pools), so distinct entities never share a name. Idempotent
+    (manifest-keyed). Returns the records dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rec_dir = os.path.join(out_dir, "records")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"kind": "er", "n": n_entities, "seed": seed, "v": 1}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return rec_dir
+    import shutil
+
+    if os.path.isdir(rec_dir):
+        shutil.rmtree(rec_dir)
+    os.makedirs(rec_dir, exist_ok=True)
+
+    first = [
+        "Ana", "Bruno", "Carla", "Diego", "Elisa", "Gabriela", "Heitor",
+        "Iara", "Karina", "Lucas", "Mariana", "Nelson", "Paulo", "Queila",
+        "Rafael", "Sofia", "Tiago", "Valter", "Wanda", "Xavier",
+    ]
+    sur = [
+        "Almeida", "Barbosa", "Cardoso", "Dias", "Esteves", "Ferreira",
+        "Gomes", "Henriques", "Ibrahim", "Junqueira", "Kfouri", "Lima",
+        "Moraes", "Nogueira", "Oliveira", "Pereira", "Queiroz", "Ribeiro",
+        "Santos", "Teixeira",
+    ]
+    cities = [
+        "Campinas", "Santos", "Londrina", "Olinda", "Sobral", "Blumenau",
+        "Sorocaba", "Maringa",
+    ]
+
+    rec_id, ent_id, names, cits, phones = [], [], [], [], []
+    rid = 0
+    for i in range(n_entities):
+        base = (
+            f"{first[(i + seed) % len(first)]} "
+            f"{sur[(i // len(first)) % len(sur)]} "
+            f"{sur[((i // (len(first) * len(sur))) + 7) % len(sur)]}"
+        )
+        city = cities[(i * 5 + seed) % len(cities)]
+        phone = f"{300 + i % 600:03d}-{1000 + (i * 7) % 9000:04d}"
+        n_copies = 1 + i % 3
+        for c in range(n_copies):
+            nm, ph = base, phone
+            if c == 1:  # drop one character (never in the block prefix)
+                p = 2 + (i * 13) % (len(base) - 2)
+                nm = base[:p] + base[p + 1 :]
+            elif c == 2:  # swap an adjacent pair + bump the phone
+                q = 2 + (i * 11) % (len(base) - 3)
+                nm = base[:q] + base[q + 1] + base[q] + base[q + 2 :]
+                ph = phone[:-1] + str((int(phone[-1]) + 1) % 10)
+            rec_id.append(rid)
+            ent_id.append(i)
+            names.append(nm)
+            cits.append(city)
+            phones.append(ph)
+            rid += 1
+
+    pq.write_table(
+        pa.table(
+            {
+                "rec_id": pa.array(rec_id, pa.int64()),
+                "entity_id": pa.array(ent_id, pa.int64()),
+                "name": pa.array(names, pa.string()),
+                "city": pa.array(cits, pa.string()),
+                "phone": pa.array(phones, pa.string()),
+            }
+        ),
+        os.path.join(rec_dir, "part-00000.parquet"),
+    )
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return rec_dir

@@ -218,6 +218,11 @@ BENCH_QUERIES = [
     "snapshot_asof",
     "crawl_schedule",
     "quality_composite",
+    "join_outer",
+    "freq_itemsets",
+    "approx_quantiles",
+    "entity_resolve",
+    "snm_pairs",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

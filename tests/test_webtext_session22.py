@@ -1,0 +1,252 @@
+"""Session-22 (round 4) operators: full-outer join, frequent 2-itemsets,
+hash-sampled approximate quantiles, and the record-linkage pair
+(blocking entity_resolve + sorted-neighborhood snm_pairs) over the new
+deterministic noisy-records fixture. Ground truth is re-derived here
+with pandas / pure Python — an independent third implementation vs the
+engine and the DuckDB oracle."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from adaptive_pdf_extractor_ray.pipelines import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain O(nm) reference Levenshtein (independent of _lev_bytes)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        cur = [i + 1]
+        for j, cb in enumerate(b):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                           prev[j] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestJoinOuter:
+    def test_matches_pandas_outer_join(self, ray_session):
+        got = q.q_join_outer(SF).to_pandas().set_index("key").sort_index()
+        ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+        od = pq.read_table(
+            f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        ).to_pandas()
+        e = ev.groupby("user_id").size().rename("n_events")
+        o = od.groupby("o_custkey").agg(
+            n_orders=("o_totalprice", "size"),
+            total_price=("o_totalprice", "sum"),
+        )
+        want = pd.concat([e, o], axis=1)
+        assert len(got) == len(want)
+        for k, row in want.iterrows():
+            g = got.loc[k]
+            ne = 0 if pd.isna(row["n_events"]) else int(row["n_events"])
+            no = 0 if pd.isna(row.get("n_orders", np.nan)) else int(row["n_orders"])
+            assert g["n_events"] == ne
+            assert g["n_orders"] == no
+            tp = 0.0 if pd.isna(row.get("total_price", np.nan)) else row["total_price"]
+            assert abs(g["total_price"] - round(tp, 2)) < 1e-6
+            side = ("both" if ne and no else
+                    "events_only" if ne else "orders_only")
+            assert g["side"] == side
+
+    def test_both_outer_sides_nonempty(self, ray_session):
+        """The fixture genuinely exercises outer semantics on each side."""
+        got = q.q_join_outer(SF).to_pandas()
+        assert (got["side"] == "orders_only").any()
+        # at sf0.001 every events user also has orders, so the events-only
+        # side is exercised structurally: zero-fill must never fabricate it
+        assert ((got["side"] == "events_only")
+                == ((got["n_events"] > 0) & (got["n_orders"] == 0))).all()
+
+
+class TestFreqItemsets:
+    def test_matches_pandas_self_join(self, ray_session):
+        got = (
+            q.q_freq_itemsets(SF)
+            .to_pandas()
+            .sort_values(["part_a", "part_b"])
+            .reset_index(drop=True)
+        )
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        ).to_pandas()
+        m = li.merge(li, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]].drop_duplicates(
+            ["l_orderkey", "l_partkey_x", "l_partkey_y"]
+        )
+        want = (
+            m.groupby(["l_partkey_x", "l_partkey_y"]).size().reset_index(name="s")
+        )
+        want = want[want["s"] >= q.FREQ_MIN_SUPPORT].sort_values(
+            ["l_partkey_x", "l_partkey_y"]
+        ).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["part_a"].to_numpy() == want["l_partkey_x"].to_numpy()).all()
+        assert (got["part_b"].to_numpy() == want["l_partkey_y"].to_numpy()).all()
+        assert (got["support"].to_numpy() == want["s"].to_numpy()).all()
+
+    def test_support_floor_holds(self, ray_session):
+        got = q.q_freq_itemsets(SF).to_pandas()
+        assert (got["support"] >= q.FREQ_MIN_SUPPORT).all()
+        assert (got["part_a"] < got["part_b"]).all()
+
+
+class TestApproxQuantiles:
+    def test_matches_reference_sample(self, ray_session):
+        got = q.q_approx_quantiles(SF).to_pandas().iloc[0]
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pandas()
+        keep = docs["doc_id"].map(
+            lambda i: int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:4], "big"
+            ) % 1000 < q.APPROXQ_RATE
+        )
+        sample = np.sort(docs.loc[keep, "n_chars"].to_numpy())
+        n = len(sample)
+        assert got["n_sample"] == n
+        assert got["p50_chars"] == sample[((n - 1) * 1) // 2]
+        assert got["p90_chars"] == sample[((n - 1) * 9) // 10]
+        assert got["p99_chars"] == sample[((n - 1) * 99) // 100]
+
+    def test_estimates_bracket_truth(self, ray_session):
+        """The sampled order statistics sit near the exact ones — the
+        rank-error bound made concrete on the fixture corpus."""
+        approx = q.q_approx_quantiles(SF).to_pandas().iloc[0]
+        exact = q.q_global_quantiles(SF).to_pandas().iloc[0]
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["n_chars"]).to_pandas()
+        vals = np.sort(docs["n_chars"].to_numpy())
+        for col, lo_q, hi_q in (
+            ("p50_chars", 0.40, 0.60),
+            ("p90_chars", 0.84, 0.96),
+            ("p99_chars", 0.95, 1.0),
+        ):
+            lo = vals[int(lo_q * (len(vals) - 1))]
+            hi = vals[int(hi_q * (len(vals) - 1))]
+            assert lo <= approx[col] <= hi, (col, approx[col], exact[col])
+
+
+class TestEntityResolve:
+    def test_matches_bruteforce_blocked_pairs(self, ray_session):
+        got = (
+            q.q_entity_resolve(SF)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        rec = pq.read_table(q.er_corpus()).to_pandas()
+        rec["nn"] = rec["name"].str.lower()
+        rec["bk"] = rec["city"] + "|" + rec["nn"].str[:2]
+        rows = []
+        for _, blk in rec.groupby("bk"):
+            blk = blk.sort_values("rec_id")
+            recs = blk.to_dict("records")
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    d = _lev(recs[i]["nn"], recs[j]["nn"])
+                    if d <= q.ER_MAX_DIST:
+                        rows.append(
+                            (recs[i]["rec_id"], recs[j]["rec_id"], d,
+                             int(recs[i]["phone"] == recs[j]["phone"]))
+                        )
+        want = pd.DataFrame(
+            rows, columns=["a", "b", "dist", "same_phone"]
+        ).sort_values(["a", "b"]).reset_index(drop=True)
+        assert got.equals(want.astype({c: "int64" for c in want.columns}))
+
+    def test_recall_on_planted_duplicates(self, ray_session):
+        """Every planted same-entity record pair whose perturbation is
+        within ER_MAX_DIST must be recovered (blocking is stable by
+        fixture construction — positions >= 2 never touch the key)."""
+        rec = pq.read_table(q.er_corpus()).to_pandas()
+        got = q.q_entity_resolve(SF).to_pandas()
+        found = set(zip(got["a"], got["b"]))
+        ent = rec.groupby("entity_id")["rec_id"].apply(list)
+        nn = rec.set_index("rec_id")["name"].str.lower()
+        n_checked = 0
+        for ids in ent:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if _lev(nn[ids[i]], nn[ids[j]]) <= q.ER_MAX_DIST:
+                        assert (ids[i], ids[j]) in found
+                        n_checked += 1
+        assert n_checked > 200  # the planted-dup cohort is real
+
+    def test_precision_mostly_same_entity(self, ray_session):
+        """Match precision: the bulk of dist<=2 pairs are true same-entity
+        duplicates. A small cross-entity cohort is expected and WANTED —
+        surname pairs like Pereira/Ferreira are lev-2 apart, the classic
+        ER false-positive that a downstream scorer must weigh (which is
+        why the op emits dist and same_phone instead of deciding)."""
+        rec = pq.read_table(q.er_corpus()).to_pandas()
+        ent = rec.set_index("rec_id")["entity_id"]
+        got = q.q_entity_resolve(SF).to_pandas()
+        same = ent[got["a"]].to_numpy() == ent[got["b"]].to_numpy()
+        assert same.mean() > 0.85
+        # every cross-entity match is a genuine lev<=2 surname collision,
+        # never a phone match (phones are entity-unique by construction)
+        cross = got.loc[~same]
+        assert (cross["same_phone"] == 0).all()
+
+
+class TestSnmPairs:
+    def test_matches_reference_window(self, ray_session):
+        got = (
+            q.q_snm_pairs(SF)
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        rec = pq.read_table(q.er_corpus()).to_pandas()
+        rec["nn"] = rec["name"].str.lower()
+        rec = rec.sort_values(["nn", "rec_id"]).reset_index(drop=True)
+        ids = rec["rec_id"].to_list()
+        rows = []
+        for i in range(len(ids)):
+            for jj in range(1, q.SNM_WINDOW):
+                if i + jj < len(ids):
+                    rows.append((ids[i], ids[i + jj], jj))
+        want = pd.DataFrame(rows, columns=["a", "b", "gap"])
+        # reference emits (lower-rank, higher-rank); engine's (a, b) is
+        # the same orientation, so compare after the same sort
+        want = want.sort_values(["a", "b"]).reset_index(drop=True)
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_each_pair_generated_once(self, ray_session):
+        got = q.q_snm_pairs(SF).to_pandas()
+        assert not got.duplicated(["a", "b"]).any()
+        assert (got["gap"].between(1, q.SNM_WINDOW - 1)).all()
+
+    def test_window_catches_prefix_typos(self, ray_session):
+        """The SNM rationale: same-entity records sort adjacently, so a
+        healthy share of window pairs are true duplicates."""
+        rec = pq.read_table(q.er_corpus()).to_pandas()
+        ent = rec.set_index("rec_id")["entity_id"]
+        got = q.q_snm_pairs(SF).to_pandas()
+        dup_share = (
+            ent[got["a"]].to_numpy() == ent[got["b"]].to_numpy()
+        ).mean()
+        assert dup_share > 0.15
+
+
+class TestErCorpusFixture:
+    def test_deterministic_and_idempotent(self, ray_session):
+        d1 = q.er_corpus()
+        t1 = pq.read_table(d1)
+        d2 = q.er_corpus()
+        assert d1 == d2
+        assert pq.read_table(d2).equals(t1)
+
+    def test_copy_structure(self, ray_session):
+        rec = pq.read_table(q.er_corpus()).to_pandas()
+        sizes = rec.groupby("entity_id").size()
+        assert set(sizes.unique()) == {1, 2, 3}
+        # perturbations never touch the two-char blocking prefix
+        for _, grp in rec.groupby("entity_id"):
+            prefixes = {n[:2].lower() for n in grp["name"]}
+            assert len(prefixes) == 1
