@@ -16094,10 +16094,220 @@ from o x join o y
 """
 
 
+def struct_corpus() -> str:
+    """Lazily write the deterministic structured-HTML fixture (fixed
+    sf-independent path); Ray queries and oracle composers both call
+    this, so either side can run first."""
+    import tempfile
+
+    from ..sources.synthetic import write_struct_corpus
+
+    root = os.path.join(tempfile.gettempdir(), "aper_struct_150")
+    return write_struct_corpus(root, n=150, seed=1)
+
+
+HEADING_RE = re.compile(r"<h([1-3])>([^<]*)</h\1>")
+
+
+def q_heading_outline(sf_dir: str):
+    """Document-structure extraction: the <h1>/<h2>/<h3> outline of
+    every page as (url, pos, level, heading) rows in document order —
+    the sectioning pass a web-corpus pipeline runs to split long pages
+    at semantic boundaries (chunk_windows' structural sibling). One
+    embarrassingly-parallel map_batches over the html column, compiled
+    RE2-compatible regex per page (the linear content scan every parse
+    stage here uses); no shuffle, output is O(headings). At 10^12 docs
+    this streams like q_pii_scan."""
+    ds = rd.read_parquet(struct_corpus(), columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        urls, poss, lvls, txts = [], [], [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for k, m in enumerate(HEADING_RE.finditer(h.decode("utf-8"))):
+                urls.append(u)
+                poss.append(k + 1)
+                lvls.append(int(m.group(1)))
+                txts.append(m.group(2))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+                "level": pa.array(lvls, pa.int64()),
+                "heading": pa.array(txts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heading_outline_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with h as (
+  select url,
+         regexp_extract_all(decode(html), '<h([1-3])>', 1) as lvls,
+         regexp_extract_all(decode(html),
+                            '<h[1-3]>([^<]*)</h[1-3]>', 1) as txts
+  from read_parquet('{pages_dir}/*.parquet'))
+select url,
+       generate_subscripts(lvls, 1)::bigint as pos,
+       unnest(lvls)::bigint as level,
+       unnest(txts) as heading
+from h
+"""
+
+
+TR_RE = re.compile(r"<tr>(.*?)</tr>")
+TD_RE = re.compile(r"<td>([^<]*)</td>")
+
+
+def q_html_tables(sf_dir: str):
+    """HTML table extraction: every <td> cell as (url, row_idx, col_idx,
+    cell) — the tabular-data recovery pass (web tables are a major
+    structured-pretraining source). Two-level linear scan per page
+    (rows, then cells within a row) in one stateless map_batches; same
+    streaming shape and scale story as q_heading_outline."""
+    ds = rd.read_parquet(struct_corpus(), columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        urls, ris, cis, cells = [], [], [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for ri, tr in enumerate(TR_RE.finditer(h.decode("utf-8"))):
+                for ci, td in enumerate(TD_RE.finditer(tr.group(1))):
+                    urls.append(u)
+                    ris.append(ri + 1)
+                    cis.append(ci + 1)
+                    cells.append(td.group(1))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "row_idx": pa.array(ris, pa.int64()),
+                "col_idx": pa.array(cis, pa.int64()),
+                "cell": pa.array(cells, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def html_tables_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with p as (
+  select url,
+         regexp_extract_all(decode(html), '<tr>(.*?)</tr>', 1) as trs
+  from read_parquet('{pages_dir}/*.parquet')),
+r as (
+  select url, generate_subscripts(trs, 1)::bigint as row_idx,
+         unnest(trs) as tr
+  from p),
+x as (
+  select url, row_idx,
+         regexp_extract_all(tr, '<td>([^<]*)</td>', 1) as cells
+  from r)
+select url, row_idx,
+       generate_subscripts(cells, 1)::bigint as col_idx,
+       unnest(cells) as cell
+from x
+"""
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion smoothing constant
+
+
+def q_rank_fusion(sf_dir: str):
+    """Hybrid ranking by Reciprocal Rank Fusion (Cormack et al.): fuse
+    the BM25 relevance top-K with a quality-prior top-K (stop_ratio,
+    the strongest single column of the quality scorer) into one list by
+    score(d) = Σ 1/(RRF_K + rank_i(d)) — the standard way a curation
+    pipeline combines lexical retrieval with an orthogonal prior
+    without calibrating scores against each other. Both constituent
+    rankings are the EXISTING distributed operators (bm25's
+    narrow-stats scan + dataset_topk; the quality scan + dataset_topk);
+    fusion itself touches 2K constant-size rows on the driver — a
+    scale-free final reduce, like every top-K finish here. Scores are
+    integer ppm (10^6 // (K + rank)) so the fused order hashes
+    identically in SQL."""
+    K = BM25_TOPK
+    bm = q_bm25_search(sf_dir).take_all()  # <= K rows
+    bm_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r["score"], r["doc_id"]))
+        )
+    }
+    from ..stages.topk import dataset_topk
+
+    qual = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tx.quality_batch, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .select_columns(["doc_id", "stop_ratio"])
+    )
+    qtop = dataset_topk(
+        qual,
+        sort_keys=[("stop_ratio", "descending"), ("doc_id", "ascending")],
+        k=K,
+    ).take_all()
+    q_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(qtop, key=lambda r: (-r["stop_ratio"], r["doc_id"]))
+        )
+    }
+    ids = sorted(set(bm_rank) | set(q_rank))
+    out_id, out_ppm, out_rb, out_rq = [], [], [], []
+    for d in ids:
+        rb = bm_rank.get(d, 0)
+        rq = q_rank.get(d, 0)
+        ppm = (1_000_000 // (RRF_K + rb) if rb else 0) + (
+            1_000_000 // (RRF_K + rq) if rq else 0
+        )
+        out_id.append(d)
+        out_ppm.append(ppm)
+        out_rb.append(rb)
+        out_rq.append(rq)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "rrf_ppm": pa.array(out_ppm, pa.int64()),
+            "rank_bm25": pa.array(out_rb, pa.int64()),
+            "rank_quality": pa.array(out_rq, pa.int64()),
+        }
+    )
+
+
+def rank_fusion_oracle_sql() -> str:
+    qual_sql = ORACLES["quality_score"]
+    return f"""
+with bm as ({bm25_oracle_sql()}),
+bmr as (
+  select doc_id, row_number() over (order by score desc, doc_id) as r
+  from bm),
+qall as ({qual_sql}),
+qtop as (
+  select doc_id, stop_ratio from qall
+  order by stop_ratio desc, doc_id limit {BM25_TOPK}),
+qr as (
+  select doc_id,
+         row_number() over (order by stop_ratio desc, doc_id) as r
+  from qtop),
+u as (
+  select doc_id, 1000000 // ({RRF_K} + r) as c, r as rb, 0 as rq from bmr
+  union all
+  select doc_id, 1000000 // ({RRF_K} + r) as c, 0 as rb, r as rq from qr)
+select doc_id, sum(c)::bigint as rrf_ppm,
+       max(rb)::bigint as rank_bm25, max(rq)::bigint as rank_quality
+from u group by doc_id
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "heading_outline": q_heading_outline,
+    "html_tables": q_html_tables,
+    "rank_fusion": q_rank_fusion,
     "join_outer": q_join_outer,
     "freq_itemsets": q_freq_itemsets,
     "approx_quantiles": q_approx_quantiles,
@@ -19104,6 +19314,10 @@ def all_oracles() -> dict[str, str]:
     out["first_seen"] = first_seen_oracle_sql(recrawl_corpus())
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
+    struct_dir = struct_corpus()  # idempotent fixture write
+    out["heading_outline"] = heading_outline_oracle_sql(struct_dir)
+    out["html_tables"] = html_tables_oracle_sql(struct_dir)
+    out["rank_fusion"] = rank_fusion_oracle_sql()
     out["join_outer"] = JOIN_OUTER_SQL
     out["freq_itemsets"] = FREQ_ITEMSETS_SQL
     out["approx_quantiles"] = APPROX_QUANTILES_SQL

@@ -851,3 +851,69 @@ def write_er_corpus(out_dir: str, n_entities: int = 300, seed: int = 1) -> str:
     with open(manifest, "w") as f:
         json.dump(want, f)
     return rec_dir
+
+
+def write_struct_corpus(out_dir: str, n: int = 150, seed: int = 1) -> str:
+    """Deterministic structured-HTML fixture for the document-structure
+    extraction operators (``heading_outline`` / ``html_tables``): each
+    page carries an <h1>, a page-dependent number of <h2>/<h3> sections
+    and one <table> whose shape and cell values are pure arithmetic on
+    ``(i, seed)``. Heading text never contains '<', table rows never
+    nest, so the engine's linear scan and the oracle's RE2 extraction
+    see the identical structure. Idempotent (manifest-keyed). Returns
+    the pages dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages_dir = os.path.join(out_dir, "pages")
+    manifest = os.path.join(out_dir, "_manifest.json")
+    want = {"kind": "struct", "n": n, "seed": seed, "v": 1}
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want:
+                return pages_dir
+    import shutil
+
+    if os.path.isdir(pages_dir):
+        shutil.rmtree(pages_dir)
+    os.makedirs(pages_dir, exist_ok=True)
+
+    urls, htmls = [], []
+    for i in range(n):
+        parts = [f"<html><body><h1>Doc {i}</h1>"]
+        for s in range(1 + i % 3):
+            parts.append(f"<h2>Section {i}-{s}</h2>")
+            parts.append(f"<p>body text {i} {s} of the section</p>")
+            if (i + s) % 2 == 0:
+                parts.append(f"<h3>Detail {i}-{s}</h3>")
+        n_rows = 2 + i % 3
+        n_cols = 2 + i % 2
+        parts.append("<table>")
+        for r in range(n_rows):
+            cells = "".join(
+                f"<td>v{(i * 7 + r * 3 + c * 11 + seed) % 100}</td>"
+                for c in range(n_cols)
+            )
+            parts.append(f"<tr>{cells}</tr>")
+        parts.append("</table></body></html>")
+        urls.append(f"https://struct{i % 10}.example/doc{i}")
+        htmls.append("".join(parts).encode("utf-8"))
+
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [EPOCH + _dt.timedelta(seconds=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array([None] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(pages, os.path.join(pages_dir, "part-00000.parquet"))
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return pages_dir

@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "approx_quantiles",
     "entity_resolve",
     "snm_pairs",
+    "heading_outline",
+    "html_tables",
+    "rank_fusion",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -250,3 +250,76 @@ class TestErCorpusFixture:
         for _, grp in rec.groupby("entity_id"):
             prefixes = {n[:2].lower() for n in grp["name"]}
             assert len(prefixes) == 1
+
+
+class TestHeadingOutline:
+    def test_structure_matches_fixture_arithmetic(self, ray_session):
+        got = q.q_heading_outline(SF).to_pandas()
+        by_url = dict(tuple(got.groupby("url")))
+        for i in range(150):
+            url = f"https://struct{i % 10}.example/doc{i}"
+            g = by_url[url].sort_values("pos").reset_index(drop=True)
+            want = [(1, f"Doc {i}")]
+            for s in range(1 + i % 3):
+                want.append((2, f"Section {i}-{s}"))
+                if (i + s) % 2 == 0:
+                    want.append((3, f"Detail {i}-{s}"))
+            assert len(g) == len(want), url
+            assert list(g["pos"]) == list(range(1, len(want) + 1))
+            assert list(zip(g["level"], g["heading"])) == want, url
+
+    def test_document_order_interleaves_levels(self, ray_session):
+        """pos is document order across levels, not per-level order."""
+        got = q.q_heading_outline(SF).to_pandas()
+        one = got[got["url"] == "https://struct2.example/doc2"].sort_values("pos")
+        assert list(one["level"])[:4] == [1, 2, 3, 2]
+
+
+class TestHtmlTables:
+    def test_cells_match_fixture_arithmetic(self, ray_session):
+        got = q.q_html_tables(SF).to_pandas()
+        by_url = dict(tuple(got.groupby("url")))
+        for i in range(150):
+            url = f"https://struct{i % 10}.example/doc{i}"
+            g = by_url[url].sort_values(["row_idx", "col_idx"])
+            n_rows, n_cols = 2 + i % 3, 2 + i % 2
+            assert len(g) == n_rows * n_cols, url
+            for (_, row) in g.iterrows():
+                r, c = row["row_idx"] - 1, row["col_idx"] - 1
+                assert row["cell"] == f"v{(i * 7 + r * 3 + c * 11 + 1) % 100}"
+
+    def test_rectangular_tables(self, ray_session):
+        got = q.q_html_tables(SF).to_pandas()
+        shape = got.groupby("url").agg(
+            rows=("row_idx", "max"), cols=("col_idx", "max"),
+            n=("cell", "size"),
+        )
+        assert (shape["rows"] * shape["cols"] == shape["n"]).all()
+
+
+class TestRankFusion:
+    def test_rrf_arithmetic_and_membership(self, ray_session):
+        got = q.q_rank_fusion(SF).to_pandas().set_index("doc_id")
+        bm = q.q_bm25_search(SF).to_pandas()
+        bm = bm.sort_values(["score", "doc_id"], ascending=[False, True])
+        bm_rank = {d: i + 1 for i, d in enumerate(bm["doc_id"])}
+        qual = q.q_quality(SF).to_pandas()[["doc_id", "stop_ratio"]]
+        qual = qual.sort_values(
+            ["stop_ratio", "doc_id"], ascending=[False, True]
+        ).head(q.BM25_TOPK)
+        q_rank = {d: i + 1 for i, d in enumerate(qual["doc_id"])}
+        assert set(got.index) == set(bm_rank) | set(q_rank)
+        for d, row in got.iterrows():
+            rb, rq = bm_rank.get(d, 0), q_rank.get(d, 0)
+            want = (1_000_000 // (q.RRF_K + rb) if rb else 0) + (
+                1_000_000 // (q.RRF_K + rq) if rq else 0
+            )
+            assert row["rrf_ppm"] == want
+            assert row["rank_bm25"] == rb and row["rank_quality"] == rq
+
+    def test_docs_in_both_lists_outrank_single_list_docs(self, ray_session):
+        got = q.q_rank_fusion(SF).to_pandas()
+        both = got[(got["rank_bm25"] > 0) & (got["rank_quality"] > 0)]
+        single = got[(got["rank_bm25"] == 0) | (got["rank_quality"] == 0)]
+        if len(both) and len(single):
+            assert both["rrf_ppm"].min() > single["rrf_ppm"].max()
