@@ -16301,10 +16301,263 @@ from u group by doc_id
 
 
 
+DATE_ISO_RE = re.compile(r"Published: (\d{4})-(\d{2})-(\d{2})")
+DATE_US_RE = re.compile(r"Published: (\d{2})/(\d{2})/(\d{4})")
+DATE_TEXT_RE = re.compile(r"Published: ([A-Z][a-z]+) (\d{1,2}), (\d{4})")
+_MONTHS = {
+    m: i + 1
+    for i, m in enumerate(
+        [
+            "January", "February", "March", "April", "May", "June",
+            "July", "August", "September", "October", "November",
+            "December",
+        ]
+    )
+}
+
+
+def q_date_extract(sf_dir: str):
+    """Publication-date extraction + normalization: recognize the three
+    dominant web date shapes (ISO 8601, US slash, long textual) and
+    normalize each to the canonical ISO string and epoch-day integer —
+    the freshness signal every crawl pipeline attaches before
+    recency-weighted sampling (cf. crawl_schedule / decayed_counts).
+    Stateless map_batches over the html column, compiled patterns tried
+    in fixed precedence; no shuffle, O(1) output per page. The engine's
+    calendar arithmetic is value-verified against DuckDB's independent
+    strptime/datediff."""
+    import datetime as _dtt
+
+    ds = rd.read_parquet(struct_corpus(), columns=["url", "html"])
+    epoch = _dtt.date(1970, 1, 1)
+
+    def f(t: pa.Table) -> pa.Table:
+        urls, fmts, isos, days = [], [], [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            s = h.decode("utf-8")
+            m = DATE_ISO_RE.search(s)
+            if m:
+                fmt = "iso"
+                d = _dtt.date(int(m.group(1)), int(m.group(2)),
+                              int(m.group(3)))
+            else:
+                m = DATE_US_RE.search(s)
+                if m:
+                    fmt = "us"
+                    d = _dtt.date(int(m.group(3)), int(m.group(1)),
+                                  int(m.group(2)))
+                else:
+                    m = DATE_TEXT_RE.search(s)
+                    if not m:
+                        continue  # undated page: no row, like the oracle
+                    fmt = "text"
+                    d = _dtt.date(int(m.group(3)), _MONTHS[m.group(1)],
+                                  int(m.group(2)))
+            urls.append(u)
+            fmts.append(fmt)
+            isos.append(d.isoformat())
+            days.append((d - epoch).days)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "fmt": pa.array(fmts, pa.string()),
+                "date_iso": pa.array(isos, pa.string()),
+                "epoch_day": pa.array(days, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def date_extract_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with p as (
+  select url, decode(html) as s
+  from read_parquet('{pages_dir}/*.parquet')),
+e as (
+  select url,
+    regexp_extract(s, 'Published: (\\d{{4}}-\\d{{2}}-\\d{{2}})', 1) as iso,
+    regexp_extract(s, 'Published: (\\d{{2}}/\\d{{2}}/\\d{{4}})', 1) as us,
+    regexp_extract(s, 'Published: ([A-Z][a-z]+ \\d{{1,2}}, \\d{{4}})', 1)
+      as tx
+  from p),
+d as (
+  select url,
+    case when iso <> '' then 'iso'
+         when us <> '' then 'us'
+         else 'text' end as fmt,
+    case when iso <> '' then strptime(iso, '%Y-%m-%d')
+         when us <> '' then strptime(us, '%m/%d/%Y')
+         else strptime(tx, '%B %d, %Y') end as dt
+  from e
+  where iso <> '' or us <> '' or tx <> '')
+select url, fmt, strftime(dt, '%Y-%m-%d') as date_iso,
+       datediff('day', DATE '1970-01-01', dt::date)::bigint as epoch_day
+from d
+"""
+
+
+JSONLD_RE = re.compile(
+    r'<script type="application/ld\+json">(.*?)</script>', re.DOTALL
+)
+
+
+def q_jsonld_extract(sf_dir: str):
+    """Structured-data (JSON-LD) extraction: pull the embedded
+    application/ld+json block out of each page and project the typed
+    fields — the schema.org metadata pass that yields clean
+    (author, type, length) supervision from web pages. Regex-scoped
+    block extraction + stdlib json parse per page in one stateless
+    map_batches; malformed or absent blocks drop the row (crawl reality;
+    same semantics as the oracle's empty-extract filter). Value-verified
+    against DuckDB's independent JSON parser."""
+    ds = rd.read_parquet(struct_corpus(), columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        urls, types, authors, wcs = [], [], [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            m = JSONLD_RE.search(h.decode("utf-8"))
+            if not m:
+                continue
+            try:
+                obj = json.loads(m.group(1))
+            except ValueError:
+                continue
+            urls.append(u)
+            types.append(str(obj.get("@type", "")))
+            authors.append(str(obj.get("author", "")))
+            wcs.append(int(obj.get("wordCount", 0)))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "item_type": pa.array(types, pa.string()),
+                "author": pa.array(authors, pa.string()),
+                "word_count": pa.array(wcs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def jsonld_extract_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with p as (
+  select url,
+         regexp_extract(decode(html),
+           '<script type="application/ld\\+json">(.*?)</script>', 1) as j
+  from read_parquet('{pages_dir}/*.parquet'))
+select url,
+       json_extract_string(j, '$."@type"') as item_type,
+       json_extract_string(j, '$.author') as author,
+       json_extract(j, '$.wordCount')::bigint as word_count
+from p where j <> ''
+"""
+
+
+# hard-negative band: sim in [LO, HI) at 4 dp — above HI is a probable
+# near-duplicate (a FALSE negative for contrastive training), below LO
+# is an easy negative that contributes no gradient signal
+CONTRASTIVE_LO = 0.30
+CONTRASTIVE_HI = 0.98
+CONTRASTIVE_K = 5
+
+
+def q_contrastive_pairs(sf_dir: str):
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): for each query vector, the top-K most-similar
+    OTHER vectors whose cosine falls inside [LO, HI) — similar enough
+    to be hard, not so similar they are near-duplicates (the classic
+    false-negative trap; HI is the same boundary embedding_neardup
+    flags). Same distributed shape as q_knn_brute: broadcast query
+    matrix in the actor constructor, per-batch matmul + band filter +
+    partial top-K, final per-query reduce over O(K x blocks) rows.
+    Sims are ranked at 4 dp with vec_id tie-break on both sides and the
+    value itself is excluded from the output, exactly like knn_brute."""
+    qv = _query_vectors(sf_dir)
+
+    class BandedKnn:
+        def __init__(self, queries, k: int):
+            self.query_ids = np.asarray(queries["ids"], dtype=np.int64)
+            self.Q = sim._normalize(
+                np.asarray(queries["vecs"], dtype=np.float64)
+            )
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            M = sim._normalize(sim.embeddings_matrix(batch, "embedding"))
+            sims = np.round(self.Q @ M.T, 4)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                qid = int(self.query_ids[qi])
+                cand = [
+                    j
+                    for j in range(sims.shape[1])
+                    if ids[j] != qid
+                    and CONTRASTIVE_LO <= sims[qi, j] < CONTRASTIVE_HI
+                ]
+                cand.sort(key=lambda j: (-sims[qi, j], ids[j]))
+                for j in cand[: self.k]:
+                    out_q.append(qid)
+                    out_n.append(int(ids[j]))
+                    out_s.append(float(sims[qi, j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "negative_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        BandedKnn, fn_constructor_args=(qv, CONTRASTIVE_K),
+        batch_format="pyarrow", concurrency=_apool(),
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        order = sorted(
+            range(len(g)),
+            key=lambda i: (-g["sim"][i].as_py(), g["negative_id"][i].as_py()),
+        )
+        keep = order[:CONTRASTIVE_K]
+        return pa.table(
+            {
+                "query_id": pc.take(g["query_id"], pa.array(keep)),
+                "negative_id": pc.take(g["negative_id"], pa.array(keep)),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+CONTRASTIVE_SQL = f"""
+with q as (select vec_id as qid, embedding as qe from embeddings
+           order by vec_id limit {{NQ}}),
+scored as (select q.qid, e.vec_id as nid,
+                  round(list_cosine_similarity(q.qe::double[],
+                        e.embedding::double[]), 4) as sim
+           from q cross join embeddings e
+           where e.vec_id <> q.qid),
+banded as (select * from scored
+           where sim >= {CONTRASTIVE_LO} and sim < {CONTRASTIVE_HI}),
+ranked as (select *, row_number() over
+             (partition by qid order by sim desc, nid asc) as rn
+           from banded)
+select qid as query_id, nid as negative_id
+from ranked where rn <= {CONTRASTIVE_K}
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "date_extract": q_date_extract,
+    "jsonld_extract": q_jsonld_extract,
+    "contrastive_pairs": q_contrastive_pairs,
     "heading_outline": q_heading_outline,
     "html_tables": q_html_tables,
     "rank_fusion": q_rank_fusion,
@@ -19315,6 +19568,9 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["date_extract"] = date_extract_oracle_sql(struct_dir)
+    out["jsonld_extract"] = jsonld_extract_oracle_sql(struct_dir)
+    out["contrastive_pairs"] = CONTRASTIVE_SQL.format(NQ=N_QUERIES)
     out["heading_outline"] = heading_outline_oracle_sql(struct_dir)
     out["html_tables"] = html_tables_oracle_sql(struct_dir)
     out["rank_fusion"] = rank_fusion_oracle_sql()

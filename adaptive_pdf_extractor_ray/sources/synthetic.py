@@ -868,7 +868,11 @@ def write_struct_corpus(out_dir: str, n: int = 150, seed: int = 1) -> str:
 
     pages_dir = os.path.join(out_dir, "pages")
     manifest = os.path.join(out_dir, "_manifest.json")
-    want = {"kind": "struct", "n": n, "seed": seed, "v": 1}
+    # v2: per-page "Published:" date line (format rotates iso/us/textual
+    # by i % 3) and an application/ld+json metadata block — inputs for
+    # the date_extract / jsonld_extract operators. Headings and tables
+    # are unchanged, so the v1-pinned outline/table assertions hold.
+    want = {"kind": "struct", "n": n, "seed": seed, "v": 2}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == want:
@@ -879,9 +883,34 @@ def write_struct_corpus(out_dir: str, n: int = 150, seed: int = 1) -> str:
         shutil.rmtree(pages_dir)
     os.makedirs(pages_dir, exist_ok=True)
 
+    months = [
+        "January", "February", "March", "April", "May", "June", "July",
+        "August", "September", "October", "November", "December",
+    ]
+    authors = [
+        "Ana Santos", "Bruno Lima", "Carla Gomes", "Diego Dias",
+        "Elisa Moraes", "Heitor Pereira", "Iara Ribeiro", "Lucas Cardoso",
+    ]
+
     urls, htmls = [], []
     for i in range(n):
-        parts = [f"<html><body><h1>Doc {i}</h1>"]
+        d = _dt.date(2024, 1, 1) + _dt.timedelta(days=i)
+        if i % 3 == 0:
+            datestr = d.strftime("%Y-%m-%d")
+        elif i % 3 == 1:
+            datestr = d.strftime("%m/%d/%Y")
+        else:
+            datestr = f"{months[d.month - 1]} {d.day}, {d.year}"
+        meta = (
+            '{"@type":"Article",'
+            f'"author":"{authors[(i * 3 + seed) % len(authors)]}",'
+            f'"wordCount":{100 + (i * 13) % 900}}}'
+        )
+        parts = [
+            f"<html><body><h1>Doc {i}</h1>",
+            f"<p>Published: {datestr}</p>",
+            f'<script type="application/ld+json">{meta}</script>',
+        ]
         for s in range(1 + i % 3):
             parts.append(f"<h2>Section {i}-{s}</h2>")
             parts.append(f"<p>body text {i} {s} of the section</p>")

@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "heading_outline",
     "html_tables",
     "rank_fusion",
+    "date_extract",
+    "jsonld_extract",
+    "contrastive_pairs",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -323,3 +323,75 @@ class TestRankFusion:
         single = got[(got["rank_bm25"] == 0) | (got["rank_quality"] == 0)]
         if len(both) and len(single):
             assert both["rrf_ppm"].min() > single["rrf_ppm"].max()
+
+
+class TestDateExtract:
+    def test_all_three_formats_normalize_identically(self, ray_session):
+        import datetime as dt
+        got = q.q_date_extract(SF).to_pandas().set_index("url")
+        assert len(got) == 150
+        for i in range(150):
+            url = f"https://struct{i % 10}.example/doc{i}"
+            d = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+            g = got.loc[url]
+            assert g["fmt"] == ["iso", "us", "text"][i % 3]
+            assert g["date_iso"] == d.isoformat()
+            assert g["epoch_day"] == (d - dt.date(1970, 1, 1)).days
+
+    def test_format_cohorts_balanced(self, ray_session):
+        got = q.q_date_extract(SF).to_pandas()
+        assert got["fmt"].value_counts().to_dict() == {"iso": 50, "us": 50,
+                                                       "text": 50}
+
+
+class TestJsonldExtract:
+    def test_fields_match_fixture_arithmetic(self, ray_session):
+        authors = [
+            "Ana Santos", "Bruno Lima", "Carla Gomes", "Diego Dias",
+            "Elisa Moraes", "Heitor Pereira", "Iara Ribeiro",
+            "Lucas Cardoso",
+        ]
+        got = q.q_jsonld_extract(SF).to_pandas().set_index("url")
+        assert len(got) == 150
+        for i in range(150):
+            g = got.loc[f"https://struct{i % 10}.example/doc{i}"]
+            assert g["item_type"] == "Article"
+            assert g["author"] == authors[(i * 3 + 1) % 8]
+            assert g["word_count"] == 100 + (i * 13) % 900
+
+
+class TestContrastivePairs:
+    def test_matches_bruteforce_band(self, ray_session):
+        got = (
+            q.q_contrastive_pairs(SF)
+            .to_pandas()
+            .sort_values(["query_id", "negative_id"])
+            .reset_index(drop=True)
+        )
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        emb = emb.sort_values("vec_id").reset_index(drop=True)
+        X = np.asarray(emb["embedding"].to_list(), dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        ids = emb["vec_id"].to_numpy()
+        rows = []
+        for qi in range(q.N_QUERIES):
+            sims = np.round(X[qi] @ X.T, 4)
+            cand = [
+                (int(ids[j]), sims[j])
+                for j in range(len(ids))
+                if ids[j] != ids[qi]
+                and q.CONTRASTIVE_LO <= sims[j] < q.CONTRASTIVE_HI
+            ]
+            cand.sort(key=lambda t: (-t[1], t[0]))
+            for nid, _ in cand[: q.CONTRASTIVE_K]:
+                rows.append((int(ids[qi]), nid))
+        want = pd.DataFrame(rows, columns=["query_id", "negative_id"])
+        want = want.sort_values(["query_id", "negative_id"]).reset_index(
+            drop=True
+        )
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_band_excludes_self_and_neardups(self, ray_session):
+        got = q.q_contrastive_pairs(SF).to_pandas()
+        assert (got["query_id"] != got["negative_id"]).all()
+        assert got.groupby("query_id").size().max() <= q.CONTRASTIVE_K
