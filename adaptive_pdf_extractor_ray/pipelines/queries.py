@@ -16551,10 +16551,209 @@ from ranked where rn <= {CONTRASTIVE_K}
 
 
 
+MD_BLOCK_RE = re.compile(r"<(h1|h2|h3|p)>([^<]*)")
+_MD_PREFIX = {"h1": "# ", "h2": "## ", "h3": "### ", "p": ""}
+
+
+def q_html_to_markdown(sf_dir: str):
+    """HTML -> Markdown linearization: every block element (h1/h2/h3/p)
+    becomes one markdown line in document order — the lossy-but-clean
+    text rendering LLM-pretraining pipelines prefer over raw-text
+    stripping because heading structure survives as '#' prefixes.
+    Single compiled-regex scan per page in a stateless map_batches
+    (same streaming shape as q_heading_outline); table cells are
+    intentionally excluded (q_html_tables is the structured path for
+    those). Output is (url, pos, md)."""
+    ds = rd.read_parquet(struct_corpus(), columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        urls, poss, mds = [], [], []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            for k, m in enumerate(MD_BLOCK_RE.finditer(h.decode("utf-8"))):
+                urls.append(u)
+                poss.append(k + 1)
+                mds.append(_MD_PREFIX[m.group(1)] + m.group(2))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "pos": pa.array(poss, pa.int64()),
+                "md": pa.array(mds, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def html_to_markdown_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with p as (
+  select url,
+         regexp_extract_all(decode(html), '<(h1|h2|h3|p)>', 1) as tags,
+         regexp_extract_all(decode(html),
+                            '<(?:h1|h2|h3|p)>([^<]*)', 1) as txts
+  from read_parquet('{pages_dir}/*.parquet')),
+e as (
+  select url, generate_subscripts(tags, 1)::bigint as pos,
+         unnest(tags) as tag, unnest(txts) as txt
+  from p)
+select url, pos,
+       case tag when 'h1' then '# ' || txt
+                when 'h2' then '## ' || txt
+                when 'h3' then '### ' || txt
+                else txt end as md
+from e
+"""
+
+
+def q_t_closeness(sf_dir: str):
+    """t-closeness audit (Li et al., the third of the privacy trio after
+    k_anonymity / l_diversity): for each quasi-identifier group (source)
+    the total-variation distance between its sensitive-attribute (lang)
+    distribution and the corpus-global one — a group whose language mix
+    diverges more than t leaks membership information. Dataflow: ONE
+    per-batch (source, lang) pre-count -> grouped Sum (the combiner
+    shape: shuffle is O(sources x langs)); the global lang distribution
+    is the tiny per-lang rollup of that same table, broadcast as plain
+    floats; the per-source finish runs in groupby(source) groups bounded
+    by the lang-alphabet size. tv is rounded to 6 dp on both sides."""
+    counts = (
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(
+            lambda t: t.group_by(["source", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "lang", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["source", "lang"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .materialize()
+    )
+    glob = counts.groupby("lang").aggregate(
+        ray.data.aggregate.Sum("n", alias_name="n")
+    ).take_all()  # O(langs) — the sensitive-attribute alphabet
+    total = sum(r["n"] for r in glob)
+    q_dist = {r["lang"]: r["n"] / total for r in glob}
+
+    def finish(g: pa.Table) -> pa.Table:
+        langs = g["lang"].to_pylist()
+        ns = g["n"].to_pylist()
+        n_s = sum(ns)
+        have = dict(zip(langs, ns))
+        tv = 0.5 * sum(
+            abs(have.get(lang, 0) / n_s - qd)
+            for lang, qd in q_dist.items()
+        )
+        return pa.table(
+            {
+                "source": pa.array([g["source"][0].as_py()], pa.string()),
+                "n_docs": pa.array([n_s], pa.int64()),
+                "tv": pa.array([round(tv, 6)], pa.float64()),
+            }
+        )
+
+    return counts.groupby("source").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+T_CLOSENESS_SQL = """
+with c as (
+  select source, lang, count(*)::bigint as n
+  from documents group by 1, 2),
+s as (select source, sum(n)::bigint as n_s from c group by 1),
+g as (select lang, sum(n)::bigint as n_g from c group by 1),
+t as (select sum(n_g)::bigint as total from g),
+full_grid as (
+  select s.source, g.lang, s.n_s, g.n_g,
+         coalesce(c.n, 0)::bigint as n
+  from s cross join g
+  left join c on c.source = s.source and c.lang = g.lang)
+select source, max(n_s)::bigint as n_docs,
+       round(0.5 * sum(abs(n * 1.0 / n_s
+                           - n_g * 1.0 / (select total from t))), 6) as tv
+from full_grid group by source
+"""
+
+
+SHARD_PLAN_N = 16  # output shards for the write plan
+
+
+def q_shard_plan(sf_dir: str):
+    """Output-shard planning audit: assign every doc its output shard by
+    md5(doc_id) mod N and roll up per-shard row/byte totals + id range —
+    the pre-write pass that sizes the partitioned, resumable parquet
+    layout (one directory per shard; a rerun skips finished shards) and
+    verifies the hash assignment is balanced BEFORE a 100 TB write. One
+    per-batch partial aggregate per shard -> one O(N)-row grouped
+    merge; the doc bytes never shuffle."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        chars = t["n_chars"].to_pylist()
+        agg: dict[int, list] = {}
+        for i, c in zip(ids, chars):
+            sh = (
+                int.from_bytes(_hl.md5(str(i).encode()).digest()[:4], "big")
+                % SHARD_PLAN_N
+            )
+            a = agg.setdefault(sh, [0, 0, i, i])
+            a[0] += 1
+            a[1] += c
+            a[2] = min(a[2], i)
+            a[3] = max(a[3], i)
+        shards = sorted(agg)
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.int64()),
+                "n_docs": pa.array([agg[s][0] for s in shards], pa.int64()),
+                "total_chars": pa.array(
+                    [agg[s][1] for s in shards], pa.int64()
+                ),
+                "min_doc_id": pa.array(
+                    [agg[s][2] for s in shards], pa.int64()
+                ),
+                "max_doc_id": pa.array(
+                    [agg[s][3] for s in shards], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("total_chars", alias_name="total_chars"),
+            ray.data.aggregate.Min("min_doc_id", alias_name="min_doc_id"),
+            ray.data.aggregate.Max("max_doc_id", alias_name="max_doc_id"),
+        )
+    )
+
+
+SHARD_PLAN_SQL = f"""
+select (('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::uinteger
+         % {SHARD_PLAN_N})::bigint as shard,
+       count(*)::bigint as n_docs,
+       sum(n_chars)::bigint as total_chars,
+       min(doc_id)::bigint as min_doc_id,
+       max(doc_id)::bigint as max_doc_id
+from documents
+group by 1
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "html_to_markdown": q_html_to_markdown,
+    "t_closeness": q_t_closeness,
+    "shard_plan": q_shard_plan,
     "date_extract": q_date_extract,
     "jsonld_extract": q_jsonld_extract,
     "contrastive_pairs": q_contrastive_pairs,
@@ -19568,6 +19767,9 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["html_to_markdown"] = html_to_markdown_oracle_sql(struct_dir)
+    out["t_closeness"] = T_CLOSENESS_SQL
+    out["shard_plan"] = SHARD_PLAN_SQL
     out["date_extract"] = date_extract_oracle_sql(struct_dir)
     out["jsonld_extract"] = jsonld_extract_oracle_sql(struct_dir)
     out["contrastive_pairs"] = CONTRASTIVE_SQL.format(NQ=N_QUERIES)

@@ -229,6 +229,9 @@ BENCH_QUERIES = [
     "date_extract",
     "jsonld_extract",
     "contrastive_pairs",
+    "html_to_markdown",
+    "t_closeness",
+    "shard_plan",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

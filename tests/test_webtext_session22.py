@@ -395,3 +395,79 @@ class TestContrastivePairs:
         got = q.q_contrastive_pairs(SF).to_pandas()
         assert (got["query_id"] != got["negative_id"]).all()
         assert got.groupby("query_id").size().max() <= q.CONTRASTIVE_K
+
+
+class TestHtmlToMarkdown:
+    def test_lines_match_fixture(self, ray_session):
+        got = q.q_html_to_markdown(SF).to_pandas()
+        by_url = dict(tuple(got.groupby("url")))
+        import datetime as dt
+        months = ["January", "February", "March", "April", "May", "June",
+                  "July", "August", "September", "October", "November",
+                  "December"]
+        for i in range(0, 150, 7):
+            url = f"https://struct{i % 10}.example/doc{i}"
+            g = by_url[url].sort_values("pos")
+            d = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+            datestr = [
+                d.strftime("%Y-%m-%d"), d.strftime("%m/%d/%Y"),
+                f"{months[d.month - 1]} {d.day}, {d.year}",
+            ][i % 3]
+            want = [f"# Doc {i}", f"Published: {datestr}"]
+            for s in range(1 + i % 3):
+                want.append(f"## Section {i}-{s}")
+                want.append(f"body text {i} {s} of the section")
+                if (i + s) % 2 == 0:
+                    want.append(f"### Detail {i}-{s}")
+            assert list(g["md"]) == want, url
+            assert list(g["pos"]) == list(range(1, len(want) + 1))
+
+    def test_heading_structure_survives(self, ray_session):
+        got = q.q_html_to_markdown(SF).to_pandas()
+        assert got["md"].str.startswith("# ").sum() == 150  # one h1/page
+        assert (got.groupby("url")["pos"].min() == 1).all()
+
+
+class TestTCloseness:
+    def test_matches_pandas_tv_distance(self, ray_session):
+        got = q.q_t_closeness(SF).to_pandas().set_index("source")
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["source", "lang"]
+        ).to_pandas()
+        glob = docs["lang"].value_counts(normalize=True)
+        for src, grp in docs.groupby("source"):
+            p = grp["lang"].value_counts(normalize=True)
+            tv = 0.5 * sum(
+                abs(p.get(lang, 0.0) - glob[lang]) for lang in glob.index
+            )
+            assert got.loc[src, "n_docs"] == len(grp)
+            assert abs(got.loc[src, "tv"] - round(tv, 6)) < 1e-9
+
+    def test_tv_bounds(self, ray_session):
+        got = q.q_t_closeness(SF).to_pandas()
+        assert ((got["tv"] >= 0) & (got["tv"] <= 1)).all()
+
+
+class TestShardPlan:
+    def test_matches_reference_assignment(self, ray_session):
+        got = q.q_shard_plan(SF).to_pandas().set_index("shard").sort_index()
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pandas()
+        docs["shard"] = docs["doc_id"].map(
+            lambda i: int.from_bytes(
+                hashlib.md5(str(i).encode()).digest()[:4], "big"
+            ) % q.SHARD_PLAN_N
+        )
+        want = docs.groupby("shard").agg(
+            n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"),
+            min_doc_id=("doc_id", "min"), max_doc_id=("doc_id", "max"),
+        )
+        assert got[["n_docs", "total_chars", "min_doc_id", "max_doc_id"]]\
+            .astype("int64").equals(want.astype("int64"))
+
+    def test_hash_assignment_is_balanced(self, ray_session):
+        """The point of the audit: no shard more than 2x the mean."""
+        got = q.q_shard_plan(SF).to_pandas()
+        assert len(got) == q.SHARD_PLAN_N
+        assert got["n_docs"].max() <= 2 * got["n_docs"].mean()
