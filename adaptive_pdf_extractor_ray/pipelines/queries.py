@@ -16747,10 +16747,264 @@ group by 1
 
 
 
+EQUIDEPTH_B = 10  # number of equi-depth bins
+
+
+def q_equidepth_bins(sf_dir: str):
+    """Equi-depth feature binning: assign every doc its B-quantile bin
+    of n_chars (SQL ``ntile`` semantics: 1-based, first ``n mod B``
+    bins take the extra row) — the discretization step feature
+    pipelines run before categorical models or stratified sampling.
+    Reuses q_global_rank's no-global-sort decomposition: per-(value,
+    id-bucket) counts -> driver cumsum of base offsets (O(distinct
+    values x buckets), not rows) -> per-group enumeration; the bin is
+    then pure arithmetic floor(rank x B / n) + 1, which reproduces
+    ntile's uneven-remainder split exactly. The id-bucket key is
+    monotone in doc_id, so (value, bucket, id-within) IS the global
+    (value, id) order."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(t["doc_id"], pa.scalar(RANK_BUCKET, pa.int64()))
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    with_bucket = docs.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = (
+        with_bucket.groupby(["n_chars", "bucket"])
+        .aggregate(ray.data.aggregate.Count(alias_name="n"))
+        .take_all()
+    )
+    base: dict[tuple[int, int], int] = {}
+    cum = 0
+    for r in sorted(counts, key=lambda r: (r["n_chars"], r["bucket"])):
+        base[(r["n_chars"], r["bucket"])] = cum
+        cum += r["n"]
+    n_total = cum
+    bref = ray.put(base)
+
+    def bin_group(g: pa.Table) -> pa.Table:
+        offsets = ray.get(bref)
+        g = g.take(pc.sort_indices(g["doc_id"]))
+        start = offsets[(g["n_chars"][0].as_py(), g["bucket"][0].as_py())]
+        bins = [
+            (start + i) * EQUIDEPTH_B // n_total + 1 for i in range(len(g))
+        ]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_chars": g["n_chars"],
+                "bin": pa.array(bins, pa.int64()),
+            }
+        )
+
+    return with_bucket.groupby(["n_chars", "bucket"]).map_groups(
+        bin_group, batch_format="pyarrow"
+    )
+
+
+EQUIDEPTH_SQL = f"""
+select doc_id, n_chars,
+       ntile({EQUIDEPTH_B}) over (order by n_chars, doc_id)::bigint as bin
+from documents
+"""
+
+
+BLOOMJOIN_BITS = 1 << 17
+BLOOMJOIN_K = 4
+
+
+def q_join_bloom_prefilter(sf_dir: str):
+    """Bloom-prefiltered join — the shuffle-volume killer for selective
+    joins: the small (filtered) build side publishes a 16 KiB Bloom
+    filter of its keys; the probe side drops non-members BEFORE the
+    join shuffle, so the all-to-all moves only (true matches + the
+    tunable false-positive residue) instead of the whole fact table.
+    False positives are then removed by the exact bucketed join, so the
+    Bloom is pure optimization — the result (urgent-order revenue by
+    month) equals the plain join, which is exactly what the oracle
+    states. Build: per-batch partial bit positions -> bounded groupby
+    (<= BLOOMJOIN_BITS rows) -> driver bit array -> probe-map closure
+    (plain value, restart-safe). Probe selectivity is logged."""
+    import logging
+
+    import pandas as pd
+
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def key_positions(t: pa.Table) -> pa.Table:
+        pos: set[int] = set()
+        for k in t["o_orderkey"].to_pylist():
+            h = hashlib.md5(str(k).encode()).hexdigest()
+            for j in range(BLOOMJOIN_K):
+                pos.add(int(h[j * 8 : j * 8 + 8], 16) % BLOOMJOIN_BITS)
+        return pa.table({"pos": pa.array(sorted(pos), pa.int64())})
+
+    pos_rows = (
+        od.map_batches(key_positions, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("pos")
+        .count()
+        .take_all()  # <= BLOOMJOIN_BITS rows by construction
+    )
+    bits = np.zeros(BLOOMJOIN_BITS, dtype=bool)
+    bits[[r["pos"] for r in pos_rows]] = True
+
+    def probe(t: pa.Table) -> pa.Table:
+        keep = []
+        for k in t["l_orderkey"].to_pylist():
+            h = hashlib.md5(str(k).encode()).hexdigest()
+            keep.append(
+                all(
+                    bits[int(h[j * 8 : j * 8 + 8], 16) % BLOOMJOIN_BITS]
+                    for j in range(BLOOMJOIN_K)
+                )
+            )
+        kept = t.filter(pa.array(keep, pa.bool_()))
+        if len(t):
+            logging.getLogger(__name__).info(
+                "bloom prefilter: kept %d/%d lineitems", len(kept), len(t)
+            )
+        return kept
+
+    li_f = li.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exact bucketed join of the two reduced sides (q_join_bucketed shape)
+    def tag_orders(t: pa.Table) -> pa.Table:
+        m = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["o_orderkey"], JOIN_BUCKETS - 1),
+                    pa.int64(),
+                ),
+                "key": pc.cast(t["o_orderkey"], pa.int64()),
+                "month": m,
+                "price": pa.nulls(len(t), pa.float64()),
+                "disc": pa.nulls(len(t), pa.float64()),
+                "side": pa.array(["o"] * len(t), pa.string()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["l_orderkey"], JOIN_BUCKETS - 1),
+                    pa.int64(),
+                ),
+                "key": pc.cast(t["l_orderkey"], pa.int64()),
+                "month": pa.nulls(len(t), pa.string()),
+                "price": t["l_extendedprice"],
+                "disc": t["l_discount"],
+                "side": pa.array(["l"] * len(t), pa.string()),
+            }
+        )
+
+    both = od.map_batches(tag_orders, batch_format="pyarrow").union(
+        li_f.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "o"][["key", "month"]]
+        right = g[g["side"] == "l"][["key", "price", "disc"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"month": pd.Series([], dtype="object"),
+                 "rev_micro": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        # integer-cent arithmetic: float Sum order varies with shuffle
+        # arrival and flipped a month's 2-dp total vs the oracle; the
+        # micro-unit (price-cents x discount-percent) sum is exact and
+        # order-free at any scale
+        m["rev_micro"] = (m["price"] * 100).round().astype("int64") * (
+            100 - (m["disc"] * 100).round().astype("int64")
+        )
+        out = m.groupby("month", as_index=False).agg(
+            rev_micro=("rev_micro", "sum"), n=("rev_micro", "size")
+        )
+        return out
+
+    agg = (
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("month")
+        .aggregate(
+            ray.data.aggregate.Sum("rev_micro", alias_name="rev_micro"),
+            ray.data.aggregate.Sum("n", alias_name="n_lineitems"),
+        )
+    )
+    df = agg.to_pandas()
+    # integer half-up to cents BEFORE the float division: pandas .round
+    # is half-to-even, DuckDB round() half-up — a month landing on .xx5
+    # flips between them; (micro + 50) // 100 is unambiguous
+    df["revenue"] = ((df["rev_micro"] + 50) // 100) / 100.0
+    df["n_lineitems"] = df["n_lineitems"].astype("int64")
+    return df[["month", "revenue", "n_lineitems"]]
+
+
+JOIN_BLOOM_SQL = """
+select strftime(o_orderdate, '%Y-%m') as month,
+       ((sum(cast(round(l_extendedprice * 100) as bigint)
+             * (100 - cast(round(l_discount * 100) as bigint))) + 50)
+        // 100) / 100.0 as revenue,
+       count(*)::bigint as n_lineitems
+from orders join lineitem on l_orderkey = o_orderkey
+where o_orderpriority = '1-URGENT'
+group by 1
+"""
+
+
+def q_entity_clusters(sf_dir: str):
+    """Entity consolidation: connected components over the
+    record-linkage match graph (q_entity_resolve's dist<=2 pairs) —
+    every matched record gets its cluster representative (min rec_id),
+    the 'golden record' id a master-data pipeline would merge into.
+    Reuses the size-routed components machinery of the dedup chain
+    (one union-find task under the small limit, join+groupby-min label
+    propagation beyond); the oracle replays the chain with the same
+    recursive CTE as the near-dup clusters."""
+    pairs = q_entity_resolve(sf_dir).select_columns(["a", "b"])
+    cc = dd.connected_components(pairs)
+    return cc.map_batches(
+        lambda t: t.rename_columns(["rec_id", "rep_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def entity_clusters_oracle_sql(rec_dir: str) -> str:
+    return f"""
+with pairs as ({entity_resolve_oracle_sql(rec_dir)}),
+edges as (select a as src, b as dst from pairs
+          union select b, a from pairs)
+select node as rec_id, rep_id from (
+  with recursive cc(node, reached) as (
+    select src, src from edges
+    union
+    select cc.node, e.dst from cc join edges e on e.src = cc.reached
+  )
+  select node, min(reached) as rep_id from cc group by node
+)
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "equidepth_bins": q_equidepth_bins,
+    "join_bloom_prefilter": q_join_bloom_prefilter,
+    "entity_clusters": q_entity_clusters,
     "html_to_markdown": q_html_to_markdown,
     "t_closeness": q_t_closeness,
     "shard_plan": q_shard_plan,
@@ -19767,6 +20021,9 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["equidepth_bins"] = EQUIDEPTH_SQL
+    out["join_bloom_prefilter"] = JOIN_BLOOM_SQL
+    out["entity_clusters"] = entity_clusters_oracle_sql(er_corpus())
     out["html_to_markdown"] = html_to_markdown_oracle_sql(struct_dir)
     out["t_closeness"] = T_CLOSENESS_SQL
     out["shard_plan"] = SHARD_PLAN_SQL

@@ -232,6 +232,9 @@ BENCH_QUERIES = [
     "html_to_markdown",
     "t_closeness",
     "shard_plan",
+    "equidepth_bins",
+    "join_bloom_prefilter",
+    "entity_clusters",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

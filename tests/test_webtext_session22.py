@@ -471,3 +471,88 @@ class TestShardPlan:
         got = q.q_shard_plan(SF).to_pandas()
         assert len(got) == q.SHARD_PLAN_N
         assert got["n_docs"].max() <= 2 * got["n_docs"].mean()
+
+
+class TestEquidepthBins:
+    def test_matches_ntile_reference(self, ray_session):
+        got = (
+            q.q_equidepth_bins(SF)
+            .to_pandas()
+            .sort_values(["n_chars", "doc_id"])
+            .reset_index(drop=True)
+        )
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pandas().sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        n = len(docs)
+        docs["bin"] = [r * q.EQUIDEPTH_B // n + 1 for r in range(n)]
+        assert (got["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+        assert (got["bin"].to_numpy() == docs["bin"].to_numpy()).all()
+
+    def test_bins_are_equi_depth(self, ray_session):
+        got = q.q_equidepth_bins(SF).to_pandas()
+        sizes = got.groupby("bin").size()
+        assert len(sizes) == q.EQUIDEPTH_B
+        assert sizes.max() - sizes.min() <= 1  # ntile's remainder rule
+
+
+class TestJoinBloomPrefilter:
+    def test_matches_plain_join(self, ray_session):
+        got = (
+            q.q_join_bloom_prefilter(SF)
+            .sort_values("month")
+            .reset_index(drop=True)
+        )
+        od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        od = od[od["o_orderpriority"] == "1-URGENT"]
+        m = od.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        m["month"] = m["o_orderdate"].dt.strftime("%Y-%m")
+        m["micro"] = (m["l_extendedprice"] * 100).round().astype("int64") * (
+            100 - (m["l_discount"] * 100).round().astype("int64")
+        )
+        want = m.groupby("month").agg(
+            micro=("micro", "sum"), n_lineitems=("micro", "size")
+        ).reset_index().sort_values("month").reset_index(drop=True)
+        want["revenue"] = ((want["micro"] + 50) // 100) / 100.0
+        assert (got["month"] == want["month"]).all()
+        assert (got["revenue"] == want["revenue"]).all()
+        assert (got["n_lineitems"].to_numpy()
+                == want["n_lineitems"].to_numpy()).all()
+
+    def test_bloom_never_drops_true_matches(self, ray_session):
+        """The Bloom guarantee that makes the prefilter safe: zero false
+        negatives — every urgent order's lineitems survive (checked via
+        the count column equaling the unfiltered join's)."""
+        got = q.q_join_bloom_prefilter(SF)
+        od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        keys = set(od.loc[od["o_orderpriority"] == "1-URGENT", "o_orderkey"])
+        n_true = int(li["l_orderkey"].isin(keys).sum())
+        assert int(got["n_lineitems"].sum()) == n_true
+
+
+class TestEntityClusters:
+    def test_components_match_reference_union_find(self, ray_session):
+        got = q.q_entity_clusters(SF).to_pandas()
+        pairs = q.q_entity_resolve(SF).to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["a"], pairs["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        got_map = dict(zip(got["rec_id"], got["rep_id"]))
+        assert got_map == want
+
+    def test_reps_are_cluster_minima(self, ray_session):
+        got = q.q_entity_clusters(SF).to_pandas()
+        assert (got.groupby("rep_id")["rec_id"].min().to_numpy()
+                == got.groupby("rep_id")["rep_id"].first().to_numpy()).all()
