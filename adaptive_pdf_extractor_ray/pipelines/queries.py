@@ -16998,10 +16998,288 @@ select node as rec_id, rep_id from (
 
 
 
+_DOMAIN_RE = re.compile(r"https://([^/]+)/")
+_PAGE_ID_RE = re.compile(r"p(\d+)$")
+
+
+def q_domain_pagerank(sf_dir: str):
+    """Domain-level PageRank by GRAPH COARSENING: aggregate the page
+    multigraph to weighted domain edges (one distributed groupby — the
+    only corpus-sized step), then run the exact integer fixed-point on
+    the coarsened graph, which is bounded by the DOMAIN alphabet (~10^7
+    on the real web vs 10^12 pages — the coarsen-then-solve pattern that
+    makes host-level rank computable at all). Same integer 1e-9-unit
+    arithmetic as q_pagerank (PR_SCALE / 85:100 damping, floor division
+    per edge), weighted by edge multiplicity; the oracle unrolls the
+    identical recurrence in SQL, so the fixed point is bit-equal."""
+    edges = _outlinks_ds(link_corpus())
+
+    def to_domains(t: pa.Table) -> pa.Table:
+        sd = pc.extract_regex(t["src"], pattern=r"https://(?P<dom>[^/]+)/")
+        dd_ = pc.extract_regex(t["dst"], pattern=r"https://(?P<dom>[^/]+)/")
+        return pa.table(
+            {
+                "sdom": pc.struct_field(sd, "dom"),
+                "ddom": pc.struct_field(dd_, "dom"),
+            }
+        )
+
+    w = (
+        edges.map_batches(to_domains, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby(["sdom", "ddom"])
+        .aggregate(ray.data.aggregate.Count(alias_name="w"))
+        .take_all()
+    )  # O(domains^2) upper bound, O(observed domain pairs) actual
+    doms = sorted({r["sdom"] for r in w} | {r["ddom"] for r in w})
+    ndom = len(doms)
+    tw: dict[str, int] = {}
+    for r in w:
+        tw[r["sdom"]] = tw.get(r["sdom"], 0) + r["w"]
+    rank = {d: PR_SCALE // ndom for d in doms}
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * ndom)
+    for _ in range(PR_ITERS):
+        contrib = {d: 0 for d in doms}
+        for r in w:
+            contrib[r["ddom"]] += rank[r["sdom"]] * r["w"] // tw[r["sdom"]]
+        rank = {
+            d: base + PR_DAMP_NUM * contrib[d] // PR_DAMP_DEN for d in doms
+        }
+    return pa.table(
+        {
+            "domain": pa.array(doms, pa.string()),
+            "rank_e9": pa.array([rank[d] for d in doms], pa.int64()),
+        }
+    )
+
+
+def domain_pagerank_oracle_sql(pages_dir: str) -> str:
+    prev = "r0"
+    rounds = []
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(f"""
+r{i} as (
+  select d.d,
+         {PR_SCALE}::hugeint * ({PR_DAMP_DEN} - {PR_DAMP_NUM})
+           // ({PR_DAMP_DEN} * (select n from n))
+         + {PR_DAMP_NUM} * coalesce((
+             select sum({prev}.r * w.w // ws.tw)
+             from w join {prev} on {prev}.d = w.sdom
+                    join ws on ws.sdom = w.sdom
+             where w.ddom = d.d), 0) // {PR_DAMP_DEN} as r
+  from doms d)""")
+        prev = f"r{i}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+with e as (
+  select regexp_extract(src, 'https://([^/]+)/', 1) as sdom,
+         regexp_extract(dst, 'https://([^/]+)/', 1) as ddom
+  from ({outlinks_oracle_sql(pages_dir)})),
+w as (select sdom, ddom, count(*)::hugeint as w from e group by 1, 2),
+ws as (select sdom, sum(w)::hugeint as tw from w group by 1),
+doms as (select distinct sdom as d from w
+         union select distinct ddom from w),
+n as (select count(*)::hugeint as n from doms),
+r0 as (select d, {PR_SCALE}::hugeint // (select n from n) as r from doms),
+{rounds_sql}
+select d as domain, r::bigint as rank_e9 from {prev}
+"""
+
+
+NEG_CAND_T = 8  # deterministic candidate probes per node
+NEG_PER_NODE = 3  # negatives kept per node
+
+
+def q_graph_negative_edges(sf_dir: str):
+    """Negative-edge sampling for link-prediction training (the GNN /
+    graph-embedding data-prep step): for every page node, probe
+    NEG_CAND_T arithmetic candidates j = (i*131 + t*257 + 13) mod n
+    (reproducible across runs/engines — no RNG state), drop self-loops
+    and TRUE edges (zero false negatives, the property that matters),
+    keep the first NEG_PER_NODE survivors in probe order. The
+    true-edge check is one bounded groupby((a, b)) against the distinct
+    edge set — candidate volume is O(nodes x T), never node-squared;
+    per-node finishing groups are bounded by T."""
+    pages_dir = link_corpus()
+    n = LINK_N
+
+    def candidates(t: pa.Table) -> pa.Table:
+        out_i, out_t, out_j = [], [], []
+        for u in t["url"].to_pylist():
+            i = int(_PAGE_ID_RE.search(u).group(1))
+            for tt in range(NEG_CAND_T):
+                j = (i * 131 + tt * 257 + 13) % n
+                if j != i:
+                    out_i.append(i)
+                    out_t.append(tt)
+                    out_j.append(j)
+        return pa.table(
+            {
+                "a": pa.array(out_i, pa.int64()),
+                "t": pa.array(out_t, pa.int64()),
+                "b": pa.array(out_j, pa.int64()),
+                "kind": pa.array(["cand"] * len(out_i), pa.string()),
+            }
+        )
+
+    cand = rd.read_parquet(pages_dir, columns=["url"]).map_batches(
+        candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def edge_ids(t: pa.Table) -> pa.Table:
+        a = [int(_PAGE_ID_RE.search(u).group(1))
+             for u in t["src"].to_pylist()]
+        b = [int(_PAGE_ID_RE.search(u).group(1))
+             for u in t["dst"].to_pylist()]
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "t": pa.array([-1] * len(a), pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "kind": pa.array(["edge"] * len(a), pa.string()),
+            }
+        )
+
+    edges = _outlinks_ds(pages_dir).map_batches(
+        edge_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        # one (a, b) pair's rows: candidates survive iff no edge row
+        if "edge" in g["kind"].to_pylist():
+            return pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "t": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64())}
+            )
+        g = g.take(pc.sort_indices(g["t"]))
+        return g.select(["a", "t", "b"]).slice(0, 1)  # distinct candidate
+
+    survivors = cand.union(edges).groupby(["a", "b"]).map_groups(
+        anti, batch_format="pyarrow"
+    )
+
+    def per_node(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g["t"]))
+        g = g.slice(0, NEG_PER_NODE)
+        return pa.table(
+            {
+                "src_id": g["a"],
+                "neg_id": g["b"],
+                "t": g["t"],
+            }
+        )
+
+    return survivors.groupby("a").map_groups(
+        per_node, batch_format="pyarrow"
+    )
+
+
+def graph_negative_edges_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with pages as (
+  select cast(regexp_extract(url, 'p(\\d+)$', 1) as bigint) as i
+  from read_parquet('{pages_dir}/*.parquet')),
+edges as (
+  select distinct
+         cast(regexp_extract(src, 'p(\\d+)$', 1) as bigint) as a,
+         cast(regexp_extract(dst, 'p(\\d+)$', 1) as bigint) as b
+  from ({outlinks_oracle_sql(pages_dir)})),
+cand as (
+  select i, t, (i * 131 + t * 257 + 13) % {LINK_N} as j
+  from pages cross join (select unnest(range({NEG_CAND_T})) as t)),
+filt as (
+  select i, j, min(t) as t from cand
+  where j <> i and not exists
+    (select 1 from edges e where e.a = cand.i and e.b = cand.j)
+  group by i, j),
+ranked as (
+  select *, row_number() over (partition by i order by t) as rn
+  from filt)
+select i as src_id, j as neg_id, t::bigint as t
+from ranked where rn <= {NEG_PER_NODE}
+"""
+
+
+def q_score_calibrate(sf_dir: str):
+    """Per-source score calibration by percentile rank: each doc's
+    n_chars mapped to its WITHIN-SOURCE percentile (integer ppm of
+    row_number-1 over n_source-1) — the normalization a curation
+    pipeline applies before one global quality threshold so that a
+    verbose source and a terse one are cut at the same RELATIVE depth.
+    Same no-global-sort rank decomposition as q_global_rank, partitioned
+    by source: per-(source, value, id-bucket) counts -> driver cumsum
+    within source (O(distinct keys), not rows; the tree-prefix-sum
+    upgrade applies past driver scale) -> per-group enumeration +
+    integer ppm. Single-row sources calibrate to 0, like SQL."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(t["doc_id"], pa.scalar(RANK_BUCKET, pa.int64()))
+        return t.append_column("bucket", pc.cast(b, pa.int64()))
+
+    with_bucket = docs.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = (
+        with_bucket.groupby(["source", "n_chars", "bucket"])
+        .aggregate(ray.data.aggregate.Count(alias_name="n"))
+        .take_all()
+    )
+    base: dict[tuple[str, int, int], int] = {}
+    totals: dict[str, int] = {}
+    for r in sorted(
+        counts, key=lambda r: (r["source"], r["n_chars"], r["bucket"])
+    ):
+        key = (r["source"], r["n_chars"], r["bucket"])
+        base[key] = totals.get(r["source"], 0)
+        totals[r["source"]] = base[key] + r["n"]
+    bref = ray.put((base, totals))
+
+    def calibrate(g: pa.Table) -> pa.Table:
+        offsets, tot = ray.get(bref)
+        g = g.take(pc.sort_indices(g["doc_id"]))
+        src = g["source"][0].as_py()
+        start = offsets[(src, g["n_chars"][0].as_py(),
+                         g["bucket"][0].as_py())]
+        n_src = tot[src]
+        ppm = [
+            (start + i) * 1_000_000 // (n_src - 1) if n_src > 1 else 0
+            for i in range(len(g))
+        ]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "calibrated_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return with_bucket.groupby(["source", "n_chars", "bucket"]).map_groups(
+        calibrate, batch_format="pyarrow"
+    )
+
+
+SCORE_CALIBRATE_SQL = """
+select doc_id, source,
+       case when count(*) over (partition by source) > 1
+            then (row_number() over
+                    (partition by source order by n_chars, doc_id) - 1)
+                 * 1000000
+                 // (count(*) over (partition by source) - 1)
+            else 0 end::bigint as calibrated_ppm
+from documents
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "domain_pagerank": q_domain_pagerank,
+    "graph_negative_edges": q_graph_negative_edges,
+    "score_calibrate": q_score_calibrate,
     "equidepth_bins": q_equidepth_bins,
     "join_bloom_prefilter": q_join_bloom_prefilter,
     "entity_clusters": q_entity_clusters,
@@ -20021,6 +20299,10 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["domain_pagerank"] = domain_pagerank_oracle_sql(link_corpus())
+    out["graph_negative_edges"] = graph_negative_edges_oracle_sql(
+        link_corpus())
+    out["score_calibrate"] = SCORE_CALIBRATE_SQL
     out["equidepth_bins"] = EQUIDEPTH_SQL
     out["join_bloom_prefilter"] = JOIN_BLOOM_SQL
     out["entity_clusters"] = entity_clusters_oracle_sql(er_corpus())

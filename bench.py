@@ -235,6 +235,9 @@ BENCH_QUERIES = [
     "equidepth_bins",
     "join_bloom_prefilter",
     "entity_clusters",
+    "domain_pagerank",
+    "graph_negative_edges",
+    "score_calibrate",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -556,3 +556,81 @@ class TestEntityClusters:
         got = q.q_entity_clusters(SF).to_pandas()
         assert (got.groupby("rep_id")["rec_id"].min().to_numpy()
                 == got.groupby("rep_id")["rep_id"].first().to_numpy()).all()
+
+
+class TestDomainPagerank:
+    def test_matches_numpy_weighted_fixed_point(self, ray_session):
+        got = q.q_domain_pagerank(SF).to_pandas().set_index("domain")
+        edges = q.q_outlinks(SF).to_pandas()
+        edges["sdom"] = edges["src"].str.extract(r"https://([^/]+)/")
+        edges["ddom"] = edges["dst"].str.extract(r"https://([^/]+)/")
+        w = edges.groupby(["sdom", "ddom"]).size()
+        doms = sorted(set(w.index.get_level_values(0))
+                      | set(w.index.get_level_values(1)))
+        tw = w.groupby(level=0).sum()
+        n = len(doms)
+        rank = {d: q.PR_SCALE // n for d in doms}
+        base = (q.PR_SCALE * (q.PR_DAMP_DEN - q.PR_DAMP_NUM)) // (
+            q.PR_DAMP_DEN * n
+        )
+        for _ in range(q.PR_ITERS):
+            contrib = {d: 0 for d in doms}
+            for (s, d), ww in w.items():
+                contrib[d] += rank[s] * int(ww) // int(tw[s])
+            rank = {d: base + q.PR_DAMP_NUM * contrib[d] // q.PR_DAMP_DEN
+                    for d in doms}
+        for d in doms:
+            assert got.loc[d, "rank_e9"] == rank[d], d
+
+    def test_hub_domain_dominates(self, ray_session):
+        """site0 hosts page 0 (every third page links to it) — the
+        coarsened graph must rank it first."""
+        got = q.q_domain_pagerank(SF).to_pandas()
+        top = got.sort_values("rank_e9", ascending=False).iloc[0]
+        assert top["domain"] == "site0.example"
+
+
+class TestGraphNegativeEdges:
+    def test_no_true_edges_and_deterministic(self, ray_session):
+        got = q.q_graph_negative_edges(SF).to_pandas()
+        edges = q.q_outlinks(SF).to_pandas()
+        true_pairs = {
+            (int(s.rsplit("p", 1)[1]), int(d.rsplit("p", 1)[1]))
+            for s, d in zip(edges["src"], edges["dst"])
+        }
+        assert not any(
+            (a, b) in true_pairs for a, b in zip(got["src_id"], got["neg_id"])
+        )
+        assert (got["src_id"] != got["neg_id"]).all()
+        assert got.groupby("src_id").size().max() <= q.NEG_PER_NODE
+        # candidate arithmetic reproduced
+        for _, r in got.head(30).iterrows():
+            assert (r["src_id"] * 131 + r["t"] * 257 + 13) % q.LINK_N \
+                == r["neg_id"]
+
+    def test_probe_order_kept(self, ray_session):
+        got = q.q_graph_negative_edges(SF).to_pandas()
+        for _, g in got.groupby("src_id"):
+            ts = list(g.sort_values("t")["t"])
+            assert ts == sorted(ts) and len(set(ts)) == len(ts)
+
+
+class TestScoreCalibrate:
+    def test_matches_pandas_percent_rank(self, ray_session):
+        got = q.q_score_calibrate(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        ).to_pandas()
+        for _, grp in docs.groupby("source"):
+            grp = grp.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+            n = len(grp)
+            for r, (_, row) in enumerate(grp.iterrows()):
+                want = r * 1_000_000 // (n - 1) if n > 1 else 0
+                assert got.loc[row["doc_id"], "calibrated_ppm"] == want
+
+    def test_calibration_spans_full_range(self, ray_session):
+        got = q.q_score_calibrate(SF).to_pandas()
+        per_src = got.groupby("source")["calibrated_ppm"]
+        assert (per_src.min() == 0).all()
+        assert (per_src.max() == 1_000_000).all()  # all sources have >1 doc
