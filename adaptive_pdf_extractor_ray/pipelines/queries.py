@@ -16838,13 +16838,27 @@ def q_join_bloom_prefilter(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
 
+    def _positions(keys: np.ndarray) -> np.ndarray:
+        """(n, K) Bloom bit positions via vectorized splitmix64 double
+        hashing — engine-internal (false positives die in the exact
+        join), so the hash needs no SQL twin; the md5 loop this
+        replaces was 4.6 s of the op's 4.6 s at sf0.1."""
+        x = keys.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        h1 = x >> np.uint64(32)
+        h2 = x | np.uint64(1)
+        js = np.arange(BLOOMJOIN_K, dtype=np.uint64)
+        return (
+            (h1[:, None] + js[None, :] * h2[:, None])
+            % np.uint64(BLOOMJOIN_BITS)
+        ).astype(np.int64)
+
     def key_positions(t: pa.Table) -> pa.Table:
-        pos: set[int] = set()
-        for k in t["o_orderkey"].to_pylist():
-            h = hashlib.md5(str(k).encode()).hexdigest()
-            for j in range(BLOOMJOIN_K):
-                pos.add(int(h[j * 8 : j * 8 + 8], 16) % BLOOMJOIN_BITS)
-        return pa.table({"pos": pa.array(sorted(pos), pa.int64())})
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.unique(_positions(keys))
+        return pa.table({"pos": pa.array(pos, pa.int64())})
 
     pos_rows = (
         od.map_batches(key_positions, batch_format="pyarrow",
@@ -16857,16 +16871,9 @@ def q_join_bloom_prefilter(sf_dir: str):
     bits[[r["pos"] for r in pos_rows]] = True
 
     def probe(t: pa.Table) -> pa.Table:
-        keep = []
-        for k in t["l_orderkey"].to_pylist():
-            h = hashlib.md5(str(k).encode()).hexdigest()
-            keep.append(
-                all(
-                    bits[int(h[j * 8 : j * 8 + 8], 16) % BLOOMJOIN_BITS]
-                    for j in range(BLOOMJOIN_K)
-                )
-            )
-        kept = t.filter(pa.array(keep, pa.bool_()))
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = bits[_positions(keys)].all(axis=1)
+        kept = t.filter(pa.array(keep))
         if len(t):
             logging.getLogger(__name__).info(
                 "bloom prefilter: kept %d/%d lineitems", len(kept), len(t)
@@ -17273,10 +17280,239 @@ from documents
 
 
 
+WAU_WINDOW = 7  # trailing days in the rolling active-user window
+
+
+def q_wau_rolling(sf_dir: str):
+    """Rolling 7-day active users (WAU) per calendar day — the
+    engagement metric every event pipeline reports next to DAU. Exact
+    and shuffle-bounded: dedupe to DISTINCT (user, day) per batch
+    before the first shuffle, fan each active-day out to the <= W
+    window days it contributes to, dedupe (window_day, user) with one
+    groupby (shuffle is O(active-user-days x W) counters, never raw
+    events), and count per day. Days with no events in range simply
+    don't appear (same semantics as the oracle's join)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_days(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        di = pc.divide(
+            pc.cast(day, pa.int64()), pa.scalar(86_400_000_000, pa.int64())
+        )
+        return (
+            pa.table({"user_id": t["user_id"], "day_i": di})
+            .group_by(["user_id", "day_i"])
+            .aggregate([])
+        )
+
+    ud = (
+        ds.map_batches(to_days, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["user_id", "day_i"])
+        .count()  # distinct via Count aggregate (round-3 ADVICE shape)
+        .select_columns(["user_id", "day_i"])
+    )
+    day_rows = ud.groupby("day_i").count().take_all()
+    days_present = {r["day_i"] for r in day_rows}  # O(calendar days)
+    dref = ray.put(days_present)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        present = ray.get(dref)
+        us, ws = [], []
+        for u, d in zip(t["user_id"].to_pylist(), t["day_i"].to_pylist()):
+            for k in range(WAU_WINDOW):
+                if d + k in present:
+                    us.append(u)
+                    ws.append(d + k)
+        return (
+            pa.table(
+                {
+                    "user_id": pa.array(us, pa.int64()),
+                    "wd": pa.array(ws, pa.int64()),
+                }
+            )
+            .group_by(["user_id", "wd"])
+            .aggregate([])
+        )
+
+    win = (
+        ud.map_batches(fan_out, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["user_id", "wd"])
+        .count()
+        .select_columns(["user_id", "wd"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import datetime as _dtt
+
+        days = [
+            (_dtt.date(1970, 1, 1) + _dtt.timedelta(days=int(d))).isoformat()
+            for d in t["wd"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "day": pa.array(days, pa.string()),
+                "wau": pc.cast(t["count()"], pa.int64()),
+            }
+        )
+
+    return (
+        win.groupby("wd")
+        .count()
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+WAU_ROLLING_SQL = f"""
+with ud as (select distinct user_id, ts::date as day from events),
+days as (select distinct day from ud),
+win as (
+  select distinct d.day, u.user_id
+  from days d join ud u on u.day between d.day - {WAU_WINDOW - 1} and d.day)
+select strftime(day, '%Y-%m-%d') as day, count(*)::bigint as wau
+from win group by 1
+"""
+
+
+def q_hll_cumulative(sf_dir: str):
+    """Cumulative distinct users per day from a mergeable HLL sketch —
+    the growth-curve op ("how many unique users ever, as of each day")
+    that exact counting cannot stream: per-batch partials emit <= 64
+    (day, register, rank) rows, one bounded groupby maxes registers per
+    day, and the driver prefix-maxes the O(calendar-days x 64) register
+    table (days are calendar-bounded at any corpus scale) before
+    running the standard estimator per day. The register prefix-max IS
+    the HLL union law, so day d's estimate equals a sketch built from
+    scratch over all events <= d. Same deterministic md5 hashing and
+    exact-integer estimator as approx_distinct_hll, replayed per-day by
+    the oracle."""
+    from ..stages import sketch as sk
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        di = pc.divide(
+            pc.cast(day, pa.int64()), pa.scalar(86_400_000_000, pa.int64())
+        )
+        out_d, out_j, out_r = [], [], []
+        per_day: dict[int, dict[int, int]] = {}
+        for u, d in zip(t["user_id"].to_pylist(), di.to_pylist()):
+            if u is None:
+                continue
+            hv = sk._h60(u)  # the sketch module's md5-hex convention
+            j = hv >> sk._HLL_SUFFIX_BITS
+            rank = sk.hll_rank(hv & ((1 << sk._HLL_SUFFIX_BITS) - 1))
+            regs = per_day.setdefault(d, {})
+            if rank > regs.get(j, 0):
+                regs[j] = rank
+        for d, regs in per_day.items():
+            for j, r in regs.items():
+                out_d.append(d)
+                out_j.append(j)
+                out_r.append(r)
+        return pa.table(
+            {
+                "day_i": pa.array(out_d, pa.int64()),
+                "j": pa.array(out_j, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["day_i", "j"])
+        .max("rank")
+        .take_all()
+    )  # O(days x 64)
+    days = sorted({r["day_i"] for r in rows})
+    by_day: dict[int, dict[int, int]] = {d: {} for d in days}
+    for r in rows:
+        by_day[r["day_i"]][r["j"]] = r["max(rank)"]
+    import datetime as _dtt
+
+    regs = [0] * sk.HLL_M
+    out_day, out_est = [], []
+    for d in days:
+        for j, rk in by_day[d].items():
+            if rk > regs[j]:
+                regs[j] = rk
+        est_t = sk.hll_estimate_batch(
+            pa.table(
+                {
+                    "j": pa.array(range(sk.HLL_M), pa.int64()),
+                    "rank": pa.array(regs, pa.int64()),
+                }
+            )
+        )
+        out_day.append(
+            (_dtt.date(1970, 1, 1) + _dtt.timedelta(days=int(d))).isoformat()
+        )
+        out_est.append(est_t["est_distinct"][0].as_py())
+    return pa.table(
+        {
+            "day": pa.array(out_day, pa.string()),
+            "est_users": pa.array(out_est, pa.float64()),
+        }
+    )
+
+
+def hll_cumulative_oracle_sql() -> str:
+    from ..stages import sketch as sk
+
+    suffix = sk._HLL_SUFFIX_BITS
+    cases = [f"when w = 0 then {suffix + 1}"]
+    for k in range(suffix - 1, -1, -1):
+        cases.append(f"when w >= {1 << k} then {suffix - k}")
+    rank_case = "case " + " ".join(cases) + " end"
+    num = repr(sk.HLL_NUM)
+    return f"""
+with ev as (
+  select distinct user_id, ts::date as day from events
+  where user_id is not null),
+days as (select distinct day from ev),
+h as (
+  select day,
+    ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::ubigint::bigint
+      as hv
+  from ev),
+rw as (select day, hv >> {suffix} as j,
+              hv & {(1 << suffix) - 1} as w from h),
+mr as (
+  select d.day, rw.j, max({rank_case}) as m_j
+  from days d join rw on rw.day <= d.day
+  group by d.day, rw.j),
+regs as (
+  select d.day, t.j, coalesce(mr.m_j, 0) as m_j
+  from days d
+  cross join (select unnest(generate_series(0, {sk.HLL_M - 1})) as j) t
+  left join mr on mr.day = d.day and mr.j = t.j),
+s as (select day,
+             sum(1::bigint << ({suffix + 1} - m_j))::bigint as s_scaled,
+             sum(case when m_j = 0 then 1 else 0 end)::bigint as v_zero
+      from regs group by day)
+select strftime(day, '%Y-%m-%d') as day,
+       round(case when {num} / s_scaled <= {2.5 * sk.HLL_M}
+                   and v_zero > 0
+                  then {sk.HLL_M} * ln({sk.HLL_M}.0 / v_zero)
+                  else {num} / s_scaled end, 6) as est_users
+from s
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "wau_rolling": q_wau_rolling,
+    "hll_cumulative": q_hll_cumulative,
     "domain_pagerank": q_domain_pagerank,
     "graph_negative_edges": q_graph_negative_edges,
     "score_calibrate": q_score_calibrate,
@@ -20299,6 +20535,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["wau_rolling"] = WAU_ROLLING_SQL
+    out["hll_cumulative"] = hll_cumulative_oracle_sql()
     out["domain_pagerank"] = domain_pagerank_oracle_sql(link_corpus())
     out["graph_negative_edges"] = graph_negative_edges_oracle_sql(
         link_corpus())

@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "domain_pagerank",
     "graph_negative_edges",
     "score_calibrate",
+    "wau_rolling",
+    "hll_cumulative",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

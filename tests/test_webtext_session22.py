@@ -634,3 +634,62 @@ class TestScoreCalibrate:
         per_src = got.groupby("source")["calibrated_ppm"]
         assert (per_src.min() == 0).all()
         assert (per_src.max() == 1_000_000).all()  # all sources have >1 doc
+
+
+class TestWauRolling:
+    def test_matches_pandas_window(self, ray_session):
+        got = q.q_wau_rolling(SF).to_pandas().set_index("day").sort_index()
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["day"] = ev["ts"].dt.date
+        ud = ev[["user_id", "day"]].drop_duplicates()
+        days = sorted(ud["day"].unique())
+        import datetime as dt
+        for d in days:
+            lo = d - dt.timedelta(days=q.WAU_WINDOW - 1)
+            users = ud.loc[(ud["day"] >= lo) & (ud["day"] <= d), "user_id"]
+            assert got.loc[d.isoformat(), "wau"] == users.nunique()
+
+    def test_wau_at_least_dau(self, ray_session):
+        got = q.q_wau_rolling(SF).to_pandas().set_index("day")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+        ev["day"] = ev["ts"].dt.date
+        dau = ev.groupby("day")["user_id"].nunique()
+        for d, n in dau.items():
+            assert got.loc[d.isoformat(), "wau"] >= n
+
+
+class TestHllCumulative:
+    def test_monotone_and_converges_to_full_sketch(self, ray_session):
+        got = q.q_hll_cumulative(SF).to_pandas().sort_values("day")
+        ests = got["est_users"].to_numpy()
+        assert (np.diff(ests) >= 0).all()  # union law: never shrinks
+
+    def test_final_day_matches_scratch_sketch(self, ray_session):
+        from adaptive_pdf_extractor_ray.stages import sketch as sk
+        got = q.q_hll_cumulative(SF).to_pandas().sort_values("day")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id"]).to_pandas()
+        regs = {}
+        for u in ev["user_id"]:
+            hv = sk._h60(int(u))
+            j = hv >> sk._HLL_SUFFIX_BITS
+            r = sk.hll_rank(hv & ((1 << sk._HLL_SUFFIX_BITS) - 1))
+            if r > regs.get(j, 0):
+                regs[j] = r
+        import pyarrow as pa
+        est = sk.hll_estimate_batch(pa.table({
+            "j": pa.array(range(sk.HLL_M), pa.int64()),
+            "rank": pa.array([regs.get(j, 0) for j in range(sk.HLL_M)],
+                             pa.int64()),
+        }))["est_distinct"][0].as_py()
+        assert got["est_users"].iloc[-1] == est
+
+    def test_estimate_near_truth(self, ray_session):
+        got = q.q_hll_cumulative(SF).to_pandas().sort_values("day")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id"]).to_pandas()
+        truth = ev["user_id"].nunique()
+        # 64 registers -> ~13% standard error; fixture has few users
+        assert abs(got["est_users"].iloc[-1] - truth) / truth < 0.5
