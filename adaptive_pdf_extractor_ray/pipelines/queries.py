@@ -17507,10 +17507,230 @@ from s
 
 
 
+SPAN_DIV = 16  # anchor sampling rate: keep window-hashes ≡ 0 mod 16
+
+
+def q_match_spans(sf_dir: str):
+    """Copy-span LOCALIZATION (the attribution step after dedup flags a
+    pair): sample content-defined anchor positions — byte positions
+    whose 16-byte rolling window hash is ≡ 0 mod SPAN_DIV, the same
+    ``_rolling_accs`` recurrence CDC chunking uses, so anchors move
+    WITH the content under edits — and join anchors across docs on the
+    window hash. Every emitted (a, b, a_pos, b_pos) row is a 16-byte
+    verbatim match between the two docs at those positions; runs of
+    consecutive rows trace out the shared span. Dataflow: stateless
+    anchor scan -> one groupby(anchor) with per-group pairing (hot
+    anchors = corpus-wide boilerplate windows; the group is capped by
+    the same star-collapse argument as the LSH buckets — here the
+    word-soup fixture peaks at ~30 docs/anchor so the exact pairing is
+    itself the oracle semantics). The oracle replays the identical
+    HUGEINT recurrence (shared CTE head with cdc_dedup) and the same
+    equi-join."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def anchors(t: pa.Table) -> pa.Table:
+        ids_out, t_out, a_out = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            data = (txt or "").encode("utf-8")
+            n = len(data)
+            if n == 0:
+                continue
+            w = min(tx.CDC_WINDOW, n)
+            h = tx._rolling_accs(
+                np.frombuffer(data, dtype=np.uint8).astype(np.uint64), w
+            )
+            for tt in range(w, n + 1):
+                acc = int(h[tt - w])
+                if acc % SPAN_DIV == 0:
+                    ids_out.append(did)
+                    t_out.append(tt)
+                    a_out.append(acc)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "pos": pa.array(t_out, pa.int64()),
+                "anchor": pa.array(a_out, pa.int64()),
+            }
+        )
+
+    anc = docs.map_batches(
+        anchors, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pair_anchor(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("doc_id", "ascending"), ("pos", "ascending")]
+        )
+        g = g.take(order)
+        ids = g["doc_id"].to_pylist()
+        poss = g["pos"].to_pylist()
+        acc = g["anchor"][0].as_py()
+        a, b, ap, bp = [], [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue  # same-doc repeat, not a cross-doc match
+                a.append(ids[i])
+                b.append(ids[j])
+                ap.append(poss[i])
+                bp.append(poss[j])
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "a_pos": pa.array(ap, pa.int64()),
+                "b_pos": pa.array(bp, pa.int64()),
+                "anchor": pa.array([acc] * len(a), pa.int64()),
+            }
+        )
+
+    return anc.groupby("anchor").map_groups(
+        pair_anchor, batch_format="pyarrow"
+    )
+
+
+def match_spans_oracle_sql() -> str:
+    base = _rolling_oracle_sql()
+    head = base[: base.index("fp as (")]
+    return head + f"""
+anchors as (
+  select r.doc_id, r.t as pos, r.acc
+  from r join s2 using (doc_id)
+  where r.t >= s2.w and r.acc % {SPAN_DIV} = 0)
+select xa.doc_id as a, xb.doc_id as b,
+       xa.pos as a_pos, xb.pos as b_pos,
+       xa.acc::bigint as anchor
+from anchors xa
+join anchors xb on xa.acc = xb.acc and xa.doc_id < xb.doc_id
+"""
+
+
+MERGE_INS_N = 50  # synthetic inserts in the deterministic delta
+
+
+def q_merge_upserts(sf_dir: str):
+    """Lakehouse MERGE (upsert + tombstone-delete + insert) as one
+    bounded-group dataflow — the snapshot-maintenance op between full
+    recrawls: base rows and delta rows union TAGGED, ONE groupby(key)
+    with <= 2 rows per group resolves precedence (delete beats update
+    beats base; inserts have no base row), exactly the snapshot_diff
+    decomposition. The delta here is derived deterministically from the
+    base (update doc_id%10, delete doc_id%17 — delete wins the overlap
+    — insert MERGE_INS_N fresh keys), so both engines state the same
+    MERGE without a fixture. Output carries row_version (0 base kept /
+    1 delta applied) — the audit column an incremental pipeline
+    checkpoints."""
+    base = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "op": pa.array(["base"] * len(t), pa.string()),
+            }
+        )
+
+    def make_delta(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        chars = t["n_chars"].to_pylist()
+        out_id, out_lang, out_n, out_op = [], [], [], []
+        for i, c in zip(ids, chars):
+            if i % 17 == 0:
+                out_id.append(i)
+                out_lang.append("")
+                out_n.append(0)
+                out_op.append("del")
+            elif i % 10 == 0:
+                out_id.append(i)
+                out_lang.append("xx")
+                out_n.append(c + 1000)
+                out_op.append("upd")
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "lang": pa.array(out_lang, pa.string()),
+                "n_chars": pa.array(out_n, pa.int64()),
+                "op": pa.array(out_op, pa.string()),
+            }
+        )
+
+    inserts = pa.table(
+        {
+            "doc_id": pa.array(
+                [1_000_000_000 + k for k in range(MERGE_INS_N)], pa.int64()
+            ),
+            "lang": pa.array(["new"] * MERGE_INS_N, pa.string()),
+            "n_chars": pa.array(
+                [100 + k for k in range(MERGE_INS_N)], pa.int64()
+            ),
+            "op": pa.array(["ins"] * MERGE_INS_N, pa.string()),
+        }
+    )
+
+    tagged = (
+        base.map_batches(tag_base, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .union(base.map_batches(make_delta, batch_format="pyarrow",
+                                zero_copy_batch=True))
+        .union(rd.from_arrow(inserts))
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        ops = g["op"].to_pylist()
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+                "row_version": pa.array([], pa.int64()),
+            }
+        )
+        if "del" in ops:
+            return empty
+        for kind, ver in (("upd", 1), ("ins", 1), ("base", 0)):
+            if kind in ops:
+                row = g.slice(ops.index(kind), 1)
+                return pa.table(
+                    {
+                        "doc_id": row["doc_id"],
+                        "lang": row["lang"],
+                        "n_chars": row["n_chars"],
+                        "row_version": pa.array([ver], pa.int64()),
+                    }
+                )
+        return empty
+
+    return tagged.groupby("doc_id").map_groups(
+        resolve, batch_format="pyarrow"
+    )
+
+
+MERGE_UPSERTS_SQL = f"""
+with base as (select doc_id, lang, n_chars from documents),
+merged as (
+  select doc_id, lang, n_chars, 0 as row_version
+  from base where doc_id % 17 <> 0 and doc_id % 10 <> 0
+  union all
+  select doc_id, 'xx', n_chars + 1000, 1
+  from base where doc_id % 17 <> 0 and doc_id % 10 = 0
+  union all
+  select 1000000000 + k, 'new', 100 + k, 1
+  from (select unnest(range({MERGE_INS_N})) as k))
+select doc_id, lang, n_chars::bigint as n_chars,
+       row_version::bigint as row_version
+from merged
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "match_spans": q_match_spans,
+    "merge_upserts": q_merge_upserts,
     "wau_rolling": q_wau_rolling,
     "hll_cumulative": q_hll_cumulative,
     "domain_pagerank": q_domain_pagerank,
@@ -20535,6 +20755,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["match_spans"] = match_spans_oracle_sql()
+    out["merge_upserts"] = MERGE_UPSERTS_SQL
     out["wau_rolling"] = WAU_ROLLING_SQL
     out["hll_cumulative"] = hll_cumulative_oracle_sql()
     out["domain_pagerank"] = domain_pagerank_oracle_sql(link_corpus())

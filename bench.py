@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "score_calibrate",
     "wau_rolling",
     "hll_cumulative",
+    "match_spans",
+    "merge_upserts",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -693,3 +693,85 @@ class TestHllCumulative:
         truth = ev["user_id"].nunique()
         # 64 registers -> ~13% standard error; fixture has few users
         assert abs(got["est_users"].iloc[-1] - truth) / truth < 0.5
+
+
+class TestMatchSpans:
+    def test_every_match_is_verbatim_16_bytes(self, ray_session):
+        """The defining property: each (a_pos, b_pos) row is a verbatim
+        window match between the two docs' byte streams."""
+        got = q.q_match_spans(SF).to_pandas()
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas().set_index("doc_id")["text"]
+        from adaptive_pdf_extractor_ray.stages import text as tx
+        w = tx.CDC_WINDOW
+        sample = got.sample(n=min(200, len(got)), random_state=7)
+        for _, r in sample.iterrows():
+            ba = docs[r["a"]].encode()[r["a_pos"] - w: r["a_pos"]]
+            bb = docs[r["b"]].encode()[r["b_pos"] - w: r["b_pos"]]
+            assert ba == bb and len(ba) == w
+
+    def test_matches_bruteforce_anchor_join(self, ray_session):
+        got = q.q_match_spans(SF).to_pandas()
+        docs = pq.read_table(
+            f"{SF}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        from adaptive_pdf_extractor_ray.stages import text as tx
+        anchors = []
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            data = (t or "").encode()
+            n = len(data)
+            if n == 0:
+                continue
+            w = min(tx.CDC_WINDOW, n)
+            h = tx._rolling_accs(
+                np.frombuffer(data, dtype=np.uint8).astype(np.uint64), w)
+            for tt in range(w, n + 1):
+                if int(h[tt - w]) % q.SPAN_DIV == 0:
+                    anchors.append((int(h[tt - w]), did, tt))
+        from collections import defaultdict
+        by_acc = defaultdict(list)
+        for acc, did, tt in anchors:
+            by_acc[acc].append((did, tt))
+        n_pairs = 0
+        for acc, lst in by_acc.items():
+            for i in range(len(lst)):
+                for j in range(len(lst)):
+                    if lst[i][0] < lst[j][0]:
+                        n_pairs += 1
+        assert len(got) == n_pairs
+
+
+class TestMergeUpserts:
+    def test_merge_semantics(self, ray_session):
+        got = q.q_merge_upserts(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(
+            f"{SF}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"],
+        ).to_pandas()
+        for _, r in docs.iterrows():
+            i = r["doc_id"]
+            if i % 17 == 0:
+                assert i not in got.index  # tombstoned
+            elif i % 10 == 0:
+                g = got.loc[i]
+                assert g["lang"] == "xx"
+                assert g["n_chars"] == r["n_chars"] + 1000
+                assert g["row_version"] == 1
+            else:
+                g = got.loc[i]
+                assert g["lang"] == r["lang"]
+                assert g["n_chars"] == r["n_chars"]
+                assert g["row_version"] == 0
+        for k in range(q.MERGE_INS_N):
+            g = got.loc[1_000_000_000 + k]
+            assert g["lang"] == "new" and g["n_chars"] == 100 + k
+
+    def test_delete_beats_update_on_overlap(self, ray_session):
+        """doc_id 170 is %10 AND %17 — the tombstone must win."""
+        got = q.q_merge_upserts(SF).to_pandas()
+        overlap = [
+            i for i in got["doc_id"]
+            if i % 170 == 0 and 0 < i < 1_000_000_000  # exclude inserts
+        ]
+        assert overlap == []
