@@ -17725,10 +17725,154 @@ from merged
 
 
 
+SPAN_GAP = 64  # max byte gap between anchors inside one merged span
+
+
+def q_span_intervals(sf_dir: str):
+    """Merged copy-span INTERVALS — the gaps-and-islands pass over
+    q_match_spans' anchor matches: within a doc pair, consecutive
+    anchors whose positions advance by the SAME delta on both sides
+    (and by <= SPAN_GAP bytes) belong to one contiguous shared span;
+    each island reports its byte interval in both docs plus its anchor
+    count — the per-pair evidence a takedown/attribution workflow
+    consumes. One groupby(pair) with groups bounded by doc length; the
+    island rule is replayed in SQL with lag() + a windowed running sum
+    (the canonical gaps-and-islands formulation)."""
+    w = tx.CDC_WINDOW
+    spans = q_match_spans(sf_dir)
+
+    def islands(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("a_pos", "ascending"), ("b_pos", "ascending")]
+        )
+        g = g.take(order)
+        a = g["a"][0].as_py()
+        b = g["b"][0].as_py()
+        aps = g["a_pos"].to_pylist()
+        bps = g["b_pos"].to_pylist()
+        out = []
+        cur: list[tuple[int, int]] = []
+        for i in range(len(aps)):
+            if cur:
+                da = aps[i] - aps[i - 1]
+                db = bps[i] - bps[i - 1]
+                if da > SPAN_GAP or da != db:
+                    out.append(cur)
+                    cur = []
+            cur.append((aps[i], bps[i]))
+        if cur:
+            out.append(cur)
+        return pa.table(
+            {
+                "a": pa.array([a] * len(out), pa.int64()),
+                "b": pa.array([b] * len(out), pa.int64()),
+                "a_start": pa.array(
+                    [s[0][0] - w + 1 for s in out], pa.int64()
+                ),
+                "a_end": pa.array([s[-1][0] for s in out], pa.int64()),
+                "b_start": pa.array(
+                    [s[0][1] - w + 1 for s in out], pa.int64()
+                ),
+                "b_end": pa.array([s[-1][1] for s in out], pa.int64()),
+                "n_anchors": pa.array([len(s) for s in out], pa.int64()),
+            }
+        )
+
+    return spans.groupby(["a", "b"]).map_groups(
+        islands, batch_format="pyarrow"
+    )
+
+
+def span_intervals_oracle_sql() -> str:
+    w = tx.CDC_WINDOW
+    return f"""
+with m as ({match_spans_oracle_sql()}),
+o as (
+  select a, b, a_pos, b_pos,
+         case when a_pos - lag(a_pos) over win > {SPAN_GAP}
+               or (a_pos - lag(a_pos) over win)
+                  <> (b_pos - lag(b_pos) over win)
+              then 1 else 0 end as brk
+  from m
+  window win as (partition by a, b order by a_pos, b_pos)),
+i as (
+  select *, sum(brk) over (partition by a, b order by a_pos, b_pos
+                           rows unbounded preceding) as isl
+  from o)
+select a, b,
+       (min(a_pos) - {w} + 1)::bigint as a_start,
+       max(a_pos)::bigint as a_end,
+       (min(b_pos) - {w} + 1)::bigint as b_start,
+       max(b_pos)::bigint as b_end,
+       count(*)::bigint as n_anchors
+from i group by a, b, isl
+"""
+
+
+def q_partitioned_write_roundtrip(sf_dir: str):
+    """Partitioned parquet SINK roundtrip — the resumable-output
+    contract as a value-verified op: write documents hive-partitioned
+    by lang (one directory per partition, the layout a failed 100 TB
+    run resumes by skipping finished partitions), read the directory
+    tree back with partition-column discovery, and aggregate per lang
+    FROM THE ROUNDTRIPPED DATA. The oracle aggregates the original
+    table directly, so a green hash proves the write->read cycle is
+    lossless including the partition column itself."""
+    import shutil
+    import tempfile
+
+    out_root = os.path.join(
+        tempfile.gettempdir(), "aper_partwrite",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    if os.path.isdir(out_root):
+        shutil.rmtree(out_root)
+    _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).write_parquet(
+        out_root, partition_cols=["lang"]
+    )
+    back = rd.read_parquet(out_root)
+
+    def partial(t: pa.Table) -> pa.Table:
+        part = t.group_by("lang").aggregate(
+            [("doc_id", "count"), ("n_chars", "sum")]
+        )
+        return part.rename_columns(["lang", "n_docs", "total_chars"])
+
+    return (
+        back.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("total_chars", alias_name="total_chars"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                    "total_chars": pc.cast(t["total_chars"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+PARTITIONED_WRITE_SQL = """
+select lang, count(*)::bigint as n_docs,
+       sum(n_chars)::bigint as total_chars
+from documents group by lang
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "span_intervals": q_span_intervals,
+    "partitioned_write_roundtrip": q_partitioned_write_roundtrip,
     "match_spans": q_match_spans,
     "merge_upserts": q_merge_upserts,
     "wau_rolling": q_wau_rolling,
@@ -20755,6 +20899,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["span_intervals"] = span_intervals_oracle_sql()
+    out["partitioned_write_roundtrip"] = PARTITIONED_WRITE_SQL
     out["match_spans"] = match_spans_oracle_sql()
     out["merge_upserts"] = MERGE_UPSERTS_SQL
     out["wau_rolling"] = WAU_ROLLING_SQL

@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "hll_cumulative",
     "match_spans",
     "merge_upserts",
+    "span_intervals",
+    "partitioned_write_roundtrip",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -775,3 +775,59 @@ class TestMergeUpserts:
             if i % 170 == 0 and 0 < i < 1_000_000_000  # exclude inserts
         ]
         assert overlap == []
+
+
+class TestSpanIntervals:
+    def test_islands_partition_the_anchor_set(self, ray_session):
+        spans = q.q_match_spans(SF).to_pandas()
+        got = q.q_span_intervals(SF).to_pandas()
+        assert got["n_anchors"].sum() == len(spans)
+        assert (got["a_end"] >= got["a_start"]).all()
+        assert (got["b_end"] - got["b_start"]
+                == got["a_end"] - got["a_start"]).all()  # equal deltas
+
+    def test_island_rule_reference(self, ray_session):
+        from adaptive_pdf_extractor_ray.stages import text as tx
+        spans = q.q_match_spans(SF).to_pandas()
+        got = q.q_span_intervals(SF).to_pandas()
+        pair = spans.groupby(["a", "b"]).size().idxmax()
+        sub = spans[(spans["a"] == pair[0]) & (spans["b"] == pair[1])]
+        sub = sub.sort_values(["a_pos", "b_pos"]).reset_index(drop=True)
+        islands, cur = [], []
+        for _, r in sub.iterrows():
+            if cur:
+                da = r["a_pos"] - cur[-1][0]
+                db = r["b_pos"] - cur[-1][1]
+                if da > q.SPAN_GAP or da != db:
+                    islands.append(cur)
+                    cur = []
+            cur.append((r["a_pos"], r["b_pos"]))
+        islands.append(cur)
+        g = got[(got["a"] == pair[0]) & (got["b"] == pair[1])]
+        assert len(g) == len(islands)
+        w = tx.CDC_WINDOW
+        g = g.sort_values("a_start").reset_index(drop=True)
+        islands.sort(key=lambda s: s[0][0])
+        for isl, (_, row) in zip(islands, g.iterrows()):
+            assert row["a_start"] == isl[0][0] - w + 1
+            assert row["a_end"] == isl[-1][0]
+            assert row["n_anchors"] == len(isl)
+
+
+class TestPartitionedWriteRoundtrip:
+    def test_counts_survive_roundtrip(self, ray_session):
+        got = q.q_partitioned_write_roundtrip(SF).to_pandas()\
+            .set_index("lang").sort_index()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["lang", "n_chars"]).to_pandas()
+        want = docs.groupby("lang").agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+        assert got.astype("int64").equals(want.astype("int64"))
+
+    def test_layout_is_hive_partitioned(self, ray_session):
+        import os, tempfile
+        q.q_partitioned_write_roundtrip(SF).to_pandas()
+        root = os.path.join(tempfile.gettempdir(), "aper_partwrite",
+                            "sf0.001")
+        parts = sorted(d for d in os.listdir(root) if "=" in d)
+        assert parts and all(d.startswith("lang=") for d in parts)
