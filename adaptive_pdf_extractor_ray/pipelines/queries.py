@@ -17867,10 +17867,190 @@ from documents group by lang
 
 
 
+DUPRATE_SAMPLE_K = 60  # fixed-size md5-order sample (bounded at any scale)
+
+
+def q_dup_rate_estimate(sf_dir: str):
+    """Corpus duplicate-RATE estimation from a fixed-size uniform
+    sample — the pre-dedup planning scalar ("how much will near-dedup
+    remove?") that sizes the real dedup job before paying for it. The
+    sample is the K smallest docs by md5(doc_id) (KMV-style: a
+    deterministic uniform sample whose size is CONSTANT at any corpus
+    scale, selected distributedly by the per-block top-K reduce), then
+    all C(K,2) pairs verify exact word-3-gram Jaccard in one task —
+    bounded work by construction. Output is one row: sample size, pair
+    count, pairs at >= 0.5, and the ppm rate whose sampling error is
+    the standard binomial bound. Shingles, rounding, and threshold are
+    byte-identical to the dedup chain's verify (same ``_shingles`` /
+    SQL ``list_intersect`` round-6 formula)."""
+    from ..stages.topk import dataset_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_md5(t: pa.Table) -> pa.Table:
+        keys = [
+            hashlib.md5(str(i).encode()).hexdigest()
+            for i in t["doc_id"].to_pylist()
+        ]
+        return t.append_column("mk", pa.array(keys, pa.string()))
+
+    smp = dataset_topk(
+        docs.map_batches(add_md5, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        sort_keys=[("mk", "ascending"), ("doc_id", "ascending")],
+        k=DUPRATE_SAMPLE_K,
+    ).take_all()  # K rows — constant
+    ids = [r["doc_id"] for r in smp]
+    txts = {r["doc_id"]: r["text"] for r in smp}
+    ids.sort()
+    a, b, ta, tb = [], [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+            ta.append(txts[ids[i]])
+            tb.append(txts[ids[j]])
+    pairs = pa.table(
+        {
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+            "text_a": pa.array(ta, pa.string()),
+            "text_b": pa.array(tb, pa.string()),
+        }
+    )
+    verified = dd.jaccard_pairs_batch(pairs)
+    n_pairs = len(verified)
+    n_dup = int(
+        pc.sum(
+            pc.cast(pc.greater_equal(verified["jaccard"], 0.5), pa.int64())
+        ).as_py()
+        or 0
+    )
+    return pa.table(
+        {
+            "n_sample": pa.array([len(ids)], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "n_dup": pa.array([n_dup], pa.int64()),
+            "dup_rate_ppm": pa.array(
+                [n_dup * 1_000_000 // n_pairs if n_pairs else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def dup_rate_oracle_sql() -> str:
+    tokenize = dd.SQL_TOKENIZE.format(col="text")
+    return f"""
+with smp as (
+  select doc_id, text from documents
+  order by md5(cast(doc_id as varchar)), doc_id
+  limit {DUPRATE_SAMPLE_K}),
+toks as (select doc_id, {tokenize} as toks from smp),
+sh as (
+  select doc_id,
+         list_distinct(
+           case when len(toks) >= 3 then
+             list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' '
+                                 || toks[i+2])
+           when len(toks) >= 1 then [array_to_string(toks, ' ')]
+           else [] end) as sd
+  from toks),
+p as (
+  select x.doc_id as a, y.doc_id as b,
+         round(len(list_intersect(x.sd, y.sd))::double /
+               nullif(len(x.sd) + len(y.sd)
+                      - len(list_intersect(x.sd, y.sd)), 0), 6) as j
+  from sh x join sh y on x.doc_id < y.doc_id)
+select count(*)::bigint as n_pairs,
+       (select count(*) from smp)::bigint as n_sample,
+       sum(case when j >= 0.5 then 1 else 0 end)::bigint as n_dup,
+       (sum(case when j >= 0.5 then 1 else 0 end) * 1000000
+        // count(*))::bigint as dup_rate_ppm
+from p
+"""
+
+
+CH_CRAWLERS = 8  # crawler shards on the consistent-hash ring
+CH_VNODES = 32  # virtual nodes per crawler (load smoothing)
+
+
+def q_consistent_hash_assign(sf_dir: str):
+    """Consistent-hash domain->crawler assignment — the frontier
+    sharding every polite distributed crawler needs: each crawler owns
+    CH_VNODES points on a hash ring; a domain goes to the crawler
+    owning the first ring point clockwise of md5(domain). Adding or
+    removing one crawler remaps only ~1/K of domains (the property
+    plain mod-K sharding lacks — that is the op's reason to exist).
+    The ring is 256 points built once and closed over (constant size);
+    assignment is a stateless vectorized bisect per batch over the
+    per-domain rollup. Output carries n_docs so the load balance the
+    vnodes buy is itself visible (and asserted in pytest)."""
+    import bisect
+
+    ring: list[tuple[int, int]] = []
+    for c in range(CH_CRAWLERS):
+        for v in range(CH_VNODES):
+            h = int(hashlib.md5(f"c{c}v{v}".encode()).hexdigest()[:16], 16)
+            ring.append((h, c))
+    ring.sort()
+    ring_h = [h for h, _ in ring]
+
+    doms = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_docs"))
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        crawlers = []
+        for d in t["source"].to_pylist():
+            dh = int(hashlib.md5(d.encode()).hexdigest()[:16], 16)
+            i = bisect.bisect_left(ring_h, dh)
+            crawlers.append(ring[i][1] if i < len(ring) else ring[0][1])
+        return pa.table(
+            {
+                "domain": t["source"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "crawler": pa.array(crawlers, pa.int64()),
+            }
+        )
+
+    return doms.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+CONSISTENT_HASH_SQL = f"""
+with ring as (
+  select c, v,
+         ('0x' || substr(md5('c' || c || 'v' || v), 1, 16))::ubigint as h
+  from (select unnest(range({CH_CRAWLERS})) as c)
+  cross join (select unnest(range({CH_VNODES})) as v)),
+doms as (
+  select source as domain, count(*)::bigint as n_docs
+  from documents group by 1),
+dh as (
+  select domain, n_docs,
+         ('0x' || substr(md5(domain), 1, 16))::ubigint as h
+  from doms)
+select d.domain, d.n_docs,
+       (select r.c from ring r
+        where r.h = coalesce((select min(r2.h) from ring r2
+                              where r2.h >= d.h),
+                             (select min(r3.h) from ring r3))
+        )::bigint as crawler
+from dh d
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "dup_rate_estimate": q_dup_rate_estimate,
+    "consistent_hash_assign": q_consistent_hash_assign,
     "span_intervals": q_span_intervals,
     "partitioned_write_roundtrip": q_partitioned_write_roundtrip,
     "match_spans": q_match_spans,
@@ -20899,6 +21079,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["dup_rate_estimate"] = dup_rate_oracle_sql()
+    out["consistent_hash_assign"] = CONSISTENT_HASH_SQL
     out["span_intervals"] = span_intervals_oracle_sql()
     out["partitioned_write_roundtrip"] = PARTITIONED_WRITE_SQL
     out["match_spans"] = match_spans_oracle_sql()

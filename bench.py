@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "merge_upserts",
     "span_intervals",
     "partitioned_write_roundtrip",
+    "dup_rate_estimate",
+    "consistent_hash_assign",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -831,3 +831,68 @@ class TestPartitionedWriteRoundtrip:
                             "sf0.001")
         parts = sorted(d for d in os.listdir(root) if "=" in d)
         assert parts and all(d.startswith("lang=") for d in parts)
+
+
+class TestDupRateEstimate:
+    def test_sample_is_md5_smallest_k(self, ray_session):
+        got = q.q_dup_rate_estimate(SF).to_pandas().iloc[0]
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id"]).to_pandas()
+        ordered = sorted(
+            docs["doc_id"],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[: q.DUPRATE_SAMPLE_K]
+        k = len(ordered)
+        assert got["n_sample"] == k
+        assert got["n_pairs"] == k * (k - 1) // 2
+        assert 0 <= got["dup_rate_ppm"] <= 1_000_000
+        assert got["dup_rate_ppm"] == got["n_dup"] * 1_000_000 // got["n_pairs"]
+
+    def test_estimator_is_scale_free(self, ray_session):
+        """The whole point: sample size is the CONSTANT K at any sf."""
+        a = q.q_dup_rate_estimate("/root/testdata/sf0.001").to_pandas().iloc[0]
+        b = q.q_dup_rate_estimate("/root/testdata/sf0.01").to_pandas().iloc[0]
+        assert a["n_sample"] == b["n_sample"] == q.DUPRATE_SAMPLE_K
+
+
+class TestConsistentHashAssign:
+    def test_ring_successor_reference(self, ray_session):
+        import bisect
+        got = q.q_consistent_hash_assign(SF).to_pandas()
+        ring = []
+        for c in range(q.CH_CRAWLERS):
+            for v in range(q.CH_VNODES):
+                h = int(hashlib.md5(f"c{c}v{v}".encode()).hexdigest()[:16],
+                        16)
+                ring.append((h, c))
+        ring.sort()
+        hs = [h for h, _ in ring]
+        for _, r in got.iterrows():
+            dh = int(hashlib.md5(r["domain"].encode()).hexdigest()[:16], 16)
+            i = bisect.bisect_left(hs, dh)
+            want = ring[i][1] if i < len(ring) else ring[0][1]
+            assert r["crawler"] == want, r["domain"]
+
+    def test_minimal_remap_property(self, ray_session):
+        """Removing one crawler's vnodes remaps ONLY the domains it
+        owned — everyone else keeps their assignment (the consistent-
+        hashing contract that mod-K sharding violates)."""
+        import bisect
+        got = q.q_consistent_hash_assign(SF).to_pandas()
+        removed = 3
+        ring = []
+        for c in range(q.CH_CRAWLERS):
+            if c == removed:
+                continue
+            for v in range(q.CH_VNODES):
+                h = int(hashlib.md5(f"c{c}v{v}".encode()).hexdigest()[:16],
+                        16)
+                ring.append((h, c))
+        ring.sort()
+        hs = [h for h, _ in ring]
+        for _, r in got.iterrows():
+            dh = int(hashlib.md5(r["domain"].encode()).hexdigest()[:16], 16)
+            i = bisect.bisect_left(hs, dh)
+            new = ring[i][1] if i < len(ring) else ring[0][1]
+            if r["crawler"] != removed:
+                assert new == r["crawler"], r["domain"]
