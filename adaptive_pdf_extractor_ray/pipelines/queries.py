@@ -18045,10 +18045,325 @@ from dh d
 
 
 
+def q_cluster_chaining_audit(sf_dir: str):
+    """Transitivity audit of the near-dup clusters — the methodological
+    check on single-linkage chaining: a component's member pairs split
+    into DIRECT (an actual verified Jaccard>=0.5 edge) and CHAINED
+    (merged only through intermediates, the A~B~C but A!~C artifact
+    that makes over-aggressive cluster-level dedup delete
+    non-duplicates). Reuses the cluster chain's own verified edge list
+    and component labels; per-cluster sizes and edge counts union-tag
+    into ONE groupby(rep) with <= 2 rows per group, chained = C(sz,2)
+    - direct is plain arithmetic. High chained share = lower the LSH
+    threshold or switch keep-best to per-edge."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _lsh_distinct_pairs(sf_dir)
+    verified = dd.attach_pair_texts(pairs, docs).map_batches(
+        dd.jaccard_pairs_batch, batch_format="pyarrow"
+    ).filter(expr="jaccard >= 0.5").select_columns(["a", "b"])
+    verified = verified.materialize()  # reused by both branches below
+    cc = dd.connected_components(verified).materialize()
+
+    sizes = cc.groupby("rep_id").aggregate(
+        ray.data.aggregate.Count(alias_name="sz")
+    )
+
+    rep_of = cc.map_batches(
+        lambda t: pa.table(
+            {"a": t["doc_id"], "rep_id": t["rep_id"]}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    n_parts = 16
+    edge_reps = (
+        verified.join(
+            rep_of, join_type="inner", num_partitions=n_parts, on=("a",)
+        )
+        .groupby("rep_id")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_direct"))
+    )
+
+    def tag_sizes(t: pa.Table) -> pa.Table:
+        z = pa.nulls(len(t), pa.int64()).fill_null(0)
+        return pa.table(
+            {
+                "rep_id": pc.cast(t["rep_id"], pa.int64()),
+                "sz": pc.cast(t["sz"], pa.int64()),
+                "n_direct": z,
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        z = pa.nulls(len(t), pa.int64()).fill_null(0)
+        return pa.table(
+            {
+                "rep_id": pc.cast(t["rep_id"], pa.int64()),
+                "sz": z,
+                "n_direct": pc.cast(t["n_direct"], pa.int64()),
+            }
+        )
+
+    both = sizes.map_batches(
+        tag_sizes, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        edge_reps.map_batches(
+            tag_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sz = pc.cast(t["sz"], pa.int64())
+        nd = pc.cast(t["n_direct"], pa.int64())
+        pairs_tot = pc.divide(
+            pc.multiply(sz, pc.subtract(sz, pa.scalar(1, pa.int64()))),
+            pa.scalar(2, pa.int64()),
+        )
+        return pa.table(
+            {
+                "rep_id": pc.cast(t["rep_id"], pa.int64()),
+                "size": sz,
+                "n_direct": nd,
+                "n_chained": pc.subtract(pairs_tot, nd),
+            }
+        )
+
+    return (
+        both.groupby("rep_id")
+        .aggregate(
+            ray.data.aggregate.Sum("sz", alias_name="sz"),
+            ray.data.aggregate.Sum("n_direct", alias_name="n_direct"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+CLUSTER_CHAINING_SQL_SUFFIX = """
+, sd as (select doc_id, list_distinct(shingles) as sd from sh),
+verified as (
+  select p.a, p.b
+  from pairs p
+  join sd xa on xa.doc_id = p.a
+  join sd xb on xb.doc_id = p.b
+  where round(len(list_intersect(xa.sd, xb.sd))::double /
+              (len(xa.sd) + len(xb.sd) - len(list_intersect(xa.sd, xb.sd))),
+              6) >= 0.5),
+edges as (select a as src, b as dst from verified
+          union select b, a from verified),
+comp as (
+  select node, rep_id from (
+    with recursive cc3(node, reached) as (
+      select src, src from edges
+      union
+      select cc3.node, e.dst from cc3 join edges e on e.src = cc3.reached
+    )
+    select node, min(reached) as rep_id from cc3 group by node
+  )),
+sizes as (select rep_id, count(*)::bigint as sz from comp group by 1),
+de as (
+  select c.rep_id, count(*)::bigint as nd
+  from verified v join comp c on c.node = v.a
+  group by 1)
+select s.rep_id, s.sz as size,
+       coalesce(de.nd, 0)::bigint as n_direct,
+       (s.sz * (s.sz - 1) // 2 - coalesce(de.nd, 0))::bigint as n_chained
+from sizes s left join de using (rep_id)
+"""
+
+
+RELIABILITY_BIN_WIDTH = 10_000
+RELIABILITY_OFFSET = 1_000_000  # keeps the binned value positive, so
+# Python floor-div == DuckDB truncating-div
+
+
+def q_score_reliability(sf_dir: str):
+    """Reliability (calibration) curve for the model-based quality
+    filter: fixed-width bins of the integer logit vs the observed
+    positive rate of a proxy label (lang == 'en' — the signal the
+    fixture's logit weights were built against). The eval every learned
+    filter needs before its threshold is trusted: monotone pos_ppm
+    across bins = well-ordered scores. Composition of two existing
+    per-doc passes (logit scores, language column) union-tagged into
+    one bounded groupby(doc_id) merge — the snapshot_diff shape — then
+    a stateless bin map and an O(bins) rollup."""
+    lg = q_quality_logit(sf_dir)
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def tag_logit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "logit_ppm": pc.cast(t["logit_ppm"], pa.int64()),
+                "is_en": pa.nulls(len(t), pa.int64()).fill_null(-1),
+            }
+        )
+
+    def tag_lang(t: pa.Table) -> pa.Table:
+        en = pc.cast(
+            pc.equal(t["lang"], pa.scalar("en")), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "logit_ppm": pa.nulls(len(t), pa.int64()).fill_null(
+                    -(10**15)
+                ),
+                "is_en": en,
+            }
+        )
+
+    merged = (
+        lg.map_batches(tag_logit, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .union(langs.map_batches(tag_lang, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+        .groupby("doc_id")
+        .aggregate(
+            ray.data.aggregate.Max("logit_ppm", alias_name="logit_ppm"),
+            ray.data.aggregate.Max("is_en", alias_name="is_en"),
+        )
+    )
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = pc.divide(
+            pc.add(t["logit_ppm"], pa.scalar(RELIABILITY_OFFSET,
+                                             pa.int64())),
+            pa.scalar(RELIABILITY_BIN_WIDTH, pa.int64()),
+        )
+        return pa.table(
+            {
+                "bin": pc.cast(b, pa.int64()),
+                "n": pa.nulls(len(t), pa.int64()).fill_null(1),
+                "n_pos": pc.cast(t["is_en"], pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ppm = pc.divide(
+            pc.multiply(t["n_pos"], pa.scalar(1_000_000, pa.int64())),
+            t["n"],
+        )
+        return pa.table(
+            {
+                "bin": pc.cast(t["bin"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+                "n_pos": pc.cast(t["n_pos"], pa.int64()),
+                "pos_ppm": pc.cast(ppm, pa.int64()),
+            }
+        )
+
+    return (
+        merged.map_batches(binify, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("n_pos", alias_name="n_pos"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def score_reliability_oracle_sql() -> str:
+    lg = ORACLES["quality_logit"]
+    return f"""
+with lg as ({lg}),
+j as (
+  select lg.doc_id, lg.logit_ppm,
+         case when d.lang = 'en' then 1 else 0 end as is_en
+  from lg join documents d using (doc_id)),
+b as (
+  select (logit_ppm + {RELIABILITY_OFFSET}) // {RELIABILITY_BIN_WIDTH}
+           as bin,
+         is_en
+  from j)
+select bin, count(*)::bigint as n, sum(is_en)::bigint as n_pos,
+       (sum(is_en) * 1000000 // count(*))::bigint as pos_ppm
+from b group by bin
+"""
+
+
+DF_STOPWORD_PCT = 30  # document-frequency threshold (percent of corpus)
+
+
+def q_df_stopwords(sf_dir: str):
+    """Data-driven stopword discovery: terms whose document frequency
+    exceeds DF_STOPWORD_PCT% of the corpus — the corpus-specific
+    high-df list a retrieval or tokenizer pipeline derives instead of
+    importing someone else's stopwords (a term in a third of all web
+    pages carries ~no retrieval signal; cf. the prefix-filter's
+    df-ordering in setsim). Per-batch DISTINCT (doc, term) explode ->
+    salted df count (the _grouped_count shape) -> threshold filter
+    against the metadata row count. Output is O(high-df terms)."""
+    n_docs = _table_rows(sf_dir, "documents")
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            seen = set()
+            for w in (s or "").split(" "):
+                if w and w not in seen:
+                    seen.add(w)
+                    terms[w] = terms.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(terms.keys()), pa.string()),
+                "df": pa.array(list(terms.values()), pa.int64()),
+            }
+        )
+
+    df = _grouped_sum_str(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            explode, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="term", val="df", out="df", n_parts=16,
+    )
+    # df*100 >= PCT*n  <=>  df >= ceil(PCT*n/100); Ray's filter-expr
+    # parser takes a bare column on the left, so precompute the constant
+    df_min = -(-DF_STOPWORD_PCT * n_docs // 100)
+    return df.filter(
+        expr=f"df >= {df_min}"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "term": t["term"],
+                "df": pc.cast(t["df"], pa.int64()),
+                "df_ppm": pc.cast(
+                    pc.divide(
+                        pc.multiply(t["df"],
+                                    pa.scalar(1_000_000, pa.int64())),
+                        pa.scalar(n_docs, pa.int64()),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+DF_STOPWORDS_SQL = f"""
+with tf as (
+  select term, count(distinct doc_id)::bigint as df
+  from (select doc_id, unnest(string_split(text, ' ')) as term
+        from documents)
+  where term <> '' group by term),
+n as (select count(*)::bigint as n_docs from documents)
+select term, df,
+       (df * 1000000 // (select n_docs from n))::bigint as df_ppm
+from tf
+where df * 100 >= {DF_STOPWORD_PCT} * (select n_docs from n)
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "cluster_chaining_audit": q_cluster_chaining_audit,
+    "score_reliability": q_score_reliability,
+    "df_stopwords": q_df_stopwords,
     "dup_rate_estimate": q_dup_rate_estimate,
     "consistent_hash_assign": q_consistent_hash_assign,
     "span_intervals": q_span_intervals,
@@ -21079,6 +21394,10 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["cluster_chaining_audit"] = (
+        _minhash_cte() + CLUSTER_CHAINING_SQL_SUFFIX)
+    out["score_reliability"] = score_reliability_oracle_sql()
+    out["df_stopwords"] = DF_STOPWORDS_SQL
     out["dup_rate_estimate"] = dup_rate_oracle_sql()
     out["consistent_hash_assign"] = CONSISTENT_HASH_SQL
     out["span_intervals"] = span_intervals_oracle_sql()

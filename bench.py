@@ -246,6 +246,9 @@ BENCH_QUERIES = [
     "partitioned_write_roundtrip",
     "dup_rate_estimate",
     "consistent_hash_assign",
+    "cluster_chaining_audit",
+    "score_reliability",
+    "df_stopwords",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -896,3 +896,63 @@ class TestConsistentHashAssign:
             new = ring[i][1] if i < len(ring) else ring[0][1]
             if r["crawler"] != removed:
                 assert new == r["crawler"], r["domain"]
+
+
+class TestClusterChainingAudit:
+    def test_counts_are_consistent(self, ray_session):
+        got = q.q_cluster_chaining_audit(SF).to_pandas()
+        cc = q.q_dedup_minhash_clusters(SF).to_pandas()
+        sizes = cc.groupby("rep_id").size()
+        assert len(got) == len(sizes)
+        for _, r in got.iterrows():
+            sz = sizes[r["rep_id"]]
+            assert r["size"] == sz
+            assert r["n_direct"] + r["n_chained"] == sz * (sz - 1) // 2
+            assert r["n_direct"] >= sz - 1  # spanning connectivity
+            assert r["n_chained"] >= 0
+
+    def test_pair_clusters_have_no_chaining(self, ray_session):
+        got = q.q_cluster_chaining_audit(SF).to_pandas()
+        two = got[got["size"] == 2]
+        assert (two["n_direct"] == 1).all()
+        assert (two["n_chained"] == 0).all()
+
+
+class TestScoreReliability:
+    def test_bins_partition_corpus(self, ray_session):
+        got = q.q_score_reliability(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id"]).to_pandas()
+        assert got["n"].sum() == len(docs)
+        assert (got["n_pos"] <= got["n"]).all()
+        assert (got["pos_ppm"] == got["n_pos"] * 1_000_000 // got["n"]).all()
+
+    def test_scores_are_informative(self, ray_session):
+        """Top-bin positive rate beats bottom-bin — the logit orders the
+        en/non-en proxy at least directionally."""
+        got = q.q_score_reliability(SF).to_pandas().sort_values("bin")
+        lo = got.head(3)
+        hi = got.tail(3)
+        assert (hi["n_pos"].sum() / hi["n"].sum()
+                > lo["n_pos"].sum() / lo["n"].sum())
+
+
+class TestDfStopwords:
+    def test_matches_pandas_df(self, ray_session):
+        got = q.q_df_stopwords(SF).to_pandas().set_index("term")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        n = len(docs)
+        from collections import Counter
+        df = Counter()
+        for s in docs["text"]:
+            df.update({w for w in (s or "").split(" ") if w})
+        want = {t: c for t, c in df.items() if c * 100 >= q.DF_STOPWORD_PCT * n}
+        assert set(got.index) == set(want)
+        for t, c in want.items():
+            assert got.loc[t, "df"] == c
+            assert got.loc[t, "df_ppm"] == c * 1_000_000 // n
+
+    def test_the_obvious_stopword_is_found(self, ray_session):
+        got = q.q_df_stopwords(SF).to_pandas()
+        assert "the" in set(got["term"])
