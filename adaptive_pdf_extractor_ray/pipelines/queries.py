@@ -18357,10 +18357,251 @@ where df * 100 >= {DF_STOPWORD_PCT} * (select n_docs from n)
 
 
 
+PROPS_K_RE = r'"k": (?P<k>\d+)'
+
+
+def q_props_extract(sf_dir: str):
+    """Semi-structured payload extraction over the REAL scaled events
+    table: pull the integer property out of each event's JSON ``props``
+    string with one vectorized RE2 kernel (no Python per row — the
+    payloads are machine-written, so the regex fast path is exact; a
+    crawl pipeline falls back to a JSON parse only for rows the regex
+    misses) and roll up per event_type: count, sum, max, and distinct-k
+    (per-batch pre-distinct -> grouped count, the combiner shape). The
+    oracle re-extracts with DuckDB's real JSON parser — a green hash
+    proves the fast path IS the JSON semantics for this payload."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=PROPS_K_RE)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return (
+            pa.table({"event_type": t["event_type"], "k": k})
+            .group_by(["event_type", "k"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "k", "n"])
+        )
+
+    per_k = (
+        ds.map_batches(extract, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["event_type", "k"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("k", "count"), ("k", "max")]
+        )
+        g = g.rename_columns(["event_type", "n_events", "n_distinct_k",
+                              "max_k"])
+        ksum = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "kn": pc.multiply(t["k"], t["n"]),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("kn", "sum")])
+            .rename_columns(["event_type", "sum_k"])
+        )
+        idx = {v: i for i, v in enumerate(ksum["event_type"].to_pylist())}
+        order = [idx[v] for v in g["event_type"].to_pylist()]
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n_events": pc.cast(g["n_events"], pa.int64()),
+                "n_distinct_k": pc.cast(g["n_distinct_k"], pa.int64()),
+                "max_k": pc.cast(g["max_k"], pa.int64()),
+                "sum_k": pc.cast(
+                    pc.take(ksum["sum_k"], pa.array(order)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        per_k.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("n_events", alias_name="n_events"),
+            ray.data.aggregate.Sum("n_distinct_k",
+                                   alias_name="n_distinct_k"),
+            ray.data.aggregate.Max("max_k", alias_name="max_k"),
+            ray.data.aggregate.Sum("sum_k", alias_name="sum_k"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n_events": pc.cast(t["n_events"], pa.int64()),
+                    "n_distinct_k": pc.cast(t["n_distinct_k"], pa.int64()),
+                    "max_k": pc.cast(t["max_k"], pa.int64()),
+                    "sum_k": pc.cast(t["sum_k"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+PROPS_EXTRACT_SQL = """
+with e as (
+  select event_type, json_extract(props, '$.k')::bigint as k from events)
+select event_type, count(*)::bigint as n_events,
+       count(distinct k)::bigint as n_distinct_k,
+       max(k)::bigint as max_k,
+       sum(k)::bigint as sum_k
+from e group by event_type
+"""
+
+
+Q5_REGION = "ASIA"
+
+
+def q_q5_local_supplier(sf_dir: str):
+    """The canonical snowflake join tree (TPC-H Q5, local supplier
+    volume): revenue per nation where the CUSTOMER and the SUPPLIER sit
+    in the same nation of one region — the query shape that exercises
+    every join strategy at once, sized per side: region/nation are
+    broadcast dicts (constant), supplier is a broadcast map keyed by
+    suppkey (the smallest scaled table — past its cap the same column
+    flips to a bucketed join like everything else), orders⋈customer
+    and lineitem are the two corpus-scaled sides co-located by ONE
+    bucketed hash join on orderkey. Revenue is the integer-cent exact
+    sum (the join_bloom_prefilter arithmetic)."""
+    import pandas as pd
+
+    nat = _read(sf_dir, "nation",
+                ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = set(
+        reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"].astype(int)
+    )
+    nat_in = {
+        int(r["n_nationkey"]): r["n_name"]
+        for _, r in nat.iterrows()
+        if int(r["n_regionkey"]) in asia
+    }
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup_nat = {
+        int(k): int(n)
+        for k, n in zip(sup["s_suppkey"], sup["s_nationkey"])
+        if int(n) in nat_in
+    }
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nat = {
+        int(k): int(n)
+        for k, n in zip(cust["c_custkey"], cust["c_nationkey"])
+        if int(n) in nat_in
+    }
+    # NOTE: customer fits the broadcast budget at bench scale; the
+    # 100 TB route replaces this dict with a bucketed orders⋈customer
+    # join, identical shape to the orderkey join below.
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_pylist()
+        ck = t["o_custkey"].to_pylist()
+        rows = [
+            (o, cust_nat[c]) for o, c in zip(ok, ck) if c in cust_nat
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [o & (JOIN_BUCKETS - 1) for o, _ in rows], pa.int64()
+                ),
+                "key": pa.array([o for o, _ in rows], pa.int64()),
+                "c_nat": pa.array([n for _, n in rows], pa.int64()),
+                "s_nat": pa.array([-1] * len(rows), pa.int64()),
+                "micro": pa.array([0] * len(rows), pa.int64()),
+                "side": pa.array(["o"] * len(rows), pa.string()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        lk = t["l_orderkey"].to_pylist()
+        sk = t["l_suppkey"].to_pylist()
+        price = t["l_extendedprice"].to_pylist()
+        disc = t["l_discount"].to_pylist()
+        rows = [
+            (o, sup_nat[s],
+             round(p * 100) * (100 - round(d * 100)))
+            for o, s, p, d in zip(lk, sk, price, disc)
+            if s in sup_nat
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [o & (JOIN_BUCKETS - 1) for o, _, _ in rows], pa.int64()
+                ),
+                "key": pa.array([o for o, _, _ in rows], pa.int64()),
+                "c_nat": pa.array([-1] * len(rows), pa.int64()),
+                "s_nat": pa.array([n for _, n, _ in rows], pa.int64()),
+                "micro": pa.array([m for _, _, m in rows], pa.int64()),
+                "side": pa.array(["l"] * len(rows), pa.string()),
+            }
+        )
+
+    both = od.map_batches(tag_orders, batch_format="pyarrow").union(
+        li.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "o"][["key", "c_nat"]]
+        right = g[g["side"] == "l"][["key", "s_nat", "micro"]]
+        m = left.merge(right, on="key", how="inner")
+        m = m[m["c_nat"] == m["s_nat"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"nat": pd.Series([], dtype="int64"),
+                 "micro": pd.Series([], dtype="int64")}
+            )
+        return m.groupby("c_nat", as_index=False).agg(
+            micro=("micro", "sum")
+        ).rename(columns={"c_nat": "nat"})
+
+    agg = (
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("nat")
+        .aggregate(ray.data.aggregate.Sum("micro", alias_name="micro"))
+        .to_pandas()
+    )
+    agg["n_name"] = agg["nat"].map(nat_in)
+    agg["revenue"] = ((agg["micro"] + 50) // 100) / 100.0
+    return agg[["n_name", "revenue"]]
+
+
+Q5_SQL = f"""
+select n_name,
+       ((sum(cast(round(l_extendedprice * 100) as bigint)
+             * (100 - cast(round(l_discount * 100) as bigint))) + 50)
+        // 100) / 100.0 as revenue
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = '{Q5_REGION}'
+group by n_name
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "props_extract": q_props_extract,
+    "q5_local_supplier": q_q5_local_supplier,
     "cluster_chaining_audit": q_cluster_chaining_audit,
     "score_reliability": q_score_reliability,
     "df_stopwords": q_df_stopwords,
@@ -21394,6 +21635,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["props_extract"] = PROPS_EXTRACT_SQL
+    out["q5_local_supplier"] = Q5_SQL
     out["cluster_chaining_audit"] = (
         _minhash_cte() + CLUSTER_CHAINING_SQL_SUFFIX)
     out["score_reliability"] = score_reliability_oracle_sql()

@@ -249,6 +249,8 @@ BENCH_QUERIES = [
     "cluster_chaining_audit",
     "score_reliability",
     "df_stopwords",
+    "props_extract",
+    "q5_local_supplier",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

