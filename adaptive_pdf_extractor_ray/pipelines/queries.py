@@ -18596,10 +18596,238 @@ group by n_name
 
 
 
+def schema_drift_fixture() -> tuple[str, str]:
+    """Two deterministic parquet snapshots with drifted schemas (column
+    added, column removed, physical type changed) for q_schema_drift;
+    idempotent fixed paths."""
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    root = os.path.join(tempfile.gettempdir(), "aper_schema_drift")
+    a_path = os.path.join(root, "a", "part-0.parquet")
+    b_path = os.path.join(root, "b", "part-0.parquet")
+    if not (os.path.exists(a_path) and os.path.exists(b_path)):
+        os.makedirs(os.path.dirname(a_path), exist_ok=True)
+        os.makedirs(os.path.dirname(b_path), exist_ok=True)
+        pq_.write_table(
+            pa.table(
+                {
+                    "url": pa.array(["https://a.example/0"], pa.string()),
+                    "score": pa.array([10], pa.int64()),
+                    "depth": pa.array([1], pa.int32()),
+                    "fetch_ts": pa.array([1700000000], pa.int64()),
+                }
+            ),
+            a_path,
+        )
+        pq_.write_table(
+            pa.table(
+                {
+                    "url": pa.array(["https://a.example/0"], pa.string()),
+                    "score": pa.array([10.5], pa.float64()),
+                    "fetch_ts": pa.array([1700000100], pa.int64()),
+                    "lang": pa.array(["en"], pa.string()),
+                }
+            ),
+            b_path,
+        )
+    return os.path.dirname(a_path), os.path.dirname(b_path)
+
+
+def q_schema_drift(sf_dir: str):
+    """Schema-drift audit between two dataset snapshots — the
+    lake-maintenance check run before an incremental job appends to an
+    existing table: per column, whether it was added, removed, kept, or
+    changed PHYSICAL parquet type between snapshots. Footer-metadata
+    only (zero data rows read — the rowgroup_prune discipline); the
+    oracle reads the same footers through DuckDB's ``parquet_schema``,
+    so the type names are the parquet spec's, not either engine's."""
+    import pyarrow.parquet as pq_
+
+    a_dir, b_dir = schema_drift_fixture()
+
+    def physical(d: str) -> dict[str, str]:
+        path = os.path.join(d, os.listdir(d)[0])
+        s = pq_.ParquetFile(path).schema
+        return {s.column(i).name: s.column(i).physical_type
+                for i in range(len(s.names))}
+
+    sa, sb = physical(a_dir), physical(b_dir)
+    cols = sorted(set(sa) | set(sb))
+    status = []
+    for c in cols:
+        if c not in sb:
+            status.append("removed")
+        elif c not in sa:
+            status.append("added")
+        elif sa[c] != sb[c]:
+            status.append("type_changed")
+        else:
+            status.append("unchanged")
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "type_a": pa.array([sa.get(c, "") for c in cols], pa.string()),
+            "type_b": pa.array([sb.get(c, "") for c in cols], pa.string()),
+            "status": pa.array(status, pa.string()),
+        }
+    )
+
+
+def schema_drift_oracle_sql(a_dir: str, b_dir: str) -> str:
+    return f"""
+with sa as (
+  select name, type from parquet_schema('{a_dir}/*.parquet')
+  where type is not null),
+sb as (
+  select name, type from parquet_schema('{b_dir}/*.parquet')
+  where type is not null)
+select coalesce(sa.name, sb.name) as column,
+       coalesce(sa.type, '') as type_a,
+       coalesce(sb.type, '') as type_b,
+       case when sb.name is null then 'removed'
+            when sa.name is null then 'added'
+            when sa.type <> sb.type then 'type_changed'
+            else 'unchanged' end as status
+from sa full outer join sb on sa.name = sb.name
+"""
+
+
+SEASONAL_LAG_DAYS = 7
+
+
+def q_seasonal_backtest(sf_dir: str):
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    event volume as the SAME WEEKDAY last week and score MAPE over the
+    days where both sides exist — the one-op sanity baseline every
+    volume-forecasting pipeline must beat before any model ships.
+    Dataflow: per-(type, day) counts (one combiner groupby), the count
+    table fans itself forward 7 days as predictions, one bounded
+    groupby((type, day)) pairs actual with prediction, and an O(types)
+    rollup yields n_days + integer-exact MAPE ppm (per-day terms
+    floor-divide by the actual, then the mean floor-divides — order
+    fixed and replayed in SQL)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def to_day_counts(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        di = pc.divide(pc.cast(day, pa.int64()),
+                       pa.scalar(86_400_000_000, pa.int64()))
+        part = (
+            pa.table({"event_type": t["event_type"], "day_i": di})
+            .group_by(["event_type", "day_i"])
+            .aggregate([([], "count_all")])
+        )
+        return part.rename_columns(["event_type", "day_i", "n"])
+
+    counts = (
+        ds.map_batches(to_day_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["event_type", "day_i"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def as_actual(t: pa.Table) -> pa.Table:
+        z = pa.nulls(len(t), pa.int64()).fill_null(0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day_i": pc.cast(t["day_i"], pa.int64()),
+                "actual": pc.cast(t["n"], pa.int64()),
+                "pred": z,
+            }
+        )
+
+    def as_pred(t: pa.Table) -> pa.Table:
+        z = pa.nulls(len(t), pa.int64()).fill_null(0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "day_i": pc.add(pc.cast(t["day_i"], pa.int64()),
+                                pa.scalar(SEASONAL_LAG_DAYS, pa.int64())),
+                "actual": z,
+                "pred": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    merged = (
+        counts.map_batches(as_actual, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .union(counts.map_batches(as_pred, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+        .groupby(["event_type", "day_i"])
+        .aggregate(
+            ray.data.aggregate.Sum("actual", alias_name="actual"),
+            ray.data.aggregate.Sum("pred", alias_name="pred"),
+        )
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        et, n1, ape = [], [], []
+        for e, a, p in zip(t["event_type"].to_pylist(),
+                           t["actual"].to_pylist(),
+                           t["pred"].to_pylist()):
+            if a > 0 and p > 0:  # both sides exist for this day
+                et.append(e)
+                n1.append(1)
+                ape.append(abs(a - p) * 1_000_000 // a)
+        return pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "n_days": pa.array(n1, pa.int64()),
+                "ape": pa.array(ape, pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_days": pc.cast(t["n_days"], pa.int64()),
+                "mape_ppm": pc.cast(
+                    pc.divide(t["ape"], t["n_days"]), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        merged.map_batches(terms, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Sum("n_days", alias_name="n_days"),
+            ray.data.aggregate.Sum("ape", alias_name="ape"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+SEASONAL_BACKTEST_SQL = f"""
+with c as (
+  select event_type, (epoch(ts::date)::bigint // 86400) as day_i,
+         count(*)::bigint as n
+  from events group by 1, 2),
+j as (
+  select a.event_type,
+         abs(a.n - p.n) * 1000000 // a.n as ape
+  from c a join c p on p.event_type = a.event_type
+                   and p.day_i = a.day_i - {SEASONAL_LAG_DAYS})
+select event_type, count(*)::bigint as n_days,
+       (sum(ape) // count(*))::bigint as mape_ppm
+from j group by event_type
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "schema_drift": q_schema_drift,
+    "seasonal_backtest": q_seasonal_backtest,
     "props_extract": q_props_extract,
     "q5_local_supplier": q_q5_local_supplier,
     "cluster_chaining_audit": q_cluster_chaining_audit,
@@ -21635,6 +21863,9 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    sd_a, sd_b = schema_drift_fixture()
+    out["schema_drift"] = schema_drift_oracle_sql(sd_a, sd_b)
+    out["seasonal_backtest"] = SEASONAL_BACKTEST_SQL
     out["props_extract"] = PROPS_EXTRACT_SQL
     out["q5_local_supplier"] = Q5_SQL
     out["cluster_chaining_audit"] = (

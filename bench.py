@@ -251,6 +251,8 @@ BENCH_QUERIES = [
     "df_stopwords",
     "props_extract",
     "q5_local_supplier",
+    "schema_drift",
+    "seasonal_backtest",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

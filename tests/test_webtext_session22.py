@@ -1002,3 +1002,40 @@ class TestQ5LocalSupplier:
         constraint actually removes cross-nation pairs."""
         got = q.q_q5_local_supplier(SF)
         assert len(got) >= 1 and (got["revenue"] > 0).all()
+
+
+class TestSchemaDrift:
+    def test_all_four_statuses_detected(self, ray_session):
+        got = q.q_schema_drift(SF).to_pandas().set_index("column")
+        assert got.loc["depth", "status"] == "removed"
+        assert got.loc["lang", "status"] == "added"
+        assert got.loc["score", "status"] == "type_changed"
+        assert got.loc["score", "type_a"] == "INT64"
+        assert got.loc["score", "type_b"] == "DOUBLE"
+        assert got.loc["url", "status"] == "unchanged"
+        assert got.loc["fetch_ts", "status"] == "unchanged"
+
+
+class TestSeasonalBacktest:
+    def test_matches_pandas_lag7(self, ray_session):
+        got = q.q_seasonal_backtest(SF).to_pandas().set_index("event_type")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "ts"]).to_pandas()
+        ev["day"] = (ev["ts"].values.astype("datetime64[D]")
+                     .astype("int64"))
+        c = ev.groupby(["event_type", "day"]).size().rename("n")\
+            .reset_index()
+        m = c.merge(
+            c.assign(day=c["day"] + q.SEASONAL_LAG_DAYS)
+             .rename(columns={"n": "pred"}),
+            on=["event_type", "day"],
+        )
+        for et, grp in m.groupby("event_type"):
+            apes = (grp["n"] - grp["pred"]).abs() * 1_000_000 // grp["n"]
+            assert got.loc[et, "n_days"] == len(grp)
+            assert got.loc[et, "mape_ppm"] == int(apes.sum()) // len(grp)
+
+    def test_mape_is_finite_and_plausible(self, ray_session):
+        got = q.q_seasonal_backtest(SF).to_pandas()
+        assert (got["n_days"] > 0).all()
+        assert (got["mape_ppm"] >= 0).all()
