@@ -18822,10 +18822,170 @@ from j group by event_type
 
 
 
+def q_ship_delay_stats(sf_dir: str):
+    """Fulfillment-latency distribution: days between order placement
+    and line shipment, exact p50/p90 per order priority — the SLA
+    report every fulfillment pipeline ends in, and a second user of
+    the histogram-of-values order-statistic plan (global_quantiles):
+    after one bucketed orderkey join, the shuffle carries (priority,
+    delay-day) COUNTERS — the value domain (priorities x ~120 days),
+    never the join rows — and the driver reads order statistics off
+    the tiny per-priority cumsums."""
+    import pandas as pd
+
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["o_orderkey"], JOIN_BUCKETS - 1),
+                    pa.int64(),
+                ),
+                "key": pc.cast(t["o_orderkey"], pa.int64()),
+                "prio": t["o_orderpriority"],
+                "odate": pc.cast(pc.cast(t["o_orderdate"], pa.int64()),
+                                 pa.int64()),
+                "sdate": pa.nulls(len(t), pa.int64()).fill_null(-1),
+                "side": pa.array(["o"] * len(t), pa.string()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["l_orderkey"], JOIN_BUCKETS - 1),
+                    pa.int64(),
+                ),
+                "key": pc.cast(t["l_orderkey"], pa.int64()),
+                "prio": pa.nulls(len(t), pa.string()),
+                "odate": pa.nulls(len(t), pa.int64()).fill_null(-1),
+                "sdate": pc.cast(pc.cast(t["l_shipdate"], pa.int64()),
+                                 pa.int64()),
+                "side": pa.array(["l"] * len(t), pa.string()),
+            }
+        )
+
+    both = od.map_batches(tag_orders, batch_format="pyarrow").union(
+        li.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+    us_day = 86_400_000_000
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "o"][["key", "prio", "odate"]]
+        right = g[g["side"] == "l"][["key", "sdate"]]
+        m = left.merge(right, on="key", how="inner")
+        if m.empty:
+            return pd.DataFrame(
+                {"prio": pd.Series([], dtype="object"),
+                 "delay": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        m["delay"] = (m["sdate"] - m["odate"]) // us_day
+        return m.groupby(["prio", "delay"], as_index=False).size()\
+            .rename(columns={"size": "n"})
+
+    hist = (
+        both.groupby("bucket")
+        .map_groups(hist_bucket, batch_format="pandas")
+        .groupby(["prio", "delay"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # O(priorities x delay-day domain)
+    )
+    out_p, out_n, out_p50, out_p90 = [], [], [], []
+    for prio, grp in hist.groupby("prio"):
+        grp = grp.sort_values("delay")
+        counts = grp["n"].to_numpy(dtype=np.int64)
+        vals = grp["delay"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out_p.append(prio)
+        out_n.append(n)
+        out_p50.append(int(vals[np.searchsorted(cum, ((n - 1) * 1) // 2
+                                                + 1, side="left")]))
+        out_p90.append(int(vals[np.searchsorted(cum, ((n - 1) * 9) // 10
+                                                + 1, side="left")]))
+    return pa.table(
+        {
+            "priority": pa.array(out_p, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "p50_days": pa.array(out_p50, pa.int64()),
+            "p90_days": pa.array(out_p90, pa.int64()),
+        }
+    )
+
+
+SHIP_DELAY_SQL = """
+with j as (
+  select o_orderpriority as p,
+         datediff('day', o_orderdate, l_shipdate)::bigint as d
+  from orders join lineitem on l_orderkey = o_orderkey),
+o as (
+  select p, d, row_number() over (partition by p order by d) - 1 as r
+  from j),
+n as (select p, count(*)::bigint as c from j group by p)
+select n.p as priority, n.c as n,
+       (select d from o where o.p = n.p and o.r = ((n.c - 1) * 1) // 2)
+         ::bigint as p50_days,
+       (select d from o where o.p = n.p and o.r = ((n.c - 1) * 9) // 10)
+         ::bigint as p90_days
+from n
+"""
+
+
+def q_centroid_distances(sf_dir: str):
+    """Pairwise distance matrix between per-label embedding centroids —
+    the class-geometry audit (which labels are confusable BEFORE any
+    classifier is trained): composes the existing label_centroids
+    combiner plan (shuffle = O(labels x blocks) partials, never
+    vectors), pivots the O(labels x dim) long table on the driver, and
+    emits round-6 Euclidean distances over the ROUNDED centroids (same
+    values the oracle's avg sees, so the arithmetic is shared, not
+    approximately equal)."""
+    cen = q_label_centroids(sf_dir).to_pandas()  # O(labels x dim)
+    piv = cen.pivot(index="label", columns="pos", values="value")
+    labels = sorted(piv.index)
+    M = piv.loc[labels].to_numpy(dtype=np.float64)
+    la, lb, dist = [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            d = float(np.sqrt(np.sum((M[i] - M[j]) ** 2)))
+            la.append(int(labels[i]))
+            lb.append(int(labels[j]))
+            dist.append(round(d, 6))
+    return pa.table(
+        {
+            "label_a": pa.array(la, pa.int64()),
+            "label_b": pa.array(lb, pa.int64()),
+            "dist": pa.array(dist, pa.float64()),
+        }
+    )
+
+
+def centroid_distances_oracle_sql() -> str:
+    return f"""
+with c as ({ORACLES["label_centroids"]}),
+d as (
+  select a.label as label_a, b.label as label_b,
+         sum((a.value - b.value) * (a.value - b.value)) as ss
+  from c a join c b on a.pos = b.pos and a.label < b.label
+  group by 1, 2)
+select label_a::bigint as label_a, label_b::bigint as label_b,
+       round(sqrt(ss), 6) as dist
+from d
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "ship_delay_stats": q_ship_delay_stats,
+    "centroid_distances": q_centroid_distances,
     "schema_drift": q_schema_drift,
     "seasonal_backtest": q_seasonal_backtest,
     "props_extract": q_props_extract,
@@ -21863,6 +22023,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["ship_delay_stats"] = SHIP_DELAY_SQL
+    out["centroid_distances"] = centroid_distances_oracle_sql()
     sd_a, sd_b = schema_drift_fixture()
     out["schema_drift"] = schema_drift_oracle_sql(sd_a, sd_b)
     out["seasonal_backtest"] = SEASONAL_BACKTEST_SQL

@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "q5_local_supplier",
     "schema_drift",
     "seasonal_backtest",
+    "ship_delay_stats",
+    "centroid_distances",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

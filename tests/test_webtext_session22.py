@@ -1039,3 +1039,51 @@ class TestSeasonalBacktest:
         got = q.q_seasonal_backtest(SF).to_pandas()
         assert (got["n_days"] > 0).all()
         assert (got["mape_ppm"] >= 0).all()
+
+
+class TestShipDelayStats:
+    def test_matches_pandas_order_statistics(self, ray_session):
+        got = q.q_ship_delay_stats(SF).to_pandas().set_index("priority")
+        od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        m = od.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+        m["delay"] = (m["l_shipdate"] - m["o_orderdate"]).dt.days
+        for p, grp in m.groupby("o_orderpriority"):
+            d = np.sort(grp["delay"].to_numpy())
+            n = len(d)
+            assert got.loc[p, "n"] == n
+            assert got.loc[p, "p50_days"] == d[((n - 1) * 1) // 2]
+            assert got.loc[p, "p90_days"] == d[((n - 1) * 9) // 10]
+
+    def test_delays_nonnegative(self, ray_session):
+        got = q.q_ship_delay_stats(SF).to_pandas()
+        assert (got["p50_days"] >= 0).all()
+        assert (got["p90_days"] >= got["p50_days"]).all()
+
+
+class TestCentroidDistances:
+    def test_matches_numpy_on_rounded_centroids(self, ray_session):
+        got = q.q_centroid_distances(SF).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        X = np.asarray(emb["embedding"].to_list(), dtype=np.float64)
+        labels = sorted(emb["label"].unique())
+        C = {
+            int(l): np.round(
+                X[emb["label"].to_numpy() == l].mean(axis=0), 6
+            )
+            for l in labels
+        }
+        for _, r in got.iterrows():
+            want = round(
+                float(np.sqrt(((C[r["label_a"]] - C[r["label_b"]]) ** 2)
+                              .sum())), 6)
+            assert r["dist"] == want
+
+    def test_full_upper_triangle(self, ray_session):
+        got = q.q_centroid_distances(SF).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet",
+                            columns=["label"]).to_pandas()
+        L = emb["label"].nunique()
+        assert len(got) == L * (L - 1) // 2
+        assert (got["label_a"] < got["label_b"]).all()
+        assert (got["dist"] > 0).all()
