@@ -18980,10 +18980,141 @@ from d
 
 
 
+def q_brand_return_rates(sf_dir: str):
+    """Per-brand return-rate rollup (the product-quality signal a
+    marketplace pipeline feeds back into ranking): lineitems join the
+    part dimension and aggregate returns ('R' returnflag) per brand.
+    The dimension ships ONCE as a broadcast partkey→brand map (the
+    ray.put-once / read-per-actor discipline — part is the classic
+    broadcast side; past the budget the same column flips to a
+    bucketed join); the fact table contributes per-batch (brand,
+    n, n_returned) partials, so the shuffle is O(brands x blocks)."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    bref = ray.put(
+        dict(zip((int(k) for k in part["p_partkey"]), part["p_brand"]))
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand_of = ray.get(bref)
+        agg: dict[str, list] = {}
+        for pk, rf in zip(t["l_partkey"].to_pylist(),
+                          t["l_returnflag"].to_pylist()):
+            b = brand_of[pk]
+            a = agg.setdefault(b, [0, 0])
+            a[0] += 1
+            if rf == "R":
+                a[1] += 1
+        brands = sorted(agg)
+        return pa.table(
+            {
+                "brand": pa.array(brands, pa.string()),
+                "n": pa.array([agg[b][0] for b in brands], pa.int64()),
+                "n_returned": pa.array([agg[b][1] for b in brands],
+                                       pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ppm = pc.divide(
+            pc.multiply(t["n_returned"], pa.scalar(1_000_000, pa.int64())),
+            t["n"],
+        )
+        return pa.table(
+            {
+                "brand": t["brand"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "n_returned": pc.cast(t["n_returned"], pa.int64()),
+                "return_ppm": pc.cast(ppm, pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("brand")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n"),
+            ray.data.aggregate.Sum("n_returned", alias_name="n_returned"),
+        )
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+BRAND_RETURN_SQL = """
+select p_brand as brand, count(*)::bigint as n,
+       sum(case when l_returnflag = 'R' then 1 else 0 end)::bigint
+         as n_returned,
+       (sum(case when l_returnflag = 'R' then 1 else 0 end) * 1000000
+        // count(*))::bigint as return_ppm
+from lineitem join part on l_partkey = p_partkey
+group by p_brand
+"""
+
+
+def q_part_supply_risk(sf_dir: str):
+    """Single-source supply-risk audit: how many DISTINCT suppliers has
+    each part actually shipped from, rolled up into a risk histogram
+    (n_parts per supplier-count, plus the single-sourced cohort a
+    procurement pipeline escalates). Two bounded combiner groupbys:
+    per-batch distinct (part, supplier) -> grouped distinct count per
+    part (shuffle = distinct pairs, not lineitems) -> O(distinct
+    counts) histogram."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        part = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return part.rename_columns(["part", "supp"])
+
+    per_part = (
+        li.map_batches(distinct_pairs, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["part", "supp"])
+        .count()
+        .select_columns(["part", "supp"])
+        .groupby("part")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_suppliers"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        part = t.select(["n_suppliers"]).group_by("n_suppliers")\
+            .aggregate([([], "count_all")])
+        return part.rename_columns(["n_suppliers", "n_parts"])
+
+    return (
+        per_part.map_batches(hist_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("n_suppliers")
+        .aggregate(ray.data.aggregate.Sum("n_parts", alias_name="n_parts"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+                    "n_parts": pc.cast(t["n_parts"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+PART_SUPPLY_RISK_SQL = """
+with ps as (
+  select l_partkey, count(distinct l_suppkey)::bigint as n_suppliers
+  from lineitem group by 1)
+select n_suppliers, count(*)::bigint as n_parts
+from ps group by n_suppliers
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "brand_return_rates": q_brand_return_rates,
+    "part_supply_risk": q_part_supply_risk,
     "ship_delay_stats": q_ship_delay_stats,
     "centroid_distances": q_centroid_distances,
     "schema_drift": q_schema_drift,
@@ -22023,6 +22154,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["brand_return_rates"] = BRAND_RETURN_SQL
+    out["part_supply_risk"] = PART_SUPPLY_RISK_SQL
     out["ship_delay_stats"] = SHIP_DELAY_SQL
     out["centroid_distances"] = centroid_distances_oracle_sql()
     sd_a, sd_b = schema_drift_fixture()

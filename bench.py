@@ -255,6 +255,8 @@ BENCH_QUERIES = [
     "seasonal_backtest",
     "ship_delay_stats",
     "centroid_distances",
+    "brand_return_rates",
+    "part_supply_risk",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

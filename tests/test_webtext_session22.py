@@ -1087,3 +1087,38 @@ class TestCentroidDistances:
         assert len(got) == L * (L - 1) // 2
         assert (got["label_a"] < got["label_b"]).all()
         assert (got["dist"] > 0).all()
+
+
+class TestBrandReturnRates:
+    def test_matches_pandas_join(self, ray_session):
+        got = q.q_brand_return_rates(SF).to_pandas().set_index("brand")
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_partkey", "l_returnflag"]).to_pandas()
+        part = pq.read_table(f"{SF}/part.parquet",
+                             columns=["p_partkey", "p_brand"]).to_pandas()
+        m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+        want = m.groupby("p_brand").agg(
+            n=("l_returnflag", "size"),
+            n_returned=("l_returnflag", lambda s: (s == "R").sum()),
+        )
+        for b, r in want.iterrows():
+            g = got.loc[b]
+            assert g["n"] == r["n"] and g["n_returned"] == r["n_returned"]
+            assert g["return_ppm"] == r["n_returned"] * 1_000_000 // r["n"]
+
+
+class TestPartSupplyRisk:
+    def test_matches_pandas_distinct_counts(self, ray_session):
+        got = q.q_part_supply_risk(SF).to_pandas().set_index("n_suppliers")
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"]).to_pandas()
+        per_part = li.groupby("l_partkey")["l_suppkey"].nunique()
+        want = per_part.value_counts()
+        assert got["n_parts"].sort_index().astype("int64")\
+            .equals(want.sort_index().rename("n_parts").astype("int64"))
+
+    def test_histogram_covers_all_shipped_parts(self, ray_session):
+        got = q.q_part_supply_risk(SF).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_partkey"]).to_pandas()
+        assert got["n_parts"].sum() == li["l_partkey"].nunique()
