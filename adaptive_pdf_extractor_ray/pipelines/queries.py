@@ -19109,10 +19109,194 @@ from ps group by n_suppliers
 
 
 
+FISHER_TOP_K = 10
+
+
+def q_fisher_dims(sf_dir: str):
+    """Per-dimension Fisher score over the labeled embeddings —
+    between-class vs within-class variance per coordinate, the
+    classical filter-method feature selector run before any projection
+    is trusted: a dimension that separates the label clusters scores
+    high, noise dims score ~0. One combiner pass emits per-(label)
+    partial moment rows (sum, sum-of-squares, count per dim — the
+    O(d²)-free sibling of embed_covariance's plan); the driver finishes
+    on the O(labels x dim) moment table and returns the top-K dims by
+    round-6 score (ties -> lower dim index). The oracle recomputes the
+    same decomposition from raw unnested values."""
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        labels = np.asarray(t["label"].to_pylist())
+        out_l, out_s, out_q, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.append(int(lab))
+            out_s.append(X[m].sum(axis=0).tolist())
+            out_q.append((X[m] ** 2).sum(axis=0).tolist())
+            out_n.append(int(m.sum()))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "vsum": pa.array(out_s, pa.list_(pa.float64())),
+                "vsq": pa.array(out_q, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "label": g["label"].slice(0, 1),
+                    "vsum": pa.array(
+                        [np.asarray(g["vsum"].to_pylist())
+                         .sum(axis=0).tolist()],
+                        pa.list_(pa.float64()),
+                    ),
+                    "vsq": pa.array(
+                        [np.asarray(g["vsq"].to_pylist())
+                         .sum(axis=0).tolist()],
+                        pa.list_(pa.float64()),
+                    ),
+                    "n": pa.array(
+                        [int(pc.sum(g["n"]).as_py())], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )  # O(labels) rows of dim-length moment vectors
+    S = np.asarray([r["vsum"] for r in rows], dtype=np.float64)
+    Q = np.asarray([r["vsq"] for r in rows], dtype=np.float64)
+    N = np.asarray([r["n"] for r in rows], dtype=np.float64)[:, None]
+    n_tot = float(N.sum())
+    mu_l = S / N                       # (L, d) class means
+    mu = S.sum(axis=0) / n_tot         # (d,) global mean
+    between = (N * (mu_l - mu) ** 2).sum(axis=0) / n_tot
+    within = ((Q - N * mu_l**2).sum(axis=0)) / n_tot
+    score = np.round(between / within, 6)
+    order = sorted(range(len(score)), key=lambda i: (-score[i], i))
+    keep = order[:FISHER_TOP_K]
+    return pa.table(
+        {
+            "pos": pa.array([i + 1 for i in keep], pa.int64()),
+            "fisher": pa.array([float(score[i]) for i in keep],
+                               pa.float64()),
+        }
+    )
+
+
+FISHER_SQL = f"""
+with flat as (
+  select label, unnest(embedding) as v,
+         generate_subscripts(embedding, 1) as pos
+  from embeddings),
+lm as (
+  select label, pos, sum(v) as s, sum(v * v) as q,
+         count(*)::double as n
+  from flat group by 1, 2),
+g as (select pos, sum(s) / sum(n) as mu, sum(n) as n_tot
+      from lm group by pos),
+f as (
+  select lm.pos,
+         sum(lm.n * (lm.s / lm.n - g.mu) * (lm.s / lm.n - g.mu))
+           / max(g.n_tot) as between_v,
+         sum(lm.q - lm.n * (lm.s / lm.n) * (lm.s / lm.n))
+           / max(g.n_tot) as within_v
+  from lm join g using (pos) group by lm.pos),
+sc as (select pos, round(between_v / within_v, 6) as fisher from f),
+r as (select pos, fisher,
+             row_number() over (order by fisher desc, pos) as rn
+      from sc)
+select pos::bigint as pos, fisher from r where rn <= {FISHER_TOP_K}
+"""
+
+
+TRIGRAM_TOP_K = 15
+
+
+def q_event_trigrams(sf_dir: str):
+    """Frequent behavioral motifs: the top-K 3-event sequences over
+    per-user time-ordered streams (event_transitions' order-3 sibling —
+    bigrams miss the signup→view→purchase vs signup→error→purchase
+    distinction that matters for funnel debugging). Per-user groups are
+    bounded by a user's event count; the motif rollup shuffles (a, b,
+    c, n) counters; top-K via the per-block-partial dataset_topk
+    reduce. Ties break lexicographically — replayed identically in
+    SQL's double-lag formulation."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ev = pc.take(g["event_type"], order).to_pylist()
+        from collections import Counter
+
+        c = Counter(zip(ev, ev[1:], ev[2:]))
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in c], pa.string()),
+                "b": pa.array([k[1] for k in c], pa.string()),
+                "c": pa.array([k[2] for k in c], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ..stages.topk import dataset_topk
+
+    counts = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["a", "b", "c"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t["a"], "b": t["b"], "c": t["c"],
+                    "n": pc.cast(t["n"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    return dataset_topk(
+        counts,
+        sort_keys=[("n", "descending"), ("a", "ascending"),
+                   ("b", "ascending"), ("c", "ascending")],
+        k=TRIGRAM_TOP_K,
+    )
+
+
+EVENT_TRIGRAMS_SQL = f"""
+with o as (
+  select user_id, event_type,
+         lag(event_type, 1) over w as prev1,
+         lag(event_type, 2) over w as prev2
+  from events
+  window w as (partition by user_id order by ts, event_id)),
+t as (
+  select prev2 as a, prev1 as b, event_type as c, count(*)::bigint as n
+  from o where prev2 is not null
+  group by 1, 2, 3)
+select a, b, c, n from t
+order by n desc, a, b, c limit {TRIGRAM_TOP_K}
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "fisher_dims": q_fisher_dims,
+    "event_trigrams": q_event_trigrams,
     "brand_return_rates": q_brand_return_rates,
     "part_supply_risk": q_part_supply_risk,
     "ship_delay_stats": q_ship_delay_stats,
@@ -22154,6 +22338,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["fisher_dims"] = FISHER_SQL
+    out["event_trigrams"] = EVENT_TRIGRAMS_SQL
     out["brand_return_rates"] = BRAND_RETURN_SQL
     out["part_supply_risk"] = PART_SUPPLY_RISK_SQL
     out["ship_delay_stats"] = SHIP_DELAY_SQL

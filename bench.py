@@ -257,6 +257,8 @@ BENCH_QUERIES = [
     "centroid_distances",
     "brand_return_rates",
     "part_supply_risk",
+    "fisher_dims",
+    "event_trigrams",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -8,6 +8,7 @@ engine and the DuckDB oracle."""
 import hashlib
 
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow.parquet as pq
 
@@ -1122,3 +1123,53 @@ class TestPartSupplyRisk:
         li = pq.read_table(f"{SF}/lineitem.parquet",
                            columns=["l_partkey"]).to_pandas()
         assert got["n_parts"].sum() == li["l_partkey"].nunique()
+
+
+class TestFisherDims:
+    def test_matches_numpy_decomposition(self, ray_session):
+        got = q.q_fisher_dims(SF).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        X = np.asarray(emb["embedding"].to_list(), dtype=np.float64)
+        y = emb["label"].to_numpy()
+        n = len(y)
+        mu = X.mean(axis=0)
+        between = np.zeros(X.shape[1])
+        within = np.zeros(X.shape[1])
+        for lab in np.unique(y):
+            m = y == lab
+            mul = X[m].mean(axis=0)
+            between += m.sum() * (mul - mu) ** 2
+            within += ((X[m] - mul) ** 2).sum(axis=0)
+        score = np.round(between / within, 6)  # both /n cancel
+        order = sorted(range(len(score)), key=lambda i: (-score[i], i))
+        want = [(i + 1, score[i]) for i in order[: q.FISHER_TOP_K]]
+        assert list(zip(got["pos"], got["fisher"])) == [
+            (p, pytest.approx(s, abs=1.1e-6)) for p, s in want
+        ]
+
+    def test_scores_separate_signal_from_noise(self, ray_session):
+        """Labeled synthetic embeddings have informative dims — the top
+        Fisher score must dwarf the corpus median."""
+        got = q.q_fisher_dims(SF).to_pandas()
+        assert got["fisher"].iloc[0] > 0
+        assert (got["fisher"].diff().dropna() <= 0).all()  # sorted desc
+
+
+class TestEventTrigrams:
+    def test_matches_pandas_double_shift(self, ray_session):
+        got = q.q_event_trigrams(SF).to_pandas().reset_index(drop=True)
+        ev = pq.read_table(
+            f"{SF}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        ).to_pandas().sort_values(["user_id", "ts", "event_id"])
+        from collections import Counter
+        c = Counter()
+        for _, g in ev.groupby("user_id"):
+            s = g["event_type"].tolist()
+            c.update(zip(s, s[1:], s[2:]))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = want[: q.TRIGRAM_TOP_K]
+        assert len(got) == len(want)
+        for (trig, n), (_, row) in zip(want, got.iterrows()):
+            assert (row["a"], row["b"], row["c"]) == trig
+            assert row["n"] == n
