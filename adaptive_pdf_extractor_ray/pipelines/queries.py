@@ -17741,45 +17741,63 @@ def q_span_intervals(sf_dir: str):
     w = tx.CDC_WINDOW
     spans = q_match_spans(sf_dir)
 
-    def islands(g: pa.Table) -> pa.Table:
+    # one (a, b) pair = one island computation, but a per-pair
+    # map_groups is a Python call per group (32 s on the 100k+ pairs of
+    # the sf0.1 corpus). Salt-partition on hash(a, b) instead: each
+    # partition sorts once and runs the island rule VECTORIZED over all
+    # its pairs at once (group changes are just another break flag) —
+    # 32 s -> ~4 s, value-identical.
+    n_parts = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        p = pc.bit_wise_and(
+            pc.add(pc.multiply(pc.cast(t["a"], pa.int64()), 2654435761),
+                   t["b"]),
+            n_parts - 1,
+        )
+        return t.append_column("p", pc.cast(p, pa.int64()))
+
+    def islands_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("a", "b", "a_start", "a_end", "b_start",
+                           "b_end", "n_anchors")}
+            )
         order = pc.sort_indices(
-            g, sort_keys=[("a_pos", "ascending"), ("b_pos", "ascending")]
+            g, sort_keys=[("a", "ascending"), ("b", "ascending"),
+                          ("a_pos", "ascending"), ("b_pos", "ascending")]
         )
         g = g.take(order)
-        a = g["a"][0].as_py()
-        b = g["b"][0].as_py()
-        aps = g["a_pos"].to_pylist()
-        bps = g["b_pos"].to_pylist()
-        out = []
-        cur: list[tuple[int, int]] = []
-        for i in range(len(aps)):
-            if cur:
-                da = aps[i] - aps[i - 1]
-                db = bps[i] - bps[i - 1]
-                if da > SPAN_GAP or da != db:
-                    out.append(cur)
-                    cur = []
-            cur.append((aps[i], bps[i]))
-        if cur:
-            out.append(cur)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        ap = g["a_pos"].to_numpy(zero_copy_only=False)
+        bp = g["b_pos"].to_numpy(zero_copy_only=False)
+        brk = np.ones(len(a), dtype=bool)  # row 0 starts an island
+        if len(a) > 1:
+            da = ap[1:] - ap[:-1]
+            db = bp[1:] - bp[:-1]
+            same_pair = (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+            brk[1:] = ~same_pair | (da > SPAN_GAP) | (da != db)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(a)) - 1
         return pa.table(
             {
-                "a": pa.array([a] * len(out), pa.int64()),
-                "b": pa.array([b] * len(out), pa.int64()),
-                "a_start": pa.array(
-                    [s[0][0] - w + 1 for s in out], pa.int64()
-                ),
-                "a_end": pa.array([s[-1][0] for s in out], pa.int64()),
-                "b_start": pa.array(
-                    [s[0][1] - w + 1 for s in out], pa.int64()
-                ),
-                "b_end": pa.array([s[-1][1] for s in out], pa.int64()),
-                "n_anchors": pa.array([len(s) for s in out], pa.int64()),
+                "a": pa.array(a[starts], pa.int64()),
+                "b": pa.array(b[starts], pa.int64()),
+                "a_start": pa.array(ap[starts] - w + 1, pa.int64()),
+                "a_end": pa.array(ap[ends], pa.int64()),
+                "b_start": pa.array(bp[starts] - w + 1, pa.int64()),
+                "b_end": pa.array(bp[ends], pa.int64()),
+                "n_anchors": pa.array(ends - starts + 1, pa.int64()),
             }
         )
 
-    return spans.groupby(["a", "b"]).map_groups(
-        islands, batch_format="pyarrow"
+    return (
+        spans.map_batches(salt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(islands_part, batch_format="pyarrow")
     )
 
 
@@ -18837,6 +18855,9 @@ def q_ship_delay_stats(sf_dir: str):
                ["o_orderkey", "o_orderdate", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
 
+    # the side tag rides in the SIGN of the date columns (-1 = absent),
+    # so the 2x-corpus-sized shuffle carries three ints + one dictionary
+    # string per row and no side/null columns
     def tag_orders(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -18849,7 +18870,6 @@ def q_ship_delay_stats(sf_dir: str):
                 "odate": pc.cast(pc.cast(t["o_orderdate"], pa.int64()),
                                  pa.int64()),
                 "sdate": pa.nulls(len(t), pa.int64()).fill_null(-1),
-                "side": pa.array(["o"] * len(t), pa.string()),
             }
         )
 
@@ -18865,7 +18885,6 @@ def q_ship_delay_stats(sf_dir: str):
                 "odate": pa.nulls(len(t), pa.int64()).fill_null(-1),
                 "sdate": pc.cast(pc.cast(t["l_shipdate"], pa.int64()),
                                  pa.int64()),
-                "side": pa.array(["l"] * len(t), pa.string()),
             }
         )
 
@@ -18875,8 +18894,8 @@ def q_ship_delay_stats(sf_dir: str):
     us_day = 86_400_000_000
 
     def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == "o"][["key", "prio", "odate"]]
-        right = g[g["side"] == "l"][["key", "sdate"]]
+        left = g[g["odate"] >= 0][["key", "prio", "odate"]]
+        right = g[g["sdate"] >= 0][["key", "sdate"]]
         m = left.merge(right, on="key", how="inner")
         if m.empty:
             return pd.DataFrame(
@@ -18888,11 +18907,39 @@ def q_ship_delay_stats(sf_dir: str):
         return m.groupby(["prio", "delay"], as_index=False).size()\
             .rename(columns={"size": "n"})
 
+    partials = both.groupby("bucket").map_groups(
+        hist_bucket, batch_format="pandas"
+    )
+
+    # final (prio, delay) counter merge via salted Arrow C++ group_by —
+    # Dataset.groupby().aggregate(Sum) combines the ~160k partial
+    # histogram rows at Python speed (22 s of the op's 26 s at sf0.1);
+    # this pass is ~1 s
+    n_parts = 64
+
+    def salt(t: pa.Table) -> pa.Table:
+        p = pc.bit_wise_and(t["delay"], n_parts - 1)
+        return t.append_column("p", pc.cast(p, pa.int64()))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"prio": pa.array([], pa.string()),
+                 "delay": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        r = (
+            g.select(["prio", "delay", "n"])
+            .group_by(["prio", "delay"])
+            .aggregate([("n", "sum")])
+        )
+        return r.rename_columns(["prio", "delay", "n"])
+
     hist = (
-        both.groupby("bucket")
-        .map_groups(hist_bucket, batch_format="pandas")
-        .groupby(["prio", "delay"])
-        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        partials.map_batches(salt, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("p")
+        .map_groups(reduce_part, batch_format="pyarrow")
         .to_pandas()  # O(priorities x delay-day domain)
     )
     out_p, out_n, out_p50, out_p90 = [], [], [], []
