@@ -19338,10 +19338,151 @@ order by n desc, a, b, c limit {TRIGRAM_TOP_K}
 
 
 
+SIMHASH_IDF_VOCAB_CAP = 5_000_000  # broadcast budget for the idf table
+
+
+def q_simhash_idf(sf_dir: str):
+    """IDF-WEIGHTED SimHash signatures — the production variant of
+    dedup_simhash (Manku et al. use term weights, not ±1): every token
+    occurrence votes ±floor(1000·ln(N/df)) per bit, so boilerplate
+    tokens that appear in every doc (df == N → weight 0) stop dragging
+    unrelated pages into Hamming range, which is exactly the failure
+    mode the unweighted signature has on templated web corpora. The df
+    table comes from the salted distinct-count pass and ships once via
+    ray.put (within SIMHASH_IDF_VOCAB_CAP — past it, the same weight
+    attach becomes a token-keyed join, the setsim routing); signatures
+    and 16-bit bands come out in the dedup_simhash layout so the whole
+    banding/verify chain downstream is reusable unchanged. Weight
+    arithmetic is integer (floor) on both sides; the oracle replays
+    hash, weight, vote and band bit-for-bit."""
+    import math
+
+    n_docs = _table_rows(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def distinct_tokens(t: pa.Table) -> pa.Table:
+        cnt: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            for tok in set(dd._tokens(s or "")):
+                cnt[tok] = cnt.get(tok, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(cnt.keys()), pa.string()),
+                "df": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    df_tbl = _grouped_sum_str(
+        docs.map_batches(distinct_tokens, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="term", val="df", out="df", n_parts=16,
+    ).take_all()  # O(vocabulary) — within the broadcast cap by contract
+    weights = {
+        r["term"]: int(math.floor(math.log(n_docs / r["df"]) * 1000))
+        for r in df_tbl
+    }
+    wref = ray.put(weights)
+
+    def sign(t: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        sigs = []
+        for s in t["text"].to_pylist():
+            toks = dd._tokens(s or "")
+            if not toks:
+                sigs.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = dd._hash64(tok)
+                wt = w[tok]
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)
+                        ) & np.uint64(1)
+                acc += np.where(bits.astype(bool), wt, -wt)
+            out = 0
+            for i in np.nonzero(acc > 0)[0]:
+                out |= 1 << int(i)
+            sigs.append(out)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(sigs, pa.uint64()),
+                **{
+                    f"band{b}": pa.array(
+                        [(s >> (16 * b)) & 0xFFFF for s in sigs],
+                        pa.int64(),
+                    )
+                    for b in range(4)
+                },
+            }
+        )
+
+    return docs.map_batches(sign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def simhash_idf_oracle_sql() -> str:
+    tokenize = dd.SQL_TOKENIZE.format(col="text")
+    return f"""
+with tk as (
+  select doc_id, unnest({tokenize}) as t from documents),
+dft as (select t, count(distinct doc_id)::bigint as df from tk group by t),
+w as (
+  select t,
+         floor(ln((select count(*) from documents)::double / df) * 1000)
+           ::bigint as wt
+  from dft),
+th as (
+  select tk.doc_id,
+         ('0x' || substr(md5(tk.t), 1, 16))::ubigint as h, w.wt
+  from tk join w using (t)),
+bitix(bit) as (select unnest(range(64))),
+bits as (
+  select doc_id, bit,
+         sum(case when (h >> bit) & 1 = 1 then wt else -wt end) as acc
+  from th cross join bitix group by doc_id, bit),
+sim as (
+  select doc_id,
+         sum(case when acc > 0 then (1::hugeint << bit)
+             else 0::hugeint end)::ubigint as simhash
+  from bits group by doc_id)
+select doc_id, simhash,
+       ((simhash >> 0) & 65535)::bigint as band0,
+       ((simhash >> 16) & 65535)::bigint as band1,
+       ((simhash >> 32) & 65535)::bigint as band2,
+       ((simhash >> 48) & 65535)::bigint as band3
+from sim
+"""
+
+
+def q_simhash_hamming_hist(sf_dir: str):
+    """Hamming-distance histogram of the SimHash candidate pairs — the
+    threshold-selection evidence for the band dedup (where does the
+    near-dup mass sit inside the distance budget the 4×16 pigeonhole
+    guarantees?). A pure O(4)-row rollup of the existing verified pair
+    stream; zero new shuffles beyond the pair chain's own."""
+    pairs = _simhash_band_pairs(sf_dir)
+    return (
+        pairs.groupby("hamming")
+        .aggregate(ray.data.aggregate.Count(alias_name="n_pairs"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "hamming": pc.cast(t["hamming"], pa.int64()),
+                    "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "simhash_idf": q_simhash_idf,
+    "simhash_hamming_hist": q_simhash_hamming_hist,
     "fisher_dims": q_fisher_dims,
     "event_trigrams": q_event_trigrams,
     "brand_return_rates": q_brand_return_rates,
@@ -22385,6 +22526,11 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["simhash_idf"] = simhash_idf_oracle_sql()
+    out["simhash_hamming_hist"] = (
+        "with " + _simhash_cte_body() + _SIMHASH_PAIRS_TAIL
+        + "select hamming::bigint as hamming, count(*)::bigint as n_pairs "
+          "from spairs where hamming <= 3 group by hamming")
     out["fisher_dims"] = FISHER_SQL
     out["event_trigrams"] = EVENT_TRIGRAMS_SQL
     out["brand_return_rates"] = BRAND_RETURN_SQL

@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "part_supply_risk",
     "fisher_dims",
     "event_trigrams",
+    "simhash_idf",
+    "simhash_hamming_hist",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

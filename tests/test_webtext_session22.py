@@ -1173,3 +1173,57 @@ class TestEventTrigrams:
         for (trig, n), (_, row) in zip(want, got.iterrows()):
             assert (row["a"], row["b"], row["c"]) == trig
             assert row["n"] == n
+
+
+class TestSimhashIdf:
+    def test_matches_reference_weighted_votes(self, ray_session):
+        import math
+        from adaptive_pdf_extractor_ray.stages import dedup as dd
+        got = q.q_simhash_idf(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        n = len(docs)
+        from collections import Counter
+        df = Counter()
+        for s in docs["text"]:
+            df.update(set(dd._tokens(s or "")))
+        w = {t: int(math.floor(math.log(n / c) * 1000))
+             for t, c in df.items()}
+        for _, row in docs.sample(n=40, random_state=3).iterrows():
+            toks = dd._tokens(row["text"] or "")
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = dd._hash64(tok)
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)
+                        ) & np.uint64(1)
+                acc += np.where(bits.astype(bool), w[tok], -w[tok])
+            want = 0
+            for i in np.nonzero(acc > 0)[0]:
+                want |= 1 << int(i)
+            assert int(got.loc[row["doc_id"], "simhash"]) == want
+
+    def test_ubiquitous_tokens_carry_zero_weight(self, ray_session):
+        """A token in every doc has idf 0 — flipping its presence must
+        not change any signature (the boilerplate-immunity property the
+        weighted variant exists for)."""
+        import math
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        from adaptive_pdf_extractor_ray.stages import dedup as dd
+        from collections import Counter
+        df = Counter()
+        for s in docs["text"]:
+            df.update(set(dd._tokens(s or "")))
+        ubiquitous = [t for t, c in df.items() if c == len(docs)]
+        for t in ubiquitous:
+            assert math.floor(math.log(len(docs) / df[t]) * 1000) == 0
+
+
+class TestSimhashHammingHist:
+    def test_rollup_matches_pairs(self, ray_session):
+        got = q.q_simhash_hamming_hist(SF).to_pandas().set_index("hamming")
+        pairs = q.q_dedup_simhash_pairs(SF).to_pandas()
+        want = pairs.groupby("hamming").size()
+        assert got["n_pairs"].sort_index().astype("int64")\
+            .equals(want.sort_index().rename("n_pairs").astype("int64"))
+        assert set(got.index) <= {0, 1, 2, 3}  # the pigeonhole budget
