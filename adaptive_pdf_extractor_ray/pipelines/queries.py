@@ -19477,10 +19477,156 @@ def q_simhash_hamming_hist(sf_dir: str):
 
 
 
+TOKEN_QUOTA_B = 300  # per-source token budget
+
+
+def q_token_quota(sf_dir: str):
+    """TOKEN-budget quota sampling per source — the mixing step where
+    budgets are what training actually consumes (tokens), not document
+    counts (domain_quota's unit): within each source, rank docs
+    quality-first (stop_ratio desc, doc_id tie-break) and keep the
+    prefix whose INCLUSIVE cumulative token count fits TOKEN_QUOTA_B.
+    The running sum uses the per-source rank decomposition
+    (score_calibrate's shape) extended to carry token sums: the
+    per-(source, score, id-bucket) table holds each group's token
+    total, the driver prefix-sums those into base offsets (O(distinct
+    keys), not rows), and each bounded group finishes its own exact
+    within-group cumsum. Scores ride as integer micro-units so the
+    order key is never a float."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def features(t: pa.Table) -> pa.Table:
+        qb = tx.quality_batch(t)  # same row order as the input batch
+        sr6 = pc.cast(
+            pc.round(pc.multiply(qb["stop_ratio"], 1_000_000.0), 0),
+            pa.int64(),
+        )
+        b = pc.divide(t["doc_id"], pa.scalar(RANK_BUCKET, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "n_tokens": qb["n_tokens"],
+                "sr6": sr6,
+                "bucket": pc.cast(b, pa.int64()),
+            }
+        )
+
+    feats = docs.map_batches(
+        features, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = (
+        feats.groupby(["source", "sr6", "bucket"])
+        .aggregate(ray.data.aggregate.Sum("n_tokens", alias_name="tok"))
+        .take_all()
+    )  # O(distinct (source, score, bucket))
+    base: dict[tuple[str, int, int], int] = {}
+    run: dict[str, int] = {}
+    for r in sorted(
+        counts, key=lambda r: (r["source"], -r["sr6"], r["bucket"])
+    ):
+        key = (r["source"], r["sr6"], r["bucket"])
+        base[key] = run.get(r["source"], 0)
+        run[r["source"]] = base[key] + r["tok"]
+    bref = ray.put(base)
+
+    def select(g: pa.Table) -> pa.Table:
+        offsets = ray.get(bref)
+        g = g.take(pc.sort_indices(g["doc_id"]))
+        start = offsets[(g["source"][0].as_py(), g["sr6"][0].as_py(),
+                         g["bucket"][0].as_py())]
+        toks = g["n_tokens"].to_numpy(zero_copy_only=False)
+        cum = start + np.cumsum(toks)
+        keep = cum <= TOKEN_QUOTA_B
+        g = g.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "n_tokens": g["n_tokens"],
+                "cum_tokens": pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    return feats.groupby(["source", "sr6", "bucket"]).map_groups(
+        select, batch_format="pyarrow"
+    )
+
+
+def token_quota_oracle_sql() -> str:
+    qs = ORACLES["quality_score"]
+    return f"""
+with qs as ({qs}),
+j as (
+  select d.doc_id, d.source, qs.n_tokens,
+         cast(round(qs.stop_ratio * 1000000) as bigint) as sr6
+  from qs join documents d using (doc_id)),
+c as (
+  select *, sum(n_tokens) over (
+      partition by source order by sr6 desc, doc_id
+      rows unbounded preceding) as cum
+  from j)
+select doc_id, source, n_tokens, cum::bigint as cum_tokens
+from c where cum <= {TOKEN_QUOTA_B}
+"""
+
+
+def q_outline_depth_stats(sf_dir: str):
+    """Per-page outline-shape rollup over the structured-HTML fixture:
+    heading counts per level and the deepest level used — the
+    document-structure features a chunking policy keys on (pages with
+    h3 depth split differently than flat pages). One vectorized RE2
+    count per level, no Python per row, no shuffle."""
+    ds = rd.read_parquet(struct_corpus(), columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        h = pc.cast(t["html"], pa.string())
+        n1 = pc.cast(pc.count_substring(h, pattern="<h1>"), pa.int64())
+        n2 = pc.cast(pc.count_substring(h, pattern="<h2>"), pa.int64())
+        n3 = pc.cast(pc.count_substring(h, pattern="<h3>"), pa.int64())
+        depth = pc.if_else(
+            pc.greater(n3, 0), pa.scalar(3, pa.int64()),
+            pc.if_else(pc.greater(n2, 0), pa.scalar(2, pa.int64()),
+                       pc.if_else(pc.greater(n1, 0),
+                                  pa.scalar(1, pa.int64()),
+                                  pa.scalar(0, pa.int64()))),
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "n_h1": n1,
+                "n_h2": n2,
+                "n_h3": n3,
+                "max_level": depth,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def outline_depth_oracle_sql(pages_dir: str) -> str:
+    return f"""
+with p as (select url, decode(html) as s
+           from read_parquet('{pages_dir}/*.parquet'))
+select url,
+       length(s) - length(replace(s, '<h1>', '---'))::bigint as n_h1,
+       length(s) - length(replace(s, '<h2>', '---'))::bigint as n_h2,
+       length(s) - length(replace(s, '<h3>', '---'))::bigint as n_h3,
+       case when contains(s, '<h3>') then 3
+            when contains(s, '<h2>') then 2
+            when contains(s, '<h1>') then 1
+            else 0 end::bigint as max_level
+from p
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "token_quota": q_token_quota,
+    "outline_depth_stats": q_outline_depth_stats,
     "simhash_idf": q_simhash_idf,
     "simhash_hamming_hist": q_simhash_hamming_hist,
     "fisher_dims": q_fisher_dims,
@@ -22526,6 +22672,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["token_quota"] = token_quota_oracle_sql()
+    out["outline_depth_stats"] = outline_depth_oracle_sql(struct_corpus())
     out["simhash_idf"] = simhash_idf_oracle_sql()
     out["simhash_hamming_hist"] = (
         "with " + _simhash_cte_body() + _SIMHASH_PAIRS_TAIL

@@ -261,6 +261,8 @@ BENCH_QUERIES = [
     "event_trigrams",
     "simhash_idf",
     "simhash_hamming_hist",
+    "token_quota",
+    "outline_depth_stats",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -1227,3 +1227,51 @@ class TestSimhashHammingHist:
         assert got["n_pairs"].sort_index().astype("int64")\
             .equals(want.sort_index().rename("n_pairs").astype("int64"))
         assert set(got.index) <= {0, 1, 2, 3}  # the pigeonhole budget
+
+
+class TestTokenQuota:
+    def test_matches_pandas_window_cumsum(self, ray_session):
+        got = (
+            q.q_token_quota(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        from adaptive_pdf_extractor_ray.stages import text as tx
+        import pyarrow as pa
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "source", "text"])
+        qb = tx.quality_batch(docs).to_pandas()
+        df = docs.to_pandas()[["doc_id", "source"]].merge(qb, on="doc_id")
+        df["sr6"] = (df["stop_ratio"] * 1_000_000).round().astype("int64")
+        keep_rows = []
+        for src_, grp in df.groupby("source"):
+            grp = grp.sort_values(["sr6", "doc_id"],
+                                  ascending=[False, True])
+            cum = grp["n_tokens"].cumsum()
+            sel = grp[cum <= q.TOKEN_QUOTA_B].copy()
+            sel["cum_tokens"] = cum[cum <= q.TOKEN_QUOTA_B]
+            keep_rows.append(sel[["doc_id", "source", "n_tokens",
+                                  "cum_tokens"]])
+        import pandas as pd
+        want = pd.concat(keep_rows).sort_values("doc_id")\
+            .reset_index(drop=True)
+        assert got.astype({"doc_id": "int64"}).equals(
+            want.astype({c: got[c].dtype for c in want.columns}))
+
+    def test_budget_is_respected_and_quality_first(self, ray_session):
+        got = q.q_token_quota(SF).to_pandas()
+        assert (got["cum_tokens"] <= q.TOKEN_QUOTA_B).all()
+        assert got.groupby("source")["cum_tokens"].max().max() \
+            <= q.TOKEN_QUOTA_B
+
+
+class TestOutlineDepthStats:
+    def test_matches_fixture_arithmetic(self, ray_session):
+        got = q.q_outline_depth_stats(SF).to_pandas().set_index("url")
+        for i in range(150):
+            g = got.loc[f"https://struct{i % 10}.example/doc{i}"]
+            n2 = 1 + i % 3
+            n3 = sum(1 for s in range(1 + i % 3) if (i + s) % 2 == 0)
+            assert g["n_h1"] == 1 and g["n_h2"] == n2 and g["n_h3"] == n3
+            assert g["max_level"] == (3 if n3 else 2)
