@@ -19621,10 +19621,123 @@ from p
 
 
 
+def q_minhash_calibration(sf_dir: str):
+    """Estimator calibration for the MinHash Jaccard: bucket the
+    128-slot signature ESTIMATE by deciles and report the mean EXACT
+    Jaccard inside each bucket — the measurement that justifies (or
+    indicts) trusting signature agreement in place of text verification
+    at a given threshold (Broder's E[matches/k]=J is unbiased; this op
+    shows the realized curve on the actual corpus, where LSH candidate
+    conditioning skews it). Both per-pair streams are the EXISTING
+    operators (signature-agreement estimate; exact n-gram verify) over
+    the same candidate set; they meet in salted hash partitions (one
+    pandas merge per partition — never a per-pair Python group) and
+    roll up to <= 11 decile rows."""
+    import pandas as pd
+    import zlib
+
+    est = q_dedup_minhash_est(sf_dir)  # (a, b, est_jaccard)
+    exact = q_dedup_jaccard(sf_dir)    # (a, b, jaccard)
+    n_parts = 32
+
+    def tag(which: str):
+        def f(t: pa.Table) -> pa.Table:
+            col = "est_jaccard" if which == "est" else "jaccard"
+            p = pc.bit_wise_and(
+                pc.add(pc.multiply(pc.cast(t["a"], pa.int64()),
+                                   2654435761), t["b"]),
+                n_parts - 1,
+            )
+            return pa.table(
+                {
+                    "p": pc.cast(p, pa.int64()),
+                    "a": pc.cast(t["a"], pa.int64()),
+                    "b": pc.cast(t["b"], pa.int64()),
+                    "v": pc.cast(t[col], pa.float64()),
+                    "kind": pa.array([which] * len(t), pa.string()),
+                }
+            )
+
+        return f
+
+    both = est.map_batches(tag("est"), batch_format="pyarrow").union(
+        exact.map_batches(tag("exact"), batch_format="pyarrow")
+    )
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == "est"][["a", "b", "v"]]
+        x = g[g["kind"] == "exact"][["a", "b", "v"]]
+        m = e.merge(x, on=["a", "b"], suffixes=("_e", "_x"))
+        if m.empty:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "jppm": pd.Series([], dtype="int64")}
+            )
+        m["bucket"] = np.floor(m["v_e"] * 10).astype("int64")
+        m["jppm"] = (m["v_x"] * 1_000_000).round().astype("int64")
+        return m.groupby("bucket", as_index=False).agg(
+            n=("jppm", "size"), jppm=("jppm", "sum")
+        )
+
+    return (
+        both.groupby("p")
+        .map_groups(merge_part, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(
+            ray.data.aggregate.Sum("n", alias_name="n_pairs"),
+            ray.data.aggregate.Sum("jppm", alias_name="jppm"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": pc.cast(t["bucket"], pa.int64()),
+                    "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+                    "mean_exact_ppm": pc.cast(
+                        pc.divide(t["jppm"], t["n_pairs"]), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+
+def minhash_calibration_oracle_sql() -> str:
+    return _minhash_cte() + f"""
+, sd as (select doc_id, list_distinct(shingles) as sd from sh),
+est as (
+  select p.a, p.b,
+         round(len([i for i in range(1, {dd.NUM_PERM} + 1)
+                    if sa.sig[i] = sb.sig[i]])::double / {dd.NUM_PERM}, 6)
+           as e
+  from pairs p
+  join sig sa on sa.doc_id = p.a
+  join sig sb on sb.doc_id = p.b),
+ex as (
+  select p.a, p.b,
+         round(len(list_intersect(xa.sd, xb.sd))::double /
+               (len(xa.sd) + len(xb.sd)
+                - len(list_intersect(xa.sd, xb.sd))), 6) as j
+  from pairs p
+  join sd xa on xa.doc_id = p.a
+  join sd xb on xb.doc_id = p.b),
+m as (
+  select cast(floor(est.e * 10) as bigint) as bucket,
+         cast(round(ex.j * 1000000) as bigint) as jppm
+  from est join ex using (a, b))
+select bucket, count(*)::bigint as n_pairs,
+       (sum(jppm) // count(*))::bigint as mean_exact_ppm
+from m group by bucket
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "minhash_calibration": q_minhash_calibration,
     "token_quota": q_token_quota,
     "outline_depth_stats": q_outline_depth_stats,
     "simhash_idf": q_simhash_idf,
@@ -22672,6 +22785,7 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["minhash_calibration"] = minhash_calibration_oracle_sql()
     out["token_quota"] = token_quota_oracle_sql()
     out["outline_depth_stats"] = outline_depth_oracle_sql(struct_corpus())
     out["simhash_idf"] = simhash_idf_oracle_sql()

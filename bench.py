@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "simhash_hamming_hist",
     "token_quota",
     "outline_depth_stats",
+    "minhash_calibration",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

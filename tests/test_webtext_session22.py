@@ -1275,3 +1275,26 @@ class TestOutlineDepthStats:
             n3 = sum(1 for s in range(1 + i % 3) if (i + s) % 2 == 0)
             assert g["n_h1"] == 1 and g["n_h2"] == n2 and g["n_h3"] == n3
             assert g["max_level"] == (3 if n3 else 2)
+
+
+class TestMinhashCalibration:
+    def test_matches_pair_level_composition(self, ray_session):
+        got = q.q_minhash_calibration(SF).to_pandas().set_index("bucket")
+        est = q.q_dedup_minhash_est(SF).to_pandas()
+        exact = q.q_dedup_jaccard(SF).to_pandas()
+        m = est.merge(exact, on=["a", "b"])
+        m["bucket"] = np.floor(m["est_jaccard"] * 10).astype("int64")
+        m["jppm"] = (m["jaccard"] * 1_000_000).round().astype("int64")
+        want = m.groupby("bucket").agg(n_pairs=("jppm", "size"),
+                                       s=("jppm", "sum"))
+        assert set(got.index) == set(want.index)
+        for b, r in want.iterrows():
+            assert got.loc[b, "n_pairs"] == r["n_pairs"]
+            assert got.loc[b, "mean_exact_ppm"] == r["s"] // r["n_pairs"]
+
+    def test_monotone_calibration(self, ray_session):
+        """Higher estimate buckets must see higher exact similarity —
+        the property that makes the estimator usable as a filter."""
+        got = q.q_minhash_calibration(SF).to_pandas().sort_values("bucket")
+        if len(got) > 1:
+            assert got["mean_exact_ppm"].is_monotonic_increasing
