@@ -19733,10 +19733,57 @@ from m group by bucket
 
 
 
+CANONICAL_RE = re.compile(r'<link rel="canonical" href="([^"]*)">')
+
+
+def q_canonical_extract(sf_dir: str):
+    """rel=canonical extraction — the duplicate-variant consolidation
+    signal crawlers trust above content similarity (the page ITSELF
+    declares its canonical): per page, the declared canonical URL and
+    whether it is self-referential. Stateless vectorized RE2 extract
+    (one named-group kernel call, no Python per row); a downstream
+    dedup chain groups by canonical_url exactly like dedup_exact groups
+    by content hash, but with zero text compute."""
+    ds = rd.read_parquet(struct_corpus(), columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        h = pc.cast(t["html"], pa.string())
+        m = pc.extract_regex(
+            h, pattern=r'<link rel="canonical" href="(?P<c>[^"]*)">'
+        )
+        canon = pc.struct_field(m, "c")
+        return pa.table(
+            {
+                "url": t["url"],
+                "canonical_url": canon,
+                "is_self": pc.cast(
+                    pc.equal(t["url"], canon), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def canonical_extract_oracle_sql(pages_dir: str) -> str:
+    return f"""
+select url,
+       regexp_extract(decode(html),
+                      '<link rel="canonical" href="([^"]*)">', 1)
+         as canonical_url,
+       (url = regexp_extract(decode(html),
+              '<link rel="canonical" href="([^"]*)">', 1))::bigint
+         as is_self
+from read_parquet('{pages_dir}/*.parquet')
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "canonical_extract": q_canonical_extract,
     "minhash_calibration": q_minhash_calibration,
     "token_quota": q_token_quota,
     "outline_depth_stats": q_outline_depth_stats,
@@ -22785,6 +22832,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["canonical_extract"] = canonical_extract_oracle_sql(
+        struct_corpus())
     out["minhash_calibration"] = minhash_calibration_oracle_sql()
     out["token_quota"] = token_quota_oracle_sql()
     out["outline_depth_stats"] = outline_depth_oracle_sql(struct_corpus())

@@ -872,7 +872,12 @@ def write_struct_corpus(out_dir: str, n: int = 150, seed: int = 1) -> str:
     # by i % 3) and an application/ld+json metadata block — inputs for
     # the date_extract / jsonld_extract operators. Headings and tables
     # are unchanged, so the v1-pinned outline/table assertions hold.
-    want = {"kind": "struct", "n": n, "seed": seed, "v": 2}
+    # v3: a <link rel="canonical"> on every page — pages where i % 5
+    # != 0 declare the head page of their 5-block (i - i % 5) as
+    # canonical (the duplicate-variant pattern), block heads are
+    # self-canonical. Input for canonical_extract; no other element
+    # changes, so all v2-pinned assertions hold.
+    want = {"kind": "struct", "n": n, "seed": seed, "v": 3}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == want:
@@ -906,8 +911,13 @@ def write_struct_corpus(out_dir: str, n: int = 150, seed: int = 1) -> str:
             f'"author":"{authors[(i * 3 + seed) % len(authors)]}",'
             f'"wordCount":{100 + (i * 13) % 900}}}'
         )
+        canon_i = i - i % 5
+        canon_url = f"https://struct{canon_i % 10}.example/doc{canon_i}"
         parts = [
-            f"<html><body><h1>Doc {i}</h1>",
+            "<html><head>"
+            f'<link rel="canonical" href="{canon_url}">'
+            "</head><body>"
+            f"<h1>Doc {i}</h1>",
             f"<p>Published: {datestr}</p>",
             f'<script type="application/ld+json">{meta}</script>',
         ]

@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "token_quota",
     "outline_depth_stats",
     "minhash_calibration",
+    "canonical_extract",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

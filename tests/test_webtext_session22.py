@@ -1298,3 +1298,22 @@ class TestMinhashCalibration:
         got = q.q_minhash_calibration(SF).to_pandas().sort_values("bucket")
         if len(got) > 1:
             assert got["mean_exact_ppm"].is_monotonic_increasing
+
+
+class TestCanonicalExtract:
+    def test_matches_fixture_block_structure(self, ray_session):
+        got = q.q_canonical_extract(SF).to_pandas().set_index("url")
+        assert len(got) == 150
+        for i in range(150):
+            url = f"https://struct{i % 10}.example/doc{i}"
+            ci = i - i % 5
+            want = f"https://struct{ci % 10}.example/doc{ci}"
+            g = got.loc[url]
+            assert g["canonical_url"] == want
+            assert g["is_self"] == (1 if i % 5 == 0 else 0)
+
+    def test_canonical_groups_are_5_blocks(self, ray_session):
+        got = q.q_canonical_extract(SF).to_pandas()
+        sizes = got.groupby("canonical_url").size()
+        assert (sizes == 5).all()
+        assert got["is_self"].sum() == 30  # one head per 5-block
