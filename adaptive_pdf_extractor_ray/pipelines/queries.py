@@ -19779,10 +19779,153 @@ from read_parquet('{pages_dir}/*.parquet')
 
 
 
+def q_gap_exponential_fit(sf_dir: str):
+    """Exponential inter-arrival fit per event type — the Poisson-rate
+    MLE behind alerting thresholds and capacity planning. The key
+    identity: consecutive gaps TELESCOPE, so Σ gaps = max(ts) − min(ts)
+    and the MLE λ = (n−1)/span needs NO ordering, no windows, no
+    per-entity groups — just Min/Max/Count combiners per type (the
+    cheapest possible shuffle: three scalars per type per block). Rate
+    is reported as integer milli-events-per-hour; the final arithmetic
+    runs driver-side over the O(event-types) rollup in arbitrary-
+    precision Python ints (the product overflows int64 at 10^12
+    events, as the docstring math notes)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ti = pc.cast(t["ts"], pa.int64())  # microseconds
+        g = (
+            pa.table({"event_type": t["event_type"], "ti": ti})
+            .group_by("event_type")
+            .aggregate([("ti", "min"), ("ti", "max"), ("ti", "count")])
+        )
+        return g.rename_columns(["event_type", "tmin", "tmax", "n"])
+
+    rolled = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            ray.data.aggregate.Min("tmin", alias_name="tmin"),
+            ray.data.aggregate.Max("tmax", alias_name="tmax"),
+            ray.data.aggregate.Sum("n", alias_name="n"),
+        )
+        .take_all()  # O(event types)
+    )
+    et, nn, span, rate = [], [], [], []
+    for r in sorted(rolled, key=lambda r: r["event_type"]):
+        s_us = int(r["tmax"]) - int(r["tmin"])
+        s_s = s_us // 1_000_000
+        n = int(r["n"])
+        et.append(r["event_type"])
+        nn.append(n)
+        span.append(s_s)
+        rate.append(
+            (n - 1) * 3_600_000 // s_s if s_s > 0 else 0
+        )
+    return pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "n_events": pa.array(nn, pa.int64()),
+            "span_s": pa.array(span, pa.int64()),
+            "rate_meph": pa.array(rate, pa.int64()),
+        }
+    )
+
+
+GAP_EXP_FIT_SQL = """
+select event_type, count(*)::bigint as n_events,
+       ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::bigint
+         as span_s,
+       case when (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 > 0
+            then ((count(*) - 1) * 3600000)
+                 // ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)
+            else 0 end::bigint as rate_meph
+from events group by event_type
+"""
+
+
+def q_cdc_chunk_stats(sf_dir: str):
+    """Chunk-size distribution audit for the CDC dedup: n / total bytes
+    / mean (milli-bytes) / exact p50 and p90 chunk length — the check
+    that CDC_DIV actually yields the ~64-byte chunks its dedup math
+    assumes (a skewed cut distribution silently degrades dedup recall).
+    Chunk lengths come from the existing cdc_chunk_batch kernel; the
+    length DOMAIN is bounded (a chunk is cut within a few multiples of
+    the divisor), so exact order statistics use the histogram-of-values
+    plan — counters shuffle, never chunks."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        ch = tx.cdc_chunk_batch(t)
+        g = ch.select(["clen"]).group_by("clen").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["chunk_len", "n"])
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("chunk_len")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # O(distinct chunk lengths)
+        .sort_values("chunk_len")
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    vals = hist["chunk_len"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    total = int((counts * vals).sum())
+
+    def at(q_num: int, q_den: int) -> int:
+        idx = ((n - 1) * q_num) // q_den
+        return int(vals[np.searchsorted(cum, idx + 1, side="left")])
+
+    return pa.table(
+        {
+            "n_chunks": pa.array([n], pa.int64()),
+            "total_bytes": pa.array([total], pa.int64()),
+            "mean_len_milli": pa.array([total * 1000 // n], pa.int64()),
+            "p50_len": pa.array([at(1, 2)], pa.int64()),
+            "p90_len": pa.array([at(9, 10)], pa.int64()),
+        }
+    )
+
+
+def cdc_chunk_stats_oracle_sql() -> str:
+    base = _rolling_oracle_sql()
+    head = base[: base.index("fp as (")]
+    return head + f"""
+cuts as (
+  select r.doc_id, r.t
+  from r join s2 using (doc_id)
+  where r.t >= s2.w and r.acc % {tx.CDC_DIV} = 0
+  union
+  select doc_id, n from s2),
+ch as (
+  select doc_id, t as cut_end,
+         lag(t, 1, 0) over (partition by doc_id order by t) as cut_start
+  from cuts),
+lens as (select cut_end - cut_start as l from ch),
+o as (select l, row_number() over (order by l) - 1 as rn from lens),
+agg as (select count(*)::bigint as n, sum(l)::bigint as total from lens)
+select n as n_chunks, total as total_bytes,
+       (total * 1000 // n)::bigint as mean_len_milli,
+       (select l from o where rn = ((select n - 1 from agg) * 1) // 2)
+         ::bigint as p50_len,
+       (select l from o where rn = ((select n - 1 from agg) * 9) // 10)
+         ::bigint as p90_len
+from agg
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "gap_exponential_fit": q_gap_exponential_fit,
+    "cdc_chunk_stats": q_cdc_chunk_stats,
     "canonical_extract": q_canonical_extract,
     "minhash_calibration": q_minhash_calibration,
     "token_quota": q_token_quota,
@@ -22832,6 +22975,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["gap_exponential_fit"] = GAP_EXP_FIT_SQL
+    out["cdc_chunk_stats"] = cdc_chunk_stats_oracle_sql()
     out["canonical_extract"] = canonical_extract_oracle_sql(
         struct_corpus())
     out["minhash_calibration"] = minhash_calibration_oracle_sql()

@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "outline_depth_stats",
     "minhash_calibration",
     "canonical_extract",
+    "gap_exponential_fit",
+    "cdc_chunk_stats",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

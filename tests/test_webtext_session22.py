@@ -1317,3 +1317,50 @@ class TestCanonicalExtract:
         sizes = got.groupby("canonical_url").size()
         assert (sizes == 5).all()
         assert got["is_self"].sum() == 30  # one head per 5-block
+
+
+class TestGapExponentialFit:
+    def test_telescoping_identity(self, ray_session):
+        """The op's reason to exist: MLE from Min/Max/Count equals the
+        MLE from explicitly summed consecutive gaps."""
+        got = q.q_gap_exponential_fit(SF).to_pandas().set_index("event_type")
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_type", "ts"]).to_pandas()
+        for et, grp in ev.groupby("event_type"):
+            ts = np.sort(grp["ts"].values.astype("datetime64[us]")
+                         .astype("int64"))
+            gaps = np.diff(ts)
+            span_s = int(gaps.sum()) // 1_000_000
+            g = got.loc[et]
+            assert g["n_events"] == len(ts)
+            assert g["span_s"] == span_s
+            assert g["rate_meph"] == (len(ts) - 1) * 3_600_000 // span_s
+
+    def test_rates_plausible(self, ray_session):
+        got = q.q_gap_exponential_fit(SF).to_pandas()
+        assert (got["rate_meph"] > 0).all()
+        assert (got["span_s"] > 0).all()
+
+
+class TestCdcChunkStats:
+    def test_matches_chunk_kernel(self, ray_session):
+        from adaptive_pdf_extractor_ray.stages import text as tx
+        import pyarrow as pa
+        got = q.q_cdc_chunk_stats(SF).to_pandas().iloc[0]
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        lens = tx.cdc_chunk_batch(docs)["clen"].to_numpy()
+        lens = np.sort(lens)
+        n = len(lens)
+        assert got["n_chunks"] == n
+        assert got["total_bytes"] == int(lens.sum())
+        assert got["mean_len_milli"] == int(lens.sum()) * 1000 // n
+        assert got["p50_len"] == lens[((n - 1) * 1) // 2]
+        assert got["p90_len"] == lens[((n - 1) * 9) // 10]
+
+    def test_mean_tracks_divisor(self, ray_session):
+        from adaptive_pdf_extractor_ray.stages import text as tx
+        got = q.q_cdc_chunk_stats(SF).to_pandas().iloc[0]
+        # geometric mean of cut spacing ~ CDC_DIV bytes; allow wide band
+        assert tx.CDC_DIV / 3 < got["mean_len_milli"] / 1000 \
+            < tx.CDC_DIV * 3
