@@ -19920,10 +19920,148 @@ from agg
 
 
 
+KS_SRC_A, KS_SRC_B = "src0", "src1"
+
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between two sources'
+    length distributions — the drift test a mixing pipeline runs before
+    treating two feeds as exchangeable. Exact and integer-valued:
+    per-batch (source, value) counters -> one grouped Sum (the shuffle
+    is the value domain × 2), the driver evaluates both CDFs on the
+    union value grid and maximizes |F_A − F_B| as the cross-multiplied
+    integer |c1·N2 − c2·N1| (no float CDFs, so the SQL replay is
+    hash-exact). Reports D in ppm plus the value where the supremum is
+    attained (min value on ties)."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t["source"],
+                     value_set=pa.array([KS_SRC_A, KS_SRC_B]))
+        )
+        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_chars", "n"])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["source", "n_chars"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .take_all()
+    )  # O(distinct values x 2)
+    from collections import defaultdict
+
+    ca: dict[int, int] = defaultdict(int)
+    cb: dict[int, int] = defaultdict(int)
+    for r in rows:
+        (ca if r["source"] == KS_SRC_A else cb)[r["n_chars"]] += r["n"]
+    n1, n2 = sum(ca.values()), sum(cb.values())
+    best, at = -1, 0
+    run1 = run2 = 0
+    for v in sorted(set(ca) | set(cb)):
+        run1 += ca.get(v, 0)
+        run2 += cb.get(v, 0)
+        d = abs(run1 * n2 - run2 * n1)
+        if d > best:
+            best, at = d, v
+    return pa.table(
+        {
+            "n_a": pa.array([n1], pa.int64()),
+            "n_b": pa.array([n2], pa.int64()),
+            "ks_ppm": pa.array([best * 1_000_000 // (n1 * n2)], pa.int64()),
+            "at_value": pa.array([at], pa.int64()),
+        }
+    )
+
+
+KS_TEST_SQL = f"""
+with f as (
+  select source, n_chars from documents
+  where source in ('{KS_SRC_A}', '{KS_SRC_B}')),
+c as (select source, n_chars, count(*)::bigint as n from f group by 1, 2),
+v as (select distinct n_chars from f),
+g as (
+  select v.n_chars,
+         coalesce((select sum(n) from c
+                   where source = '{KS_SRC_A}'
+                     and c.n_chars <= v.n_chars), 0)::bigint as c1,
+         coalesce((select sum(n) from c
+                   where source = '{KS_SRC_B}'
+                     and c.n_chars <= v.n_chars), 0)::bigint as c2
+  from v),
+n as (
+  select (select count(*) from f where source = '{KS_SRC_A}')::bigint
+           as n1,
+         (select count(*) from f where source = '{KS_SRC_B}')::bigint
+           as n2)
+select n.n1 as n_a, n.n2 as n_b,
+       ((select max(abs(g.c1 * n.n2 - g.c2 * n.n1)) from g)
+        * 1000000 // (n.n1 * n.n2))::bigint as ks_ppm,
+       (select g.n_chars from g
+        order by abs(g.c1 * n.n2 - g.c2 * n.n1) desc, g.n_chars
+        limit 1)::bigint as at_value
+from n
+"""
+
+
+CAPS_TOKEN_RE = r"\\b[A-Z]{2,}\\b"
+
+
+def q_caps_ratio(sf_dir: str):
+    """Uppercase-pressure quality features: per-doc uppercase share of
+    alphabetic chars (ppm) and the ALL-CAPS token count — the
+    shouting/boilerplate signal (nav bars, legal disclaimers, OCR junk)
+    that complements the punct/stopword ratios of quality_score. Three
+    vectorized RE2 count kernels, no Python per row, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        nu = pc.count_substring_regex(txt, pattern="[A-Z]")
+        na = pc.count_substring_regex(txt, pattern="[A-Za-z]")
+        nc = pc.count_substring_regex(txt, pattern=r"\b[A-Z]{2,}\b")
+        na_safe = pc.max_element_wise(
+            pc.cast(na, pa.int64()), pa.scalar(1, pa.int64())
+        )
+        ppm = pc.divide(
+            pc.multiply(pc.cast(nu, pa.int64()),
+                        pa.scalar(1_000_000, pa.int64())),
+            na_safe,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_upper": pc.cast(nu, pa.int64()),
+                "n_alpha": pc.cast(na, pa.int64()),
+                "n_caps_tokens": pc.cast(nc, pa.int64()),
+                "upper_ppm": pc.cast(ppm, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CAPS_RATIO_SQL = """
+select doc_id,
+       length(regexp_extract_all(text, '[A-Z]'))::bigint as n_upper,
+       length(regexp_extract_all(text, '[A-Za-z]'))::bigint as n_alpha,
+       length(regexp_extract_all(text, '\\b[A-Z]{2,}\\b'))::bigint
+         as n_caps_tokens,
+       (length(regexp_extract_all(text, '[A-Z]')) * 1000000
+        // greatest(length(regexp_extract_all(text, '[A-Za-z]')), 1))
+         ::bigint as upper_ppm
+from documents
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "ks_test": q_ks_test,
+    "caps_ratio": q_caps_ratio,
     "gap_exponential_fit": q_gap_exponential_fit,
     "cdc_chunk_stats": q_cdc_chunk_stats,
     "canonical_extract": q_canonical_extract,
@@ -22975,6 +23113,8 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["ks_test"] = KS_TEST_SQL
+    out["caps_ratio"] = CAPS_RATIO_SQL
     out["gap_exponential_fit"] = GAP_EXP_FIT_SQL
     out["cdc_chunk_stats"] = cdc_chunk_stats_oracle_sql()
     out["canonical_extract"] = canonical_extract_oracle_sql(

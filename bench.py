@@ -267,6 +267,8 @@ BENCH_QUERIES = [
     "canonical_extract",
     "gap_exponential_fit",
     "cdc_chunk_stats",
+    "ks_test",
+    "caps_ratio",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -1364,3 +1364,48 @@ class TestCdcChunkStats:
         # geometric mean of cut spacing ~ CDC_DIV bytes; allow wide band
         assert tx.CDC_DIV / 3 < got["mean_len_milli"] / 1000 \
             < tx.CDC_DIV * 3
+
+
+class TestKsTest:
+    def test_matches_scipy_style_reference(self, ray_session):
+        got = q.q_ks_test(SF).to_pandas().iloc[0]
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source", "n_chars"]).to_pandas()
+        a = np.sort(docs.loc[docs["source"] == q.KS_SRC_A, "n_chars"])
+        b = np.sort(docs.loc[docs["source"] == q.KS_SRC_B, "n_chars"])
+        n1, n2 = len(a), len(b)
+        vals = np.unique(np.concatenate([a, b]))
+        d = np.abs(
+            np.searchsorted(a, vals, side="right") * n2
+            - np.searchsorted(b, vals, side="right") * n1
+        )
+        assert got["n_a"] == n1 and got["n_b"] == n2
+        assert got["ks_ppm"] == int(d.max()) * 1_000_000 // (n1 * n2)
+        assert got["at_value"] == int(vals[int(np.argmax(d))])
+
+    def test_self_distance_is_zero(self, ray_session):
+        """Same-sample KS must be 0 — sanity for the CDF arithmetic."""
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source", "n_chars"]).to_pandas()
+        a = np.sort(docs.loc[docs["source"] == q.KS_SRC_A, "n_chars"])
+        vals = np.unique(a)
+        d = np.abs(np.searchsorted(a, vals, side="right") * len(a)
+                   - np.searchsorted(a, vals, side="right") * len(a))
+        assert d.max() == 0
+
+
+class TestCapsRatio:
+    def test_matches_python_re(self, ray_session):
+        import re
+        got = q.q_caps_ratio(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        for _, r in docs.sample(n=60, random_state=5).iterrows():
+            s = r["text"] or ""
+            nu = len(re.findall(r"[A-Z]", s))
+            na = len(re.findall(r"[A-Za-z]", s))
+            nc = len(re.findall(r"\b[A-Z]{2,}\b", s))
+            g = got.loc[r["doc_id"]]
+            assert g["n_upper"] == nu and g["n_alpha"] == na
+            assert g["n_caps_tokens"] == nc
+            assert g["upper_ppm"] == nu * 1_000_000 // max(na, 1)
