@@ -20056,10 +20056,116 @@ from documents
 
 
 
+LOGODDS_ALPHA = 1.0  # symmetric Dirichlet pseudo-count per term
+LOGODDS_TOP_K = 10
+
+
+def q_log_odds_terms(sf_dir: str):
+    """Most source-distinctive terms by weighted log-odds with a
+    Dirichlet prior (Monroe, Colaresi & Quinn 2008) between the two
+    comparison sources — the corpus-comparison op that raw frequency
+    ratios get wrong (they over-rank rare terms; the prior and the
+    per-term variance fix exactly that). One combiner pass counts
+    (source, term) occurrences — the shuffle is vocabulary-sized — and
+    the driver finishes the O(vocab) z-score arithmetic: delta =
+    ln-odds difference with +alpha smoothing, var = 1/(c1+a) + 1/(c2+a),
+    z rounded to 6 dp; top-K by |z| with term tie-break, replayed
+    term-for-term in SQL."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.is_in(t["source"], value_set=pa.array([KS_SRC_A, KS_SRC_B]))
+        )
+        cnt: dict[tuple[str, str], int] = {}
+        for src_, s in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            for w in (s or "").split(" "):
+                if w:
+                    cnt[(src_, w)] = cnt.get((src_, w), 0) + 1
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in cnt], pa.string()),
+                "term": pa.array([k[1] for k in cnt], pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["source", "term"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .take_all()
+    )  # O(vocabulary x 2)
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for r in rows:
+        (c1 if r["source"] == KS_SRC_A else c2)[r["term"]] = r["n"]
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    vocab = sorted(set(c1) | set(c2))
+    a = LOGODDS_ALPHA
+    a0 = a * len(vocab)
+    scored = []
+    for t in vocab:
+        x1, x2 = c1.get(t, 0), c2.get(t, 0)
+        delta = math.log((x1 + a) / (n1 + a0 - x1 - a)) - math.log(
+            (x2 + a) / (n2 + a0 - x2 - a)
+        )
+        var = 1.0 / (x1 + a) + 1.0 / (x2 + a)
+        scored.append((t, x1, x2, round(delta / math.sqrt(var), 6)))
+    scored.sort(key=lambda r: (-abs(r[3]), r[0]))
+    top = scored[:LOGODDS_TOP_K]
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in top], pa.string()),
+            "n_a": pa.array([r[1] for r in top], pa.int64()),
+            "n_b": pa.array([r[2] for r in top], pa.int64()),
+            "z": pa.array([r[3] for r in top], pa.float64()),
+        }
+    )
+
+
+def log_odds_oracle_sql() -> str:
+    a = LOGODDS_ALPHA
+    return f"""
+with f as (
+  select source, text from documents
+  where source in ('{KS_SRC_A}', '{KS_SRC_B}')),
+tok as (
+  select source, unnest(string_split(text, ' ')) as term from f),
+c as (select source, term, count(*)::bigint as n
+      from tok where term <> '' group by 1, 2),
+p as (
+  select term,
+         coalesce(sum(case when source = '{KS_SRC_A}' then n end), 0)
+           ::bigint as x1,
+         coalesce(sum(case when source = '{KS_SRC_B}' then n end), 0)
+           ::bigint as x2
+  from c group by term),
+tot as (
+  select sum(x1)::double as n1, sum(x2)::double as n2,
+         {a} * count(*)::double as a0
+  from p),
+z as (
+  select p.term, p.x1, p.x2,
+         round((ln((p.x1 + {a}) / (t.n1 + t.a0 - p.x1 - {a}))
+                - ln((p.x2 + {a}) / (t.n2 + t.a0 - p.x2 - {a})))
+               / sqrt(1.0 / (p.x1 + {a}) + 1.0 / (p.x2 + {a})), 6) as z
+  from p, tot t),
+r as (select *, row_number() over (order by abs(z) desc, term) as rn
+      from z)
+select term, x1 as n_a, x2 as n_b, z from r where rn <= {LOGODDS_TOP_K}
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "log_odds_terms": q_log_odds_terms,
     "ks_test": q_ks_test,
     "caps_ratio": q_caps_ratio,
     "gap_exponential_fit": q_gap_exponential_fit,
@@ -23113,6 +23219,7 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["log_odds_terms"] = log_odds_oracle_sql()
     out["ks_test"] = KS_TEST_SQL
     out["caps_ratio"] = CAPS_RATIO_SQL
     out["gap_exponential_fit"] = GAP_EXP_FIT_SQL

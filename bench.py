@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "cdc_chunk_stats",
     "ks_test",
     "caps_ratio",
+    "log_odds_terms",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -1409,3 +1409,50 @@ class TestCapsRatio:
             assert g["n_upper"] == nu and g["n_alpha"] == na
             assert g["n_caps_tokens"] == nc
             assert g["upper_ppm"] == nu * 1_000_000 // max(na, 1)
+
+
+class TestLogOddsTerms:
+    def test_matches_reference_formula(self, ray_session):
+        import math
+        got = q.q_log_odds_terms(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source", "text"]).to_pandas()
+        from collections import Counter
+        c1, c2 = Counter(), Counter()
+        for _, r in docs.iterrows():
+            if r["source"] == q.KS_SRC_A:
+                c1.update(w for w in r["text"].split(" ") if w)
+            elif r["source"] == q.KS_SRC_B:
+                c2.update(w for w in r["text"].split(" ") if w)
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        vocab = sorted(set(c1) | set(c2))
+        a = q.LOGODDS_ALPHA
+        a0 = a * len(vocab)
+        scored = []
+        for t in vocab:
+            x1, x2 = c1.get(t, 0), c2.get(t, 0)
+            d = math.log((x1 + a) / (n1 + a0 - x1 - a)) \
+                - math.log((x2 + a) / (n2 + a0 - x2 - a))
+            v = 1.0 / (x1 + a) + 1.0 / (x2 + a)
+            scored.append((t, x1, x2, round(d / math.sqrt(v), 6)))
+        scored.sort(key=lambda r: (-abs(r[3]), r[0]))
+        want = scored[: q.LOGODDS_TOP_K]
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    def test_signs_point_at_the_right_source(self, ray_session):
+        """Positive z = overrepresented in source A; the term's raw
+        counts must agree with the direction."""
+        got = q.q_log_odds_terms(SF).to_pandas()
+        pos = got[got["z"] > 0]
+        neg = got[got["z"] < 0]
+        # rates, not raw counts, drive the sign; verify via rates
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["source", "text"]).to_pandas()
+        na = sum(len([w for w in t.split(" ") if w])
+                 for t in docs.loc[docs["source"] == q.KS_SRC_A, "text"])
+        nb = sum(len([w for w in t.split(" ") if w])
+                 for t in docs.loc[docs["source"] == q.KS_SRC_B, "text"])
+        for _, r in pos.iterrows():
+            assert r["n_a"] / na > r["n_b"] / nb
+        for _, r in neg.iterrows():
+            assert r["n_a"] / na < r["n_b"] / nb
