@@ -20161,10 +20161,89 @@ select term, x1 as n_a, x2 as n_b, z from r where rn <= {LOGODDS_TOP_K}
 
 
 
+PARETO_TOP_PCT = 20  # "what share of volume do the top X% keys carry"
+
+
+def q_pareto_concentration(sf_dir: str):
+    """Pareto concentration of the event volume over users — the
+    80/20 diagnostic ("what share of events do the top 20% of users
+    generate?") that decides whether per-user salting is needed before
+    any user-keyed shuffle. Exact and rank-free: per-user counts (one
+    combiner groupby), then the count-of-counts histogram (distinct
+    per-user volumes — a tiny domain) is cumulated on the driver from
+    the heaviest volume down; integer cross-multiplication picks the
+    top-ceil(U*pct/100) users and sums their events, so no user-level
+    sort ever happens. Output is one row: users, events, events held
+    by the top cohort, and the share in ppm."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    counts = (
+        ds.map_batches(per_user, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.select(["n"]).group_by("n").aggregate([([], "count_all")])
+        return g.rename_columns(["n", "n_users"])
+
+    rows = (
+        counts.map_batches(hist, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("n")
+        .aggregate(ray.data.aggregate.Sum("n_users", alias_name="n_users"))
+        .take_all()
+    )  # O(distinct per-user volumes)
+    rows.sort(key=lambda r: -r["n"])
+    users = sum(r["n_users"] for r in rows)
+    events = sum(r["n"] * r["n_users"] for r in rows)
+    k = -(-users * PARETO_TOP_PCT // 100)  # ceil
+    taken = top_events = 0
+    for r in rows:
+        take = min(r["n_users"], k - taken)
+        top_events += take * r["n"]
+        taken += take
+        if taken >= k:
+            break
+    return pa.table(
+        {
+            "n_users": pa.array([users], pa.int64()),
+            "n_events": pa.array([events], pa.int64()),
+            "top_users": pa.array([k], pa.int64()),
+            "top_events": pa.array([top_events], pa.int64()),
+            "share_ppm": pa.array(
+                [top_events * 1_000_000 // events], pa.int64()
+            ),
+        }
+    )
+
+
+PARETO_SQL = f"""
+with c as (select user_id, count(*)::bigint as n from events group by 1),
+tot as (select count(*)::bigint as users, sum(n)::bigint as events from c),
+k as (select ((users * {PARETO_TOP_PCT}) + 99) // 100 as k from tot),
+r as (select n, row_number() over (order by n desc, user_id) as rn from c)
+select t.users as n_users, t.events as n_events,
+       (select k from k) as top_users,
+       (select sum(n) from r where rn <= (select k from k))::bigint
+         as top_events,
+       ((select sum(n) from r where rn <= (select k from k)) * 1000000
+        // t.events)::bigint as share_ppm
+from tot t
+"""
+
+
+
 QUERIES = {
     "normalize_text": q_normalize,
     "pages_roundtrip": q_pages_roundtrip,
     "rule_extract": q_rule_extract,
+    "pareto_concentration": q_pareto_concentration,
     "log_odds_terms": q_log_odds_terms,
     "ks_test": q_ks_test,
     "caps_ratio": q_caps_ratio,
@@ -23219,6 +23298,7 @@ def all_oracles() -> dict[str, str]:
     out["scd2_intervals"] = scd2_oracle_sql(recrawl_corpus())
     out["url_templates"] = url_templates_oracle_sql(urltrap_corpus())
     struct_dir = struct_corpus()  # idempotent fixture write
+    out["pareto_concentration"] = PARETO_SQL
     out["log_odds_terms"] = log_odds_oracle_sql()
     out["ks_test"] = KS_TEST_SQL
     out["caps_ratio"] = CAPS_RATIO_SQL

@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "ks_test",
     "caps_ratio",
     "log_odds_terms",
+    "pareto_concentration",
 ]
 # link-graph-at-scale section: distributed PageRank over this many pages
 # (the query itself routes <=1M edges to the driver; this section forces

@@ -1456,3 +1456,23 @@ class TestLogOddsTerms:
             assert r["n_a"] / na > r["n_b"] / nb
         for _, r in neg.iterrows():
             assert r["n_a"] / na < r["n_b"] / nb
+
+
+class TestParetoConcentration:
+    def test_matches_pandas_sorted_take(self, ray_session):
+        got = q.q_pareto_concentration(SF).to_pandas().iloc[0]
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["user_id"]).to_pandas()
+        per = ev.groupby("user_id").size().sort_values(ascending=False)
+        users, events = len(per), int(per.sum())
+        k = -(-users * q.PARETO_TOP_PCT // 100)
+        top = int(per.head(k).sum())
+        assert got["n_users"] == users and got["n_events"] == events
+        assert got["top_users"] == k and got["top_events"] == top
+        assert got["share_ppm"] == top * 1_000_000 // events
+
+    def test_share_at_least_proportional(self, ray_session):
+        """The top cohort can never hold LESS than its proportional
+        share — the inequality that makes the metric a skew signal."""
+        got = q.q_pareto_concentration(SF).to_pandas().iloc[0]
+        assert got["share_ppm"] >= q.PARETO_TOP_PCT * 10_000
