@@ -38,6 +38,7 @@ import ray.data as rd
 from ..functions.rules import Rule
 from ..functions.textnorm import normalize_sql, normalize_text_array
 from ..stages import dedup as dd
+from ..stages import joins as sj
 from ..stages import similarity as sim
 from ..stages import text as tx
 from ..stages.media import MediaDecoder
@@ -18092,10 +18093,17 @@ def q_cluster_chaining_audit(sf_dir: str):
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    n_parts = 16
+    # round-4 driver flake: the fixed-partition hash join here died on a
+    # degenerate zero-column empty block (the sort/groupby empty-input
+    # schema-loss class). safe_join broadcasts the tiny rep map — no
+    # shuffle, hazard structurally impossible (stages/joins.py).
     edge_reps = (
-        verified.join(
-            rep_of, join_type="inner", num_partitions=n_parts, on=("a",)
+        sj.safe_join(
+            verified, rep_of, on=("a",), join_type="inner",
+            left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+            right_schema=pa.schema(
+                [("a", pa.int64()), ("rep_id", pa.int64())]
+            ),
         )
         .groupby("rep_id")
         .aggregate(ray.data.aggregate.Count(alias_name="n_direct"))
