@@ -594,6 +594,37 @@ def extract_pages(
                 }) + "\n")
         except OSError:
             pass  # ledger is best-effort
+        # ...and the queryable parquet form keyed by (run_id, wave):
+        # one file per run under <store>.ledger/ (idempotent rewrite on
+        # resume), consumed by the `ledger_drift` registry entry
+        try:
+            from ..state import ledger as _ledger
+
+            def _wave_rows(partials):
+                return {
+                    k.split(":", 1)[1]: v
+                    for k, v in (partials or {}).items()
+                    if k.startswith("metric:")
+                }
+
+            waves = {"total": {
+                **metrics,
+                "rules_fitted": fitted_rows,
+                "rules_total": len(store),
+                "wall_ms": int(metrics.get("wall_s", 0) * 1000),
+            }}
+            if wave1_partials is not None:
+                waves["wave1"] = _wave_rows(wave1_partials)
+            if wave2_partials is not None:
+                waves["wave2"] = _wave_rows(wave2_partials)
+            _ledger.append_run(
+                store_path + ".ledger",
+                run_id=os.path.basename(os.path.normpath(work_dir)),
+                seq=int(time.time() * 1000),
+                waves=waves,
+            )
+        except OSError:
+            pass  # ledger is best-effort
         with open(os.path.join(work_dir, "metrics.json"), "w") as f:
             json.dump(
                 {

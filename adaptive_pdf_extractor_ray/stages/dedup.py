@@ -427,12 +427,15 @@ def attach_pair_texts(pairs, docs, *, num_partitions: int | None = None):
         if n_pairs <= PAIR_BROADCAST_MAX:
             return _attach_pair_texts_broadcast(pairs, docs)
         num_partitions = adaptive_partitions(n_pairs)
-    j1 = pairs.join(
-        docs, join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=("doc_id",),
+    from .joins import safe_join
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    j1 = safe_join(
+        pairs, docs, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=("doc_id",), left_schema=pair_schema,
     ).rename_columns({"text": "text_a"})  # join drops the right key column
-    return j1.join(
-        docs, join_type="inner", num_partitions=num_partitions,
+    return safe_join(
+        j1, docs, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=("doc_id",),
     ).rename_columns({"text": "text_b"})
 
@@ -517,6 +520,14 @@ def _attach_pair_texts_broadcast(pairs, docs):
 # above it the iterative label-propagation dataflow takes over. Same
 # routing idea as queries.BROADCAST_MAX_ROWS.
 SMALL_EDGE_LIMIT = 4_000_000
+
+
+def _safe_join_lazy(left, right, **kw):
+    """joins.safe_join via deferred import (joins imports this module
+    for adaptive_partitions — a module-level import would be a cycle)."""
+    from .joins import safe_join
+
+    return safe_join(left, right, **kw)
 
 
 def _grouped_min(ds, key: str, val: str, out: str, n_parts: int):
@@ -671,8 +682,8 @@ def connected_components(edges, *, num_partitions: int | None = None,
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
-        nb = E.join(
-            labels, join_type="inner", num_partitions=num_partitions,
+        nb = _safe_join_lazy(
+            E, labels, join_type="inner", num_partitions=num_partitions,
             on=("dst",), right_on=("node",),
         ).select_columns(["src", "rep"])
         both = nb.union(labels.rename_columns({"node": "src"}))

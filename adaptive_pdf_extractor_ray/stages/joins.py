@@ -188,16 +188,23 @@ def safe_join(
     partitions (>=100k rows each, so no partition is near-empty), with
     both inputs ``schema_guard``-pinned when schemas are known.
 
-    ``left_schema`` types the output when a degenerate zero-column left
-    batch arrives, and block-pins the distributed route (which then
-    materializes the left — the guard can't run inside map_batches);
-    pass it whenever the left side flows out of a groupby / sort /
-    map_groups chain that can be empty."""
+    ``left_schema`` declares a risky left — one flowing out of a
+    groupby / sort / map_groups chain, whose blocks can include
+    zero-column degenerates. safe_join then block-pins it up front
+    (materializing it, which costs no pipelining since a hash join is a
+    barrier) and guarantees a degenerate-free, schema-stable output in
+    both routes. A map_batches / read chain left is always typed — omit
+    the schema and it keeps streaming untouched."""
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (
         on if right_on is None
         else ((right_on,) if isinstance(right_on, str) else tuple(right_on))
     )
+    # Guard a declared-risky left BEFORE routing: empty blocks skip
+    # map_batches UDFs entirely, so the broadcast route would otherwise
+    # pass an input degenerate through into its own output.
+    if left_schema is not None:
+        left = schema_guard(left, left_schema)
     right = right.materialize()
     n_right = right.count()
 
@@ -229,14 +236,12 @@ def safe_join(
     # Distributed route: sparse upstream sort/groupby/map_groups
     # partitions leave zero-column degenerate blocks in NONEMPTY
     # datasets too (see module docstring) — whether one wins the join's
-    # schema resolution is a race. Dropping them at the ref level is
-    # free of data movement and, since a hash join is a barrier anyway,
-    # costs no pipelining; with them gone the join is deterministic.
-    left = (
-        schema_guard(left, left_schema)
-        if left_schema is not None
-        else drop_degenerate_blocks(left)
-    )
+    # schema resolution is a race. The right side is already
+    # materialized for the count, so dropping its degenerates is pure
+    # ref filtering — always done. The left keeps STREAMING by default
+    # (a map_batches/read chain is always typed and needs no guard);
+    # ``left_schema`` (guarded above) materializes it, which costs no
+    # pipelining since a hash join is a barrier anyway.
     right = (
         schema_guard(right, right_schema)
         if right_schema is not None

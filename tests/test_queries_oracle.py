@@ -139,7 +139,7 @@ def test_join_revenue_routes_to_hash_join_above_threshold(ray_session, monkeypat
 
     sf = "/root/testdata/sf0.001"
     via_broadcast = q.q_join_revenue(sf)
-    monkeypatch.setattr(q, "BROADCAST_MAX_ROWS", 0)
+    monkeypatch.setattr(q.qrelational, "BROADCAST_MAX_ROWS", 0)
     via_join = q.q_join_revenue(sf)
     a = via_broadcast.sort_values("c_mktsegment").reset_index(drop=True)
     b = via_join.sort_values("c_mktsegment").reset_index(drop=True)

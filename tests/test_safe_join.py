@@ -119,8 +119,11 @@ class TestHazardPinned:
     def test_safe_join_deterministic_on_sparse_mapgroups_left(
         self, ray_session
     ):
-        """safe_join's distributed route drops the degenerates before
-        the shuffle, so the outcome is deterministic, not a race."""
+        """Contract: a left side flowing out of groupby/sort/map_groups
+        declares itself via ``left_schema``; the distributed route then
+        schema-guards it and the outcome is deterministic, not a race.
+        (A map_batches/read-chain left is always typed and needs no
+        declaration — and the broadcast route needs none either.)"""
         t = _kv([1] * 100 + [2] * 100, list(range(200)))
         left = (
             ray.data.from_arrow(t)
@@ -130,7 +133,7 @@ class TestHazardPinned:
         )
         out = safe_join(
             left, _right(), on=("k",), broadcast_max=0,
-            num_partitions=16,
+            num_partitions=16, left_schema=KV,
         )
         assert out.count() == 200
 

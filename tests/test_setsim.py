@@ -182,7 +182,7 @@ class TestRouteEquivalence:
 
         a = (q.QUERIES["setsim_join"](SF).to_pandas()
              .sort_values(["a", "b"]).reset_index(drop=True))
-        monkeypatch.setattr(q, "SETSIM_BROADCAST_CAP", 1)
+        monkeypatch.setattr(q.qdedup, "SETSIM_BROADCAST_CAP", 1)
         b = (q.QUERIES["setsim_join"](SF).to_pandas()
              .sort_values(["a", "b"]).reset_index(drop=True))
         assert len(a) > 0

@@ -216,7 +216,7 @@ class TestBpeRouteEquivalence:
         q._bpe_learn_cached.cache_clear()
         fast = q._bpe_learn(SF)
         q._bpe_learn_cached.cache_clear()
-        monkeypatch.setattr(q, "BPE_DRIVER_VOCAB_CAP", 0)
+        monkeypatch.setattr(q.qwarc, "BPE_DRIVER_VOCAB_CAP", 0)
         slow = q._bpe_learn(SF)
         q._bpe_learn_cached.cache_clear()
         assert fast == slow

@@ -476,19 +476,57 @@ class TestShardPlan:
 
 class TestEquidepthBins:
     def test_matches_ntile_reference(self, ray_session):
+        """Independent reference: DuckDB's own ntile window function —
+        NOT the engine's formula (round-4 ADVICE flagged the previous
+        recomputation as circular)."""
+        import duckdb
+
         got = (
             q.q_equidepth_bins(SF)
             .to_pandas()
             .sort_values(["n_chars", "doc_id"])
             .reset_index(drop=True)
         )
-        docs = pq.read_table(
+        want = duckdb.sql(
+            f"select doc_id, ntile({q.EQUIDEPTH_B}) over "
+            f"(order by n_chars, doc_id) as bin "
+            f"from read_parquet('{SF}/documents.parquet') "
+            f"order by n_chars, doc_id"
+        ).df()
+        assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+        assert (got["bin"].to_numpy() == want["bin"].to_numpy()).all()
+
+    def test_matches_ntile_on_nondivisible_count(
+        self, ray_session, tmp_path
+    ):
+        """n % B != 0 — the case that separates ntile's front-loaded
+        remainder (first n mod B buckets get the extra row) from the
+        even-spread floor(rank*B/n) formula. 497 = 10*49 + 7: exactly
+        bins 1..7 must hold 50 rows and bins 8..10 hold 49."""
+        import duckdb
+
+        src = pq.read_table(
             f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
-        ).to_pandas().sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
-        n = len(docs)
-        docs["bin"] = [r * q.EQUIDEPTH_B // n + 1 for r in range(n)]
-        assert (got["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
-        assert (got["bin"].to_numpy() == docs["bin"].to_numpy()).all()
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(src.slice(0, 497), str(d / "documents.parquet"))
+        got = (
+            q.q_equidepth_bins(str(d))
+            .to_pandas()
+            .sort_values(["n_chars", "doc_id"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"select doc_id, ntile({q.EQUIDEPTH_B}) over "
+            f"(order by n_chars, doc_id) as bin "
+            f"from read_parquet('{d}/documents.parquet') "
+            f"order by n_chars, doc_id"
+        ).df()
+        assert (got["bin"].to_numpy() == want["bin"].to_numpy()).all()
+        sizes = got.groupby("bin").size()
+        assert sizes[sizes.index <= 7].eq(50).all()
+        assert sizes[sizes.index > 7].eq(49).all()
 
     def test_bins_are_equi_depth(self, ray_session):
         got = q.q_equidepth_bins(SF).to_pandas()

@@ -183,7 +183,7 @@ class TestHits:
         exact table the driver route produces — same integer
         fixed-point arithmetic, so equality is bitwise, not approximate."""
         drv = q.QUERIES["hits_rank"](SF).to_pandas()
-        monkeypatch.setattr(q, "PR_DRIVER_EDGE_LIMIT", 0)
+        monkeypatch.setattr(q.qanalytics, "PR_DRIVER_EDGE_LIMIT", 0)
         dist = q.QUERIES["hits_rank"](SF).to_pandas()
         a = drv.sort_values("url").reset_index(drop=True)
         b = dist.sort_values("url").reset_index(drop=True)

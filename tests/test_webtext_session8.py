@@ -320,7 +320,7 @@ class TestCollocationRoutes:
             .sort_values(["w1", "w2"])
             .reset_index(drop=True)
         )
-        monkeypatch.setattr(q, "COLLOC_VOCAB_BROADCAST_LIMIT", 0)
+        monkeypatch.setattr(q.qanalytics, "COLLOC_VOCAB_BROADCAST_LIMIT", 0)
         b = (
             q.QUERIES["collocations"](SF)
             .to_pandas()
