@@ -99,6 +99,9 @@ class StageCheckpointer:
         shutil.rmtree(out_dir, ignore_errors=True)
         ds = compute()
         ds.write_parquet(out_dir, compression="zstd")
+        # a fully-empty dataset's write_parquet may not even create the
+        # directory — the empty-schema fallback below needs it
+        os.makedirs(out_dir, exist_ok=True)
         if not any(
             f.endswith(".parquet") for f in os.listdir(out_dir)
         ):
@@ -276,16 +279,22 @@ def keep_best_survivors(
 ) -> rd.Dataset:
     """Subtract per-cluster losers from the gated survivors via a
     hash-partitioned left_anti join."""
+    from ..stages.joins import safe_join
+
     cc = cc.materialize()  # small: only docs appearing in verified pairs
-    members = cc.join(
-        surv, join_type="inner",
+    members = safe_join(
+        cc, surv, join_type="inner",
         num_partitions=dd.adaptive_partitions(cc.count()),
         on=("doc_id",),
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("rep_id", pa.int64())]
+        ),
     )
-    return surv.join(
-        _keep_best_losers(members), join_type="left_anti",
+    return safe_join(
+        surv, _keep_best_losers(members), join_type="left_anti",
         num_partitions=dd.adaptive_partitions(_doc_rows(sf_dir)),
         on=("doc_id",),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
     )
 
 

@@ -345,10 +345,18 @@ def run_dedup_scale(n_docs: int) -> dict:
     cc = dd.connected_components(verified, stats=cc_stats)
     qual = docs.map_batches(tx.token_count_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+    import pyarrow as _pa
     import pyarrow.compute as _pc
 
-    j = cc.join(qual, join_type="inner", num_partitions=_pool(),
-                on=("doc_id",))
+    from adaptive_pdf_extractor_ray.stages import joins as _sj
+
+    j = _sj.safe_join(
+        cc, qual, join_type="inner", num_partitions=_pool(),
+        on=("doc_id",),
+        left_schema=_pa.schema(
+            [("doc_id", _pa.int64()), ("rep_id", _pa.int64())]
+        ),
+    )
 
     def pick(g):
         import pyarrow as pa
@@ -435,6 +443,101 @@ def _eval_exact_scale(sf_dir: str, n_docs: int) -> dict:
     wall = time.time() - t0
     return {"docs": n_docs, "wall_s": round(wall, 3),
             "docs_per_sec": round(n_docs / wall, 1), **row}
+
+
+CURATE_RESUME_DOCS = int(os.environ.get("BENCH_CURATE_RESUME_DOCS",
+                                        "500000"))
+
+
+def _write_curate_corpus(out_dir: str, n: int) -> str:
+    """Natural-text corpus at scale for the curate chain: the sf0.1
+    documents table tiled with per-tile one-token mutations — realistic
+    quality-gate pass rates (the dedup bench's `w123`-token corpus is
+    all gated out) plus massive cross-tile near-duplication (what the
+    chain exists to remove)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    base = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text"]
+    )["text"].to_pylist()
+    nb = len(base)
+    writer = pq.ParquetWriter(
+        path,
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        compression="zstd",
+    )
+    for lo in range(0, n, 100_000):
+        hi = min(lo + 100_000, n)
+        texts = [
+            base[i % nb] if (i // nb) % 2 == 0
+            else base[i % nb] + f" t{i // nb}"
+            for i in range(lo, hi)
+        ]
+        writer.write_table(
+            pa.table(
+                {"doc_id": pa.array(range(lo, hi), pa.int64()),
+                 "text": pa.array(texts, pa.string())}
+            )
+        )
+    writer.close()
+    return out_dir
+
+
+def run_curate_resume(n_docs: int) -> dict:
+    """Kill-between-stages resume at scale (round-4 VERDICT item 5):
+    run the checkpointed curate chain to the `pairs` boundary and stop
+    (the crash surrogate — a real kill anywhere inside the next stage
+    resumes identically, because `_done` markers commit only after a
+    stage's parquet is complete), then resume in the same work dir and
+    compare against a cold full run: stages skipped, wall saved, and a
+    value digest that must match the cold run's exactly."""
+    import hashlib
+
+    from adaptive_pdf_extractor_ray.pipelines.curate import (
+        curate_neardup_checkpointed,
+    )
+
+    sf_dir = _write_curate_corpus(
+        os.path.join(tempfile.gettempdir(), f"aper_curate_{n_docs}"), n_docs
+    )
+
+    def digest(ds) -> str:
+        ids = sorted(r["doc_id"] for r in ds.select_columns(
+            ["doc_id"]).take_all())
+        return hashlib.md5(str(ids).encode()).hexdigest()
+
+    wd = tempfile.mkdtemp(prefix="aper_curate_resume_")
+    t0 = time.time()
+    curate_neardup_checkpointed(sf_dir, wd, stop_after="pairs")
+    t_partial = time.time() - t0
+
+    stats: dict = {}
+    t1 = time.time()
+    resumed = curate_neardup_checkpointed(sf_dir, wd, stats_out=stats)
+    d_resumed = digest(resumed)
+    t_resume = time.time() - t1
+
+    wd_cold = tempfile.mkdtemp(prefix="aper_curate_cold_")
+    t2 = time.time()
+    cold = curate_neardup_checkpointed(sf_dir, wd_cold)
+    d_cold = digest(cold)
+    t_cold = time.time() - t2
+    shutil.rmtree(wd, ignore_errors=True)
+    shutil.rmtree(wd_cold, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "partial_wall_s": round(t_partial, 3),
+        "resume_wall_s": round(t_resume, 3),
+        "cold_wall_s": round(t_cold, 3),
+        "resume_saved_s": round(t_cold - t_resume, 3),
+        "stages_skipped_on_resume": stats.get("skipped", []),
+        "survivors_digest_match": d_resumed == d_cold,
+    }
 
 
 ANN_DOCS = int(os.environ.get("BENCH_ANN_DOCS", "100000"))
@@ -682,6 +785,10 @@ def run_bench() -> dict:
                 big_dir, SETSIM_BIG_DOCS
             )
         dedup_scale["ann_scale"] = run_ann_scale(ANN_DOCS)
+        if CURATE_RESUME_DOCS:
+            dedup_scale["curate_resume"] = run_curate_resume(
+                CURATE_RESUME_DOCS
+            )
 
     ray.shutdown()
     return {
