@@ -60,8 +60,8 @@ def q_cdc_dedup(sf_dir: str):
         lambda t: pa.table({"ck": t["ck"], "nd": t["count()"]}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    j = chunks.join(
-        freq, join_type="inner", on=("ck",),
+    j = sj.safe_join(
+        chunks, freq, join_type="inner", on=("ck",),
         num_partitions=adaptive_partitions_docs(sf_dir),
     )
 
@@ -249,9 +249,14 @@ def q_dedup_keep_best(sf_dir: str):
     cc = dd.connected_components(verified).materialize()
     qual = docs.map_batches(tx.token_count_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
-    j = cc.join(qual, join_type="inner",
-                num_partitions=dd.adaptive_partitions(cc.count()),
-                on=("doc_id",))
+    j = sj.safe_join(
+        cc, qual, join_type="inner",
+        num_partitions=dd.adaptive_partitions(cc.count()),
+        on=("doc_id",),
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("rep_id", pa.int64())]
+        ),
+    )
 
     def pick(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -355,8 +360,8 @@ def q_tfidf_top_terms(sf_dir: str):
 
         return docs.map_batches(fused_topk, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    joined = tfs.join(
-        df, join_type="inner",
+    joined = sj.safe_join(
+        tfs, df, join_type="inner",
         num_partitions=dd.adaptive_partitions(
             _table_rows(sf_dir, "documents") * 32  # ~term rows per corpus
         ),
@@ -560,8 +565,8 @@ def q_setsim_join(sf_dir: str, stats_out: dict | None = None):
         n_parts = dd.adaptive_partitions(
             _table_rows(sf_dir, "documents") * 120
         )
-        tok_df = tok.join(df, join_type="inner", num_partitions=n_parts,
-                          on=("sh",))
+        tok_df = sj.safe_join(tok, df, join_type="inner",
+                              num_partitions=n_parts, on=("sh",))
         prefixes = tok_df.groupby("doc_id").map_groups(
             lambda g: ss.prefix_select(g, ss.SETSIM_TAU),
             batch_format="pyarrow",
@@ -621,8 +626,8 @@ def q_ngram_novelty(sf_dir: str):
     ).select_columns(["doc_id", "sh"])
     df = _grouped_count(tok, key="sh", out="df")
     n_parts = dd.adaptive_partitions(_table_rows(sf_dir, "documents") * 120)
-    joined = tok.join(df, join_type="inner", num_partitions=n_parts,
-                      on=("sh",))
+    joined = sj.safe_join(tok, df, join_type="inner",
+                          num_partitions=n_parts, on=("sh",))
 
     def per_doc(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -659,12 +664,13 @@ def q_syndication_pairs(sf_dir: str):
     pairs = q_setsim_join(sf_dir).select_columns(["a", "b"]).materialize()
     srcs = _read(sf_dir, "documents", ["doc_id", "source"])
     n_parts = dd.adaptive_partitions(pairs.count())
-    j1 = pairs.join(
-        srcs, join_type="inner", num_partitions=n_parts,
-        on=("a",), right_on=("doc_id",),
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    j1 = sj.safe_join(
+        pairs, srcs, join_type="inner", num_partitions=n_parts,
+        on=("a",), right_on=("doc_id",), left_schema=pair_schema,
     ).rename_columns({"source": "src_of_a"})
-    j2 = j1.join(
-        srcs, join_type="inner", num_partitions=n_parts,
+    j2 = sj.safe_join(
+        j1, srcs, join_type="inner", num_partitions=n_parts,
         on=("b",), right_on=("doc_id",),
     ).rename_columns({"source": "src_of_b"})
 
@@ -847,12 +853,13 @@ def q_dedup_minhash_est(sf_dir: str):
     ).map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
     pairs = _lsh_distinct_pairs(sf_dir).materialize()
     n_parts = dd.adaptive_partitions(pairs.count())
-    j1 = pairs.join(
-        sigs, join_type="inner", num_partitions=n_parts,
+    j1 = sj.safe_join(
+        pairs, sigs, join_type="inner", num_partitions=n_parts,
         on=("a",), right_on=("doc_id",),
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
     ).rename_columns({"sig": "sig_a"})
-    j2 = j1.join(
-        sigs, join_type="inner", num_partitions=n_parts,
+    j2 = sj.safe_join(
+        j1, sigs, join_type="inner", num_partitions=n_parts,
         on=("b",), right_on=("doc_id",),
     ).rename_columns({"sig": "sig_b"})
 
