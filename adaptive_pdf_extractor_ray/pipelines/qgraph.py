@@ -1610,9 +1610,21 @@ def q_tfidf_cosine_pairs(sf_dir: str):
     pairs = post.groupby("term").map_groups(
         pair_term, batch_format="pyarrow"
     )
-    return pairs.groupby(["a", "b"]).map_groups(
+    out = pairs.groupby(["a", "b"]).map_groups(
         finish, batch_format="pyarrow"
     )
+    # when every group scores under TAU (true at sf0.1) the map_groups
+    # result is all empty blocks and the unified schema collapses to
+    # zero columns — and Ray's to_pandas() drops block schemas entirely
+    # on zero-row datasets, so an empty result must leave as a TYPED
+    # Arrow table, not a Dataset
+    schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]
+    )
+    out = sj.schema_guard(out, schema)
+    if out.count() == 0:
+        return schema.empty_table()
+    return out
 
 
 QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
