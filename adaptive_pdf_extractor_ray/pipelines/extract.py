@@ -667,6 +667,34 @@ def extract_pages(
     return stats
 
 
+# above this many ground-truth rows, evaluate_accuracy swaps its
+# broadcast expected-table for a distributed hash join on url — the
+# same size-routing discipline as every small-side lookup here
+EVAL_BROADCAST_MAX = 200_000
+
+
+def _score_pairs(urls, got, want_jsons):
+    accs, matches, totals = [], [], []
+    for g, w in zip(got, want_jsons):
+        want: dict = json.loads(w)
+        ans = json.loads(g) if g else {}
+        ok = sum(
+            1 for k, v in want.items()
+            if ans.get(k, None) == (None if v is None else v)
+        )
+        matches.append(ok)
+        totals.append(len(want))
+        accs.append(ok / len(want) if want else 1.0)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "n_match": pa.array(matches, pa.int64()),
+            "n_expected": pa.array(totals, pa.int64()),
+            "accuracy": pa.array(accs, pa.float64()),
+        }
+    )
+
+
 def evaluate_accuracy(
     answers: ray.data.Dataset, expected: ray.data.Dataset
 ) -> dict[str, float]:
@@ -675,50 +703,56 @@ def evaluate_accuracy(
     fraction of expected fields whose extracted value matches exactly
     (None == null); corpus accuracy is the mean.
 
-    Implemented as a broadcast-free merge on url via a pandas join per
-    batch against the expected table (test-scale helper; at corpus scale
-    ground truth would travel in the row or use Dataset.join).
-    """
-    import pandas as pd
-
-    exp_df = expected.to_pandas().set_index("url")
-    exp_ref = ray.put(exp_df)
-
-    class Score:
-        def __init__(self, ref):
-            self.exp = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            urls = batch["url"].to_pylist()
-            got = batch["extracted_json"].to_pylist()
-            accs, matches, totals = [], [], []
-            for u, g in zip(urls, got):
-                row = self.exp.loc[u]
-                want: dict = json.loads(row["expected_norm_json"])
-                ans = json.loads(g) if g else {}
-                ok = sum(
-                    1 for k, v in want.items()
-                    if ans.get(k, None) == (None if v is None else v)
-                )
-                matches.append(ok)
-                totals.append(len(want))
-                accs.append(ok / len(want) if want else 1.0)
-            return pa.table(
-                {
-                    "url": pa.array(urls, pa.string()),
-                    "n_match": pa.array(matches, pa.int64()),
-                    "n_expected": pa.array(totals, pa.int64()),
-                    "accuracy": pa.array(accs, pa.float64()),
-                }
-            )
-
+    Size-routed: while the ground-truth table fits EVAL_BROADCAST_MAX
+    it ships once via ray.put and each answer batch scores against the
+    in-memory index; beyond it, answers ⋈ expected run through a
+    distributed hash join on url (safe_join) and scoring happens per
+    joined batch — no driver-side or broadcast copy of a corpus-scale
+    truth set. Both routes are equivalence-tested
+    (tests/test_round5_fixes.py::TestEvaluateRoutes)."""
     # pool must leave CPUs for the read tasks — a pool that reserves every
     # core of a small session deadlocks the pipeline
     n_cpus = int(ray.cluster_resources().get("CPU", 4))
-    scored = answers.map_batches(
-        Score, fn_constructor_args=(exp_ref,), batch_format="pyarrow",
-        concurrency=max(1, min(4, n_cpus - 2)),
-    )
+    expected = expected.materialize()
+    if expected.count() > EVAL_BROADCAST_MAX:
+        from ..stages.joins import safe_join
+
+        joined = safe_join(
+            answers.select_columns(["url", "extracted_json"]),
+            expected.select_columns(["url", "expected_norm_json"]),
+            on=("url",), join_type="inner",
+            broadcast_max=0,  # this route exists to avoid the broadcast
+        )
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            return _score_pairs(
+                batch["url"].to_pylist(),
+                batch["extracted_json"].to_pylist(),
+                batch["expected_norm_json"].to_pylist(),
+            )
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+    else:
+        exp_df = expected.to_pandas().set_index("url")
+        exp_ref = ray.put(exp_df)
+
+        class Score:
+            def __init__(self, ref):
+                self.exp = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                urls = batch["url"].to_pylist()
+                want = [
+                    self.exp.loc[u]["expected_norm_json"] for u in urls
+                ]
+                return _score_pairs(
+                    urls, batch["extracted_json"].to_pylist(), want
+                )
+
+        scored = answers.map_batches(
+            Score, fn_constructor_args=(exp_ref,), batch_format="pyarrow",
+            concurrency=max(1, min(4, n_cpus - 2)),
+        )
     agg = scored.aggregate(
         ray.data.aggregate.Sum("n_match"),
         ray.data.aggregate.Sum("n_expected"),

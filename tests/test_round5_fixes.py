@@ -120,3 +120,32 @@ class TestExtractWritesLedger:
         }
         assert fitted[("run2", "total")] == 0
         assert outs[1]["rules_fitted"] == 0
+
+
+class TestEvaluateRoutes:
+    def test_broadcast_and_join_routes_agree(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """evaluate_accuracy's two size routes (broadcast expected vs
+        distributed url join) must produce identical accuracy numbers;
+        the join route is forced by dropping the threshold to 0."""
+        import ray
+
+        from adaptive_pdf_extractor_ray.pipelines import extract as ex
+        from adaptive_pdf_extractor_ray.sources.synthetic import (
+            write_corpus,
+        )
+
+        pages_dir, exp_dir = write_corpus(
+            str(tmp_path / "c"), n=300, seed=11, shard_rows=100
+        )
+        res = ex.extract_pages(
+            ray.data.read_parquet(pages_dir), str(tmp_path / "w"),
+            concurrency=2, write_answers=True,
+        )
+        expected = ray.data.read_parquet(exp_dir)
+        a = ex.evaluate_accuracy(res["answers"], expected)
+        monkeypatch.setattr(ex, "EVAL_BROADCAST_MAX", 0)
+        b = ex.evaluate_accuracy(res["answers"], expected)
+        assert a == b
+        assert a["field_accuracy"] == 1.0 and a["doc_accuracy"] == 1.0
