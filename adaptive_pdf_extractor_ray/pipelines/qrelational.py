@@ -40,6 +40,10 @@ def q_join_revenue(sf_dir: str):
 
     n_small = pq_.ParquetFile(_pq(sf_dir, "customer")).metadata.num_rows
     if n_small > BROADCAST_MAX_ROWS:
+        # raw Dataset.join is intentional here (not safe_join): both
+        # inputs are clean parquet reads — typed blocks, no degenerate
+        # hazard — and this branch exists to showcase the native
+        # hash-partitioned join against the broadcast route's oracle
         joined = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).join(
             _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
             join_type="inner",
@@ -82,6 +86,10 @@ def q_join_large(sf_dir: str):
     (orders ⋈ lineitem on orderkey), then partial+final revenue rollup."""
     od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    # raw Dataset.join is intentional: both sides are clean parquet
+    # reads (typed blocks — the degenerate-block hazard needs a
+    # groupby/sort/map_groups upstream), and this op is the native
+    # both-sides-large hash-join showcase
     j = od.join(
         li, join_type="inner",
         num_partitions=dd.adaptive_partitions(_table_rows(sf_dir, "lineitem")),
