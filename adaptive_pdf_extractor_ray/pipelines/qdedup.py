@@ -441,15 +441,21 @@ def q_dedup_simhash(sf_dir: str):
     )
 
 
+def _jaccard_over_pairs(sf_dir: str, pairs):
+    """Exact n-gram Jaccard verify over a GIVEN candidate-pair Dataset
+    (shared by q_dedup_jaccard and q_minhash_calibration, which reuses
+    one pair set for both estimate and exact streams)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.attach_pair_texts(pairs, docs).map_batches(
+        dd.jaccard_pairs_batch, batch_format="pyarrow"
+    )
+
+
 def q_dedup_jaccard(sf_dir: str):
     """n-gram Jaccard over the LSH candidate-pair set: distributed text
     joins on doc_id (a then b) + per-batch verification — no driver-side
     text collection or pair materialization."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = _lsh_distinct_pairs(sf_dir)
-    return dd.attach_pair_texts(pairs, docs).map_batches(
-        dd.jaccard_pairs_batch, batch_format="pyarrow"
-    )
+    return _jaccard_over_pairs(sf_dir, _lsh_distinct_pairs(sf_dir))
 
 
 def q_dedup_editdist(sf_dir: str):
@@ -835,6 +841,15 @@ def q_dedup_minhash_est(sf_dir: str):
     ``dedup_ngram_jaccard`` with signatures in place of texts; the
     oracle replays the full md5 minhash in SQL and counts agreeing
     slots, so the estimate itself is value-verified."""
+    return _minhash_est_over_pairs(
+        sf_dir, _lsh_distinct_pairs(sf_dir).materialize()
+    )
+
+
+def _minhash_est_over_pairs(sf_dir: str, pairs):
+    """Signature-agreement estimate over a GIVEN (materialized)
+    candidate-pair Dataset — the body of q_dedup_minhash_est, shared
+    with q_minhash_calibration."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def pack(t: pa.Table) -> pa.Table:
@@ -851,7 +866,6 @@ def q_dedup_minhash_est(sf_dir: str):
     sigs = docs.map_batches(
         dd.MinHasher, batch_format="pyarrow", concurrency=_apool(),
     ).map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = _lsh_distinct_pairs(sf_dir).materialize()
     n_parts = dd.adaptive_partitions(pairs.count())
     j1 = sj.safe_join(
         pairs, sigs, join_type="inner", num_partitions=n_parts,

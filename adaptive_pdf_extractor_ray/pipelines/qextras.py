@@ -3637,8 +3637,13 @@ def q_minhash_calibration(sf_dir: str):
     import pandas as pd
     import zlib
 
-    est = q_dedup_minhash_est(sf_dir)  # (a, b, est_jaccard)
-    exact = q_dedup_jaccard(sf_dir)    # (a, b, jaccard)
+    from .qdedup import _jaccard_over_pairs, _minhash_est_over_pairs
+
+    # ONE candidate-pair set feeds both streams — the delegating public
+    # ops each rebuild the LSH chain, which doubled this op's wall
+    pairs = _lsh_distinct_pairs(sf_dir).materialize()
+    est = _minhash_est_over_pairs(sf_dir, pairs)   # (a, b, est_jaccard)
+    exact = _jaccard_over_pairs(sf_dir, pairs)     # (a, b, jaccard)
     n_parts = 32
 
     def tag(which: str):
